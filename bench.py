@@ -1,0 +1,82 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is materialized through the noop sink — full distributed
+execution, zero driver collection — so the number measures engine compute,
+not result-transfer to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from laygo_python_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "filter_map",
+    "flatten_words",
+    "revenue_by_nation",
+    "q3_shipping_priority",
+    "top_k_orders",
+    "window_top3_per_customer",
+    "order_priority_check",
+    "sessionize_users",
+    "hourly_event_stats",
+    "dedup_exact",
+    "token_count",
+]
+
+
+def materialize(df) -> None:
+    try:
+        df.write.format("noop").mode("overwrite").save()
+    except Exception:
+        df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in sorted(qs) if n not in HEADLINE and n in os.environ.get("BENCH_EXTRA", "")
+    ]
+
+    spark = get_spark("bench")
+    # Warm-up: JIT, parquet footer cache, Python worker pool spin-up.
+    materialize(qs["q1_pricing_summary"](spark, sf_dir))
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, sf_dir))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

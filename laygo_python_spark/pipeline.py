@@ -1,0 +1,257 @@
+"""Pipeline — binds source data to transformers + context, hosts terminal
+actions and branch fan-out.
+
+Reference parity: laygo/pipeline.py:71-112 (ctor + context), :143-219
+(transform/apply), :264-365 (terminal ops), :459-555 (branch).
+Deliberate semantic upgrades (SURVEY.md §7.1): sources become re-usable
+DataFrames instead of single-use iterators; terminal ops still return
+``(result, context_snapshot)`` tuples to match the reference contract
+(laygo/pipeline.py:280-295).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+from concurrent.futures import ThreadPoolExecutor
+from functools import reduce as _functools_reduce
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from laygo_python_spark.context import Context
+from laygo_python_spark.transformer import Transformer, _as_condition, is_context_aware
+
+
+def _coerce_source(spark: SparkSession, source: Any) -> DataFrame:
+    """Accept DataFrames natively; wrap Python iterables like the
+    reference's ``Pipeline(*data)`` (laygo/pipeline.py:94-112).
+    Scalars become a single ``value`` column; dicts become typed rows."""
+    if isinstance(source, DataFrame):
+        return source
+    if isinstance(source, Pipeline):
+        return source.df
+    items = list(source)
+    if not items:
+        raise ValueError("cannot infer a schema from an empty Python source; pass a DataFrame")
+    if isinstance(items[0], dict):
+        return spark.createDataFrame([Row(**d) for d in items])
+    return spark.createDataFrame([(x,) for x in items], ["value"])
+
+
+def _rows_to_python(rows: list[Row], columns: list[str]) -> list[Any]:
+    """Single ``value`` column → bare scalars (laygo element parity);
+    otherwise dict records."""
+    if columns == ["value"]:
+        return [r[0] for r in rows]
+    return [r.asDict(recursive=True) for r in rows]
+
+
+class Pipeline:
+    """Fluent DataFrame pipeline with laygo's API shape."""
+
+    def __init__(
+        self,
+        *sources: Any,
+        spark: SparkSession | None = None,
+        context: dict | Context | None = None,
+    ):
+        if not sources:
+            raise ValueError("Pipeline needs at least one source")
+        self.spark = spark or SparkSession.getActiveSession()
+        if self.spark is None:
+            from laygo_python_spark.session import get_spark
+
+            self.spark = get_spark()
+        dfs = [_coerce_source(self.spark, s) for s in sources]
+        # Multi-source concatenation (reference chains iterables lazily,
+        # laygo/pipeline.py:108) → unionByName, still lazy under Catalyst.
+        self.df = _functools_reduce(lambda a, b: a.unionByName(b), dfs)
+        if isinstance(context, Context):
+            self._context = context
+        else:
+            self._context = Context(context, spark=self.spark)
+
+    # -- context (reference: Pipeline.context, laygo/pipeline.py:119-141) ---
+    def context(self, ctx: dict) -> "Pipeline":
+        for k, v in ctx.items():
+            self._context[k] = v
+        return self
+
+    # -- plan building -------------------------------------------------------
+    def transform(self, build: Callable[[Transformer], Transformer]) -> "Pipeline":
+        """Build a fresh transformer via a lambda and apply it
+        (reference: laygo/pipeline.py:143-165)."""
+        return self.apply(build(Transformer()))
+
+    def apply(self, transformer: Transformer | Callable[[DataFrame], DataFrame]) -> "Pipeline":
+        """Apply a Transformer or a plain DataFrame -> DataFrame callable
+        (reference: laygo/pipeline.py:167-219)."""
+        if isinstance(transformer, Transformer):
+            new_df = transformer(self.df, self._context)
+        else:
+            new_df = transformer(self.df)
+        out = Pipeline.__new__(Pipeline)
+        out.spark = self.spark
+        out.df = new_df
+        out._context = self._context
+        return out
+
+    # conveniences mirroring the fluent transformer surface
+    def map(self, expr: Any = None, /, **named: Any) -> "Pipeline":
+        return self.apply(Transformer().map(expr, **named) if expr is not None else Transformer().map(**named))
+
+    def filter(self, cond: Any) -> "Pipeline":
+        return self.apply(Transformer().filter(cond))
+
+    def flatten(self, col: str, into: str | None = None) -> "Pipeline":
+        return self.apply(Transformer().flatten(col, into))
+
+    def buffer(self, size: int = 1, batch_size: int = 1000) -> "Pipeline":
+        """No-op for API parity — Spark pipelines stages natively
+        (reference: laygo/pipeline.py:221-262; SURVEY.md §2.7)."""
+        return self
+
+    # -- terminal actions ------------------------------------------------------
+    def _snapshot(self) -> dict:
+        return self._context.to_dict()
+
+    def to_list(self) -> tuple[list[Any], dict]:
+        """Materialize all results + final context snapshot
+        (reference: laygo/pipeline.py:280-295)."""
+        rows = self.df.collect()
+        return _rows_to_python(rows, self.df.columns), self._snapshot()
+
+    def first(self, n: int = 1) -> tuple[list[Any], dict]:
+        """Take first n (reference: laygo/pipeline.py:321-344; the
+        'iterator resumes after' semantics are dropped — DataFrames are
+        re-usable instead). Spark plans a CollectLimit: upstream work
+        beyond n partitions is not executed."""
+        rows = self.df.limit(n).collect()
+        return _rows_to_python(rows, self.df.columns), self._snapshot()
+
+    def each(self, fn: Callable) -> tuple[None, dict]:
+        """Apply a side-effect per element, discard results
+        (reference: laygo/pipeline.py:297-319)."""
+        cols = self.df.columns
+        ctx_aware = is_context_aware(fn)
+        from laygo_python_spark.transformer import _worker_ctx
+
+        wctx = _worker_ctx(self._context) if ctx_aware else None
+        single = cols == ["value"]
+
+        def run_partition(rows: Iterator[Row]) -> None:
+            for r in rows:
+                item = r[0] if single else r.asDict(recursive=True)
+                fn(item, wctx) if ctx_aware else fn(item)
+
+        self.df.foreachPartition(run_partition)
+        return None, self._snapshot()
+
+    def consume(self) -> tuple[None, dict]:
+        """Drain for side effects only (reference: laygo/pipeline.py:346-365).
+        Uses the noop sink — a full distributed execution with zero
+        collection to the driver."""
+        try:
+            self.df.write.format("noop").mode("overwrite").save()
+        except Exception:
+            self.df.foreachPartition(lambda rows: None)
+        return None, self._snapshot()
+
+    def count(self) -> tuple[int, dict]:
+        return self.df.count(), self._snapshot()
+
+    def reduce(self, fn: Callable, initial: Any) -> tuple[Any, dict]:
+        """Whole-dataset sequential fold on the driver (reference terminal
+        reduce, laygo/transformers/transformer.py:462-486). Inherently
+        sequential for non-associative ``fn`` — exactly what the reference
+        does, just with Spark streaming partitions to the driver one at a
+        time. Rewrite to ``Transformer.agg`` for anything associative."""
+        cols = self.df.columns
+        single = cols == ["value"]
+        ctx_aware = is_context_aware(fn, threshold=2)
+        acc = initial
+        snap = dict(self._context.to_dict())
+        for r in self.df.toLocalIterator():
+            item = r[0] if single else r.asDict(recursive=True)
+            acc = fn(acc, item, snap) if ctx_aware else fn(acc, item)
+        return acc, self._snapshot()
+
+    def __iter__(self) -> Iterator[Any]:
+        """Stream results to the driver one partition at a time
+        (reference: laygo/pipeline.py:264-278 → toLocalIterator)."""
+        cols = self.df.columns
+        single = cols == ["value"]
+        for r in self.df.toLocalIterator():
+            yield r[0] if single else r.asDict(recursive=True)
+
+    # -- branch fan-out (reference: laygo/pipeline.py:459-555) -----------------
+    def branch(
+        self,
+        branches: dict[str, Any],
+        first_match: bool = True,
+        max_workers: int | None = None,
+    ) -> tuple[dict[str, list[Any]], dict]:
+        """Terminal fan-out. Values are either a Transformer
+        (unconditional — every row to every branch) or a
+        ``(condition, Transformer)`` tuple:
+
+        - ``first_match=True`` → router: a row goes to the FIRST branch
+          whose condition matches (priority switch/case,
+          laygo/pipeline.py:390-422) — compiled to exclusive predicates
+          ``pred_i & ~pred_1 & ... & ~pred_{i-1}``.
+        - ``first_match=False`` → conditional broadcast: a row goes to ALL
+          branches whose condition matches (laygo/pipeline.py:424-457).
+
+        The source is persisted once; branch actions run concurrently on
+        driver threads (Spark's scheduler interleaves the jobs — the
+        scalable analog of the reference's producer/consumer threads,
+        laygo/pipeline.py:631-704). A branch whose plan fails returns []
+        for that branch; others are unaffected (laygo/pipeline.py:613-618).
+        """
+        conditional = any(isinstance(v, tuple) for v in branches.values())
+        cached = self.df.persist()
+        plans: dict[str, DataFrame] = {}
+        if not conditional:
+            for name, t in branches.items():
+                plans[name] = t(cached, self._context) if isinstance(t, Transformer) else t(cached)
+        else:
+            prior: list[Column] = []
+            for name, spec in branches.items():
+                if not isinstance(spec, tuple):
+                    raise ValueError("mixing conditional and unconditional branches is unsupported")
+                cond, t = spec
+                c = _as_condition(cond) if not callable(cond) or isinstance(cond, Column) else None
+                if c is None:
+                    # Python predicate fallback (slow path, parity with
+                    # laygo's lambda conditions).
+                    base = Transformer().filter_rows(cond)(cached, self._context)
+                else:
+                    sel = c
+                    if first_match:
+                        for p in prior:
+                            sel = sel & ~p
+                        prior.append(c)
+                    base = cached.filter(sel)
+                plans[name] = t(base, self._context) if isinstance(t, Transformer) else t(base)
+
+        def run(name: str) -> tuple[str, list[Any]]:
+            try:
+                d = plans[name]
+                return name, _rows_to_python(d.collect(), d.columns)
+            except Exception:  # noqa: BLE001 — branch isolation (pipeline.py:613-618)
+                return name, []
+
+        with ThreadPoolExecutor(max_workers=max_workers or len(plans)) as pool:
+            results = dict(pool.map(run, plans))
+        cached.unpersist()
+        return results, self._snapshot()
+
+    # -- misc -------------------------------------------------------------------
+    def persist(self) -> "Pipeline":
+        self.df = self.df.persist()
+        return self
+
+    def explain(self, mode: str = "formatted") -> "Pipeline":
+        self.df.explain(mode)
+        return self

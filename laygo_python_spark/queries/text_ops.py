@@ -1,0 +1,130 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (language-ID heuristic, quality scoring,
+token counting, document fingerprinting).
+
+Everything here is pure Column expressions — JVM-side, codegen'd, no
+Python in the hot path — so it runs at 100 TB exactly as written.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from laygo_python_spark.queries import query
+from laygo_python_spark.session import read_table as _t
+
+
+@query(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenizer → token count."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "doc_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_token_len,
+           round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+                 / length(text), 4) AS space_ratio
+    FROM documents
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/shape-based quality features — the cheap pre-filter stage of
+    an LLM data pipeline (drop too-short / degenerate docs downstream)."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = F.size(F.split(F.trim(text), r"\s+")).cast("long")
+    no_space_len = F.length(F.replace(text, F.lit(" "), F.lit("")))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(no_space_len.cast("double") / n_tokens, 4).alias("avg_token_len"),
+        F.round((F.length(text) - no_space_len).cast("double") / F.length(text), 4).alias("space_ratio"),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle="""
+    SELECT doc_id,
+           CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+                AS BIGINT) AS en_stopword_hits,
+           CASE WHEN (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 >= 1
+                THEN 'en' ELSE 'unknown' END AS lang_guess
+    FROM documents
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic (count ' the ' hits).
+    Deliberately simple and SQL-mirrorable; a production version widens
+    the stopword table per language — still pure Column algebra.
+
+    NOTE: replace-based counting does not see overlapping occurrences
+    ('the the the' counts 2 with padding) — the oracle applies the
+    identical transform so both sides agree by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    hits = (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(" the "), F.lit("")))) / 5
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        hits.alias("en_stopword_hits"),
+        F.when(hits >= 1, "en").otherwise("unknown").alias("lang_guess"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (whitespace-collapse → lower → md5):
+    the join key for exact dedup across shards."""
+    docs = _t(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return docs.select("doc_id", F.md5(normalized).alias("fp"))
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keep_doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+           count(*) AS n_dupes
+    FROM documents
+    GROUP BY fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: hash-groupBy on the normalized fingerprint,
+    keep the lowest doc_id (deterministic winner). One shuffle on a short
+    hash key — the canonical 100 TB dedup shape (hash first so the
+    shuffle moves 32-byte keys, not document text)."""
+    docs = _t(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return (
+        docs.select("doc_id", F.md5(normalized).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dupes"))
+        .select("keep_doc_id", "fp", "n_dupes")
+    )

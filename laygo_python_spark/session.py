@@ -1,0 +1,103 @@
+"""SparkSession bootstrap + table helpers.
+
+Scale posture: these configs are tuned so the same code runs on
+``local[32]`` for tests and on a 1000-executor cluster unchanged —
+AQE owns runtime re-planning (partition coalescing, skew-join splitting,
+broadcast demotion), shuffle partitions default to the cluster
+parallelism, and Arrow is on for every Python<->JVM hop.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "laygo_python_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a tuned SparkSession.
+
+    On a real cluster the ``master`` is supplied by spark-submit; the
+    ``local[n]`` default only applies when nothing else set one.
+    """
+    n = cpus or _cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # Partition parallelism: ~cores locally. On a cluster AQE
+        # coalesces post-shuffle partitions down from a higher initial
+        # number, so over-provisioning is safe; under-provisioning is not.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        # AQE: runtime re-plan — coalesce small shuffle partitions,
+        # convert sort-merge joins to broadcast when a side turns out
+        # small, split skewed partitions. Essential at 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Deterministic timestamps for the DuckDB oracle (UTC-naive).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for pandas_udf / mapInPandas / toPandas — the "chunk"
+        # transport. 10k rows/batch ≈ the reference's chunk_size scaled
+        # for columnar amortization (reference default 1000,
+        # laygo/transformers/transformer.py:28).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+    )
+    if SparkSession.getActiveSession() is None:
+        builder = builder.master(f"local[{n}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+# Tables whose parquet stores TIMESTAMP(NANOS) columns, which Spark 4
+# refuses natively. We read them as long nanos and truncate to micros —
+# integer division, never float (1.7e18 ns does not fit a double's
+# 53-bit mantissa). DuckDB truncates ns→us the same way, so the oracle
+# sees identical timestamps.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan — Catalyst pushes filters/projections into it."""
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in nanos_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}

@@ -1,0 +1,69 @@
+"""Structured Streaming helpers — new capability vs the reference, which
+is pull-based lazy streaming with no event-time semantics (SURVEY.md §2.11:
+no watermarks, no windows, no state store).
+
+Bounded laygo pipelines map to batch DataFrames; unbounded sources map to
+``readStream`` with watermark + windowed aggregation here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based stream over the events fixture (schema pinned from the
+    batch read — streaming readers must not infer)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return spark.readStream.schema(schema).parquet(sf_dir + "/events.parquet")
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — late rows beyond the watermark
+    are dropped and state is evicted (bounded memory at any scale)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def sliding_counts(events: DataFrame, window: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", window, slide), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows with a dynamic gap — the streaming twin of the
+    batch sessionize_users query."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drive a bounded file stream to completion through the memory sink
+    and return the materialized result (for tests/demos)."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(query_name)

@@ -1,0 +1,442 @@
+"""Transformer — a reusable, composable DataFrame -> DataFrame program.
+
+Reference parity: laygo's ``Transformer`` (laygo/transformers/transformer.py:135-163)
+builds a chunk-function by closure composition (``_pipe``, :215-227) and is
+applied to data via ``__call__`` (:394-404). Here the "composed closure" is
+a list of plan-building steps over a DataFrame; Catalyst's whole-stage
+codegen performs the operator fusion that laygo's closure composition
+hand-rolled (SURVEY.md §4).
+
+Fast path vs slow path (decided at *build* time, mirroring laygo's
+build-time arity dispatch, laygo/helpers.py:28-41):
+
+- Column expressions / SQL strings compile to native Catalyst operators —
+  predicate pushdown, column pruning and codegen apply.
+- Arbitrary Python goes through Arrow-batched ``mapInPandas``
+  (the closest match to laygo's ``(list[T], ctx) -> list[U]`` chunk
+  contract, SURVEY.md §2.12) — never row-at-a-time Python UDFs.
+"""
+
+from __future__ import annotations
+
+import inspect
+from collections.abc import Callable, Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from laygo_python_spark.context import Context
+from laygo_python_spark.errors import ErrorHandler, PipelineAbortError
+
+# A step takes (df, worker_ctx_dict_or_None) and returns a DataFrame.
+Step = Callable[[DataFrame, dict | None], DataFrame]
+
+DEFAULT_MAX_LOOP_ITERATIONS = 100
+
+
+def is_context_aware(fn: Callable, threshold: int = 1) -> bool:
+    """Build-time arity sniffing — mirrors laygo/helpers.py:28-41.
+
+    A user function with more than ``threshold`` positional params
+    receives the context as its last argument.
+    """
+    try:
+        params = [
+            p
+            for p in inspect.signature(fn).parameters.values()
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        ]
+        return len(params) > threshold
+    except (TypeError, ValueError):
+        return False
+
+
+def _as_condition(cond: Column | str) -> Column:
+    return F.expr(cond) if isinstance(cond, str) else cond
+
+
+def _worker_ctx(context: Context | None) -> dict[str, Any]:
+    """Snapshot the context for executor-side closures.
+
+    Plain values are read-only copies (broadcast-style); registered
+    accumulators pass through so ``ctx["n"] += 1`` works in workers
+    (parity with laygo/context/parallel.py:71-92 lock-protected writes —
+    accumulators are race-free without the lock).
+    """
+    if context is None:
+        return {}
+    snap = dict(context._data)
+    snap.update(context._accumulators)
+    return snap
+
+
+class Transformer:
+    """Immutable fluent program; every method returns a new Transformer.
+
+    (The reference mutates in place and returns self,
+    laygo/transformers/transformer.py:224-227 — immutability is a
+    deliberate upgrade: a Transformer is a value, like a logical plan.)
+    """
+
+    def __init__(self, steps: tuple[Step, ...] = ()):  # noqa: D107
+        self._steps = tuple(steps)
+
+    # -- composition core (parity: _pipe, transformer.py:215-227) ----------
+    def _with(self, step: Step) -> "Transformer":
+        return Transformer(self._steps + (step,))
+
+    def __call__(self, df: DataFrame, context: Context | None = None) -> DataFrame:
+        for step in self._steps:
+            df = step(df, context)
+        return df
+
+    @classmethod
+    def from_transformer(cls, other: "Transformer") -> "Transformer":
+        """Clone (parity: transformer.py:165-184; trivially cheap here
+        because Transformers are immutable values)."""
+        return cls(other._steps)
+
+    # -- projections / per-row transforms ----------------------------------
+    def map(self, expr: Column | str | None = None, /, **named: Column | str) -> "Transformer":
+        """Column-expression map (the fast path).
+
+        ``map(**named)`` adds/replaces columns (withColumns);
+        ``map(expr)`` projects to the given column(s).
+        Reference: Transformer.map, transformer.py:229-243.
+        """
+        if expr is not None and named:
+            raise ValueError("pass either a positional expression or keyword columns")
+        if expr is not None:
+            cols = [_as_condition(expr)]
+            return self._with(lambda df, ctx: df.select(*cols))
+        resolved = {k: _as_condition(v) for k, v in named.items()}
+        return self._with(lambda df, ctx: df.withColumns(resolved))
+
+    def select(self, *cols: Column | str) -> "Transformer":
+        return self._with(lambda df, ctx: df.select(*cols))
+
+    def drop(self, *cols: str) -> "Transformer":
+        return self._with(lambda df, ctx: df.drop(*cols))
+
+    def rename(self, **mapping: str) -> "Transformer":
+        return self._with(lambda df, ctx: df.withColumnsRenamed(mapping))
+
+    def map_batches(self, fn: Callable, schema: Any | None = None) -> "Transformer":
+        """Arbitrary-Python map over Arrow batches — the direct analog of
+        laygo's chunk contract ``(list[In], ctx) -> list[Out]``
+        (laygo/transformers/types.py:13). ``fn(pdf)`` or ``fn(pdf, ctx)``
+        returns a pandas DataFrame; ``schema=None`` keeps the input schema.
+        """
+        ctx_aware = is_context_aware(fn)
+
+        def step(df: DataFrame, context: Context | None) -> DataFrame:
+            out_schema = schema if schema is not None else df.schema
+            wctx = _worker_ctx(context) if ctx_aware else None
+
+            def run(batches: Iterable[pd.DataFrame]):
+                for pdf in batches:
+                    out = fn(pdf, wctx) if ctx_aware else fn(pdf)
+                    if out is not None and len(out):
+                        yield out
+
+            return df.mapInPandas(run, schema=out_schema)
+
+        return self._with(step)
+
+    def map_rows(self, fn: Callable, schema: Any | None = None) -> "Transformer":
+        """Per-row Python map (slowest path; parity with laygo map over
+        dict elements, transformer.py:243). ``fn(row_dict[, ctx]) -> dict``.
+        Prefer ``map``/``map_batches``.
+        """
+        ctx_aware = is_context_aware(fn)
+
+        def batch_fn(pdf: pd.DataFrame, ctx: dict | None = None) -> pd.DataFrame:
+            records = pdf.to_dict("records")
+            out = [fn(r, ctx) if ctx_aware else fn(r) for r in records]
+            return pd.DataFrame(out)
+
+        # Re-expose the right arity so map_batches dispatches ctx correctly.
+        if ctx_aware:
+            return self.map_batches(lambda pdf, ctx: batch_fn(pdf, ctx), schema)
+        return self.map_batches(lambda pdf: batch_fn(pdf), schema)
+
+    # -- filters ------------------------------------------------------------
+    def filter(self, cond: Column | str | Callable) -> "Transformer":
+        """Native filter for Column/SQL (pushdown-eligible); Python
+        callables fall back to a per-row predicate over Arrow batches.
+        Reference: Transformer.filter, transformer.py:245-260.
+        """
+        if callable(cond) and not isinstance(cond, Column):
+            return self.filter_rows(cond)
+        c = _as_condition(cond)
+        return self._with(lambda df, ctx: df.filter(c))
+
+    def filter_rows(self, pred: Callable) -> "Transformer":
+        ctx_aware = is_context_aware(pred)
+
+        def step(df: DataFrame, context: Context | None) -> DataFrame:
+            wctx = _worker_ctx(context) if ctx_aware else None
+
+            def run(batches: Iterable[pd.DataFrame]):
+                for pdf in batches:
+                    if ctx_aware:
+                        mask = pdf.apply(lambda r: bool(pred(r.to_dict(), wctx)), axis=1)
+                    else:
+                        mask = pdf.apply(lambda r: bool(pred(r.to_dict())), axis=1)
+                    out = pdf[mask] if len(pdf) else pdf
+                    if len(out):
+                        yield out
+
+            return df.mapInPandas(run, schema=df.schema)
+
+        return self._with(step)
+
+    # -- flatten / explode ---------------------------------------------------
+    def flatten(self, col: str, into: str | None = None) -> "Transformer":
+        """Explode an array column into one row per element
+        (reference: Transformer.flatten, transformer.py:262-280 →
+        SURVEY.md maps it to F.explode)."""
+        out = into or col
+        return self._with(
+            lambda df, ctx: df.withColumn(out, F.explode(F.col(col))) if out == col
+            else df.withColumn(out, F.explode(F.col(col))).drop(col)
+        )
+
+    # -- side effects ----------------------------------------------------------
+    def tap(self, fn: Callable) -> "Transformer":
+        """Side-effect per batch, data passes through unchanged
+        (reference: Transformer.tap, transformer.py:282-333).
+        ``fn(pdf[, ctx])`` — use ctx accumulators for metrics."""
+        ctx_aware = is_context_aware(fn)
+
+        def batch_fn(pdf: pd.DataFrame, ctx: dict | None = None) -> pd.DataFrame:
+            if ctx_aware:
+                fn(pdf, ctx)
+            else:
+                fn(pdf)
+            return pdf
+
+        if ctx_aware:
+            return self.map_batches(lambda pdf, ctx: batch_fn(pdf, ctx))
+        return self.map_batches(lambda pdf: batch_fn(pdf))
+
+    def observe(self, name: str, *exprs: Column) -> "Transformer":
+        """Zero-cost metrics riding the main job — the scalable tap
+        (collected via ``DataFrame.observe``; see Pipeline terminals)."""
+        return self._with(lambda df, ctx: df.observe(name, *exprs))
+
+    # -- composition --------------------------------------------------------
+    def apply(self, fn: Callable[["Transformer"], "Transformer"]) -> "Transformer":
+        """Pass self through a transformer-building function
+        (reference: Transformer.apply, transformer.py:335-344)."""
+        return fn(self)
+
+    def pipe(self, fn: Callable[[DataFrame], DataFrame]) -> "Transformer":
+        """Escape hatch: splice any DataFrame -> DataFrame function into
+        the program (the df.transform protocol)."""
+        return self._with(lambda df, ctx: fn(df))
+
+    # -- aggregation ----------------------------------------------------------
+    def agg(self, *exprs: Column, group_by: list[str | Column] | None = None) -> "Transformer":
+        """Expressible folds — ALWAYS prefer this to reduce_rows: Catalyst
+        plans partial (map-side) + final aggregation automatically, which
+        is the scalable form of laygo's per-chunk+terminal reduce split
+        (transformer.py:406-486)."""
+        if group_by:
+            return self._with(lambda df, ctx: df.groupBy(*group_by).agg(*exprs))
+        return self._with(lambda df, ctx: df.agg(*exprs))
+
+    def reduce_rows(
+        self,
+        fn: Callable,
+        initial: Any,
+        schema: Any,
+        per_chunk: bool = True,
+    ) -> "Transformer":
+        """Arbitrary-Python fold, one output row **per partition**
+        (reference per_chunk=True path, transformer.py:436-460 — the
+        'partial' half of a partial+final aggregation; laygo never does
+        the final merge either). ``fn(acc, row_dict[, ctx]) -> acc``;
+        the output row is ``{"value": acc}``-shaped per ``schema``.
+
+        For a whole-dataset sequential fold (reference terminal path,
+        transformer.py:462-486) use ``Pipeline.reduce`` — a general
+        non-associative fold is inherently sequential and runs on the
+        driver; rewrite to ``agg`` whenever possible.
+        """
+        if not per_chunk:
+            raise ValueError("whole-dataset folds live on Pipeline.reduce; use agg for distributed folds")
+        ctx_aware = is_context_aware(fn, threshold=2)
+
+        def step(df: DataFrame, context: Context | None) -> DataFrame:
+            wctx = _worker_ctx(context) if ctx_aware else None
+
+            def run(batches: Iterable[pd.DataFrame]):
+                acc = initial
+                seen = False
+                for pdf in batches:
+                    for r in pdf.to_dict("records"):
+                        acc = fn(acc, r, wctx) if ctx_aware else fn(acc, r)
+                        seen = True
+                if seen:
+                    yield pd.DataFrame([{"value": acc}])
+
+            return df.mapInPandas(run, schema=schema)
+
+        return self._with(step)
+
+    # -- error isolation -------------------------------------------------------
+    def catch(
+        self,
+        fn: Callable,
+        schema: Any | None = None,
+        on_error: Callable | ErrorHandler | None = None,
+        mode: str = "batch",
+    ) -> "Transformer":
+        """Per-batch (or per-row) error isolation for a Python transform —
+        a failing unit is dropped, the rest of the data continues
+        (reference: Transformer.catch, transformer.py:488-535; failing
+        chunk yields [] :524-533).
+
+        ``mode="batch"``: try/except around each Arrow batch (closest to
+        the reference's chunk semantics). ``mode="row"``: per-row salvage —
+        finer error domain, higher cost (SURVEY.md §7.4.2 documents that
+        batch boundaries differ from the reference's 1000-row chunks, so
+        tests should assert on error *counts* and surviving rows).
+
+        ``on_error(chunk_pdf, exception, ctx)`` runs executor-side.
+        Register a ctx counter (e.g. ``ctx.counter("errors")``) before the
+        terminal op to observe failure counts on the driver.
+        """
+        if mode not in ("batch", "row"):
+            raise ValueError(f"mode must be 'batch' or 'row', got {mode!r}")
+        handler = on_error
+        fn_ctx_aware = is_context_aware(fn)
+
+        def step(df: DataFrame, context: Context | None) -> DataFrame:
+            out_schema = schema if schema is not None else df.schema
+            wctx = _worker_ctx(context)
+
+            def handle(pdf: pd.DataFrame, exc: Exception) -> None:
+                if isinstance(handler, ErrorHandler):
+                    handler.handle(pdf, exc, wctx)
+                elif handler is not None:
+                    handler(pdf, exc, wctx)
+
+            def run(batches: Iterable[pd.DataFrame]):
+                for pdf in batches:
+                    if mode == "batch":
+                        try:
+                            out = fn(pdf, wctx) if fn_ctx_aware else fn(pdf)
+                        except PipelineAbortError:
+                            raise
+                        except Exception as exc:  # noqa: BLE001 — error domain is the batch
+                            handle(pdf, exc)
+                            continue
+                        if out is not None and len(out):
+                            yield out
+                    else:
+                        good: list[pd.DataFrame] = []
+                        for i in range(len(pdf)):
+                            row = pdf.iloc[i : i + 1]
+                            try:
+                                out = fn(row, wctx) if fn_ctx_aware else fn(row)
+                            except PipelineAbortError:
+                                raise
+                            except Exception as exc:  # noqa: BLE001 — error domain is the row
+                                handle(row, exc)
+                                continue
+                            if out is not None and len(out):
+                                good.append(out)
+                        if good:
+                            yield pd.concat(good, ignore_index=True)
+
+            return df.mapInPandas(run, schema=out_schema)
+
+        return self._with(step)
+
+    # -- iteration ---------------------------------------------------------------
+    def loop(
+        self,
+        body: "Transformer",
+        condition: Column | str | Callable[[DataFrame], bool],
+        max_iterations: int = DEFAULT_MAX_LOOP_ITERATIONS,
+        checkpoint_every: int = 10,
+    ) -> "Transformer":
+        """Driver-side fixpoint iteration (reference: Transformer.loop,
+        transformer.py:346-392 — per-chunk while-loop; here the unit is
+        the whole dataset, the scalable granularity).
+
+        ``condition`` as a Column/SQL string means "keep looping while any
+        row matches"; a callable receives the DataFrame and returns bool.
+        ``localCheckpoint`` every ``checkpoint_every`` iterations truncates
+        lineage so plans don't grow unboundedly (SURVEY.md §7.4.3).
+        """
+        if max_iterations is None or max_iterations <= 0:
+            raise ValueError("max_iterations must be a positive int (unbounded loops are unsupported)")
+
+        def step(df: DataFrame, context: Context | None) -> DataFrame:
+            def should_continue(d: DataFrame) -> bool:
+                if callable(condition) and not isinstance(condition, Column):
+                    return bool(condition(d))
+                return d.filter(_as_condition(condition)).limit(1).count() > 0
+
+            i = 0
+            while i < max_iterations and should_continue(df):
+                df = body(df, context)
+                i += 1
+                if i % checkpoint_every == 0:
+                    df = df.localCheckpoint(eager=True)
+            return df
+
+        return self._with(step)
+
+    def short_circuit(self, fn: Callable[[dict], bool | None]) -> "Transformer":
+        """Abort the whole run when ``fn(ctx)`` returns True (reference:
+        transformer.py:537-567). Spark cannot cleanly abort a running
+        stage from user code, so the check runs driver-side at this
+        step's position in the program — i.e. the abort granularity is
+        the action, not the chunk (documented, SURVEY.md §7.4.6)."""
+
+        def step(df: DataFrame, context: Context | None) -> DataFrame:
+            snapshot = context.to_dict() if context is not None else {}
+            if fn(snapshot):
+                raise PipelineAbortError("short_circuit condition met")
+            return df
+
+        return self._with(step)
+
+    # -- relational uplift (absent in reference — SURVEY.md §2.4-2.6) ---------
+    def join(self, other: DataFrame, on: Any, how: str = "inner", broadcast: bool = False) -> "Transformer":
+        return self._with(
+            lambda df, ctx: df.join(F.broadcast(other) if broadcast else other, on, how)
+        )
+
+    def distinct(self, *cols: str) -> "Transformer":
+        if cols:
+            return self._with(lambda df, ctx: df.select(*cols).distinct())
+        return self._with(lambda df, ctx: df.distinct())
+
+    def union(self, other: DataFrame) -> "Transformer":
+        return self._with(lambda df, ctx: df.unionByName(other))
+
+    def order_by(self, *cols: Column | str) -> "Transformer":
+        return self._with(lambda df, ctx: df.orderBy(*cols))
+
+    def limit(self, n: int) -> "Transformer":
+        return self._with(lambda df, ctx: df.limit(n))
+
+    # -- physical layout (parity: set_chunker, transformer.py:186-197) ---------
+    def repartition(self, n: int, *cols: str) -> "Transformer":
+        return self._with(lambda df, ctx: df.repartition(n, *cols) if cols else df.repartition(n))
+
+    def coalesce(self, n: int) -> "Transformer":
+        return self._with(lambda df, ctx: df.coalesce(n))
+
+
+def create_transformer(_type_hint: Any = None) -> Transformer:
+    """Factory, parity with laygo's create_transformer
+    (transformer.py:36-46 — the type hint is ignored at runtime there too)."""
+    return Transformer()

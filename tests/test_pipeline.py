@@ -1,0 +1,222 @@
+"""Pipeline-level tests — mirrors reference tests/test_pipeline.py:
+sources, terminal ops, data types, edge cases, branch scenarios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from laygo_python_spark import Context, Pipeline, Transformer
+
+
+# -- sources (reference tests/test_pipeline.py:11-37) --------------------------
+def test_scalar_source(spark):
+    result, ctx = Pipeline([1, 2, 3], spark=spark).to_list()
+    assert sorted(result) == [1, 2, 3]
+    assert ctx == {}
+
+
+def test_multi_source_concatenation(spark):
+    result, _ = Pipeline([1, 2], [3, 4], spark=spark).to_list()
+    assert sorted(result) == [1, 2, 3, 4]
+
+
+def test_dict_source(spark):
+    data = [{"name": "a", "age": 30}, {"name": "b", "age": 25}]
+    result, _ = Pipeline(data, spark=spark).to_list()
+    assert sorted(result, key=lambda d: d["name"]) == sorted(data, key=lambda d: d["name"])
+
+
+def test_dataframe_source_reusable(spark):
+    """Deliberate upgrade vs reference single-use iterators
+    (laygo/pipeline.py:89-92): DataFrames re-run fine."""
+    df = spark.createDataFrame([(1,), (2,)], ["value"])
+    p = Pipeline(df, spark=spark)
+    assert p.to_list()[0] == p.to_list()[0]
+
+
+def test_string_source(spark):
+    result, _ = Pipeline(["x", "y"], spark=spark).to_list()
+    assert sorted(result) == ["x", "y"]
+
+
+# -- transform/apply (reference tests/test_pipeline.py:143-219) -----------------
+def test_transform_lambda(spark):
+    result, _ = (
+        Pipeline(range(1, 11), spark=spark)
+        .transform(lambda t: t.filter(F.col("value") % 2 == 0).map(value=F.col("value") * 2))
+        .to_list()
+    )
+    assert sorted(result) == [4, 8, 12, 16, 20]
+
+
+def test_apply_transformer_object(spark):
+    t = Transformer().filter(F.col("value") > 1)
+    result, _ = Pipeline([1, 2, 3], spark=spark).apply(t).to_list()
+    assert sorted(result) == [2, 3]
+
+
+def test_apply_plain_callable(spark):
+    result, _ = Pipeline([1, 2, 3], spark=spark).apply(lambda df: df.filter("value < 3")).to_list()
+    assert sorted(result) == [1, 2]
+
+
+# -- terminal ops (reference tests/test_pipeline.py:75-106) ---------------------
+def test_first(spark):
+    result, ctx = Pipeline(range(100), spark=spark).first(5)
+    assert len(result) == 5
+
+
+def test_each_side_effect_via_accumulator(spark):
+    ctx = Context(spark=spark)
+    ctx.counter("seen")
+
+    def visit(item, c):
+        c["seen"] += 1
+
+    _, snapshot = Pipeline([1, 2, 3], spark=spark, context=ctx).each(visit)
+    assert snapshot["seen"] == 3
+
+
+def test_consume(spark):
+    result, _ = Pipeline([1, 2, 3], spark=spark).consume()
+    assert result is None
+
+
+def test_count(spark):
+    n, _ = Pipeline(range(42), spark=spark).count()
+    assert n == 42
+
+
+def test_iteration_protocol(spark):
+    items = sorted(Pipeline([3, 1, 2], spark=spark))
+    assert items == [1, 2, 3]
+
+
+def test_driver_reduce_sequential_fold(spark):
+    """Terminal reduce parity (laygo transformer.py:462-486): arbitrary
+    non-associative fold, sequential on the driver."""
+    total, _ = Pipeline([1, 2, 3, 4], spark=spark).reduce(lambda acc, x: acc * 10 + x, 0)
+    # order is partition order of a 1-source small DF — ascending here
+    assert total == 1234
+
+
+def test_buffer_is_noop(spark):
+    p = Pipeline([1, 2], spark=spark)
+    assert p.buffer(8) is p
+
+
+# -- edge cases (reference tests/test_pipeline.py:129-161) ----------------------
+def test_single_element(spark):
+    result, _ = Pipeline([7], spark=spark).to_list()
+    assert result == [7]
+
+
+def test_10k_smoke(spark):
+    result, _ = (
+        Pipeline(range(10_000), spark=spark)
+        .transform(lambda t: t.filter(F.col("value") % 2 == 0).map(value=F.col("value") * 2).filter(F.col("value") > 100).map(value=F.col("value") + 1))
+        .to_list()
+    )
+    # the reference benchmark workload (BASELINE.md): even → ×2 → >100 → +1
+    assert len(result) == 4974 and min(result) == 105
+
+
+# -- context (reference tests/test_integration.py:85-99) ------------------------
+def test_context_seed_and_snapshot(spark):
+    p = Pipeline([1], spark=spark).context({"run_id": "r1"})
+    _, ctx = p.to_list()
+    assert ctx["run_id"] == "r1"
+
+
+def test_context_counters_from_workers(spark):
+    ctx = Context(spark=spark)
+    ctx.counter("processed_count")
+    ctx.counter("sum_total")
+
+    def track(pdf, c):
+        c["processed_count"] += len(pdf)
+        c["sum_total"] += int(pdf.value.sum())
+
+    p = Pipeline(range(1, 101), spark=spark, context=ctx).apply(Transformer().tap(track))
+    _, snapshot = p.consume()
+    assert snapshot["processed_count"] == 100
+    assert snapshot["sum_total"] == 5050
+
+
+def test_context_max_tracker(spark):
+    ctx = Context(spark=spark)
+    ctx.max_tracker("max_value")
+
+    def track(pdf, c):
+        c["max_value"] += float(pdf.value.max())  # accumulator add = max-merge
+
+    _, snapshot = Pipeline([3, 9, 4], spark=spark, context=ctx).apply(Transformer().tap(track)).consume()
+    assert snapshot["max_value"] == 9
+
+
+# -- branch (reference tests/test_pipeline.py:228-619) ---------------------------
+def test_branch_unconditional_fanout(spark):
+    results, _ = Pipeline([1, 2, 3, 4], spark=spark).branch(
+        {
+            "doubled": Transformer().map(value=F.col("value") * 2),
+            "evens": Transformer().filter(F.col("value") % 2 == 0),
+        }
+    )
+    assert sorted(results["doubled"]) == [2, 4, 6, 8]
+    assert sorted(results["evens"]) == [2, 4]
+
+
+def test_branch_router_first_match(spark):
+    """Router golden routing (reference tests/test_pipeline.py:507-538):
+    each row goes to the FIRST matching branch only."""
+    results, _ = Pipeline([1, 50, 150, 250], spark=spark).branch(
+        {
+            "big": (F.col("value") > 100, Transformer()),
+            "medium": (F.col("value") > 10, Transformer()),
+            "small": (F.lit(True), Transformer()),
+        },
+        first_match=True,
+    )
+    assert sorted(results["big"]) == [150, 250]
+    assert sorted(results["medium"]) == [50]
+    assert sorted(results["small"]) == [1]
+
+
+def test_branch_conditional_broadcast(spark):
+    """Broadcast mode (reference tests/test_pipeline.py:540-570): rows go
+    to ALL matching branches."""
+    results, _ = Pipeline([1, 50, 150], spark=spark).branch(
+        {
+            "gt10": (F.col("value") > 10, Transformer()),
+            "gt100": (F.col("value") > 100, Transformer()),
+        },
+        first_match=False,
+    )
+    assert sorted(results["gt10"]) == [50, 150]
+    assert sorted(results["gt100"]) == [150]
+
+
+def test_branch_failure_isolation(spark):
+    """A failing branch yields [] without affecting others
+    (reference laygo/pipeline.py:613-618)."""
+
+    def explode_batch(pdf):
+        raise RuntimeError("branch down")
+
+    results, _ = Pipeline([1, 2], spark=spark).branch(
+        {
+            "ok": Transformer().map(value=F.col("value") + 1),
+            "bad": Transformer().map_batches(explode_batch),
+        }
+    )
+    assert sorted(results["ok"]) == [2, 3]
+    assert results["bad"] == []
+
+
+def test_branch_python_predicate(spark):
+    results, _ = Pipeline([1, 2, 3], spark=spark).branch(
+        {"odd": (lambda r: r["value"] % 2 == 1, Transformer())},
+        first_match=True,
+    )
+    assert sorted(results["odd"]) == [1, 3]

@@ -1,0 +1,270 @@
+"""Transformer operator tests — mirrors the reference's per-operator
+golden-value style (reference tests/test_transformer.py) on tiny literal
+DataFrames, plus the partitioning-invariance property the reference
+asserts as chunk-size invariance (tests/test_transformer.py:383-396).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from laygo_python_spark import Context, Pipeline, Transformer
+from laygo_python_spark.errors import PipelineAbortError
+
+
+def ints(spark, values=(1, 2, 3, 4, 5)):
+    return spark.createDataFrame([(v,) for v in values], ["value"])
+
+
+def as_values(df):
+    return [r[0] for r in df.orderBy("value").collect()]
+
+
+# -- map (reference tests/test_transformer.py:32-36) -------------------------
+def test_map_expression(spark):
+    t = Transformer().map(value=F.col("value") * 2)
+    assert as_values(t(ints(spark))) == [2, 4, 6, 8, 10]
+
+
+def test_map_projection(spark):
+    t = Transformer().map(F.col("value") + 1)
+    out = t(ints(spark)).collect()
+    assert sorted(r[0] for r in out) == [2, 3, 4, 5, 6]
+
+
+def test_map_batches(spark):
+    t = Transformer().map_batches(lambda pdf: pdf.assign(value=pdf.value * 10))
+    assert as_values(t(ints(spark))) == [10, 20, 30, 40, 50]
+
+
+def test_map_rows(spark):
+    t = Transformer().map_rows(lambda r: {"value": r["value"] ** 2})
+    assert as_values(t(ints(spark))) == [1, 4, 9, 16, 25]
+
+
+# -- filter (reference tests/test_transformer.py:38-42) ----------------------
+def test_filter_column(spark):
+    t = Transformer().filter(F.col("value") % 2 == 0)
+    assert as_values(t(ints(spark))) == [2, 4]
+
+
+def test_filter_sql_string(spark):
+    t = Transformer().filter("value > 3")
+    assert as_values(t(ints(spark))) == [4, 5]
+
+
+def test_filter_python_rows(spark):
+    t = Transformer().filter(lambda r: r["value"] != 3)
+    assert as_values(t(ints(spark))) == [1, 2, 4, 5]
+
+
+# -- flatten (reference tests/test_transformer.py:44-49) ---------------------
+def test_flatten(spark):
+    df = spark.createDataFrame([([1, 2],), ([3, 4],), ([5],)], ["value"])
+    t = Transformer().flatten("value")
+    assert as_values(t(df)) == [1, 2, 3, 4, 5]
+
+
+def test_flatten_into_new_column(spark):
+    df = spark.createDataFrame([(1, [10, 20])], ["id", "xs"])
+    t = Transformer().flatten("xs", into="x")
+    rows = sorted((r["id"], r["x"]) for r in t(df).collect())
+    assert rows == [(1, 10), (1, 20)]
+
+
+# -- chaining (composition parity with laygo _pipe) ---------------------------
+def test_chained_map_filter_map(spark):
+    t = (
+        Transformer()
+        .filter(F.col("value") % 2 == 0)
+        .map(value=F.col("value") * 2)
+        .filter(F.col("value") > 4)
+        .map(value=F.col("value") + 1)
+    )
+    # the reference benchmark workload in miniature (BASELINE.md)
+    assert as_values(t(ints(spark, range(1, 11)))) == [9, 13, 17, 21]
+
+
+def test_transformer_is_reusable_value(spark):
+    t = Transformer().map(value=F.col("value") + 1)
+    assert as_values(t(ints(spark))) == as_values(t(ints(spark)))
+
+
+def test_immutability(spark):
+    base = Transformer().filter("value > 1")
+    branch_a = base.map(value=F.col("value") * 2)
+    assert len(base._steps) == 1 and len(branch_a._steps) == 2
+
+
+def test_apply_composition(spark):
+    def add_double(t: Transformer) -> Transformer:
+        return t.map(value=F.col("value") * 2)
+
+    t = Transformer().apply(add_double)
+    assert as_values(t(ints(spark))) == [2, 4, 6, 8, 10]
+
+
+# -- agg / reduce (reference tests/test_transformer.py:261-359) ----------------
+def test_agg_sum(spark):
+    t = Transformer().agg(F.sum("value").alias("value"))
+    assert t(ints(spark)).collect()[0][0] == 15
+
+
+def test_reduce_rows_per_partition(spark):
+    # one fold result per partition (reference per_chunk=True,
+    # transformer.py:436-460: chunks [1,2],[3,4],[5] -> [3,7,5])
+    df = ints(spark).repartition(3)
+    t = Transformer().reduce_rows(lambda acc, r: acc + r["value"], 0, schema="value long")
+    partials = as_values(t(df))
+    assert sum(partials) == 15 and len(partials) <= 3
+
+
+def test_partitioning_invariance(spark):
+    """Reference chunk-size invariance (tests/test_transformer.py:383-396):
+    repartitioning must never change results."""
+    t = (
+        Transformer()
+        .filter(F.col("value") % 2 == 0)
+        .map(value=F.col("value") * 3)
+        .map_batches(lambda pdf: pdf.assign(value=pdf.value + 1))
+    )
+    df = ints(spark, range(1, 51))
+    r1 = as_values(t(df.repartition(1)))
+    r7 = as_values(t(df.repartition(7)))
+    assert r1 == r7 and len(r1) == 25
+
+
+# -- tap / observe (reference tests/test_transformer.py:51-58) ----------------
+def test_tap_counts_via_context(spark):
+    ctx = Context(spark=spark)
+    ctx.counter("n_rows")
+
+    def count_batch(pdf, c):
+        c["n_rows"] += len(pdf)
+
+    t = Transformer().tap(count_batch)
+    out = t(ints(spark), ctx)
+    # NOTE: collect directly — an orderBy would add a range-partitioning
+    # sampling pass that re-executes the tap and double-counts (Spark
+    # accumulators are exactly-once only per action, and only in actions).
+    assert sorted(r[0] for r in out.collect()) == [1, 2, 3, 4, 5]  # data unchanged
+    assert ctx.to_dict()["n_rows"] == 5
+
+
+def test_observe_metrics(spark):
+    from pyspark.sql import Observation
+
+    obs = Observation("stats")
+    df = ints(spark).observe(obs, F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+    df.collect()
+    assert obs.get == {"total": 15, "n": 5}
+
+
+# -- catch (reference tests/test_transformer.py:425-495) -----------------------
+def _make_poison():
+    # Defined as a closure so cloudpickle serializes it by value — a
+    # module-level function in a pytest file isn't importable on workers.
+    def poison(pdf: pd.DataFrame) -> pd.DataFrame:
+        if (pdf.value == 3).any():
+            raise ValueError("poison")
+        return pdf
+
+    return poison
+
+
+_poison = _make_poison()
+
+
+def test_catch_row_mode_drops_only_poison_rows(spark):
+    t = Transformer().catch(_poison, mode="row")
+    assert as_values(t(ints(spark).repartition(1))) == [1, 2, 4, 5]
+
+
+def test_catch_batch_mode_drops_whole_batch(spark):
+    # single partition → single Arrow batch → everything dies with the
+    # poison row (reference chunk semantics, transformer.py:524-533)
+    t = Transformer().catch(_poison, mode="batch")
+    assert as_values(t(ints(spark).coalesce(1))) == []
+
+
+def test_catch_error_counter(spark):
+    ctx = Context(spark=spark)
+    ctx.counter("errors")
+
+    def on_error(chunk, exc, c):
+        c["errors"] += 1
+
+    t = Transformer().catch(_poison, mode="row", on_error=on_error)
+    out = t(ints(spark).repartition(1), ctx)
+    assert as_values(out) == [1, 2, 4, 5]
+    assert ctx.to_dict()["errors"] == 1
+
+
+def test_catch_without_errors_passes_through(spark):
+    t = Transformer().catch(lambda pdf: pdf.assign(value=pdf.value + 1), mode="batch")
+    assert as_values(t(ints(spark))) == [2, 3, 4, 5, 6]
+
+
+# -- loop (reference tests/test_transformer.py:60-102) -------------------------
+def test_loop_until_condition(spark):
+    body = Transformer().map(value=F.when(F.col("value") < 10, F.col("value") * 2).otherwise(F.col("value")))
+    t = Transformer().loop(body, condition="value < 10", max_iterations=16)
+    assert as_values(t(ints(spark))) == [10, 12, 16, 16, 16]
+
+
+def test_loop_max_iterations_bound(spark):
+    body = Transformer().map(value=F.col("value") + 1)
+    t = Transformer().loop(body, condition="value < 1000", max_iterations=3)
+    assert as_values(t(ints(spark, [1]))) == [4]
+
+
+def test_loop_callable_condition(spark):
+    body = Transformer().map(value=F.col("value") * 2)
+    calls = []
+
+    def cond(df):
+        calls.append(1)
+        return len(calls) <= 2
+
+    t = Transformer().loop(body, condition=cond, max_iterations=10)
+    assert as_values(t(ints(spark, [1]))) == [4]
+
+
+def test_loop_rejects_unbounded(spark):
+    with pytest.raises(ValueError):
+        Transformer().loop(Transformer(), condition="true", max_iterations=0)
+
+
+# -- short_circuit (reference tests/test_transformer.py:457-473) ----------------
+def test_short_circuit_aborts(spark):
+    ctx = Context({"abort": True}, spark=spark)
+    t = Transformer().short_circuit(lambda c: c.get("abort"))
+    with pytest.raises(PipelineAbortError):
+        t(ints(spark), ctx)
+
+
+def test_short_circuit_noop_when_false(spark):
+    ctx = Context({"abort": False}, spark=spark)
+    t = Transformer().short_circuit(lambda c: c.get("abort")).map(value=F.col("value") + 1)
+    assert as_values(t(ints(spark), ctx)) == [2, 3, 4, 5, 6]
+
+
+# -- relational uplift --------------------------------------------------------
+def test_join_broadcast(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "x"])
+    right = spark.createDataFrame([(1, 100)], ["id", "y"])
+    t = Transformer().join(right, "id", "inner", broadcast=True)
+    assert t(left).collect()[0]["y"] == 100
+
+
+def test_distinct_order_limit(spark):
+    df = ints(spark, [5, 3, 5, 1, 3])
+    t = Transformer().distinct().order_by(F.desc("value")).limit(2)
+    assert [r[0] for r in t(df).collect()] == [5, 3]
+
+
+def test_union(spark):
+    t = Transformer().union(ints(spark, [6, 7]))
+    assert as_values(t(ints(spark, [1, 2]))) == [1, 2, 6, 7]
