@@ -1,0 +1,193 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+
+- **Brute-force cosine top-k** — exact; broadcast the (small) query set
+  against the full corpus. Linear in corpus size, embarrassingly
+  parallel, zero shuffle for the scoring stage (the only shuffle is the
+  per-query top-k, which moves k×partitions rows).
+- **SRP-LSH bucketed ANN** — the scale path: sign-random-projection
+  signatures put similar vectors in the same bucket; search only within
+  the probe buckets. Sub-linear candidates at the cost of recall;
+  ``n_planes`` trades bucket granularity vs recall, multi-probe adds
+  neighbor buckets back.
+
+All dot products run JVM-side (zip_with + aggregate over double arrays)
+— no Python, no UDF serialization in the hot path. An IVF variant would
+replace the random hyperplanes with k-means centroids (pyspark.ml
+KMeans) and probe nearest centroids; SRP is chosen here because it is
+deterministic without a training pass.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: str | Column) -> Column:
+    """Normalize array<float> → array<double> so score arithmetic is
+    double end-to-end (and bit-stable against the DuckDB oracle)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast-join the query set against the
+    corpus, score JVM-side, rank per query. Returns
+    (query_id, neighbor_id, sim) with deterministic ordering
+    (sim desc, neighbor_id asc tiebreak)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _srp_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (Box-Muller over an LCG) —
+    no numpy dependency in the plan, reproducible across engines."""
+    state = seed
+
+    def lcg() -> float:
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        return (state >> 11) / float(1 << 52)
+
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        while len(v) < dim:
+            u1, u2 = max(lcg(), 1e-12), lcg()
+            r = math.sqrt(-2.0 * math.log(u1))
+            v.append(r * math.cos(2 * math.pi * u2))
+            if len(v) < dim:
+                v.append(r * math.sin(2 * math.pi * u2))
+        planes.append(v)
+    return planes
+
+
+def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: bit i = sign(vec · plane_i)."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def _bucket_keys(vec: Column, dim: int, n_planes: int, n_tables: int, seed: int) -> Column:
+    """Array of ``n_tables`` (table_idx, bucket) keys — standard
+    multi-table LSH: a pair is a candidate if it collides in ANY table.
+    Recall for cosine sim s: 1 - (1 - p^k)^L with p = 1 - arccos(s)/π,
+    k = n_planes, L = n_tables — tune k down / L up for higher recall."""
+    keys = []
+    for t in range(n_tables):
+        planes = _srp_planes(dim, n_planes, seed + 1000 * t)
+        keys.append(F.xxhash64(F.lit(t), srp_signature(vec, planes)))
+    return F.array(*keys)
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing an SRP bucket
+    with the query in at least one of ``n_tables`` hash tables. At
+    100 TB the corpus bucket keys are computed once at write time; the
+    candidate join is bucket-local and the scored set is a small
+    fraction of the corpus. Deduplication across tables happens on
+    (query_id, neighbor_id) before scoring so each candidate is scored
+    exactly once."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cv"),
+    ).withColumn("bkey", F.explode(_bucket_keys(F.col("cv"), dim, n_planes, n_tables, seed)))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("qv"),
+    ).withColumn("bkey", F.explode(_bucket_keys(F.col("qv"), dim, n_planes, n_tables, seed)))
+    candidates = (
+        c.join(F.broadcast(q), "bkey")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table SRP
+    bucketing: pairs are only compared when they collide in at least one
+    table. Returns (vec_id_a, vec_id_b, sim >= threshold), each pair
+    scored once (distinct before scoring)."""
+    c = corpus.select(F.col(id_col), as_double_array(vec_col).alias("v")).withColumn(
+        "bkey", F.explode(_bucket_keys(F.col("v"), dim, n_planes, n_tables, seed))
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_id_a"),
+            F.col(f"b.{id_col}").alias("vec_id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+        .select("vec_id_a", "vec_id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

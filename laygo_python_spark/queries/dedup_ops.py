@@ -1,0 +1,70 @@
+"""Deduplication queries over ``documents`` (see operators/dedup.py for
+the scale rationale). The exact n-gram Jaccard query carries a full
+DuckDB oracle; the LSH/SimHash discovery paths are deterministic but not
+reasonably SQL-expressible (DuckDB lacks xxhash64), so they register as
+rows-only checks and are instead cross-validated in tests/test_dedup.py
+against planted duplicates and the exact-Jaccard ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from laygo_python_spark.operators import dedup
+from laygo_python_spark.queries import query
+from laygo_python_spark.session import read_table as _t
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS g
+                 FROM documents),
+    counts AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+              FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_id_a, doc_id_b,
+           CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+    FROM inter
+    JOIN counts ca ON doc_id_a = ca.doc_id
+    JOIN counts cb ON doc_id_b = cb.doc_id
+    WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.95
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact unigram-Jaccard near-duplicate pairs (threshold 0.95).
+    Integer intersect/union counts on both engines → the jaccard double
+    is bit-identical, so the raw value is oracle-safe unrounded."""
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=1, threshold=0.95)
+
+
+@query("dedup_minhash_lsh")  # rows-only: DuckDB lacks xxhash64
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + LSH(32 bands × 4 rows) candidate pairs on 3-gram
+    shingles — the O(candidates) discovery path for near-dup detection
+    at 100 TB. Deterministic (fixed seed); validated in tests against
+    planted duplicates and exact Jaccard."""
+    return dedup.minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), shingle_n=3, num_hashes=128, bands=32
+    )
+
+
+@query("dedup_simhash")  # rows-only: DuckDB lacks xxhash64/bit_count parity
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-duplicate pairs within Hamming distance 3, found
+    via pigeonhole chunk banding (4×16-bit equi-join, never O(n²))."""
+    return dedup.simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query("minhash_signature_sample")  # rows-only
+def minhash_signature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 signature slots for the 20 lowest doc_ids — a stable probe
+    of the signature computation itself (drift here breaks all LSH)."""
+    from pyspark.sql import functions as F
+
+    sig = dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+    return (
+        sig.filter(F.col("doc_id") < 20)
+        .select("doc_id", F.slice("sig", 1, 8).alias("sig_head"))
+    )

@@ -1,0 +1,86 @@
+"""Similarity-search + multimodal queries over ``embeddings`` /
+``documents`` (see operators/similarity.py and operators/multimodal.py).
+
+The brute-force cosine top-k carries a full DuckDB oracle — empirically
+the zip_with/aggregate double fold in Spark is bit-identical to DuckDB's
+list_cosine_similarity over CAST(... AS DOUBLE[]), so raw sims rank
+identically on both engines (deterministic neighbor_id tiebreak).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from laygo_python_spark.operators import multimodal, similarity
+from laygo_python_spark.queries import query
+from laygo_python_spark.session import read_table as _t
+
+
+@query(
+    "embedding_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for query vectors vec_id < 5 —
+    the brute-force ANN baseline. Scoring is JVM-side; the query set is
+    broadcast so the corpus never shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
+
+
+@query("ann_lsh_topk")  # rows-only: approximate by design
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed approximate top-k for the same query set — the
+    scale path (candidates limited to the query's bucket). Recall vs the
+    brute-force baseline is asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
+
+
+@query("embedding_near_dups")  # rows-only: approximate by design
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim >= 0.35) discovered
+    within SRP buckets. The fixture embeddings are near-orthogonal
+    (max pairwise sim ≈ 0.51) so the threshold is set where pairs exist."""
+    return similarity.embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@query(
+    "multimodal_payload_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: utf-8 payload attach + metadata extraction
+    without decoding (the pattern for opaque image/audio payloads)."""
+    mm = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return mm.select("media_id", "n_bytes")
+
+
+@query("multimodal_decode_features")  # rows-only: stubbed decoder
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract plumbing through mapInPandas with the
+    deterministic stub decoder (real decode libs absent in this image —
+    operators/multimodal.py documents the strict mode)."""
+    mm = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_features(mm)

@@ -1,0 +1,116 @@
+"""Similarity-search validation: brute force against a NumPy oracle,
+LSH recall against brute force, multimodal plumbing shape checks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from laygo_python_spark.operators import multimodal, similarity
+from laygo_python_spark.session import read_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def test_brute_force_matches_numpy(emb):
+    rows = emb.orderBy("vec_id").collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+
+    out = similarity.brute_force_topk(emb, emb.filter("vec_id = 0"), k=5).collect()
+    sims = mat @ mat[0] / (norms * norms[0])
+    order = sorted(
+        [(s, int(i)) for s, i in zip(sims, ids) if i != 0], key=lambda t: (-t[0], t[1])
+    )[:5]
+    expected = [i for _, i in order]
+    got = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert got == expected
+    for r in out:
+        np.testing.assert_allclose(r.sim, sims[ids == r.neighbor_id][0], rtol=1e-12)
+
+
+def test_lsh_recall_vs_brute_force(emb):
+    """Bucketed ANN must recover a reasonable fraction of true top-10 —
+    with few planes the buckets are coarse, recall should be high."""
+    queries = emb.filter("vec_id < 20")
+    bf = similarity.brute_force_topk(emb, queries, k=10).collect()
+    lsh = similarity.lsh_bucketed_topk(emb, queries, k=10, n_planes=3, n_tables=12).collect()
+    bf_pairs = {(r.query_id, r.neighbor_id) for r in bf}
+    lsh_pairs = {(r.query_id, r.neighbor_id) for r in lsh}
+    recall = len(bf_pairs & lsh_pairs) / len(bf_pairs)
+    # fixture embeddings are near-orthogonal (top-10 sims ~0.3-0.5) —
+    # theory: p = 1-arccos(s)/π ≈ 0.6, recall = 1-(1-p^3)^12 ≈ 0.94
+    assert recall >= 0.5, f"recall {recall:.2f} below multi-table expectation"
+    # approximate results must still be a subset of correctly-scored pairs:
+    bf_sims = {(r.query_id, r.neighbor_id): r.sim for r in bf}
+    for r in lsh:
+        if (r.query_id, r.neighbor_id) in bf_sims:
+            assert r.sim == pytest.approx(bf_sims[(r.query_id, r.neighbor_id)], rel=1e-12)
+
+
+def test_embedding_near_dups_symmetric_determinism(emb):
+    a = sorted(map(tuple, similarity.embedding_near_dups(emb, threshold=0.35).collect()))
+    b = sorted(map(tuple, similarity.embedding_near_dups(emb.repartition(5), threshold=0.35).collect()))
+    assert a == b
+
+
+def test_srp_planes_deterministic():
+    p1 = similarity._srp_planes(16, 4, seed=42)
+    p2 = similarity._srp_planes(16, 4, seed=42)
+    assert p1 == p2
+    assert similarity._srp_planes(16, 4, seed=7) != p1
+
+
+# -- multimodal plumbing -------------------------------------------------------
+def test_multimodal_payload_roundtrip(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="hello world")])
+    mm = multimodal.attach_binary_payload(df)
+    row = mm.collect()[0]
+    assert bytes(row.payload) == b"hello world"
+    assert row.n_bytes == 11
+
+
+def test_multimodal_decode_stub_shape(spark):
+    df = spark.createDataFrame([Row(doc_id=i, text="x" * (i + 1)) for i in range(10)])
+    feats = multimodal.decode_features(multimodal.attach_binary_payload(df))
+    rows = feats.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert len(r.feature) == 8
+        assert r.width >= 1 and r.height >= 1
+
+
+def test_multimodal_decode_strict_raises(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x")])
+    mm = multimodal.attach_binary_payload(df)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        multimodal.decode_features(mm, strict=True).collect()
+
+
+def test_multimodal_magic_sniffing(spark):
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(b"\xff\xd8\xff\xe0rest"), media_type=None, n_bytes=7),
+            Row(media_id=2, payload=bytearray(b"\x89PNG\r\n"), media_type=None, n_bytes=6),
+            Row(media_id=3, payload=bytearray(b"plain"), media_type=None, n_bytes=5),
+        ],
+        schema="media_id long, payload binary, media_type string, n_bytes long",
+    )
+    got = {r.media_id: r.sniffed_type for r in multimodal.sniff_media_type(df).collect()}
+    assert got == {1: "image/jpeg", 2: "image/png", 3: "application/octet-stream"}
+
+
+def test_frame_sample_distributes_before_decode(spark):
+    df = spark.createDataFrame(
+        [Row(media_id=1, payload=None, media_type="video/mp4", n_bytes=5000)],
+        schema="media_id long, payload binary, media_type string, n_bytes long",
+    )
+    frames = multimodal.frame_sample_plan(df, every_n=2).collect()
+    assert [r.frame_idx for r in frames] == [0, 2, 4]
