@@ -1,0 +1,85 @@
+"""Structured Streaming queries over the ``events`` fixture — new
+capability vs the reference (SURVEY.md §2.11: the reference is pull-based
+lazy iteration with NO event-time semantics, watermarks, or windows).
+
+Each query actually executes through the streaming engine (readStream →
+watermarked windowed agg → memory sink driven to completion), and its
+oracle is the equivalent batch SQL — a bounded stream processed to
+completion must agree with the batch answer exactly.
+
+At 100 TB-scale streaming: the watermark bounds state (late rows beyond
+it are dropped, window state evicted); session windows merge in the
+state store per key. The file source here swaps for Kafka in production
+with the same plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from laygo_python_spark.queries import query
+from laygo_python_spark.streaming import (
+    read_events_stream,
+    run_to_completion,
+    session_windows,
+    tumbling_counts,
+)
+
+
+@query(
+    "stream_hourly_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, executed by the streaming
+    engine and drained to completion — must equal the batch GROUP BY."""
+    agg = tumbling_counts(read_events_stream(spark, sf_dir), window="1 hour", watermark="2 hours")
+    result = run_to_completion(agg, "stream_hourly")
+    return result.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, 30 min) through the streaming state store; the
+    oracle rebuilds the same sessions in batch SQL via gap-island
+    detection (a session starts when the gap from the previous event of
+    that user exceeds 30 min). Session start = first event ts."""
+    agg = session_windows(read_events_stream(spark, sf_dir), gap="30 minutes")
+    result = run_to_completion(agg, "stream_sessions")
+    return result.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        "n_events",
+    )

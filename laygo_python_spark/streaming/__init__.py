@@ -13,10 +13,21 @@ from pyspark.sql import functions as F
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-based stream over the events fixture (schema pinned from the
-    batch read — streaming readers must not infer)."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return spark.readStream.schema(schema).parquet(sf_dir + "/events.parquet")
+    """File-based stream over the events fixture (schema pinned —
+    streaming readers must not infer). The fixture stores ts as
+    TIMESTAMP(NANOS): read as long under nanosAsLong and truncate to
+    micros with integer division (same convention as session.read_table,
+    so batch and stream agree to the microsecond)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
 
 
 def tumbling_counts(
@@ -52,13 +63,18 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a bounded file stream to completion through the memory sink
-    and return the materialized result (for tests/demos)."""
+    and return the materialized result (for tests/demos). The memory
+    table name is uniquified so repeated invocations in one session
+    don't collide."""
+    import uuid
+
+    name = f"{query_name}_{uuid.uuid4().hex[:8]}"
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
-        .queryName(query_name)
+        .queryName(name)
         .start()
     )
     try:
@@ -66,4 +82,4 @@ def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
     finally:
         q.stop()
     spark = stream_df.sparkSession
-    return spark.table(query_name)
+    return spark.table(name)

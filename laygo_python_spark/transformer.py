@@ -325,33 +325,42 @@ class Transformer:
                 elif handler is not None:
                     handler(pdf, exc, wctx)
 
+            def attempt(pdf: pd.DataFrame):
+                try:
+                    return True, (fn(pdf, wctx) if fn_ctx_aware else fn(pdf))
+                except PipelineAbortError:
+                    raise
+                except Exception as exc:  # noqa: BLE001 — isolated error domain
+                    return False, exc
+
+            def salvage(pdf: pd.DataFrame):
+                """Row-mode: bisect failing batches so fn stays vectorized —
+                a poison row costs O(log batch) re-tries instead of running
+                fn once per row. Requires fn to be row-wise (its output for
+                a row must not depend on which batch the row arrived in)."""
+                ok, out = attempt(pdf)
+                if ok:
+                    if out is not None and len(out):
+                        yield out
+                    return
+                if len(pdf) == 1:
+                    handle(pdf, out)
+                    return
+                mid = len(pdf) // 2
+                yield from salvage(pdf.iloc[:mid])
+                yield from salvage(pdf.iloc[mid:])
+
             def run(batches: Iterable[pd.DataFrame]):
                 for pdf in batches:
                     if mode == "batch":
-                        try:
-                            out = fn(pdf, wctx) if fn_ctx_aware else fn(pdf)
-                        except PipelineAbortError:
-                            raise
-                        except Exception as exc:  # noqa: BLE001 — error domain is the batch
-                            handle(pdf, exc)
-                            continue
-                        if out is not None and len(out):
-                            yield out
-                    else:
-                        good: list[pd.DataFrame] = []
-                        for i in range(len(pdf)):
-                            row = pdf.iloc[i : i + 1]
-                            try:
-                                out = fn(row, wctx) if fn_ctx_aware else fn(row)
-                            except PipelineAbortError:
-                                raise
-                            except Exception as exc:  # noqa: BLE001 — error domain is the row
-                                handle(row, exc)
-                                continue
+                        ok, out = attempt(pdf)
+                        if ok:
                             if out is not None and len(out):
-                                good.append(out)
-                        if good:
-                            yield pd.concat(good, ignore_index=True)
+                                yield out
+                        else:
+                            handle(pdf, out)
+                    else:
+                        yield from salvage(pdf)
 
             return df.mapInPandas(run, schema=out_schema)
 
@@ -421,6 +430,19 @@ class Transformer:
 
     def union(self, other: DataFrame) -> "Transformer":
         return self._with(lambda df, ctx: df.unionByName(other))
+
+    def intersect(self, other: DataFrame) -> "Transformer":
+        return self._with(lambda df, ctx: df.intersect(other))
+
+    def except_all(self, other: DataFrame) -> "Transformer":
+        return self._with(lambda df, ctx: df.exceptAll(other))
+
+    def group_apply(self, keys: list[str], fn: Callable, schema: Any) -> "Transformer":
+        """Grouped arbitrary-Python transform (applyInPandas): ``fn`` gets
+        one pandas DataFrame per key group. The grouped analog of
+        map_batches — the escape hatch for per-group logic that Column
+        algebra can't express (reference UDAF-analog, SURVEY.md §2.12)."""
+        return self._with(lambda df, ctx: df.groupBy(*keys).applyInPandas(fn, schema=schema))
 
     def order_by(self, *cols: Column | str) -> "Transformer":
         return self._with(lambda df, ctx: df.orderBy(*cols))

@@ -1,0 +1,106 @@
+"""Structured Streaming validation: bounded streams driven to completion
+must agree with batch equivalents; custom stateful processing via
+applyInPandasWithState.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from laygo_python_spark.session import read_table
+from laygo_python_spark.streaming import (
+    read_events_stream,
+    run_to_completion,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+def test_tumbling_counts_equal_batch(spark, sf_dir):
+    stream_result = run_to_completion(
+        tumbling_counts(read_events_stream(spark, sf_dir), window="1 hour"), "t_tumble"
+    )
+    got = {
+        (r["window"]["start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in stream_result.collect()
+    }
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    expected = {(r["h"], r["event_type"]): (r["n"], r["s"]) for r in batch.collect()}
+    assert got == expected
+
+
+def test_sliding_window_multiplicity(spark, sf_dir):
+    """Every event lands in window/slide overlapping windows."""
+    result = run_to_completion(
+        sliding_counts(read_events_stream(spark, sf_dir), window="10 minutes", slide="5 minutes"),
+        "t_slide",
+    )
+    total_stream = result.agg(F.sum("n")).collect()[0][0]
+    total_batch = read_table(spark, sf_dir, "events").count()
+    assert total_stream == 2 * total_batch
+
+
+def test_session_window_reassembles_batch_sessions(spark, sf_dir):
+    result = run_to_completion(
+        session_windows(read_events_stream(spark, sf_dir), gap="30 minutes"), "t_sess"
+    )
+    # session event counts must sum to the corpus size
+    assert result.agg(F.sum("n_events")).collect()[0][0] == read_table(spark, sf_dir, "events").count()
+    # and no two sessions of one user may overlap (rename columns to
+    # sidestep Spark's self-join attribute ambiguity)
+    w = result.select("user_id", F.col("session_window.start").alias("s"), F.col("session_window.end").alias("e"))
+    wa = w.select(F.col("user_id").alias("ua"), F.col("s").alias("sa"), F.col("e").alias("ea"))
+    wb = w.select(F.col("user_id").alias("ub"), F.col("s").alias("sb"))
+    overlaps = wa.join(
+        wb,
+        (F.col("ua") == F.col("ub")) & (F.col("sa") < F.col("sb")) & (F.col("sb") < F.col("ea")),
+    ).count()
+    assert overlaps == 0
+
+
+def test_apply_in_pandas_with_state(spark, sf_dir):
+    """Custom stateful streaming operator (reference has only the shared
+    context dict for state, SURVEY.md §2.10/§2.11): running per-user
+    event count maintained in the state store across micro-batches."""
+
+    def count_state(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    stream = read_events_stream(spark, sf_dir).groupBy("user_id").applyInPandasWithState(
+        count_state,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = run_to_completion(stream, "t_state", output_mode="update")
+    got = {r.user_id: r.n_events for r in result.groupBy("user_id").agg(F.max("n_events").alias("n_events")).collect()}
+    expected = {
+        r.user_id: r.n
+        for r in read_table(spark, sf_dir, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expected
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    from laygo_python_spark.sources.sinks import to_parquet
+
+    df = spark.createDataFrame([(i, "ab"[i % 2]) for i in range(20)], ["v", "k"])
+    out = str(tmp_path / "out")
+    to_parquet(df, out, partition_by=["k"], sort_within_partitions=["v"])
+    back = spark.read.parquet(out)
+    assert back.count() == 20
+    assert sorted(back.columns) == ["k", "v"]
+    # partition pruning works on the written layout
+    assert back.filter(F.col("k") == "a").count() == 10
