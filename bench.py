@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from laygo_python_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    "reference_workload",
     "q1_pricing_summary",
     "filter_map",
     "flatten_words",

@@ -33,7 +33,13 @@ def query(name: str, oracle: str | None = None) -> Callable:
 
 def load_all() -> None:
     """Import every query module so registration side effects run."""
-    from laygo_python_spark.queries import core_ops, relational, relational2, text_ops  # noqa: F401
+    from laygo_python_spark.queries import (  # noqa: F401
+        advanced_ops,
+        core_ops,
+        relational,
+        relational2,
+        text_ops,
+    )
 
     try:
         from laygo_python_spark.queries import dedup_ops, similarity_ops  # noqa: F401

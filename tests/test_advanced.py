@@ -1,0 +1,78 @@
+"""As-of join and salted-aggregation validation on hand-built goldens."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from laygo_python_spark.operators.asof import asof_join
+from laygo_python_spark.operators.skew import salted_agg, salted_broadcast_join
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_with_ties_and_misses(spark):
+    probes = spark.createDataFrame(
+        [
+            Row(pid=1, k="a", t=ts("2024-01-01T10:00:00")),  # before any ref → null
+            Row(pid=2, k="a", t=ts("2024-01-01T12:00:00")),  # exactly at ref r1 → tie included
+            Row(pid=3, k="a", t=ts("2024-01-01T15:00:00")),  # after r2 → r2
+            Row(pid=4, k="b", t=ts("2024-01-01T15:00:00")),  # other group → r3
+        ]
+    )
+    refs = spark.createDataFrame(
+        [
+            Row(k="a", t=ts("2024-01-01T12:00:00"), v=10.0),  # r1
+            Row(k="a", t=ts("2024-01-01T14:00:00"), v=20.0),  # r2
+            Row(k="b", t=ts("2024-01-01T09:00:00"), v=99.0),  # r3
+        ]
+    )
+    out = {r.pid: r.v_asof for r in asof_join(probes, refs, on="t", by=["k"], values=["v"]).collect()}
+    assert out == {1: None, 2: 10.0, 3: 20.0, 4: 99.0}
+
+
+def test_asof_multiple_value_columns_and_rowcount(spark):
+    probes = spark.createDataFrame([Row(pid=i, k="x", t=ts(f"2024-01-01T10:0{i}:00")) for i in range(5)])
+    refs = spark.createDataFrame([Row(k="x", t=ts("2024-01-01T10:02:00"), v=1.0, w="hello")])
+    out = asof_join(probes, refs, on="t", by=["k"], values=["v", "w"]).orderBy("pid").collect()
+    assert len(out) == 5  # left-join semantics: every probe survives
+    assert [r.v_asof for r in out] == [None, None, 1.0, 1.0, 1.0]
+    assert [r.w_asof for r in out] == [None, None, "hello", "hello", "hello"]
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    from laygo_python_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    plain = {
+        (r.event_type): (r.n, round(r.t, 2))
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t")).collect()
+    }
+    salted = {
+        (r.event_type): (r.n, round(r.total_raw, 2))
+        for r in salted_agg(
+            ev, ["event_type"], {"n": F.count(F.lit(1)), "total_raw": F.sum("value")}, n_salts=8
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_min_max_merge(spark):
+    df = spark.createDataFrame([(k, v) for k in "ab" for v in range(10)], ["k", "v"])
+    out = {
+        r.k: (r.min_v, r.max_v)
+        for r in salted_agg(df, ["k"], {"min_v": F.min("v"), "max_v": F.max("v")}, n_salts=4).collect()
+    }
+    assert out == {"a": (0, 9), "b": (0, 9)}
+
+
+def test_salted_broadcast_join_equals_plain_join(spark):
+    fact = spark.createDataFrame([(i % 3, i) for i in range(100)], ["key", "v"])
+    dim = spark.createDataFrame([(0, "zero"), (1, "one"), (2, "two")], ["key", "name"])
+    plain = sorted((r.key, r.v, r.name) for r in fact.join(dim, "key").collect())
+    salted = sorted((r.key, r.v, r.name) for r in salted_broadcast_join(fact, dim, "key", n_salts=4).collect())
+    assert salted == plain

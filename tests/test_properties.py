@@ -1,0 +1,77 @@
+"""Property-based differential tests (hypothesis): the engine against a
+pure-Python golden model of the reference's semantics, under randomized
+data AND randomized partitioning — the generalized form of the
+reference's chunk-size-invariance test (tests/test_transformer.py:383-396).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from laygo_python_spark import Pipeline, Transformer
+
+SET = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+ints = st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60)
+
+
+@given(data=ints, parts=st.integers(min_value=1, max_value=7))
+@SET
+def test_map_filter_pipeline_matches_python_model(spark, data, parts):
+    """engine(filter even → ×3 → >k → +1) == the same plain-Python fold."""
+    df = spark.createDataFrame([(v,) for v in data], ["value"]).repartition(parts)
+    t = (
+        Transformer()
+        .filter(F.col("value") % 2 == 0)
+        .map(value=F.col("value") * 3)
+        .filter(F.col("value") > 10)
+        .map(value=F.col("value") + 1)
+    )
+    got = sorted(r[0] for r in t(df).collect())
+    # NB: Python's % differs from Spark's pmod-free % on negatives only in
+    # sign of the result; both call -4 % 2 == 0, so evenness agrees.
+    expected = sorted(x * 3 + 1 for x in data if x % 2 == 0 and x * 3 > 10)
+    assert got == expected
+
+
+@given(data=ints, parts=st.integers(min_value=1, max_value=7))
+@SET
+def test_agg_matches_python_model(spark, data, parts):
+    df = spark.createDataFrame([(v,) for v in data], ["value"]).repartition(parts)
+    row = Transformer().agg(
+        F.sum("value").alias("s"), F.min("value").alias("mn"), F.max("value").alias("mx"), F.count(F.lit(1)).alias("n")
+    )(df).collect()[0]
+    assert (row.s, row.mn, row.mx, row.n) == (sum(data), min(data), max(data), len(data))
+
+
+@given(data=st.lists(st.lists(st.integers(0, 50), max_size=4), min_size=1, max_size=20))
+@SET
+def test_flatten_matches_python_model(spark, data):
+    df = spark.createDataFrame([(xs,) for xs in data], "value: array<bigint>")
+    got = sorted(r[0] for r in Transformer().flatten("value")(df).collect())
+    assert got == sorted(x for xs in data for x in xs)
+
+
+@given(data=ints, parts=st.integers(min_value=1, max_value=5))
+@SET
+def test_partitioning_never_changes_results(spark, data, parts):
+    """The core algebraic property inherited from the reference: the
+    partitioning (chunking) of the data must be unobservable."""
+    df1 = spark.createDataFrame([(v,) for v in data], ["value"]).repartition(1)
+    dfn = spark.createDataFrame([(v,) for v in data], ["value"]).repartition(parts)
+    t = Transformer().map_batches(lambda pdf: pdf.assign(value=pdf.value * 2 + 1)).filter("value > 0")
+    assert sorted(r[0] for r in t(df1).collect()) == sorted(r[0] for r in t(dfn).collect())
+
+
+@given(data=st.lists(st.integers(1, 100), min_size=1, max_size=40), n=st.integers(1, 10))
+@SET
+def test_first_n_returns_n_rows(spark, data, n):
+    result, _ = Pipeline(data, spark=spark).first(n)
+    assert len(result) == min(n, len(data))
+    assert set(result) <= set(data)
