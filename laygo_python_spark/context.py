@@ -56,6 +56,9 @@ class Context(MutableMapping):
         self._data: dict[str, Any] = dict(initial or {})
         self._spark = spark
         self._accumulators: dict[str, Any] = {}
+        # Observation objects registered by Transformer.observe — their
+        # metrics become available after the first action on the plan.
+        self._observations: dict[str, Any] = {}
 
     # -- dict protocol (driver-side) --------------------------------------
     def __getitem__(self, key: str) -> Any:
@@ -130,4 +133,16 @@ class Context(MutableMapping):
         out = dict(self._data)
         for k, acc in self._accumulators.items():
             out[k] = acc.value
+        for name, obs in self._observations.items():
+            if getattr(obs, "_jo", None) is None:
+                continue  # never attached to a DataFrame
+            # Observation.get BLOCKS until the observing plan's first
+            # action — probe the JVM side non-blockingly first so a
+            # snapshot taken before that action cannot hang.
+            try:
+                if obs._jo.getRowOrEmpty().isEmpty():
+                    continue  # plan not executed yet
+            except Exception:  # noqa: BLE001 — JVM probe failed; don't risk a hang
+                continue
+            out.update({f"{name}.{k}": v for k, v in obs.get.items()})
         return out

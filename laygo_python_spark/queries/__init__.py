@@ -38,6 +38,7 @@ def load_all() -> None:
         core_ops,
         relational,
         relational2,
+        relational3,
         text_ops,
     )
 

@@ -91,6 +91,69 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "regex_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenizer: split on non-alphanumeric runs, drop
+    empty boundary tokens — the pre-tokenization pass of byte-pair
+    encoders, as pure Column algebra."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), "[^a-zA-Z0-9]+")
+    nonempty = F.filter(toks, lambda x: x != "")
+    return docs.select("doc_id", F.size(nonempty).cast("long").alias("n_tokens"))
+
+
+_STOPWORDS = ["the", "a", "is", "and", "of", "to", "in"]
+
+
+@query(
+    "stopword_ratio",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+                    t -> list_contains({_STOPWORDS!r}, t))) AS DOUBLE)
+             / len(string_split(trim(text), ' ')) AS ratio
+    FROM documents
+    """.replace("'", "'"),
+)
+def stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density quality signal: fraction of tokens in a fixed
+    stopword list. Integer count / integer count → the double is
+    bit-identical on both engines, no rounding needed."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    stops = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return docs.select(
+        "doc_id", (n_stop.cast("double") / F.size(toks)).alias("ratio")
+    )
+
+
+@query("rolling_hash_fingerprint")  # rows-only: DuckDB lacks xxhash64
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the token stream (Karp-Rabin style):
+    h = (h*B + hash(token)) mod P, folded JVM-side with aggregate() —
+    an order-sensitive fingerprint (unlike the bag-of-words md5), so
+    token reorderings produce different fingerprints. Deterministic;
+    validated for partitioning-invariance in tests."""
+    docs = _t(spark, sf_dir, "documents")
+    P, B = 2_147_483_647, 1_000_003
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    h = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * B + F.pmod(F.xxhash64(t), F.lit(P)), F.lit(P)),
+    )
+    return docs.select("doc_id", h.alias("rolling_fp"))
+
+
+@query(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp

@@ -223,9 +223,21 @@ class Transformer:
         return self.map_batches(lambda pdf: batch_fn(pdf))
 
     def observe(self, name: str, *exprs: Column) -> "Transformer":
-        """Zero-cost metrics riding the main job — the scalable tap
-        (collected via ``DataFrame.observe``; see Pipeline terminals)."""
-        return self._with(lambda df, ctx: df.observe(name, *exprs))
+        """Zero-cost, exactly-once metrics riding the main job — the
+        scalable tap. Metrics appear in the context snapshot as
+        ``"<name>.<metric>"`` after the pipeline's terminal action
+        (unlike accumulators, observe metrics cannot double-count on
+        stage re-execution)."""
+
+        def step(df: DataFrame, context: Context | None) -> DataFrame:
+            from pyspark.sql import Observation
+
+            obs = Observation(name)
+            if context is not None:
+                context._observations[name] = obs
+            return df.observe(obs, *exprs)
+
+        return self._with(step)
 
     # -- composition --------------------------------------------------------
     def apply(self, fn: Callable[["Transformer"], "Transformer"]) -> "Transformer":

@@ -84,3 +84,20 @@ def test_shingles_short_doc(spark):
     assert out == []
     # and the LSH pipeline simply drops it rather than erroring
     assert dedup.minhash_lsh_candidates(df, shingle_n=3).count() == 0
+
+
+def test_rolling_hash_order_sensitive_and_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="gamma beta alpha")]
+    )
+
+    P, B = 2_147_483_647, 1_000_003
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    h = F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, t: F.pmod(acc * B + F.pmod(F.xxhash64(t), F.lit(P)), F.lit(P)))
+    one = {r.doc_id: r.h for r in df.repartition(1).select("doc_id", h.alias("h")).collect()}
+    many = {r.doc_id: r.h for r in df.repartition(4).select("doc_id", h.alias("h")).collect()}
+    assert one == many                 # partitioning-invariant
+    assert one[1] != one[2]            # order-sensitive (same bag of words)

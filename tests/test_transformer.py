@@ -162,6 +162,17 @@ def test_observe_metrics(spark):
     assert obs.get == {"total": 15, "n": 5}
 
 
+def test_observe_via_context_snapshot(spark):
+    ctx = Context(spark=spark)
+    t = Transformer().observe("stats", F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+    out = t(ints(spark), ctx)
+    # snapshot BEFORE the action: metrics absent, and no hang
+    assert "stats.total" not in ctx.to_dict()
+    out.collect()
+    snap = ctx.to_dict()
+    assert snap["stats.total"] == 15 and snap["stats.n"] == 5
+
+
 # -- catch (reference tests/test_transformer.py:425-495) -----------------------
 def _make_poison():
     # Defined as a closure so cloudpickle serializes it by value — a
