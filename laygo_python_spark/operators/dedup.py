@@ -53,6 +53,17 @@ def tokens(text_col: str = "text") -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """A tiny file scans as ONE partition, which would serialize the
+    map-only fingerprint passes on a single core. Repartition up to the
+    cluster parallelism ONLY in that case — at real scale the scan is
+    already partitioned and no text ever shuffles."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def shingles(text_col: str = "text", n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> — pure Column algebra:
     transform over a sequence of start offsets, concat_ws over slices.
@@ -78,24 +89,48 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>) — one minhash signature per document.
 
-    Shape chosen for scale: explode distinct shingles → ONE xxhash64 per
-    shingle → groupBy(id) with ``num_hashes`` min() aggregates over cheap
-    affine rehashes. All aggregates are codegen'd with map-side partial
-    aggregation, so the shuffle carries (id, H longs) partials — never
-    shingle text. (A first implementation as nested array
-    transform/array_min built a megabyte-scale expression tree per slot
-    and re-hashed shingles H times; this form is ~50× faster.)"""
-    exploded = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s")
-    ).select(id_col, F.pmod(F.xxhash64("s"), F.lit(_P)).alias("h"))
-    aggs = [
-        F.min(F.pmod(F.col("h") * a + b, F.lit(_P))).alias(f"m{i}")
-        for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
-    ]
-    return (
-        exploded.groupBy(id_col)
-        .agg(*aggs)
-        .select(F.col(id_col), F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
+    MAP-ONLY: shingling, hashing (crc32, deterministic) and the
+    (n_shingles × H) int64 matrix minimization all happen in one
+    Arrow-batched mapInPandas pass per document — ZERO shuffle. Docs
+    shorter than the shingle width produce no signature (dropped, as the
+    LSH pipeline requires).
+
+    Why not Column algebra (measured at sf0.1, 5k docs): H=128 min()
+    aggregates exceed codegen limits → interpreted HashAggregate (~4 s),
+    and the shingle expression itself (transform/slice/concat_ws is
+    never codegen'd) costs another ~6 s; this path is ~1 s and scales
+    better — signature generation is embarrassingly parallel, so the
+    only shuffle in the whole dedup pipeline is the band bucket join."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    params = _hash_params(num_hashes, seed)
+    A = np.array([a for a, _ in params], dtype=np.int64)[None, :]
+    B = np.array([b for _, b in params], dtype=np.int64)[None, :]
+
+    def run(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").split()
+                if len(toks) < shingle_n:
+                    continue
+                sh = {" ".join(toks[i : i + shingle_n]) for i in range(len(toks) - shingle_n + 1)}
+                h = np.fromiter(
+                    ((zlib.crc32(s.encode()) ^ seed) & 0x7FFFFFFF for s in sh),
+                    dtype=np.int64,
+                    count=len(sh),
+                )[:, None]
+                # a*h < 2^62 — no int64 overflow; % P folds back under 2^31
+                sigs.append(((h * A + B) % _P).min(axis=0).tolist())
+                ids.append(doc_id)
+            if ids:
+                yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    return _spread_small_input(docs.select(id_col, text_col)).mapInPandas(
+        run, schema=f"{id_col} long, sig array<long>"
     )
 
 
@@ -134,11 +169,18 @@ def minhash_lsh_candidates(
             )
         ).alias("band_key"),
     )
-    # Cap hot buckets before the pair join (skew guard).
-    sized = band_entries.join(
-        band_entries.groupBy("band_key").count().filter(F.col("count") <= max_bucket).select("band_key"),
-        "band_key",
-        "left_semi",
+    # Hot-bucket cap (skew guard) as a WINDOW count, not a count+semi-join:
+    # one shuffle on band_key instead of two, and because both sides of
+    # the pair self-join below are the identical subplan, Spark reuses
+    # that single exchange (ReusedExchange) — the signatures compute once
+    # without an explicit persist.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_key")
+    sized = (
+        band_entries.withColumn("__bc", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bc") <= max_bucket)
+        .drop("__bc")
     )
     a = sized.alias("a")
     b = sized.alias("b")
@@ -187,30 +229,49 @@ def simhash_fingerprints(
     text_col: str = "text",
     bits: int = 64,
 ) -> DataFrame:
-    """(id, sh bigint) — 64-bit SimHash per document: per token take
-    xxhash64, then for each bit position sum +1/-1 across tokens and set
-    the bit when the sum is positive.
+    """(id, sh bigint) — 64-bit SimHash per document: hash each token to
+    64 bits, sum +1/-1 per bit position across tokens, set bits where
+    the tally is positive.
 
-    Same scalable shape as minhash_signatures: explode tokens → one hash
-    each → groupBy(id) with ``bits`` sum() aggregates (map-side combined),
-    then assemble the fingerprint from the tallies."""
-    exploded = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("t")).select(
-        id_col, F.xxhash64("t").alias("h")
+    MAP-ONLY like minhash_signatures (and for the same measured reason:
+    64 interpreted sum() aggregates + explode were ~10 s at sf0.1, this
+    is ~1 s with zero shuffle): per batch, tokens hash via crc32-pair →
+    a (n_tokens × 64) ±1 matrix → column sum → sign → fingerprint."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    bit_idx = np.arange(bits, dtype=np.uint64)[None, :]
+
+    def run(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").split()
+                if not toks:
+                    continue
+                # two crc32s (different salts) make a 64-bit token hash
+                h = np.fromiter(
+                    (
+                        (zlib.crc32(t.encode()) << 32) | zlib.crc32(t.encode(), 0xBEEF)
+                        for t in toks
+                    ),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )[:, None]
+                signs = (((h >> bit_idx) & 1) * 2).astype(np.int64) - 1  # ±1
+                tally = signs.sum(axis=0)
+                fp = np.uint64(0)
+                fp = int(((tally > 0).astype(np.uint64) << bit_idx[0]).sum(dtype=np.uint64))
+                fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)  # to signed long
+                ids.append(doc_id)
+            if ids:
+                yield pd.DataFrame({id_col: ids, "sh": pd.array(fps, dtype="int64")})
+
+    return _spread_small_input(docs.select(id_col, text_col)).mapInPandas(
+        run, schema=f"{id_col} long, sh long"
     )
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"t{b}")
-        for b in range(bits)
-    ]
-    tallied = exploded.groupBy(id_col).agg(*aggs)
-    fingerprint = None
-    for b in range(bits):
-        # bit 63 is the sign bit of a signed long: setting it adds -2^63
-        weight = (1 << b) if b < 63 else -(1 << 63)
-        piece = F.when(F.col(f"t{b}") > 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
-        fingerprint = piece if fingerprint is None else fingerprint + piece
-    return tallied.select(F.col(id_col), fingerprint.alias("sh"))
 
 
 def simhash_near_dups(
@@ -238,9 +299,11 @@ def simhash_near_dups(
         )
         for i in range(n_chunks)
     ]
+    # Persisted: both sides of the candidate self-join read this frame —
+    # without it the 64-aggregate simhash tally runs twice.
     chunks = sh.select(id_col, "sh", F.explode(F.array(*chunk_structs)).alias("c")).select(
         id_col, "sh", "c.chunk_idx", "c.chunk_val"
-    )
+    ).persist()
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (

@@ -161,8 +161,8 @@ def lsh_bucketed_topk(
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.8,
-    n_planes: int = 4,
-    n_tables: int = 8,
+    n_planes: int = 8,
+    n_tables: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -171,10 +171,18 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs via multi-table SRP
     bucketing: pairs are only compared when they collide in at least one
     table. Returns (vec_id_a, vec_id_b, sim >= threshold), each pair
-    scored once (distinct before scoring)."""
+    scored once (distinct before scoring).
+
+    Scale note: pairs-per-bucket is quadratic in bucket occupancy, so
+    n_planes must GROW with corpus size (buckets ≈ 2^k per table;
+    occupancy ≈ n/2^k). k=8/L=4 suits ~10^4 docs; at 10^8 use k≈16 and
+    recover recall with more tables. Near-dup targets (sim ≥ 0.9,
+    p ≈ 0.86) keep 1-(1-p^k)^L high even at k=16, L=8 (≈0.74)."""
+    # Persisted: both sides of the self-join read this frame — without it
+    # the L×k hyperplane signatures compute twice.
     c = corpus.select(F.col(id_col), as_double_array(vec_col).alias("v")).withColumn(
         "bkey", F.explode(_bucket_keys(F.col("v"), dim, n_planes, n_tables, seed))
-    )
+    ).persist()
     a, b = c.alias("a"), c.alias("b")
     return (
         a.join(
