@@ -112,6 +112,32 @@ class Pipeline:
         (reference: laygo/pipeline.py:221-262; SURVEY.md §2.7)."""
         return self
 
+    def catch(self, fn: Callable, schema: Any | None = None, on_error: Callable | None = None, mode: str = "batch") -> "Pipeline":
+        """Convenience passthrough to Transformer.catch."""
+        return self.apply(Transformer().catch(fn, schema=schema, on_error=on_error, mode=mode))
+
+    def loop(self, body: Transformer, condition: Any, max_iterations: int = 100) -> "Pipeline":
+        """Convenience passthrough to Transformer.loop."""
+        return self.apply(Transformer().loop(body, condition, max_iterations))
+
+    def short_circuit(self, fn: Callable) -> "Pipeline":
+        """Convenience passthrough to Transformer.short_circuit."""
+        return self.apply(Transformer().short_circuit(fn))
+
+    # -- persistent-sink terminals (new capability; reference only
+    # materializes to Python lists, laygo/pipeline.py:280-295) ------------
+    def write_parquet(self, path: str, **kwargs: Any) -> tuple[None, dict]:
+        from laygo_python_spark.sources.sinks import to_parquet
+
+        to_parquet(self.df, path, **kwargs)
+        return None, self._snapshot()
+
+    def write_csv(self, path: str, **kwargs: Any) -> tuple[None, dict]:
+        from laygo_python_spark.sources.sinks import to_csv
+
+        to_csv(self.df, path, **kwargs)
+        return None, self._snapshot()
+
     # -- terminal actions ------------------------------------------------------
     def _snapshot(self) -> dict:
         return self._context.to_dict()

@@ -1,0 +1,105 @@
+"""Fourth relational batch: GROUPING SETS, unpivot/melt, exact
+percentiles, and approximate sketch aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from laygo_python_spark.queries import query
+from laygo_python_spark.session import read_table as _t
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer-grained than rollup/cube): totals by
+    returnflag alone, by linestatus alone, and grand total."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value FROM lineitem WHERE l_orderkey < 500
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem WHERE l_orderkey < 500
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): three measure columns become
+    (metric, value) rows — Spark's native unpivot operator; the oracle
+    is the equivalent UNION ALL so DuckDB-syntax differences can't bite."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).withColumn(
+        "metric",
+        F.when(F.col("metric") == "l_quantity", "quantity")
+        .when(F.col("metric") == "l_extendedprice", "price")
+        .otherwise("discount"),
+    )
+
+
+@query(
+    "price_quantiles_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.95) AS p95_price,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def price_quantiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    both sort + linearly interpolate — identical doubles). The
+    approximate variant lives in approx_sketches."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
+            F.percentile("o_totalprice", F.lit(0.95)).alias("p95_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query("approx_sketches")  # rows-only: HLL/KLL sketches are engine-specific
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the sketches that replace exact
+    distinct/percentile at 100 TB: HyperLogLog++ (approx_count_distinct,
+    1.6 KB of state vs a hash table of every key) and KLL quantiles
+    (percentile_approx). Deterministic for fixed input but engine-
+    specific, hence rows-only; the exact twins are oracle-checked in
+    supplier_part_counts and price_quantiles_by_status."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -474,3 +474,21 @@ def create_transformer(_type_hint: Any = None) -> Transformer:
     """Factory, parity with laygo's create_transformer
     (transformer.py:36-46 — the type hint is ignored at runtime there too)."""
     return Transformer()
+
+
+def create_threaded_transformer(_type_hint: Any = None, max_workers: int = 4, ordered: bool = True) -> Transformer:
+    """Parity alias for laygo's create_threaded_transformer
+    (transformer.py:49-72): on Spark the strategy choice IS the
+    partitioning — this returns a transformer that repartitions to
+    ``max_workers`` so downstream per-batch work runs with that
+    parallelism. ``ordered`` is accepted for API compatibility; DataFrame
+    results are unordered sets unless an order_by is applied (SURVEY.md
+    §7.4.4)."""
+    return Transformer().repartition(max_workers)
+
+
+def create_process_transformer(_type_hint: Any = None, max_workers: int = 4, ordered: bool = True) -> Transformer:
+    """Parity alias for laygo's create_process_transformer
+    (transformer.py:75-98). Spark executors already are separate
+    processes; identical to create_threaded_transformer here."""
+    return Transformer().repartition(max_workers)

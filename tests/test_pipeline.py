@@ -220,3 +220,36 @@ def test_branch_python_predicate(spark):
         first_match=True,
     )
     assert sorted(results["odd"]) == [1, 3]
+
+
+def test_pipeline_catch_passthrough(spark):
+    def bad(pdf):
+        if (pdf.value == 2).any():
+            raise ValueError("x")
+        return pdf
+
+    result, _ = Pipeline([1, 2, 3], spark=spark).catch(bad, mode="row").to_list()
+    assert sorted(result) == [1, 3]
+
+
+def test_pipeline_loop_passthrough(spark):
+    body = Transformer().map(value=F.col("value") * 2)
+    result, _ = Pipeline([1], spark=spark).loop(body, "value < 5", max_iterations=10).to_list()
+    assert result == [8]
+
+
+def test_pipeline_write_parquet_terminal(spark, tmp_path):
+    out = str(tmp_path / "p")
+    _, ctx = Pipeline([1, 2, 3], spark=spark).write_parquet(out)
+    assert sorted(r[0] for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+
+def test_strategy_factory_aliases(spark):
+    from laygo_python_spark.transformer import create_process_transformer, create_threaded_transformer
+
+    t = create_threaded_transformer(max_workers=3)
+    df = t(spark.createDataFrame([(i,) for i in range(10)], ["value"]))
+    assert df.rdd.getNumPartitions() == 3
+    assert sorted(r[0] for r in df.collect()) == list(range(10))
+    t2 = create_process_transformer(int, max_workers=2)
+    assert t2(df).rdd.getNumPartitions() == 2
