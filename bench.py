@@ -65,17 +65,24 @@ def main() -> None:
     # worker pool — the FIRST Arrow/Python stage in a session pays ~4 s
     # of worker spin-up (measured; identity mapInPandas 4.3 s cold vs
     # 0.6 s warm), which would otherwise be billed to one query.
-    materialize(qs["q1_pricing_summary"](spark, sf_dir))
-    warm = spark.range(0, 1000, 1, int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)))
-    materialize(warm.mapInPandas(lambda it: it, schema="id long"))
+    try:
+        materialize(qs["q1_pricing_summary"](spark, sf_dir))
+        warm = spark.range(0, 1000, 1, int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)))
+        materialize(warm.mapInPandas(lambda it: it, schema="id long"))
+    except Exception as exc:  # noqa: BLE001 — cold numbers beat no numbers
+        print(f"# bench warmup failed: {type(exc).__name__}: {exc}", file=sys.stderr)
 
     per_query: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        materialize(qs[name](spark, sf_dir))
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        try:
+            materialize(qs[name](spark, sf_dir))
+            per_query[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — one bad query must not kill the run
+            print(f"# bench query {name} failed: {type(exc).__name__}: {exc}", file=sys.stderr)
+            per_query[name] = -1.0
 
-    total = round(sum(per_query.values()), 3)
+    total = round(sum(v for v in per_query.values() if v > 0), 3)
     print(
         json.dumps(
             {

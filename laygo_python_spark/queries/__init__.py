@@ -40,6 +40,7 @@ def load_all() -> None:
         relational2,
         relational3,
         relational4,
+        sampling_ops,
         text_ops,
     )
 

@@ -87,8 +87,22 @@ def get_spark(
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Runtime-settable confs the engine's correctness depends on, applied
+    defensively — the DRIVER may call queries() with its own
+    SparkSession built without these. UTC keeps timestamp formatting
+    identical to the (UTC-naive) DuckDB oracle; Arrow keeps the
+    mapInPandas paths on the fast transport."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:  # noqa: BLE001 — a locked-down conf is non-fatal
+        pass
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/projections into it."""
+    ensure_session_defaults(spark)
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -18,6 +18,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP(NANOS): read as long under nanosAsLong and truncate to
     micros with integer division (same convention as session.read_table,
     so batch and stream agree to the microsecond)."""
+    from laygo_python_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
