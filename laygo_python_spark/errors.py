@@ -27,6 +27,32 @@ def raise_error(chunk: Any, error: Exception, context: dict) -> None:
     raise error
 
 
+def quarantine_handler(path: str) -> ChunkErrorHandler:
+    """An ``on_error`` handler that writes each failing chunk (a pandas
+    DataFrame) to a parquet part-file under ``path``, with the error
+    message attached — the dead-letter-queue pattern for poisoned data
+    (SURVEY.md §2.7 maps laygo's catch to 'quarantine sink' here).
+
+    Executor-side direct writes: ``path`` must be a filesystem every
+    executor can reach (local dir on local[n]; a shared/dist FS on a
+    cluster). Re-executed tasks may write duplicate part-files —
+    quarantine is for inspection, not exactly-once accounting (use a
+    ctx counter for counts)."""
+    import os
+    import uuid
+
+    def handle(chunk, error: Exception, context: dict) -> None:
+        try:
+            os.makedirs(path, exist_ok=True)
+            out = chunk.copy()
+            out["__error"] = f"{type(error).__name__}: {error}"
+            out.to_parquet(os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"), index=False)
+        except Exception:  # noqa: BLE001 — quarantine must never mask the pipeline
+            pass
+
+    return handle
+
+
 class ErrorHandler:
     """LIFO chain of chunk-error callbacks (reference laygo/errors.py:25-61)."""
 

@@ -1,0 +1,107 @@
+"""IVF (inverted-file) approximate nearest neighbors — the
+centroid-partitioned complement to SRP-LSH (operators/similarity.py).
+
+Index build: k-means over the corpus (pyspark.ml, one training job);
+every vector is assigned to its nearest centroid's cell. Search: score
+a query only against the cells of its ``n_probe`` nearest centroids.
+
+LSH vs IVF trade-off: LSH needs no training pass and its recall is
+distribution-free; IVF adapts cells to the actual data distribution
+(tighter candidate sets for clustered corpora) at the cost of a
+training job and re-balancing as data drifts. At 100 TB the cell id
+becomes a write-time partition column, so a probe touches only
+``n_probe`` partitions of the corpus — classic partition pruning.
+
+Assignments and scoring run in numpy over Arrow batches (one
+(batch × dim) @ (dim × k) matmul per batch) — the same measured lesson
+as minhash: wide per-row Column expressions never codegen.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """K-means centroids as a (k × dim) numpy array (driver-side — k·dim
+    doubles, tiny; it ships to executors inside the closure like a
+    broadcast)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    return np.array(model.clusterCenters(), dtype=np.float64)
+
+
+def _assign_cells(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_out: str,
+    vec_out: str,
+    id_col: str,
+    vec_col: str,
+    n_probe: int = 1,
+) -> DataFrame:
+    """(id, vec double[], cell) — one row per (vector, probed cell):
+    corpus vectors get their single nearest cell, query vectors get
+    their ``n_probe`` nearest (multi-probe search)."""
+    import pandas as pd
+
+    cT = centroids.T  # (dim, k)
+    c_norm2 = (centroids**2).sum(axis=1)[None, :]  # (1, k)
+    n_probe = min(n_probe, len(centroids))  # over-probing == probe everything
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)  # (n, dim)
+            # argmin ||x - c||² = argmin (||c||² - 2x·c) — skip ||x||²
+            d2 = c_norm2 - 2.0 * (mat @ cT)  # (n, k)
+            order = np.argsort(d2, axis=1)[:, :n_probe]  # (n, n_probe)
+            ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
+            vecs = [row for row in mat.tolist() for _ in range(n_probe)]
+            yield pd.DataFrame({id_out: ids, vec_out: vecs, "cell": order.reshape(-1)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_out} long, {vec_out} array<double>, cell int"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: each query is scored only against corpus
+    vectors in its ``n_probe`` nearest cells. Returns
+    (query_id, neighbor_id, sim, rank) like brute_force_topk."""
+    from laygo_python_spark.operators.similarity import cosine
+
+    centroids = train_centroids(corpus, n_centroids, vec_col, seed)
+    c = _assign_cells(corpus, centroids, "neighbor_id", "cv", id_col, vec_col, n_probe=1)
+    q = _assign_cells(queries, centroids, "query_id", "qv", id_col, vec_col, n_probe=n_probe)
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

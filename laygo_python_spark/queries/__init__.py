@@ -36,6 +36,7 @@ def load_all() -> None:
     from laygo_python_spark.queries import (  # noqa: F401
         advanced_ops,
         core_ops,
+        functions_ops,
         relational,
         relational2,
         relational3,

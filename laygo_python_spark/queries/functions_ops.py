@@ -1,0 +1,96 @@
+"""Scalar-function-library showcase — the reference has NO function
+library (users write Python lambdas, SURVEY.md §2.6); here the JVM
+built-ins cover strings, dates, math, and conditionals. One query per
+family, oracle-checked so the semantics provably match ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from laygo_python_spark.queries import query
+from laygo_python_spark.session import read_table as _t
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           length(c_name) AS name_len,
+           replace(c_name, 'Customer', 'Cust') AS name_short,
+           substring(c_mktsegment, 1, 4) AS seg4,
+           concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           levenshtein(c_mktsegment, 'BUILDING') AS lev_building
+    FROM customer WHERE c_custkey < 200
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.substring("c_mktsegment", 1, 4).alias("seg4"),
+        F.concat("c_mktsegment", F.lit("#"), F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("lev_building"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS qtr_start,
+           datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95
+    FROM orders WHERE o_orderkey < 300
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family. NB DuckDB dayofweek is 0=Sunday while Spark's is
+    1=Sunday — normalized via (spark-1); dates emitted as strings."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus3mo"),
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias("qtr_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).cast("long").alias("days_since_95"),
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_extendedprice), 6) AS sqrt_price,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           round(pow(l_discount, 2), 6) AS disc_sq,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil7,
+           CAST(abs(l_quantity - 25) AS DOUBLE) AS abs_dev,
+           greatest(l_tax, l_discount) AS max_rate
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (sqrt/ln/pow round to 6: libm implementations may
+    differ in the last ulp across engines; integer-ish results are raw)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.ceil(F.col("l_quantity") / 7).cast("long").alias("qty_ceil7"),
+        F.abs(F.col("l_quantity") - 25).cast("double").alias("abs_dev"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+    )

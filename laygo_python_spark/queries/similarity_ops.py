@@ -54,6 +54,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
 
 
+@query("ann_ivf_topk")  # rows-only: approximate by design (k-means cells)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (operators/ivf.py): k-means cells + 2-probe
+    search — the trained-index complement to the SRP-LSH path. Recall vs
+    brute force is asserted in tests/test_ivf.py."""
+    from laygo_python_spark.operators.ivf import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=2)
+    return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
+
+
 @query("embedding_near_dups")  # rows-only: approximate by design
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim >= 0.35) discovered

@@ -60,3 +60,24 @@ def test_error_handler_with_transformer_catch(spark):
 
 def test_pipeline_abort_error_is_runtime_error():
     assert issubclass(PipelineAbortError, RuntimeError)
+
+
+def test_quarantine_handler_writes_failed_chunks(spark, tmp_path):
+    import pandas as pd
+
+    from laygo_python_spark import Pipeline, Transformer
+    from laygo_python_spark.errors import quarantine_handler
+
+    qdir = str(tmp_path / "quarantine")
+
+    def bad(pdf):
+        if (pdf.value % 2 == 0).any():
+            raise ValueError("even poison")
+        return pdf
+
+    t = Transformer().catch(bad, mode="row", on_error=quarantine_handler(qdir))
+    result, _ = Pipeline([1, 2, 3, 4, 5], spark=spark).apply(t).to_list()
+    assert sorted(result) == [1, 3, 5]
+    dead = spark.read.parquet(qdir)
+    assert sorted(r["value"] for r in dead.collect()) == [2, 4]
+    assert all("even poison" in r["__error"] for r in dead.collect())

@@ -1,0 +1,50 @@
+"""IVF ANN validation: recall vs brute force, multi-probe improvement,
+planted-neighbor retrieval."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from laygo_python_spark.operators import similarity
+from laygo_python_spark.operators.ivf import ivf_topk, train_centroids
+from laygo_python_spark.session import read_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def test_centroids_shape_and_determinism(emb):
+    c1 = train_centroids(emb, n_centroids=8)
+    c2 = train_centroids(emb, n_centroids=8)
+    assert c1.shape == (8, 64)
+    assert (c1 == c2).all()
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    queries = emb.filter("vec_id < 20")
+    bf = {(r.query_id, r.neighbor_id) for r in similarity.brute_force_topk(emb, queries, k=10).collect()}
+    ivf1 = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=1).collect()}
+    ivf3 = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=3).collect()}
+    r1, r3 = len(bf & ivf1) / len(bf), len(bf & ivf3) / len(bf)
+    assert r3 >= r1  # more probes → recall can only grow
+    assert r3 >= 0.4, f"3-probe recall {r3:.2f} too low for 8 cells"
+
+
+def test_ivf_finds_planted_identical_vector(spark):
+    # modulus 53 > corpus size → no two base vectors identical/parallel
+    base = [Row(vec_id=i, embedding=[float((i * 7 + j) % 53) for j in range(8)]) for i in range(50)]
+    planted = [Row(vec_id=99, embedding=base[0].embedding)]
+    corpus = spark.createDataFrame(base + planted)
+    out = ivf_topk(corpus, corpus.filter("vec_id = 0"), k=1, n_centroids=4, n_probe=1).collect()
+    assert out[0].neighbor_id == 99 and out[0].sim == pytest.approx(1.0)
+
+
+def test_ivf_scores_match_brute_force_sims(emb):
+    queries = emb.filter("vec_id < 5")
+    bf = {(r.query_id, r.neighbor_id): r.sim for r in similarity.brute_force_topk(emb, queries, k=20).collect()}
+    for r in ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=2).collect():
+        if (r.query_id, r.neighbor_id) in bf:
+            assert r.sim == pytest.approx(bf[(r.query_id, r.neighbor_id)], rel=1e-12)
