@@ -37,6 +37,7 @@ def load_all() -> None:
         advanced_ops,
         core_ops,
         functions_ops,
+        interval_ops,
         relational,
         relational2,
         relational3,

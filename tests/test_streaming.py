@@ -104,3 +104,54 @@ def test_sinks_roundtrip(spark, tmp_path):
     assert sorted(back.columns) == ["k", "v"]
     # partition pruning works on the written layout
     assert back.filter(F.col("k") == "a").count() == 10
+
+
+def test_stream_stream_interval_join(spark, sf_dir):
+    """Stream-stream inner join with watermarks + time-range condition —
+    the streaming twin of operators/interval.asof-style correlation. Both
+    sides are bounded file streams, so the result must equal the batch
+    interval join."""
+    from laygo_python_spark.operators.interval import interval_join
+
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_id"), F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("c_ts") - F.expr("INTERVAL 15 MINUTES"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 15 MINUTES")),
+    ).select("click_id", "error_id")
+    got = {
+        (r.click_id, r.error_id)
+        for r in run_to_completion(joined, "t_ssj", output_mode="append").collect()
+    }
+
+    bev = read_table(spark, sf_dir, "events")
+    bc = bev.filter("event_type = 'click'").select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts"))
+    be = bev.filter("event_type = 'error'").select(F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("e_ts"))
+    expected = {
+        (r.click_id, r.error_id)
+        for r in interval_join(bc, be, on=["user_id"], left_ts="c_ts", right_ts="e_ts", window_seconds=900).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    """Streaming deduplication — dropDuplicatesWithinWatermark evicts
+    dedup state once the watermark passes (bounded memory); on a bounded
+    replayed stream it must keep one row per user_id."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "90 days")
+    deduped = ev.select("user_id", "ts").dropDuplicatesWithinWatermark(["user_id"])
+    result = run_to_completion(deduped, "t_sdedup", output_mode="append")
+    n_users_stream = result.count()
+    n_users_batch = read_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert n_users_stream == n_users_batch
