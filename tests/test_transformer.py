@@ -279,3 +279,29 @@ def test_distinct_order_limit(spark):
 def test_union(spark):
     t = Transformer().union(ints(spark, [6, 7]))
     assert as_values(t(ints(spark, [1, 2]))) == [1, 2, 6, 7]
+
+
+# -- worker-failure semantics (reference tests/test_parallel_transformer.py:155-167)
+def test_uncaught_worker_exception_propagates_with_message(spark):
+    """Without catch, a raising transform fails the job and the user's
+    error reaches the driver (Spark's fail-fast default = laygo
+    raise_error semantics, reference errors.py:8-22)."""
+
+    def boom(pdf):
+        raise RuntimeError("user-code exploded on purpose")
+
+    t = Transformer().map_batches(boom)
+    with pytest.raises(Exception, match="user-code exploded on purpose"):
+        t(ints(spark)).collect()
+
+
+def test_unordered_execution_same_multiset(spark):
+    """Reference tests/test_threaded_transformer.py:147-158: whatever the
+    parallelism/partitioning, results form the same multiset."""
+    data = list(range(100)) * 2  # duplicates matter: multiset, not set
+    t = Transformer().map(value=F.col("value") * 3)
+    outs = []
+    for parts in (1, 4, 32):
+        df = spark.createDataFrame([(v,) for v in data], ["value"]).repartition(parts)
+        outs.append(sorted(r[0] for r in t(df).collect()))
+    assert outs[0] == outs[1] == outs[2]
