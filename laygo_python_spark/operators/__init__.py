@@ -3,3 +3,49 @@
 Modules register standalone ``DataFrame -> DataFrame`` functions usable
 directly or spliced into a fluent program via ``Transformer.pipe``.
 """
+
+from laygo_python_spark.operators.asof import asof_join
+from laygo_python_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_dups,
+)
+from laygo_python_spark.operators.interval import interval_join
+from laygo_python_spark.operators.ivf import ivf_topk, train_centroids
+from laygo_python_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_features,
+    frame_sample_plan,
+    sniff_media_type,
+)
+from laygo_python_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_dups,
+    lsh_bucketed_topk,
+)
+from laygo_python_spark.operators.skew import salted_agg, salted_broadcast_join
+
+__all__ = [
+    "asof_join",
+    "attach_binary_payload",
+    "brute_force_topk",
+    "cosine",
+    "decode_features",
+    "embedding_near_dups",
+    "frame_sample_plan",
+    "interval_join",
+    "ivf_topk",
+    "lsh_bucketed_topk",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "salted_agg",
+    "salted_broadcast_join",
+    "simhash_fingerprints",
+    "simhash_near_dups",
+    "sniff_media_type",
+    "train_centroids",
+]

@@ -67,6 +67,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
+        # FAIR scheduling: Pipeline.branch submits one action per branch
+        # from driver threads — FAIR interleaves them instead of FIFO
+        # head-of-line blocking.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
     if SparkSession.getActiveSession() is None:

@@ -1,0 +1,43 @@
+"""Source/sink connector round-trips (sources/__init__.py, sinks.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from laygo_python_spark.sources import from_csv, from_iterable, from_json, from_parquet
+from laygo_python_spark.sources.sinks import to_csv, to_json, to_parquet
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    path = str(tmp_path / "csv")
+    to_csv(df, path)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    back = from_csv(spark, path, schema=schema)
+    assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]
+    assert dict(back.dtypes) == {"id": "bigint", "name": "string"}
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, [1.5, 2.5]), (2, [])], "id long, xs array<double>")
+    path = str(tmp_path / "json")
+    to_json(df, path)
+    back = from_json(spark, path, schema="id long, xs array<double>")
+    assert sorted((r.id, list(r.xs)) for r in back.collect()) == [(1, [1.5, 2.5]), (2, [])]
+
+
+def test_parquet_source(spark, sf_dir):
+    df = from_parquet(spark, f"{sf_dir}/region.parquet")
+    assert df.count() == 5
+
+
+def test_from_iterable_with_schema(spark):
+    df = from_iterable(spark, [(1, "x")], schema="a long, b string")
+    assert df.collect()[0].asDict() == {"a": 1, "b": "x"}
+
+
+def test_from_iterable_scalars(spark):
+    df = from_iterable(spark, [1, 2, 3])
+    assert df.columns == ["value"] and df.count() == 3
