@@ -279,6 +279,26 @@ def events_json_k_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_json_schema_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) > 80
+    """,
+)
+def events_json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-directed JSON parsing (from_json with an explicit struct) —
+    the typed alternative to path extraction: one parse, typed columns,
+    predicate on the parsed value pushed through the projection."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k INT").alias("p")
+    ).select("event_id", F.col("p.k").alias("k"))
+    return parsed.filter(F.col("k") > 80)
+
+
+@query(
     "sessionize_users",
     oracle="""
     WITH g AS (

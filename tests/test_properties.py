@@ -75,3 +75,63 @@ def test_first_n_returns_n_rows(spark, data, n):
     result, _ = Pipeline(data, spark=spark).first(n)
     assert len(result) == min(n, len(data))
     assert set(result) <= set(data)
+
+
+@given(
+    probes=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 10_000)), min_size=1, max_size=25),
+    refs=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.floats(-100, 100)), min_size=1, max_size=25),
+)
+@SET
+def test_asof_join_matches_pandas_merge_asof(spark, probes, refs):
+    """Differential: our union+window as-of join vs pandas merge_asof
+    (backward, exact matches allowed) on random keyed event times."""
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    from laygo_python_spark.operators.asof import asof_join
+
+    base = datetime(2024, 1, 1)
+    probe_rows = [(i, k, base + timedelta(seconds=t)) for i, (k, t) in enumerate(probes)]
+    # dedupe ref (k, t) pairs: equal-timestamp refs within a key are
+    # ambiguous in both engines (documented limitation)
+    seen, ref_rows = set(), []
+    for k, t, v in refs:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            ref_rows.append((k, base + timedelta(seconds=t), float(v)))
+    left = spark.createDataFrame(probe_rows, "pid long, k long, t timestamp")
+    right = spark.createDataFrame(ref_rows, "k long, t timestamp, v double")
+    got = {r.pid: r.v_asof for r in asof_join(left, right, on="t", by=["k"], values=["v"]).collect()}
+
+    lp = pd.DataFrame(probe_rows, columns=["pid", "k", "t"]).sort_values("t", kind="stable")
+    rp = pd.DataFrame(ref_rows, columns=["k", "t", "v"]).sort_values("t", kind="stable")
+    merged = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    expected = {int(r.pid): (None if pd.isna(r.v) else float(r.v)) for r in merged.itertuples()}
+    assert got == expected
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 5000)), min_size=1, max_size=20),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 5000)), min_size=1, max_size=20),
+    window=st.integers(1, 600),
+)
+@SET
+def test_interval_join_matches_brute_force(spark, left, right, window):
+    """Differential: bucketized interval join vs the O(n·m) definition."""
+    from datetime import datetime, timedelta
+
+    from laygo_python_spark.operators.interval import interval_join
+
+    base = datetime(2024, 1, 1)
+    lrows = [(i, k, base + timedelta(seconds=t)) for i, (k, t) in enumerate(left)]
+    rrows = [(i, k, base + timedelta(seconds=t)) for i, (k, t) in enumerate(right)]
+    L = spark.createDataFrame(lrows, "lid long, k long, lt timestamp")
+    R = spark.createDataFrame(rrows, "rid long, k long, rt timestamp")
+    got = {(r.lid, r.rid) for r in interval_join(L, R, on=["k"], left_ts="lt", right_ts="rt", window_seconds=window).collect()}
+    expected = {
+        (li, ri)
+        for li, lk, lt in lrows
+        for ri, rk, rt in rrows
+        if lk == rk and abs((lt - rt).total_seconds()) <= window
+    }
+    assert got == expected
