@@ -9,6 +9,7 @@ against planted duplicates and the exact-Jaccard ground truth.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from laygo_python_spark.operators import dedup
 from laygo_python_spark.queries import query
@@ -55,6 +56,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-duplicate pairs within Hamming distance 3, found
     via pigeonhole chunk banding (4×16-bit equi-join, never O(n²))."""
     return dedup.simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query(
+    "dedup_cluster_representatives",
+    oracle="""
+    WITH RECURSIVE tok AS (SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS g
+                 FROM documents),
+    grams AS (SELECT doc_id, g,
+                     count(*) OVER (PARTITION BY doc_id) AS n_grams
+              FROM tok),
+    pairs AS (
+      SELECT a.doc_id AS pa, b.doc_id AS pb
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING CAST(count(*) AS DOUBLE)
+             / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.95),
+    edges AS (SELECT pa AS s, pb AS d FROM pairs UNION ALL SELECT pb, pa FROM pairs),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, r.label FROM edges e JOIN reach r ON r.node = e.s)
+    SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline: exact-Jaccard pairs (>= 0.95) →
+    connected components → (doc_id, cluster) where cluster is the
+    smallest member id (the representative to KEEP). The oracle
+    recomputes the same clustering with a recursive CTE — an iterative
+    distributed algorithm checked against declarative transitive
+    closure."""
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=1, threshold=0.95)
+    return dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("cluster").cast("long").alias("cluster")
+    )
 
 
 @query("minhash_signature_sample")  # rows-only

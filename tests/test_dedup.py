@@ -101,3 +101,19 @@ def test_rolling_hash_order_sensitive_and_partition_invariant(spark):
     many = {r.doc_id: r.h for r in df.repartition(4).select("doc_id", h.alias("h")).collect()}
     assert one == many                 # partitioning-invariant
     assert one[1] != one[2]            # order-sensitive (same bag of words)
+
+
+def test_connected_components_clusters(spark):
+    # two chains and a singleton-pair: {1,2,3} via (1-2),(2-3); {10,11}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_id_a", "doc_id_b"]
+    )
+    got = {r.node: r.cluster for r in dedup.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node path graph needs ~diameter rounds of propagation
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)], ["doc_id_a", "doc_id_b"])
+    got = {r.node: r.cluster for r in dedup.connected_components(edges).collect()}
+    assert set(got.values()) == {0} and len(got) == 13
