@@ -253,8 +253,13 @@ def connected_components(
     edges): every round's convergence check is an action, and without a
     checkpoint it replays the ENTIRE label lineage from round zero —
     materializing each round is strictly cheaper."""
-    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    # Materialize the symmetric edge list ONCE — it joins into every
+    # round, and its lineage may be an expensive pair-discovery pipeline
+    # (e.g. the Jaccard self-join) that must not re-execute per round.
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))

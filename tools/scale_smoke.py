@@ -69,6 +69,12 @@ def main() -> None:
     sh = dedup.simhash_near_dups(docs, max_hamming=3).count()
     t_simhash = time.perf_counter() - t0
 
+    # cluster the candidate pairs → one representative per dup group
+    t0 = time.perf_counter()
+    clusters = dedup.connected_components(cands)
+    n_groups = clusters.select("cluster").distinct().count()
+    t_cluster = time.perf_counter() - t0
+
     print(
         json.dumps(
             {
@@ -77,6 +83,7 @@ def main() -> None:
                 "minhash": {"sec": round(t_minhash, 2), "candidates": n_cands, "planted_found": found_planted},
                 "exact": {"sec": round(t_exact, 2), "dup_fingerprints": n_exact},
                 "simhash": {"sec": round(t_simhash, 2), "pairs": sh},
+                "clustering": {"sec": round(t_cluster, 2), "dup_groups": n_groups},
             }
         )
     )
