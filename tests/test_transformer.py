@@ -305,3 +305,21 @@ def test_unordered_execution_same_multiset(spark):
         df = spark.createDataFrame([(v,) for v in data], ["value"]).repartition(parts)
         outs.append(sorted(r[0] for r in t(df).collect()))
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_map_with_sql_string_expressions(spark):
+    t = Transformer().map(doubled="value * 2", flag="value > 3")
+    rows = {r.value: (r.doubled, r.flag) for r in t(ints(spark)).collect()}
+    assert rows[2] == (4, False) and rows[5] == (10, True)
+
+
+def test_custom_transformer_class_via_apply(spark):
+    """Custom BaseTransformer parity (reference tests/test_custom_transformer.py
+    :11-30): any object with __call__(df) -> df plugs into Pipeline.apply."""
+
+    class DoubleEvens:
+        def __call__(self, df):
+            return df.filter(F.col("value") % 2 == 0).withColumn("value", F.col("value") * 2)
+
+    result, _ = Pipeline([1, 2, 3, 4], spark=spark).apply(DoubleEvens()).to_list()
+    assert sorted(result) == [4, 8]
