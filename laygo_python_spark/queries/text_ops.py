@@ -135,6 +135,82 @@ def stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "unigram_logprob_score",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+                 FROM documents),
+    freqs AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    total AS (SELECT sum(c) AS t FROM freqs)
+    SELECT doc_id,
+           round(avg(ln(CAST(c AS DOUBLE) / t)), 6) AS avg_logprob,
+           count(*) AS n_tokens
+    FROM tok JOIN freqs USING (w) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level unigram language model → per-doc mean token
+    log-probability — the cheap perplexity-style quality filter of a
+    pretraining pipeline (gibberish scores low, common prose high).
+    Two passes: (1) token frequencies (groupBy, partial-agg), broadcast
+    back; (2) score each token occurrence and average per doc. At 100 TB
+    the frequency table is capped to a top-K vocabulary with an OOV
+    bucket — same plan shape."""
+    docs = _t(spark, sf_dir, "documents")
+    # single-space split to mirror the oracle's string_split exactly
+    tok = docs.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"))
+    freqs = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freqs.agg(F.sum("c").alias("t"))
+    return (
+        tok.join(F.broadcast(freqs), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("c").cast("double") / F.col("t"))), 6).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "quality_gate",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(trim(text), ' '),
+                      t -> list_contains(['the','a','is','and','of','to','in'], t))) AS DOUBLE)
+               / len(string_split(trim(text), ' ')) AS stop_ratio
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN n_tokens >= 10 AND n_chars >= 50 AND stop_ratio >= 0.01 THEN 'keep'
+                WHEN n_tokens < 10 THEN 'drop_short'
+                WHEN n_chars < 50 THEN 'drop_tiny'
+                ELSE 'drop_no_stopwords' END AS verdict
+    FROM feats
+    """,
+)
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate — the keep/drop decision a pretraining
+    pipeline applies per document, combining length and stopword-density
+    signals with a labeled drop reason (reasons drive the data-quality
+    dashboard; at scale verdicts become a partition column so downstream
+    reads prune the drops for free)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    stops = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tokens = F.size(toks).cast("long")
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stops, t))).cast("double") / F.size(toks)
+    verdict = (
+        F.when((n_tokens >= 10) & (F.col("n_chars") >= 50) & (stop_ratio >= 0.01), "keep")
+        .when(n_tokens < 10, "drop_short")
+        .when(F.col("n_chars") < 50, "drop_tiny")
+        .otherwise("drop_no_stopwords")
+    )
+    return docs.select("doc_id", verdict.alias("verdict"))
+
+
 @query("rolling_hash_fingerprint")  # rows-only: DuckDB lacks xxhash64
 def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling hash over the token stream (Karp-Rabin style):
