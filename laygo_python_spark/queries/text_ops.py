@@ -136,6 +136,38 @@ def stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_chunks",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    starts AS (
+      SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 19, 1), 10)) AS start
+      FROM tok)
+    SELECT doc_id,
+           CAST((start - 1) / 10 AS BIGINT) AS chunk_idx,
+           array_to_string(toks[start : start + 19], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (20-token windows, stride 10) —
+    the embedding-prep step of a RAG/retrieval pipeline. Pure Column
+    algebra: sequence of window starts → explode → slice+join. Each
+    output chunk carries (doc_id, chunk_idx) so embeddings map back to
+    their source span."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - 19, F.lit(1)), F.lit(10))
+    return (
+        docs.select("doc_id", toks.alias("toks"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / 10).cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice("toks", F.col("start"), 20)).alias("chunk_text"),
+        )
+    )
+
+
+@query(
     "unigram_logprob_score",
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w

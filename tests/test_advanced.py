@@ -76,3 +76,37 @@ def test_salted_broadcast_join_equals_plain_join(spark):
     plain = sorted((r.key, r.v, r.name) for r in fact.join(dim, "key").collect())
     salted = sorted((r.key, r.v, r.name) for r in salted_broadcast_join(fact, dim, "key", n_salts=4).collect())
     assert salted == plain
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing invariants: every doc in exactly one bin; no multi-doc bin
+    over budget; oversized docs isolated in singleton bins."""
+    from laygo_python_spark.operators.packing import pack_sequences
+    from laygo_python_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), " ")).cast("long").alias("n_tokens")
+    )
+    total_docs = docs.count()
+    bins = pack_sequences(docs, budget=128).collect()
+    packed = [d for b in bins for d in b.doc_ids]
+    assert len(packed) == total_docs and len(set(packed)) == total_docs
+    for b in bins:
+        assert b.n_docs == len(b.doc_ids)
+        if b.n_docs > 1:
+            assert b.total_tokens <= 128
+    # packing efficiency: with ~40-token docs and 128 budget, bins should
+    # average well above one doc
+    assert sum(b.n_docs for b in bins) / len(bins) > 1.5
+
+
+def test_pack_sequences_oversized_doc_isolated(spark):
+    from laygo_python_spark.operators.packing import pack_sequences
+
+    # coalesce(1): packing is partition-local by design, so co-binning
+    # assertions need the docs in one partition
+    docs = spark.createDataFrame([(1, 1000), (2, 50), (3, 60)], ["doc_id", "n_tokens"]).coalesce(1)
+    bins = pack_sequences(docs, budget=128).collect()
+    by_doc = {d: b for b in bins for d in b.doc_ids}
+    assert by_doc[1].n_docs == 1 and by_doc[1].total_tokens == 1000
+    assert by_doc[2].bin_id == by_doc[3].bin_id  # 50+60 fit one bin
