@@ -168,18 +168,6 @@ def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
-def _bucket_keys(vec: Column, dim: int, n_planes: int, n_tables: int, seed: int) -> Column:
-    """Array of ``n_tables`` (table_idx, bucket) keys — standard
-    multi-table LSH: a pair is a candidate if it collides in ANY table.
-    Recall for cosine sim s: 1 - (1 - p^k)^L with p = 1 - arccos(s)/π,
-    k = n_planes, L = n_tables — tune k down / L up for higher recall."""
-    keys = []
-    for t in range(n_tables):
-        planes = _srp_planes(dim, n_planes, seed + 1000 * t)
-        keys.append(F.xxhash64(F.lit(t), srp_signature(vec, planes)))
-    return F.array(*keys)
-
-
 def _with_bucket_keys(
     df: DataFrame,
     id_out: str,
@@ -191,12 +179,16 @@ def _with_bucket_keys(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """(id, vec double[], bkey) with one row per (row, table) — the SRP
-    signatures computed in ONE numpy pass per Arrow batch: the
+    """(id, vec double[], bkey) with one row per (row, table) — the
+    standard multi-table LSH keying (a pair is a candidate if it
+    collides in ANY table; recall for cosine sim s is 1-(1-p^k)^L with
+    p = 1 - arccos(s)/π, k = n_planes, L = n_tables).
+
+    Signatures compute in ONE numpy pass per Arrow batch: the
     (batch × dim) @ (dim × L·k) projection is a single matmul, then bits
-    pack per table. The Column-algebra form (`_bucket_keys`) builds
-    L·k·dim-literal expression trees that never enter codegen — measured
-    ~10 s of analysis+interpretation at 500 rows vs ~1 s here."""
+    pack per table. (A Column-algebra form built L·k·dim-literal
+    expression trees that never enter codegen — measured ~10 s of
+    analysis+interpretation at 500 rows vs ~1 s here.)"""
     import numpy as np
     import pandas as pd
 

@@ -11,7 +11,7 @@ DataFrames instead of single-use iterators; terminal ops still return
 
 from __future__ import annotations
 
-from collections.abc import Callable, Iterable, Iterator
+from collections.abc import Callable, Iterator
 from concurrent.futures import ThreadPoolExecutor
 from functools import reduce as _functools_reduce
 from typing import Any
