@@ -36,6 +36,20 @@ def _coerce_source(spark: SparkSession, source: Any) -> DataFrame:
         raise ValueError("cannot infer a schema from an empty Python source; pass a DataFrame")
     if isinstance(items[0], dict):
         return spark.createDataFrame([Row(**d) for d in items])
+    # Mixed scalar types (reference tests use [1, "hello", 3.14],
+    # laygo tests/test_pipeline.py:117-120) have no honest DataFrame
+    # schema — fail loudly with the migration options rather than
+    # silently stringifying (SURVEY.md §7.4.5).
+    kinds = {type(x) for x in items if x is not None}
+    numeric = {int, float}
+    if len(kinds) > 1 and not kinds <= numeric:
+        raise TypeError(
+            f"mixed element types {sorted(k.__name__ for k in kinds)} need an explicit "
+            "schema: pass a DataFrame, pre-convert to one type, or use dict records "
+            "with typed fields (a DataFrame column has exactly one type)"
+        )
+    if kinds == numeric:
+        items = [float(x) if x is not None else None for x in items]
     return spark.createDataFrame([(x,) for x in items], ["value"])
 
 
@@ -186,6 +200,11 @@ class Pipeline:
 
     def count(self) -> tuple[int, dict]:
         return self.df.count(), self._snapshot()
+
+    def to_pandas(self) -> tuple[Any, dict]:
+        """Materialize as a pandas DataFrame (Arrow transport) + context
+        snapshot — the hand-off point to single-node Python tooling."""
+        return self.df.toPandas(), self._snapshot()
 
     def reduce(self, fn: Callable, initial: Any) -> tuple[Any, dict]:
         """Whole-dataset sequential fold on the driver (reference terminal

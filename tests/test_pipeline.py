@@ -253,3 +253,20 @@ def test_strategy_factory_aliases(spark):
     assert sorted(r[0] for r in df.collect()) == list(range(10))
     t2 = create_process_transformer(int, max_workers=2)
     assert t2(df).rdd.getNumPartitions() == 2
+
+
+def test_to_pandas_terminal(spark):
+    pdf, ctx = Pipeline([3, 1, 2], spark=spark).to_pandas()
+    assert sorted(pdf["value"].tolist()) == [1, 2, 3]
+
+
+def test_mixed_scalar_types_fail_loudly(spark):
+    import pytest
+
+    with pytest.raises(TypeError, match="mixed element types"):
+        Pipeline([1, "hello", 3.14], spark=spark)
+
+
+def test_int_float_mix_coerces_to_double(spark):
+    result, _ = Pipeline([1, 2.5, 3], spark=spark).to_list()
+    assert sorted(result) == [1.0, 2.5, 3.0]
