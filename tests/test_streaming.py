@@ -155,3 +155,26 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
     n_users_stream = result.count()
     n_users_batch = read_table(spark, sf_dir, "events").select("user_id").distinct().count()
     assert n_users_stream == n_users_batch
+
+
+def test_foreach_batch_exactly_once_sink(spark, sf_dir, tmp_path):
+    """foreachBatch — the exactly-once sink pattern: write each
+    micro-batch to parquet keyed by epoch (idempotent on replay: a
+    re-delivered epoch overwrites its own partition, never duplicates)."""
+    out = str(tmp_path / "sink")
+
+    def write_epoch(batch_df, epoch_id: int) -> None:
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode("overwrite").parquet(
+            f"{out}/epoch={epoch_id}"
+        )
+
+    stream = read_events_stream(spark, sf_dir).select("event_id", "user_id")
+    q = stream.writeStream.foreachBatch(write_epoch).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    written = spark.read.parquet(f"{out}/epoch=*")
+    n_batch = read_table(spark, sf_dir, "events").count()
+    assert written.count() == n_batch
+    assert written.select("event_id").distinct().count() == n_batch
