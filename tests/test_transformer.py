@@ -323,3 +323,22 @@ def test_custom_transformer_class_via_apply(spark):
 
     result, _ = Pipeline([1, 2, 3, 4], spark=spark).apply(DoubleEvens()).to_list()
     assert sorted(result) == [4, 8]
+
+
+def test_select_drop_rename(spark):
+    df = spark.createDataFrame([(1, "a", True)], ["id", "name", "flag"])
+    t = Transformer().drop("flag").rename(name="label").select("label", "id")
+    row = t(df).collect()[0]
+    assert row.asDict() == {"label": "a", "id": 1}
+
+
+def test_pipe_escape_hatch(spark):
+    t = Transformer().pipe(lambda df: df.limit(2))
+    assert t(ints(spark)).count() == 2
+
+
+def test_each_with_dict_rows(spark):
+    seen = []
+    # driver-side via toLocalIterator parity path: use Pipeline.__iter__
+    items = list(Pipeline([{"a": 1, "b": "x"}], spark=spark))
+    assert items == [{"a": 1, "b": "x"}]
