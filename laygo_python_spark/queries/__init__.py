@@ -42,8 +42,10 @@ def load_all() -> None:
         relational2,
         relational3,
         relational4,
+        relational5,
         sampling_ops,
         text_ops,
+        text_ops2,
     )
 
     try:

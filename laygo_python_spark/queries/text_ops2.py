@@ -1,0 +1,110 @@
+"""Text-analysis batch 2: repetition scoring and eval-set
+decontamination — the remaining document-hygiene steps of a pretraining
+pipeline (alongside quality_gate / unigram_logprob_score / dedup_* in
+text_ops.py and dedup_ops.py).
+
+Both are pure Column algebra (split → sequence → slice → explode →
+groupBy): no Python UDFs, fully whole-stage-codegen'd, and the n-gram
+explosion is map-side so the only shuffles are the final groupBys on
+(doc_id) / (gram).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from laygo_python_spark.queries import query
+from laygo_python_spark.session import read_table as _t
+
+# NOTE: F.sequence counts DOWN when start > stop, so every sequence stop
+# below is clamped with greatest(..., 1); the DuckDB oracles clamp
+# identically, making a <n-token doc contribute one truncated gram on
+# both engines.
+
+
+def _grams(docs: DataFrame, n: int, *extra: str) -> DataFrame:
+    """(doc_id, *extra, g): all word n-grams of each document, one row
+    per occurrence. Map-only — tokenize, enumerate window starts, slice."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return docs.select("doc_id", *extra, toks.alias("toks"), F.explode(starts).alias("i")).select(
+        "doc_id", *extra, F.concat_ws(" ", F.slice("toks", F.col("i"), n)).alias("g")
+    )
+
+
+@query(
+    "repetition_score",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS g
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 1, 1))) AS i
+            FROM tok)),
+    counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+    SELECT doc_id,
+           round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(c) AS DOUBLE), 6) AS dup_bigram_frac,
+           CAST(sum(c) AS BIGINT) AS n_bigrams
+    FROM counts GROUP BY doc_id
+    """,
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: the fraction of a document's word
+    bigrams that are occurrences of a repeated bigram (Rae et al. 2021
+    'duplicate n-gram fraction' — boilerplate and degenerate generations
+    score high, prose low). Per-doc state only, so the groupBy keys on
+    (doc_id, gram) and shuffles hash-partitioned by doc — no hot keys at
+    100 TB because every document is its own key space."""
+    counts = _grams(_t(spark, sf_dir, "documents"), 2).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    dup = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+    return counts.groupBy("doc_id").agg(
+        F.round(dup.cast("double") / F.sum("c").cast("double"), 6).alias("dup_bigram_frac"),
+        F.sum("c").cast("long").alias("n_bigrams"),
+    )
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100) AS b,
+             string_split(trim(text), ' ') AS toks
+      FROM documents),
+    grams AS (
+      SELECT doc_id, b, array_to_string(toks[i : i + 2], ' ') AS g
+      FROM (SELECT doc_id, b, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+            FROM tok)),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE b >= 90)
+    SELECT doc_id, count(DISTINCT g) AS n_contaminated_grams
+    FROM grams JOIN eval_grams USING (g)
+    WHERE b < 90
+    GROUP BY doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with the held-out eval split (the same md5 hash-bucket
+    split as hash_split_train_eval, so membership is engine- and
+    partitioning-independent). Real pipelines use 8-13-gram exact match
+    (GPT-3 appendix C / PaLM); n=3 here so the tiny synthetic vocabulary
+    actually produces overlaps to verify. The eval gram set is DISTINCT
+    + broadcast — eval benchmarks are small by construction, so at
+    100 TB this is a map-side semi join over the training corpus; if the
+    eval side ever outgrows the broadcast threshold AQE falls back to a
+    shuffle join with the same semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long"), F.lit(100)
+    )
+    grams = _grams(docs.withColumn("b", bucket), 3, "b")
+    eval_grams = grams.filter(F.col("b") >= 90).select("g").distinct()
+    return (
+        grams.filter(F.col("b") < 90)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_contaminated_grams"))
+    )

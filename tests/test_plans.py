@@ -46,3 +46,41 @@ def test_topk_avoids_global_sort(spark, sf_dir):
 
     plan = top_k_orders(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    """Q6 shape: all predicates reach the parquet scan; only the 4
+    referenced lineitem columns are read; one exchange (partial+final agg)."""
+    from laygo_python_spark.queries.relational5 import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, sf_dir)
+    assert has_pushed_filters(df)
+    assert set(scan_read_schema(df)) == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    assert count_exchanges(df) <= 1
+
+
+def test_q19_envelope_pushdown_and_broadcast(spark, sf_dir):
+    """Q19 shape: the single-side envelopes of the disjunction are pushed
+    to both scans, and the part side broadcasts."""
+    from laygo_python_spark.queries.relational5 import q19_disjunctive_revenue
+
+    df = q19_disjunctive_revenue(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert has_pushed_filters(df)
+
+
+def test_q7_both_dim_joins_broadcast(spark, sf_dir):
+    from laygo_python_spark.queries.relational5 import q7_volume_shipping
+
+    assert has_broadcast_join(q7_volume_shipping(spark, sf_dir))
+
+
+def test_ngram_ops_are_udf_free(spark, sf_dir):
+    """Gram generation must stay in codegen — no BatchEvalPython /
+    ArrowEvalPython stages in repetition or decontamination plans."""
+    from laygo_python_spark.plans import physical_plan
+    from laygo_python_spark.queries.text_ops2 import decontaminate_ngram_overlap, repetition_score
+
+    for q in (repetition_score, decontaminate_ngram_overlap):
+        plan = physical_plan(q(spark, sf_dir))
+        assert "EvalPython" not in plan
