@@ -48,3 +48,24 @@ def from_jdbc(spark: SparkSession, url: str, table: str, **options: Any) -> Data
     numPartitions) are mandatory at scale — a single-connection JDBC read
     is a driver bottleneck."""
     return spark.read.format("jdbc").options(url=url, dbtable=table, **options).load()
+
+
+def from_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Binary-file scan for multimodal ingestion (images/audio/video →
+    one row per file: path, modificationTime, length, content BINARY).
+    Feed the result to operators.multimodal.* for decode/feature
+    extraction. At scale, prefer many medium files over millions of tiny
+    ones (each file is at least one task) — or re-pack into parquet with
+    a binary column first (see operators.multimodal payload schema)."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def from_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Line-oriented text scan (one ``value`` row per line), or one row
+    per file with ``whole=True`` — the raw-corpus entry point of a
+    document pipeline before tokenize/score/dedup. (``wholetext`` must
+    be a text() kwarg — DataFrameReader.option silently ignores it.)"""
+    return spark.read.text(path, wholetext=whole)
