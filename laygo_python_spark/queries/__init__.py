@@ -35,6 +35,7 @@ def load_all() -> None:
     """Import every query module so registration side effects run."""
     from laygo_python_spark.queries import (  # noqa: F401
         advanced_ops,
+        analytics_ops,
         core_ops,
         functions_ops,
         interval_ops,

@@ -1,0 +1,90 @@
+"""Product-analytics batch over the events table: ordered funnel and
+cohort retention — the two standard event-sequence analyses alongside
+sessionize_users / hourly_event_stats.
+
+Time arithmetic follows the integer-microsecond rule (see
+tools/verify_oracle.py docstring): week indexes are
+``unix_micros(ts) div week_us`` ≡ DuckDB ``epoch_us(ts) // week_us`` —
+never float seconds, never engine-specific date_trunc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from laygo_python_spark.queries import query
+from laygo_python_spark.session import read_table as _t
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@query(
+    "funnel_stages",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t
+          FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts
+    at stage k only if the stage-k event happened strictly AFTER their
+    first stage-(k-1) event. Three per-user min-aggregations chained by
+    join — each stage shrinks the key set, and all shuffles key on
+    user_id so AQE can reuse the partitioning. At 100 TB the events scan
+    pushes event_type IN (...) to parquet and nothing per-user ever
+    leaves the executors."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col("t")).drop("t")
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle=f"""
+    WITH wk AS (SELECT user_id, epoch_us(ts) // {_WEEK_US} AS w FROM events),
+    first AS (SELECT user_id, min(w) AS cohort_w FROM wk GROUP BY user_id)
+    SELECT cohort_w AS cohort_week, w - cohort_w AS week_offset,
+           count(DISTINCT wk.user_id) AS n_active_users
+    FROM wk JOIN first USING (user_id)
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the epoch-week of their
+    first event; each cell counts distinct users from that cohort active
+    k weeks later. The first-seen table is one narrow row per user —
+    broadcast back against the weekly activity, so the only wide shuffle
+    is the per-user min."""
+    ev = _t(spark, sf_dir, "events")
+    wk = ev.select("user_id", F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("w"))
+    first = wk.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    return (
+        wk.join(F.broadcast(first), "user_id")
+        .groupBy(
+            F.col("cohort_w").alias("cohort_week"),
+            (F.col("w") - F.col("cohort_w")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )

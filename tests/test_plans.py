@@ -84,3 +84,22 @@ def test_ngram_ops_are_udf_free(spark, sf_dir):
     for q in (repetition_score, decontaminate_ngram_overlap):
         plan = physical_plan(q(spark, sf_dir))
         assert "EvalPython" not in plan
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """Write events partitioned by day; a day-filtered read-back must
+    prune partitions at planning time (PartitionFilters on the scan),
+    not filter rows after reading everything."""
+    from laygo_python_spark.plans import physical_plan
+    from laygo_python_spark.sources.sinks import to_parquet
+    from laygo_python_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    out = str(tmp_path / "ev_by_day")
+    to_parquet(ev, out, partition_by=["day"])
+
+    back = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    plan = physical_plan(back)
+    assert "PartitionFilters" in plan and "2024-01-05" in plan
+    expected = ev.filter(F.col("day") == "2024-01-05").count()
+    assert back.count() == expected > 0
