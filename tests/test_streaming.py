@@ -178,3 +178,31 @@ def test_foreach_batch_exactly_once_sink(spark, sf_dir, tmp_path):
     n_batch = read_table(spark, sf_dir, "events").count()
     assert written.count() == n_batch
     assert written.select("event_id").distinct().count() == n_batch
+
+
+def test_stream_static_enrichment_join(spark, sf_dir):
+    """Stream-static join: enrich a stream with a batch dimension table
+    (no watermark needed on the static side — the standard streaming
+    enrichment pattern; the dim broadcasts per micro-batch). Result must
+    equal the batch join."""
+    users = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id").distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+    enriched = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(users), "user_id")
+        .select("event_id", "tier")
+    )
+    got = {(r.event_id, r.tier) for r in run_to_completion(enriched, "t_ssenrich", output_mode="append").collect()}
+    expected = {
+        (r.event_id, r.tier)
+        for r in read_table(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .join(users, "user_id")
+        .select("event_id", "tier")
+        .collect()
+    }
+    assert got == expected and len(got) > 0
