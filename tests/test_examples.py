@@ -31,3 +31,25 @@ def test_reusable_transformer(spark):
 
 def test_branch_router(spark):
     assert ex.branch_router(spark) == {"high_value": [1, 3], "standard": [2, 4]}
+
+
+def test_pretraining_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    import pretraining_pipeline as pp
+
+    counts = pp.run(spark, sf_dir, str(tmp_path))
+    assert (
+        counts["ingested"]
+        >= counts["after_quality"]
+        >= counts["after_dedup"]
+        >= counts["after_decontamination"]
+        > 0
+    )
+    # the partitioned output reads back split-pruned
+    back = spark.read.parquet(str(tmp_path / "documents"))
+    assert set(r["split"] for r in back.select("split").distinct().collect()) == {"train", "eval"}
+    # every packed bin respects the token budget unless it is a single oversized doc
+    import pyspark.sql.functions as F
+
+    bins = spark.read.parquet(str(tmp_path / "packed_bins"))
+    bad = bins.filter((F.col("total_tokens") > 512) & (F.col("n_docs") > 1)).count()
+    assert bad == 0
