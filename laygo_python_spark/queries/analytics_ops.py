@@ -74,14 +74,16 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by the epoch-week of their
     first event; each cell counts distinct users from that cohort active
-    k weeks later. The first-seen table is one narrow row per user —
-    broadcast back against the weekly activity, so the only wide shuffle
-    is the per-user min."""
+    k weeks later. The first-seen table is one narrow row per user — it
+    scales WITH the user base, so it is deliberately NOT broadcast: both
+    join inputs hash-partition on user_id, the same key as the per-user
+    min that produced it, so the planner reuses one exchange of the
+    activity table for both sides."""
     ev = _t(spark, sf_dir, "events")
     wk = ev.select("user_id", F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("w"))
     first = wk.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
     return (
-        wk.join(F.broadcast(first), "user_id")
+        wk.join(first, "user_id")
         .groupBy(
             F.col("cohort_w").alias("cohort_week"),
             (F.col("w") - F.col("cohort_w")).alias("week_offset"),

@@ -93,9 +93,11 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (GPT-3 appendix C / PaLM); n=3 here so the tiny synthetic vocabulary
     actually produces overlaps to verify. The eval gram set is DISTINCT
     + broadcast — eval benchmarks are small by construction, so at
-    100 TB this is a map-side semi join over the training corpus; if the
-    eval side ever outgrows the broadcast threshold AQE falls back to a
-    shuffle join with the same semantics."""
+    100 TB this stays a map-side join over the training corpus and the
+    train-side gram stream NEVER shuffles (shuffling exploded n-grams of
+    a 100 TB corpus is the failure mode this layout avoids). The hint is
+    deliberate: if an eval set ever outgrows executor memory, shrink it
+    (hash the grams) rather than dropping to a shuffle join."""
     docs = _t(spark, sf_dir, "documents")
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long"), F.lit(100)
