@@ -90,3 +90,40 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active_users"))
     )
+
+
+_DAY_US = 86400 * 1_000_000
+
+
+@query(
+    "rolling_7d_revenue",
+    oracle=f"""
+    WITH d AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                      epoch_us(o_orderdate) // {_DAY_US} AS day
+               FROM orders)
+    SELECT o_custkey, o_orderkey, day,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day
+                                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+             AS rolling_7d_total
+    FROM d
+    """,
+)
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (vs the ROWS frame of running_sum_per_customer):
+    each order's trailing-7-day spend per customer — the frame is bounded
+    by VALUE distance on an integer epoch-day key (unix_micros div day_us,
+    the integer-microsecond rule), so same-day orders always share a
+    frame. One shuffle on the partition key, frames evaluated by a
+    sliding aggregate within each sorted partition."""
+    from pyspark.sql import Window
+
+    # o_orderdate is parquet TIMESTAMP_NTZ; the session is pinned to UTC,
+    # so the cast to (tz-adjusted) TIMESTAMP relabels without shifting.
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "day", F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {_DAY_US}")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, Window.currentRow)
+    return orders.select(
+        "o_custkey", "o_orderkey", "day",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_7d_total"),
+    )
