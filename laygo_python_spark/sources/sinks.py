@@ -18,12 +18,19 @@ def to_parquet(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     sort_within_partitions: list[str] | None = None,
+    dynamic_overwrite: bool = False,
 ) -> None:
+    """``dynamic_overwrite=True`` replaces ONLY the partitions present in
+    ``df`` (the incremental-backfill pattern: re-run one day, keep the
+    other 10 years). Static overwrite — the default, and Spark's — wipes
+    the whole table root first."""
     if sort_within_partitions:
         df = df.sortWithinPartitions(*sort_within_partitions)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if dynamic_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.parquet(path)
 
 

@@ -52,3 +52,20 @@ def test_explode_key_values_udtf(spark):
     df = ExplodeKeyValues(F.lit("a=1;b=2;;c;d = 4 "))
     rows = {r["key"]: r["value"] for r in df.collect()}
     assert rows == {"a": "1", "b": "2", "c": None, "d": "4"}
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    """Re-writing one partition with dynamic_overwrite must leave the
+    other partitions untouched (incremental backfill); static overwrite
+    would wipe them."""
+    from laygo_python_spark.sources.sinks import to_parquet
+
+    out = str(tmp_path / "t")
+    full = spark.createDataFrame([("a", 1), ("a", 2), ("b", 10)], ["k", "v"])
+    to_parquet(full, out, partition_by=["k"])
+
+    patch = spark.createDataFrame([("a", 99)], ["k", "v"])
+    to_parquet(patch, out, partition_by=["k"], dynamic_overwrite=True)
+
+    back = {(r.k, r.v) for r in spark.read.parquet(out).collect()}
+    assert back == {("a", 99), ("b", 10)}
