@@ -124,3 +124,25 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_quantity") - 25).cast("double").alias("abs_dev"),
         F.greatest("l_tax", "l_discount").alias("max_rate"),
     )
+
+
+@query(
+    "map_type_roundtrip",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS cnt
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def map_type_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-user counts packed into a MAP<string,bigint>
+    (map_from_entries over collected structs) and exploded back out.
+    Matching the plain GROUP BY oracle proves the map construction /
+    explosion round-trip is lossless. Maps are the right carrier for
+    sparse per-entity feature bags at scale — one row per entity, not
+    one row per (entity, feature), until explode brings it back."""
+    ev = _t(spark, sf_dir, "events")
+    per_ut = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    maps = per_ut.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("m")
+    )
+    return maps.select("user_id", F.explode("m").alias("event_type", "cnt"))
