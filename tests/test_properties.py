@@ -135,3 +135,27 @@ def test_interval_join_matches_brute_force(spark, left, right, window):
         if lk == rk and abs((lt - rt).total_seconds()) <= window
     }
     assert got == expected
+
+
+def test_text_hygiene_partition_invariance(spark, sf_dir):
+    """repetition_score and decontaminate_ngram_overlap must be
+    partitioning-invariant (the reference's chunk-size-invariance
+    property, tests/test_transformer.py:383-396, applied to the
+    text-hygiene ops): same results under 1 vs 13 input partitions."""
+    from laygo_python_spark.queries.text_ops2 import decontaminate_ngram_overlap, repetition_score
+    from laygo_python_spark.session import read_table
+
+    for q in (repetition_score, decontaminate_ngram_overlap):
+        base = sorted(map(tuple, q(spark, sf_dir).collect()))
+        docs13 = read_table(spark, sf_dir, "documents").repartition(13)
+        docs13.createOrReplaceTempView("_tp_docs")
+        # re-run over a repartitioned clone via a monkeypatched reader
+        import laygo_python_spark.queries.text_ops2 as mod
+
+        orig = mod._t
+        mod._t = lambda s, d, name: docs13 if name == "documents" else orig(s, d, name)
+        try:
+            repart = sorted(map(tuple, q(spark, sf_dir).collect()))
+        finally:
+            mod._t = orig
+        assert base == repart and len(base) > 0
