@@ -1,10 +1,11 @@
 """Fifth relational batch: the remaining TPC-H plan shapes expressible
 over the fixture schemas — Q6 (pure filter+agg pushdown), Q7 (two-role
-dimension join), Q9 (multi-way star join + derived year), Q19
-(disjunctive join predicate). The fixtures lack partsupp and the
-shipmode/receiptdate columns, so Q2/Q11/Q12/Q15/Q20/Q21 have no
-faithful shape here; predicates below are adapted to the synthetic
-vocabulary (NATION_n, Brand#n — see FIXTURES.md §B).
+dimension join), Q9 (multi-way star join + derived year), Q15 (aggregate
+consumed twice), Q17 (correlated scalar subquery), Q19 (disjunctive join
+predicate). The fixtures lack partsupp and the shipmode/receiptdate
+columns, so Q2/Q11/Q12/Q20/Q21 have no faithful shape here; predicates
+below are adapted to the synthetic vocabulary (NATION_n, Brand#n — see
+FIXTURES.md §B).
 """
 
 from __future__ import annotations
@@ -171,4 +172,69 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: an aggregate (quarterly revenue per supplier)
+    consumed TWICE — once as the join input, once reduced to its max for
+    the filter. Expressed as an unpartitioned window max so the revenue
+    aggregate is computed ONCE and reused, instead of the naive
+    re-evaluating scalar subquery. Revenue is rounded to cents BEFORE
+    the equality compare — raw double sums differ across reduction
+    orders, rounded money is stable."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
+    )
+    top = rev.withColumn("mx", F.max("total_rev").over(Window.partitionBy())).filter(
+        F.col("total_rev") == F.col("mx")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.join(top, supp.s_suppkey == top.l_suppkey).select("s_suppkey", "s_name", "total_rev")
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#5'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: a CORRELATED scalar subquery (per-part average
+    quantity) guarding the outer row — written as SQL so Catalyst's
+    subquery de-correlation turns it into an aggregate + join rather
+    than a per-row re-execution; parts_above_avg_price covers the
+    uncorrelated twin."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q17")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_q17")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_lines
+        FROM lineitem_q17 JOIN part_q17 ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#5'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                            FROM lineitem_q17 l2 WHERE l2.l_partkey = p_partkey)
+        """
     )
