@@ -113,3 +113,47 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_contaminated_grams"))
     )
+
+
+@query(
+    "pii_redaction",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-000' || CAST(doc_id % 10 AS VARCHAR) AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+             + CAST(len(regexp_extract_all(text, '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}')) AS INT)
+             AS n_redactions,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g') AS redacted
+    FROM seeded
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction stage of a training-data pipeline
+    (emails and phone numbers → typed placeholder tokens), pure
+    regexp_replace Column algebra. The fixture corpus carries no PII, so
+    each doc is deterministically seeded with a synthetic email + phone
+    in BOTH engines, making the redaction observable and the oracle
+    exact. Patterns are kept to the regex subset where Java (Spark) and
+    RE2 (DuckDB) agree — no backrefs, no lookaround; at 100 TB this is a
+    map-only pass that codegen fuses with adjacent stages."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-000"), (F.col("doc_id") % 10).cast("string"),
+        ).alias("text"),
+    )
+    n_red = (
+        F.size(F.regexp_extract_all("text", F.lit(email), F.lit(0)))
+        + F.size(F.regexp_extract_all("text", F.lit(phone), F.lit(0)))
+    )
+    redacted = F.regexp_replace(F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>")
+    return docs.select("doc_id", n_red.alias("n_redactions"), redacted.alias("redacted"))
