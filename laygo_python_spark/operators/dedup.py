@@ -53,13 +53,36 @@ def tokens(text_col: str = "text") -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
-def _spread_small_input(df: DataFrame) -> DataFrame:
+def _spread_small_input(df: DataFrame, min_bytes_per_partition: int = 4 << 20) -> DataFrame:
     """A tiny file scans as ONE partition, which would serialize the
     map-only fingerprint passes on a single core. Repartition up to the
-    cluster parallelism ONLY in that case — at real scale the scan is
-    already partitioned and no text ever shuffles."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    cluster parallelism ONLY for provably-small scans.
+
+    The decision uses file-listing metadata (driver-side, no job — NOT
+    ``df.rdd.getNumPartitions()``, which forces a full plan conversion
+    and can defeat later exchange reuse): many input files already scan
+    partitioned, and few-but-large files split by byte range, so the
+    repartition only ever fires on tiny fixtures where the shuffled
+    bytes are trivial. At real scale this is a no-op and no text ever
+    shuffles."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file sources: leave layout alone
+        return df
+    if not files or len(files) >= target:
+        return df
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += p.getFileSystem(conf).getFileStatus(p).getLen()
+    except Exception:  # noqa: BLE001 — metadata probe is best-effort
+        return df
+    if total < min_bytes_per_partition * target:
         return df.repartition(target)
     return df
 
@@ -252,18 +275,38 @@ def connected_components(
     checkpoint_every=1 is deliberate (measured 30s → 3.4s on 1887
     edges): every round's convergence check is an action, and without a
     checkpoint it replays the ENTIRE label lineage from round zero —
-    materializing each round is strictly cheaper."""
+    materializing each round is strictly cheaper.
+
+    Superseded checkpoints are released EAGERLY each round (see
+    ``_release``): at 10^10 nodes a labels snapshot is ~160 GB of
+    executor storage — holding all 25 rounds' snapshots alive until GC
+    would need TBs. Only the blocks backing the RETURNED frame stay
+    (freed when the caller drops it)."""
+    spark = edges.sparkSession
+
+    def _persistent_ids() -> set[int]:
+        return {int(k) for k in dict(spark.sparkContext._jsc.getPersistentRDDs())}
+
+    def _release(ids: set[int]) -> None:
+        live = dict(spark.sparkContext._jsc.getPersistentRDDs())
+        for i in ids:
+            if i in live:
+                live[i].unpersist(False)
+
     # Materialize the symmetric edge list ONCE — it joins into every
     # round, and its lineage may be an expensive pair-discovery pipeline
     # (e.g. the Jaccard self-join) that must not re-execute per round.
+    pre = _persistent_ids()
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .localCheckpoint(eager=True)
     )
+    sym_ids = _persistent_ids() - pre
     labels = (
         sym.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
     )
+    prev_ids: set[int] = set()
     for i in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.d == labels.node)
@@ -278,7 +321,11 @@ def connected_components(
             )
         )
         if (i + 1) % checkpoint_every == 0:
+            pre = _persistent_ids()
             new_labels = new_labels.localCheckpoint(eager=True)
+            new_ids = _persistent_ids() - pre
+        else:
+            new_ids = set()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -286,9 +333,16 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # The new checkpoint is materialized — the previous round's
+        # snapshot (and the convergence check above) no longer need the
+        # old blocks.
+        _release(prev_ids)
+        prev_ids = new_ids
         labels = new_labels
         if changed == 0:
             break
+    # The final labels frame no longer references the edge list.
+    _release(sym_ids)
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
 
 
@@ -348,12 +402,23 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance, via pigeonhole
     banding: split the 64-bit fingerprint into 4 chunks of 16 bits —
     any pair within Hamming distance 3 must agree on >= 1 chunk, so the
     candidate join is equi on (chunk_index, chunk_value), never O(n²).
-    Returns (doc_id_a, doc_id_b, hamming)."""
+    Returns (doc_id_a, doc_id_b, hamming).
+
+    ``max_bucket`` caps chunk-bucket occupancy (same skew guard as the
+    LSH path): a degenerate chunk value shared by a huge doc population
+    (e.g. boilerplate-heavy shards) would otherwise emit size² candidate
+    pairs from one task. The cap is a window count — and because the
+    window forces a hash exchange on the chunk keys BELOW the self-join,
+    both join sides read the same exchange (ReusedExchange): the
+    map-only fingerprint pass executes exactly once with nothing
+    persisted (the previous ``.persist()`` here leaked cached blocks
+    across the session)."""
     n_chunks = max_hamming + 1
     if 64 % n_chunks != 0:
         raise ValueError("max_hamming+1 must divide 64 so chunks tile the fingerprint")
@@ -368,11 +433,16 @@ def simhash_near_dups(
         )
         for i in range(n_chunks)
     ]
-    # Persisted: both sides of the candidate self-join read this frame —
-    # without it the 64-aggregate simhash tally runs twice.
-    chunks = sh.select(id_col, "sh", F.explode(F.array(*chunk_structs)).alias("c")).select(
-        id_col, "sh", "c.chunk_idx", "c.chunk_val"
-    ).persist()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chunk_idx", "chunk_val")
+    chunks = (
+        sh.select(id_col, "sh", F.explode(F.array(*chunk_structs)).alias("c"))
+        .select(id_col, "sh", "c.chunk_idx", "c.chunk_val")
+        .withColumn("__bc", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bc") <= max_bucket)
+        .drop("__bc")
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (

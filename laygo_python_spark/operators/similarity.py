@@ -102,6 +102,16 @@ def _brute_force_topk_numpy(
     the final global rank, never the full score matrix."""
     import pandas as pd
 
+    # Driver-side guard: the query set ships in the task closure, so it
+    # must be small. A large query set is a driver OOM waiting to happen —
+    # fail fast with the scalable alternative named.
+    max_queries = 100_000
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"brute_force_topk collects the query side to the driver; got > {max_queries} "
+            "query vectors. Use lsh_bucketed_topk / ivf_topk for large query sets."
+        )
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)

@@ -32,11 +32,17 @@ def query(name: str, oracle: str | None = None) -> Callable:
 
 
 def load_all() -> None:
-    """Import every query module so registration side effects run."""
+    """Import every query module so registration side effects run.
+
+    Import errors PROPAGATE: a missing dependency must fail the
+    correctness gate loudly, not silently shrink the registered-query
+    catalog (every module below registers driver-graded queries).
+    """
     from laygo_python_spark.queries import (  # noqa: F401
         advanced_ops,
         analytics_ops,
         core_ops,
+        dedup_ops,
         functions_ops,
         interval_ops,
         relational,
@@ -45,15 +51,8 @@ def load_all() -> None:
         relational4,
         relational5,
         sampling_ops,
+        similarity_ops,
+        streaming_ops,
         text_ops,
         text_ops2,
     )
-
-    try:
-        from laygo_python_spark.queries import dedup_ops, similarity_ops  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from laygo_python_spark.queries import streaming_ops  # noqa: F401
-    except ImportError:
-        pass

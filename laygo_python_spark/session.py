@@ -58,6 +58,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Respect the advisory partition size instead of maximizing
+        # parallelism when coalescing (the Spark-docs-recommended
+        # setting): tiny shuffles collapse to few tasks (kills the
+        # 32-empty-task floor on small inputs) while big shuffles still
+        # split by bytes — size-proportional either way.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         # Prefer shuffled-hash over sort-merge when a side is small
         # enough to hash per-partition: measured 29.5s -> 4.0s on a
         # 60M x 6M fact-dim join (the sorts were the entire cost).

@@ -124,3 +124,20 @@ def test_vectorized_brute_force_matches_fold_path(emb):
     for key in fold:
         assert fold[key][0] == fast[key][0]  # identical neighbor ranking
         assert fast[key][1] == pytest.approx(fold[key][1], rel=1e-12)
+
+
+def test_brute_force_guards_large_query_side(spark):
+    """The numpy path collects the query set to the driver — a large
+    query set must fail fast with the scalable alternative named, not
+    OOM the driver (VERDICT r1 item 7)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from laygo_python_spark.operators import similarity
+
+    big = spark.range(200_000).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0), F.lit(0.0)).alias("embedding")
+    )
+    small = big.limit(10)
+    with pytest.raises(ValueError, match="lsh_bucketed_topk"):
+        similarity.brute_force_topk(small, big, k=2, vectorized=True)
