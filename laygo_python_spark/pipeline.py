@@ -53,6 +53,24 @@ def _coerce_source(spark: SparkSession, source: Any) -> DataFrame:
     return spark.createDataFrame([(x,) for x in items], ["value"])
 
 
+def _exclusive_pred(cond: Callable, earlier: tuple[Callable, ...]) -> Callable:
+    """First-match router predicate for Python conditions: matches
+    ``cond`` AND no earlier branch's condition. Preserves context-arity
+    (a 2-arg condition receives the worker ctx, like filter_rows)."""
+    infos = [(f, is_context_aware(f)) for f in (cond, *earlier)]
+    any_ctx = any(a for _, a in infos)
+
+    def run(row: Any, ctx: Any = None) -> bool:
+        (c, c_aware), *rest = infos
+        if not (c(row, ctx) if c_aware else c(row)):
+            return False
+        return not any((f(row, ctx) if aware else f(row)) for f, aware in rest)
+
+    if any_ctx:
+        return lambda row, ctx: run(row, ctx)
+    return lambda row: run(row)
+
+
 def _rows_to_python(rows: list[Row], columns: list[str]) -> list[Any]:
     """Single ``value`` column → bare scalars (laygo element parity);
     otherwise dict records."""
@@ -261,22 +279,44 @@ class Pipeline:
             for name, t in branches.items():
                 plans[name] = t(cached, self._context) if isinstance(t, Transformer) else t(cached)
         else:
-            prior: list[Column] = []
-            for name, spec in branches.items():
+            specs = list(branches.items())
+            for _, spec in specs:
                 if not isinstance(spec, tuple):
                     raise ValueError("mixing conditional and unconditional branches is unsupported")
+            is_py = [callable(c) and not isinstance(c, Column) for c, _ in (s for _, s in specs)]
+            if first_match and any(is_py) and not all(is_py):
+                # Exclusivity must compose across ALL earlier conditions;
+                # a Column expression cannot see a Python predicate (and
+                # vice versa), so a mixed router cannot honor first-match.
+                raise ValueError(
+                    "branch(first_match=True) cannot mix Column/SQL and Python-callable "
+                    "conditions: use one kind for every branch (or first_match=False)"
+                )
+            prior_cols: list[Column] = []
+            prior_fns: list[Callable] = []
+            for (name, spec), py in zip(specs, is_py):
                 cond, t = spec
-                c = _as_condition(cond) if not callable(cond) or isinstance(cond, Column) else None
-                if c is None:
+                if py:
                     # Python predicate fallback (slow path, parity with
-                    # laygo's lambda conditions).
-                    base = Transformer().filter_rows(cond)(cached, self._context)
-                else:
-                    sel = c
+                    # laygo's lambda conditions). Under first_match the
+                    # row goes to the FIRST matching branch only — the
+                    # predicate excludes every earlier condition
+                    # (reference: laygo/pipeline.py:390-422 breaks on
+                    # first match; golden test tests/test_pipeline.py:507-538).
+                    pred = _exclusive_pred(cond, tuple(prior_fns)) if first_match else cond
                     if first_match:
-                        for p in prior:
-                            sel = sel & ~p
-                        prior.append(c)
+                        prior_fns.append(cond)
+                    base = Transformer().filter_rows(pred)(cached, self._context)
+                else:
+                    sel = c = _as_condition(cond)
+                    if first_match:
+                        for p in prior_cols:
+                            # NULL-safe negation: a row where an earlier
+                            # condition is NULL did NOT match it, so it
+                            # must stay eligible here (~NULL is NULL and
+                            # would silently drop the row).
+                            sel = sel & ~F.coalesce(p, F.lit(False))
+                        prior_cols.append(c)
                     base = cached.filter(sel)
                 plans[name] = t(base, self._context) if isinstance(t, Transformer) else t(base)
 

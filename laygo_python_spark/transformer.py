@@ -147,14 +147,22 @@ class Transformer:
 
     def map_rows(self, fn: Callable, schema: Any | None = None) -> "Transformer":
         """Per-row Python map (slowest path; parity with laygo map over
-        dict elements, transformer.py:243). ``fn(row_dict[, ctx]) -> dict``.
+        elements, transformer.py:229-243). ``fn(elem[, ctx])`` where
+        ``elem`` follows the element convention: a bare scalar for
+        single-``value``-column frames (laygo scalar pipelines), a dict
+        otherwise; non-dict returns wrap back into ``value``.
         Prefer ``map``/``map_batches``.
         """
         ctx_aware = is_context_aware(fn)
 
         def batch_fn(pdf: pd.DataFrame, ctx: dict | None = None) -> pd.DataFrame:
-            records = pdf.to_dict("records")
+            if list(pdf.columns) == ["value"]:
+                records: list[Any] = pdf["value"].tolist()
+            else:
+                records = pdf.to_dict("records")
             out = [fn(r, ctx) if ctx_aware else fn(r) for r in records]
+            if out and not isinstance(out[0], dict):
+                return pd.DataFrame({"value": out})
             return pd.DataFrame(out)
 
         # Re-expose the right arity so map_batches dispatches ctx correctly.
@@ -174,18 +182,29 @@ class Transformer:
         return self._with(lambda df, ctx: df.filter(c))
 
     def filter_rows(self, pred: Callable) -> "Transformer":
+        """Python predicate filter. ``pred(elem[, ctx])`` receives the
+        element convention: a bare scalar for single-``value``-column
+        frames (laygo scalar pipelines, tests/test_pipeline.py:507-538
+        route with ``lambda x: x > 100``), a dict otherwise."""
         ctx_aware = is_context_aware(pred)
 
         def step(df: DataFrame, context: Context | None) -> DataFrame:
             wctx = _worker_ctx(context) if ctx_aware else None
+            single = df.columns == ["value"]
 
             def run(batches: Iterable[pd.DataFrame]):
                 for pdf in batches:
-                    if ctx_aware:
-                        mask = pdf.apply(lambda r: bool(pred(r.to_dict(), wctx)), axis=1)
+                    if not len(pdf):
+                        continue
+                    if single:
+                        items = pdf["value"].tolist()
                     else:
-                        mask = pdf.apply(lambda r: bool(pred(r.to_dict())), axis=1)
-                    out = pdf[mask] if len(pdf) else pdf
+                        items = pdf.to_dict("records")
+                    if ctx_aware:
+                        mask = [bool(pred(it, wctx)) for it in items]
+                    else:
+                        mask = [bool(pred(it)) for it in items]
+                    out = pdf[pd.Series(mask, index=pdf.index)]
                     if len(out):
                         yield out
 

@@ -40,7 +40,7 @@ def test_map_batches(spark):
 
 
 def test_map_rows(spark):
-    t = Transformer().map_rows(lambda r: {"value": r["value"] ** 2})
+    t = Transformer().map_rows(lambda x: x ** 2)  # element convention: bare scalar
     assert as_values(t(ints(spark))) == [1, 4, 9, 16, 25]
 
 
@@ -56,7 +56,7 @@ def test_filter_sql_string(spark):
 
 
 def test_filter_python_rows(spark):
-    t = Transformer().filter(lambda r: r["value"] != 3)
+    t = Transformer().filter(lambda x: x != 3)  # element convention: bare scalar
     assert as_values(t(ints(spark))) == [1, 2, 4, 5]
 
 
