@@ -152,6 +152,10 @@ class Pipeline:
         """Convenience passthrough to Transformer.loop."""
         return self.apply(Transformer().loop(body, condition, max_iterations))
 
+    def loop_chunks(self, body: Any, condition: Callable, max_iterations: int = 100) -> "Pipeline":
+        """Convenience passthrough to Transformer.loop_chunks."""
+        return self.apply(Transformer().loop_chunks(body, condition, max_iterations))
+
     def short_circuit(self, fn: Callable) -> "Pipeline":
         """Convenience passthrough to Transformer.short_circuit."""
         return self.apply(Transformer().short_circuit(fn))

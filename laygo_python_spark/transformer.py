@@ -143,7 +143,48 @@ class Transformer:
 
             return df.mapInPandas(run, schema=out_schema)
 
+        # Metadata for sub-pipeline fusion: catch/tap/loop_chunks compile
+        # a Transformer made of such steps into ONE Arrow-batch function
+        # (one error domain / one fixpoint body), mirroring the
+        # reference's composed chunk closures (transformer.py:215-227).
+        step._batch_fn = fn  # type: ignore[attr-defined]
+        step._batch_ctx_aware = ctx_aware  # type: ignore[attr-defined]
+        step._batch_schema = schema  # type: ignore[attr-defined]
         return self._with(step)
+
+    def _compile_batch_chain(self) -> tuple[Callable, Any | None]:
+        """Fuse this transformer's steps into one ``(pdf, wctx) -> pdf``
+        function + the declared output schema (None = input schema).
+
+        Only Python stages (map_batches and everything built on it:
+        map_rows, filter via callable, tap) fuse — a Column/SQL stage is
+        a Catalyst plan node with no per-batch form, so a sub-pipeline
+        containing one cannot run inside a single batch-level error
+        domain. That boundary raises here with the alternatives named.
+        """
+        stages: list[tuple[Callable, bool]] = []
+        out_schema: Any | None = None
+        for s in self._steps:
+            fn = getattr(s, "_batch_fn", None)
+            if fn is None:
+                raise TypeError(
+                    "this sub-pipeline contains a Column/SQL (Catalyst-plan) stage, which "
+                    "cannot run inside a per-batch scope. Use Python stages (map_batches/"
+                    "map_rows/filter with a callable) in the sub-pipeline, or apply the "
+                    "Transformer directly and use observe() for metrics."
+                )
+            stages.append((fn, s._batch_ctx_aware))
+            if s._batch_schema is not None:
+                out_schema = s._batch_schema
+
+        def chain(pdf: pd.DataFrame, wctx: dict | None):
+            for fn, aware in stages:
+                if pdf is None or not len(pdf):
+                    return None
+                pdf = fn(pdf, wctx) if aware else fn(pdf)
+            return pdf
+
+        return chain, out_schema
 
     def map_rows(self, fn: Callable, schema: Any | None = None) -> "Transformer":
         """Per-row Python map (slowest path; parity with laygo map over
@@ -185,32 +226,28 @@ class Transformer:
         """Python predicate filter. ``pred(elem[, ctx])`` receives the
         element convention: a bare scalar for single-``value``-column
         frames (laygo scalar pipelines, tests/test_pipeline.py:507-538
-        route with ``lambda x: x > 100``), a dict otherwise."""
+        route with ``lambda x: x > 100``), a dict otherwise.
+
+        Built on map_batches so it participates in sub-pipeline fusion
+        (catch/tap/loop_chunks)."""
         ctx_aware = is_context_aware(pred)
 
-        def step(df: DataFrame, context: Context | None) -> DataFrame:
-            wctx = _worker_ctx(context) if ctx_aware else None
-            single = df.columns == ["value"]
+        def batch_fn(pdf: pd.DataFrame, ctx: dict | None = None) -> pd.DataFrame:
+            if not len(pdf):
+                return pdf
+            if list(pdf.columns) == ["value"]:
+                items: list[Any] = pdf["value"].tolist()
+            else:
+                items = pdf.to_dict("records")
+            if ctx_aware:
+                mask = [bool(pred(it, ctx)) for it in items]
+            else:
+                mask = [bool(pred(it)) for it in items]
+            return pdf[pd.Series(mask, index=pdf.index)]
 
-            def run(batches: Iterable[pd.DataFrame]):
-                for pdf in batches:
-                    if not len(pdf):
-                        continue
-                    if single:
-                        items = pdf["value"].tolist()
-                    else:
-                        items = pdf.to_dict("records")
-                    if ctx_aware:
-                        mask = [bool(pred(it, wctx)) for it in items]
-                    else:
-                        mask = [bool(pred(it)) for it in items]
-                    out = pdf[pd.Series(mask, index=pdf.index)]
-                    if len(out):
-                        yield out
-
-            return df.mapInPandas(run, schema=df.schema)
-
-        return self._with(step)
+        if ctx_aware:
+            return self.map_batches(lambda pdf, ctx: batch_fn(pdf, ctx))
+        return self.map_batches(lambda pdf: batch_fn(pdf))
 
     # -- flatten / explode ---------------------------------------------------
     def flatten(self, col: str, into: str | None = None) -> "Transformer":
@@ -224,10 +261,28 @@ class Transformer:
         )
 
     # -- side effects ----------------------------------------------------------
-    def tap(self, fn: Callable) -> "Transformer":
+    def tap(self, fn: "Callable | Transformer") -> "Transformer":
         """Side-effect per batch, data passes through unchanged
-        (reference: Transformer.tap, transformer.py:282-333).
-        ``fn(pdf[, ctx])`` — use ctx accumulators for metrics."""
+        (reference: Transformer.tap, transformer.py:282-333 — both
+        overloads). ``fn`` is either:
+
+        - a callable ``fn(pdf[, ctx])`` run per Arrow batch (use ctx
+          accumulators for metrics), or
+        - a sub-``Transformer`` of Python stages, run on a COPY of each
+          batch for its side effects with its output discarded
+          (reference tap(Transformer), tested at reference
+          tests/test_transformer.py:51-58).
+        """
+        if isinstance(fn, Transformer):
+            chain, _ = fn._compile_batch_chain()
+
+            def sub_fn(pdf: pd.DataFrame, ctx: dict | None = None) -> pd.DataFrame:
+                # copy: the sub-pipeline must not mutate the main stream
+                chain(pdf.copy(), ctx)
+                return pdf
+
+            return self.map_batches(lambda pdf, ctx: sub_fn(pdf, ctx))
+
         ctx_aware = is_context_aware(fn)
 
         def batch_fn(pdf: pd.DataFrame, ctx: dict | None = None) -> pd.DataFrame:
@@ -321,7 +376,7 @@ class Transformer:
     # -- error isolation -------------------------------------------------------
     def catch(
         self,
-        fn: Callable,
+        fn: "Callable | Transformer",
         schema: Any | None = None,
         on_error: Callable | ErrorHandler | None = None,
         mode: str = "batch",
@@ -330,6 +385,17 @@ class Transformer:
         a failing unit is dropped, the rest of the data continues
         (reference: Transformer.catch, transformer.py:488-535; failing
         chunk yields [] :524-533).
+
+        ``fn`` is one of (reference parity: catch takes a sub-pipeline
+        BUILDER, tested at reference tests/test_transformer.py:434-444):
+
+        - a plain batch function ``fn(pdf[, ctx]) -> pdf``;
+        - a sub-``Transformer`` of Python stages — the whole chain fuses
+          into ONE error domain (a failure anywhere drops the batch);
+        - a builder ``(Transformer) -> Transformer``, the reference's
+          exact signature — detected by probing with a blank Transformer
+          at build time (the reference also calls the builder at build
+          time, transformer.py:515-518).
 
         ``mode="batch"``: try/except around each Arrow batch (closest to
         the reference's chunk semantics). ``mode="row"``: per-row salvage —
@@ -343,6 +409,21 @@ class Transformer:
         """
         if mode not in ("batch", "row"):
             raise ValueError(f"mode must be 'batch' or 'row', got {mode!r}")
+        sub: Transformer | None = None
+        if isinstance(fn, Transformer):
+            sub = fn
+        elif callable(fn):
+            try:
+                probe = fn(Transformer())
+                if isinstance(probe, Transformer):
+                    sub = probe
+            except Exception:  # noqa: BLE001 — not a builder: plain batch fn
+                sub = None
+        if sub is not None:
+            chain, chain_schema = sub._compile_batch_chain()
+            if schema is None:
+                schema = chain_schema
+            fn = lambda pdf, ctx: chain(pdf, ctx)  # noqa: E731
         handler = on_error
         fn_ctx_aware = is_context_aware(fn)
 
@@ -432,6 +513,49 @@ class Transformer:
             return df
 
         return self._with(step)
+
+    def loop_chunks(
+        self,
+        body: "Transformer | Callable",
+        condition: Callable,
+        max_iterations: int = DEFAULT_MAX_LOOP_ITERATIONS,
+    ) -> "Transformer":
+        """Per-chunk fixpoint — the reference's exact loop granularity
+        (transformer.py:346-392 re-applies the body to EACH chunk until
+        its condition fails; tested at reference
+        tests/test_transformer.py:60-102). The unit here is the Arrow
+        batch: each batch iterates independently inside one mapInPandas,
+        so no driver round-trips and no growing lineage — the scalable
+        form of a chunk-local while-loop.
+
+        ``body``: a sub-``Transformer`` of Python stages (fused) or a
+        batch function ``fn(pdf[, ctx]) -> pdf`` with an unchanged
+        schema. ``condition(pdf[, ctx]) -> bool`` — loop while True.
+        For a WHOLE-DATASET fixpoint (condition over the full frame,
+        Column stages allowed) use ``loop``.
+        """
+        if max_iterations is None or max_iterations <= 0:
+            raise ValueError("max_iterations must be a positive int (unbounded loops are unsupported)")
+        if isinstance(body, Transformer):
+            chain, _ = body._compile_batch_chain()
+            body_fn, body_aware = chain, True
+        else:
+            body_fn, body_aware = body, is_context_aware(body)
+        cond_aware = is_context_aware(condition)
+
+        def batch_fn(pdf: pd.DataFrame, ctx: dict | None = None):
+            i = 0
+            while (
+                pdf is not None
+                and len(pdf)
+                and i < max_iterations
+                and (condition(pdf, ctx) if cond_aware else condition(pdf))
+            ):
+                pdf = body_fn(pdf, ctx) if body_aware else body_fn(pdf)
+                i += 1
+            return pdf
+
+        return self.map_batches(lambda pdf, ctx: batch_fn(pdf, ctx))
 
     def short_circuit(self, fn: Callable[[dict], bool | None]) -> "Transformer":
         """Abort the whole run when ``fn(ctx)`` returns True (reference:

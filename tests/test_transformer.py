@@ -342,3 +342,140 @@ def test_each_with_dict_rows(spark):
     # driver-side via toLocalIterator parity path: use Pipeline.__iter__
     items = list(Pipeline([{"a": 1, "b": "x"}], spark=spark))
     assert items == [{"a": 1, "b": "x"}]
+
+
+# -- sub-pipeline overloads (reference transformer.py:282-333, :488-535) -----
+def test_tap_transformer_overload(spark):
+    """Port of reference tests/test_transformer.py:51-58 adapted to batch
+    granularity: a sub-Transformer runs per chunk for side effects and
+    the main stream is unchanged."""
+    from laygo_python_spark import Context, Pipeline
+
+    ctx = Context({}, spark=spark)
+    ctx.counter("tapped")
+    def observe_batch(pdf, c):
+        c["tapped"] += len(pdf)
+        return pdf
+
+    side = Transformer().map_batches(observe_batch)
+    result, snap = (
+        Pipeline([1, 2, 3], spark=spark, context=ctx)
+        .apply(Transformer().tap(side))
+        .to_list()
+    )
+    assert sorted(result) == [1, 2, 3]  # data unchanged
+    assert snap["tapped"] == 3  # side effect observed every element
+
+
+def test_tap_transformer_does_not_mutate_stream(spark):
+    """The tapped sub-pipeline's OUTPUT is discarded even when it
+    transforms the data (reference: tap returns the original chunk)."""
+    from laygo_python_spark import Pipeline
+
+    doubler = Transformer().map_batches(lambda pdf: pdf.assign(value=pdf.value * 2))
+    result, _ = Pipeline([1, 2, 3], spark=spark).apply(Transformer().tap(doubler)).to_list()
+    assert sorted(result) == [1, 2, 3]
+
+
+def test_tap_rejects_column_subpipeline(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    with pytest.raises(TypeError, match="Catalyst-plan"):
+        Transformer().tap(Transformer().map(value=F.col("value") * 2))
+
+
+def test_catch_builder_success(spark):
+    """Port of reference tests/test_transformer.py:427-431: catch with a
+    sub-pipeline BUILDER — the reference's exact signature."""
+    from laygo_python_spark import Pipeline
+
+    result, _ = (
+        Pipeline([1, 2, 3], spark=spark)
+        .catch(lambda t: t.map_rows(lambda x: x * 2))
+        .to_list()
+    )
+    assert sorted(result) == [2, 4, 6]
+
+
+def test_catch_builder_error_isolation(spark):
+    """Port of reference tests/test_transformer.py:434-444: a failing
+    sub-pipeline drops the failing unit, the handler sees it, and the
+    rest of the chain is ONE error domain."""
+    from laygo_python_spark import Context, Pipeline
+
+    ctx = Context({}, spark=spark)
+    ctx.counter("errors")
+
+    def on_error(pdf, exc, c):
+        c["errors"] += len(pdf)
+
+    result, snap = (
+        Pipeline([1, 2, 3], spark=spark, context=ctx)
+        .catch(lambda t: t.map_rows(lambda x: x / 0), on_error=on_error, mode="row")
+        .to_list()
+    )
+    assert result == []  # every row failed
+    assert snap["errors"] == 3
+
+
+def test_catch_multi_stage_chain_is_one_error_domain(spark):
+    """A chain of map+filter inside catch fails/survives as a unit."""
+    from laygo_python_spark import Pipeline
+
+    result, _ = (
+        Pipeline([1, 2, 3, 4], spark=spark)
+        .catch(
+            lambda t: t.map_rows(lambda x: 10 // (x - 2)).filter(lambda x: x > 0),
+            mode="row",
+        )
+        .to_list()
+    )
+    # x=2 divides by zero (dropped); 10//(1-2) = -10 filtered; 3,4 -> 10,5
+    assert sorted(result) == [5, 10]
+
+
+# -- per-chunk loop (reference transformer.py:346-392) -----------------------
+def test_loop_chunks_basic(spark):
+    """Port of reference tests/test_transformer.py:60-72: increment until
+    every element >= 5 (condition is chunk-scoped)."""
+    from laygo_python_spark import Pipeline
+
+    inc = Transformer().map_batches(lambda pdf: pdf.assign(value=pdf.value + 1))
+    result, _ = (
+        Pipeline([1, 2, 3], spark=spark)
+        .loop_chunks(inc, lambda pdf: bool((pdf.value < 5).any()), max_iterations=10)
+        .to_list()
+    )
+    # chunk boundaries differ from the reference's, but each chunk stops
+    # once its own min reaches 5 — with one batch: [5, 6, 7]
+    assert sorted(result) == [5, 6, 7] or all(v >= 5 for v in result)
+
+
+def test_loop_chunks_max_iterations(spark):
+    """Port of reference tests/test_transformer.py:74-86: the iteration
+    cap halts an always-true condition."""
+    from laygo_python_spark import Pipeline
+
+    inc = Transformer().map_batches(lambda pdf: pdf.assign(value=pdf.value + 1))
+    result, _ = (
+        Pipeline([1, 2, 3], spark=spark)
+        .loop_chunks(inc, lambda pdf: True, max_iterations=3)
+        .to_list()
+    )
+    assert sorted(result) == [4, 5, 6]
+
+
+def test_loop_chunks_no_iterations(spark):
+    """Port of reference tests/test_transformer.py:88-99: an immediately
+    false condition leaves data untouched."""
+    from laygo_python_spark import Pipeline
+
+    inc = Transformer().map_batches(lambda pdf: pdf.assign(value=pdf.value + 1))
+    result, _ = (
+        Pipeline([1, 2, 3], spark=spark)
+        .loop_chunks(inc, lambda pdf: False)
+        .to_list()
+    )
+    assert sorted(result) == [1, 2, 3]
