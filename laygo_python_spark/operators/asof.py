@@ -7,8 +7,10 @@ Implementation: the union+window trick, not a range join —
 2. one window partitioned by the join keys, ordered by (time, tag)
    with reference rows sorting before probes at equal timestamps
    (so ``<=`` semantics hold);
-3. ``last(value, ignorenulls=True)`` over unbounded-preceding..current
-   propagates the most recent reference values forward;
+3. ``last(struct(values), ignorenulls=True)`` over
+   unbounded-preceding..current propagates the most recent reference
+   ROW's values forward (one struct, so NULL fields attach as NULL and
+   all values come from the same row — pd.merge_asof semantics);
 4. keep only probe rows.
 
 Cost: ONE shuffle on the join keys + a sort within partitions — same
@@ -41,19 +43,28 @@ def asof_join(
     right_on = right_on or on
     out_values = [f"{v}{suffix}" for v in values]
 
+    # ALL value columns ride in ONE struct per reference row: the struct
+    # is non-null whenever a reference row exists, so a matched row whose
+    # value is genuinely NULL attaches as NULL (pd.merge_asof semantics)
+    # instead of being skipped by a per-column ignorenulls last() — and
+    # every attached value comes from the SAME reference row.
+    ref_struct = F.struct(*[F.col(v).alias(ov) for v, ov in zip(values, out_values)])
+
     probe = left.select(
         *by,
         F.col(on).alias("__t"),
         F.lit(1).alias("__is_probe"),
         F.struct(*left.columns).alias("__row"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(ov) for v, ov in zip(values, out_values)],
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{ov}:{right.schema[v].dataType.simpleString()}" for v, ov in zip(values, out_values)) + ">"
+        ).alias("__ref"),
     )
     ref = right.select(
         *by,
         F.col(right_on).alias("__t"),
         F.lit(0).alias("__is_probe"),
         F.lit(None).cast(probe.schema["__row"].dataType).alias("__row"),
-        *[F.col(v).alias(ov) for v, ov in zip(values, out_values)],
+        ref_struct.alias("__ref"),
     )
     w = (
         Window.partitionBy(*by)
@@ -63,8 +74,9 @@ def asof_join(
     filled = probe.unionByName(ref).select(
         "__is_probe",
         "__row",
-        *[F.last(ov, ignorenulls=True).over(w).alias(ov) for ov in out_values],
+        F.last("__ref", ignorenulls=True).over(w).alias("__ref"),
     )
     return filled.filter(F.col("__is_probe") == 1).select(
-        *[F.col(f"__row.{c}").alias(c) for c in left.columns], *out_values
+        *[F.col(f"__row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__ref.{ov}").alias(ov) for ov in out_values],
     )

@@ -11,6 +11,9 @@ re-executed stages agree.
 
 from __future__ import annotations
 
+import re
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -21,32 +24,69 @@ def salt_column(df: DataFrame, n_salts: int = 16) -> Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).alias("__salt")
 
 
+_MERGE_FNS: dict[str, Callable[[str], Column]] = {
+    "sum": F.sum,
+    "count": F.sum,  # partial counts merge by summation
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def _infer_merge(col: Column) -> Callable[[str], Column] | None:
+    """Read the aggregate function at the HEAD of the expression (e.g.
+    ``Column<'sum(l_quantity)'>``). Inference keys on the function, never
+    on the user's output name — an output named ``minutes_total`` over a
+    sum() merges by summation, as it must."""
+    m = re.match(r"Column<'(\w+)\(", str(col))
+    if m:
+        return _MERGE_FNS.get(m.group(1).lower())
+    return None
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, Column | tuple[Column, str]],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-phase aggregation for skewed keys: phase 1 aggregates on
     (keys + salt) — the hot key's rows spread over n_salts reducers —
     phase 2 merges the partials on keys alone (tiny input).
 
-    ``aggs`` maps output name → phase-1 aggregate; phase 2 re-merges
-    with sum/min/max by name convention: every aggregate here must be
-    decomposable (sum/count→sum, min→min, max→max).
+    ``aggs`` maps output name → phase-1 aggregate, either:
+
+    - a bare Column whose head is a decomposable aggregate
+      (sum/count → merge by sum, min → min, max → max) — the merge is
+      inferred from the aggregate FUNCTION itself, or
+    - an explicit ``(aggregate, merge)`` tuple with merge in
+      {"sum", "min", "max"} for wrapped/derived phase-1 expressions.
+
+    Anything the inference cannot classify raises — a silently wrong
+    merge (e.g. averaging partial averages) is worse than an error.
     """
+    phase1_cols: dict[str, Column] = {}
+    merge: list[Column] = []
+    for name, spec in aggs.items():
+        if isinstance(spec, tuple):
+            c, how = spec
+            if how not in ("sum", "min", "max"):
+                raise ValueError(f"merge for {name!r} must be 'sum', 'min' or 'max', got {how!r}")
+            merge_fn: Callable[[str], Column] | None = _MERGE_FNS[how]
+        else:
+            c = spec
+            merge_fn = _infer_merge(c)
+            if merge_fn is None:
+                raise ValueError(
+                    f"cannot infer how to merge partials for {name!r} ({str(c)}): pass an "
+                    "explicit (aggregate, merge) tuple with merge in {'sum','min','max'} — "
+                    "non-decomposable aggregates (avg, stddev, ...) must be rewritten as "
+                    "decomposable parts (e.g. sum+count) before salting"
+                )
+        phase1_cols[name] = c
+        merge.append(merge_fn(name).alias(name))
     phase1 = df.withColumn("__salt", salt_column(df, n_salts)).groupBy(*keys, "__salt").agg(
-        *[c.alias(name) for name, c in aggs.items()]
+        *[c.alias(name) for name, c in phase1_cols.items()]
     )
-    merge = []
-    for name in aggs:
-        low = name.lower()
-        if low.startswith("min"):
-            merge.append(F.min(name).alias(name))
-        elif low.startswith("max"):
-            merge.append(F.max(name).alias(name))
-        else:  # sums and counts both merge by summation
-            merge.append(F.sum(name).alias(name))
     return phase1.groupBy(*keys).agg(*merge)
 
 

@@ -110,3 +110,45 @@ def test_pack_sequences_oversized_doc_isolated(spark):
     by_doc = {d: b for b in bins for d in b.doc_ids}
     assert by_doc[1].n_docs == 1 and by_doc[1].total_tokens == 1000
     assert by_doc[2].bin_id == by_doc[3].bin_id  # 50+60 fit one bin
+
+
+def test_salted_agg_merge_inferred_from_function_not_name(spark):
+    """An output NAMED 'minutes_total' over a sum() must merge by
+    summation — r1 inferred the merge from the name prefix and would
+    have min()'d it silently (ADVICE r1)."""
+    df = spark.createDataFrame([("a", 10), ("a", 20), ("b", 5)], ["k", "mins"])
+    out = {
+        r.k: r.minutes_total
+        for r in salted_agg(df, ["k"], {"minutes_total": F.sum("mins")}, n_salts=4).collect()
+    }
+    assert out == {"a": 30, "b": 5}
+
+
+def test_salted_agg_rejects_non_decomposable(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1.0)], ["k", "v"])
+    with pytest.raises(ValueError, match="decomposable"):
+        salted_agg(df, ["k"], {"avg_v": F.avg("v")}, n_salts=4)
+
+
+def test_salted_agg_explicit_merge_spec(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2)], ["k", "v"])
+    out = salted_agg(
+        df, ["k"], {"total": (F.sum("v").cast("double"), "sum")}, n_salts=4
+    ).collect()
+    assert out[0].total == 3.0
+
+
+def test_asof_join_attaches_null_from_matched_row(spark):
+    """A matched reference row whose value IS NULL must attach NULL —
+    not an older non-null value (pd.merge_asof semantics, ADVICE r1).
+    With several value columns, all must come from the same row."""
+    probes = spark.createDataFrame([("k", 10, 1)], ["k", "t", "pid"])
+    refs = spark.createDataFrame(
+        [("k", 1, 100, "old"), ("k", 5, None, "new")],
+        "k string, t long, v long, w string",
+    )
+    row = asof_join(probes, refs, on="t", by=["k"], values=["v", "w"]).collect()[0]
+    assert row.v_asof is None  # the t=5 row matched; its v is NULL
+    assert row.w_asof == "new"  # and w comes from that same row
