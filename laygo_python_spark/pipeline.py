@@ -23,7 +23,7 @@ from laygo_python_spark.context import Context
 from laygo_python_spark.transformer import Transformer, _as_condition, is_context_aware
 
 
-def _coerce_source(spark: SparkSession, source: Any) -> DataFrame:
+def _coerce_source(spark: SparkSession, source: Any, allow_mixed: bool = False) -> DataFrame:
     """Accept DataFrames natively; wrap Python iterables like the
     reference's ``Pipeline(*data)`` (laygo/pipeline.py:94-112).
     Scalars become a single ``value`` column; dicts become typed rows."""
@@ -38,15 +38,22 @@ def _coerce_source(spark: SparkSession, source: Any) -> DataFrame:
         return spark.createDataFrame([Row(**d) for d in items])
     # Mixed scalar types (reference tests use [1, "hello", 3.14],
     # laygo tests/test_pipeline.py:117-120) have no honest DataFrame
-    # schema — fail loudly with the migration options rather than
-    # silently stringifying (SURVEY.md §7.4.5).
+    # schema. ``allow_mixed=True`` opts into the explicit tagged-union
+    # encoding (transformer.MIXED_SCHEMA — round-trips through
+    # map_rows/filter_rows/to_list); otherwise fail loudly with the
+    # migration options rather than silently stringifying (SURVEY.md §7.4.5).
     kinds = {type(x) for x in items if x is not None}
     numeric = {int, float}
     if len(kinds) > 1 and not kinds <= numeric:
+        if allow_mixed:
+            from laygo_python_spark.transformer import MIXED_SCHEMA, encode_mixed
+
+            return spark.createDataFrame([encode_mixed(x) for x in items], MIXED_SCHEMA)
         raise TypeError(
             f"mixed element types {sorted(k.__name__ for k in kinds)} need an explicit "
-            "schema: pass a DataFrame, pre-convert to one type, or use dict records "
-            "with typed fields (a DataFrame column has exactly one type)"
+            "schema: pass a DataFrame, pre-convert to one type, use dict records "
+            "with typed fields (a DataFrame column has exactly one type), or opt in "
+            "to the tagged-union encoding with Pipeline(..., allow_mixed=True)"
         )
     if kinds == numeric:
         items = [float(x) if x is not None else None for x in items]
@@ -73,10 +80,26 @@ def _exclusive_pred(cond: Callable, earlier: tuple[Callable, ...]) -> Callable:
 
 def _rows_to_python(rows: list[Row], columns: list[str]) -> list[Any]:
     """Single ``value`` column → bare scalars (laygo element parity);
-    otherwise dict records."""
+    tagged-union frames → decoded Python values; otherwise dict records."""
+    from laygo_python_spark.transformer import MIXED_COLS, decode_mixed
+
+    if columns == MIXED_COLS:
+        return [decode_mixed(r[0], r[1]) for r in rows]
     if columns == ["value"]:
         return [r[0] for r in rows]
     return [r.asDict(recursive=True) for r in rows]
+
+
+def _item_extractor(columns: list[str]) -> Callable[[Row], Any]:
+    """Per-row element extractor following the same conventions as
+    ``_rows_to_python`` (for streaming paths: each/__iter__/reduce)."""
+    from laygo_python_spark.transformer import MIXED_COLS, decode_mixed
+
+    if columns == MIXED_COLS:
+        return lambda r: decode_mixed(r[0], r[1])
+    if columns == ["value"]:
+        return lambda r: r[0]
+    return lambda r: r.asDict(recursive=True)
 
 
 class Pipeline:
@@ -87,6 +110,7 @@ class Pipeline:
         *sources: Any,
         spark: SparkSession | None = None,
         context: dict | Context | None = None,
+        allow_mixed: bool = False,
     ):
         if not sources:
             raise ValueError("Pipeline needs at least one source")
@@ -95,7 +119,7 @@ class Pipeline:
             from laygo_python_spark.session import get_spark
 
             self.spark = get_spark()
-        dfs = [_coerce_source(self.spark, s) for s in sources]
+        dfs = [_coerce_source(self.spark, s, allow_mixed) for s in sources]
         # Multi-source concatenation (reference chains iterables lazily,
         # laygo/pipeline.py:108) → unionByName, still lazy under Catalyst.
         self.df = _functools_reduce(lambda a, b: a.unionByName(b), dfs)
@@ -200,11 +224,11 @@ class Pipeline:
         from laygo_python_spark.transformer import _worker_ctx
 
         wctx = _worker_ctx(self._context) if ctx_aware else None
-        single = cols == ["value"]
+        extract = _item_extractor(cols)
 
         def run_partition(rows: Iterator[Row]) -> None:
             for r in rows:
-                item = r[0] if single else r.asDict(recursive=True)
+                item = extract(r)
                 fn(item, wctx) if ctx_aware else fn(item)
 
         self.df.foreachPartition(run_partition)
@@ -234,23 +258,20 @@ class Pipeline:
         sequential for non-associative ``fn`` — exactly what the reference
         does, just with Spark streaming partitions to the driver one at a
         time. Rewrite to ``Transformer.agg`` for anything associative."""
-        cols = self.df.columns
-        single = cols == ["value"]
+        extract = _item_extractor(self.df.columns)
         ctx_aware = is_context_aware(fn, threshold=2)
         acc = initial
         snap = dict(self._context.to_dict())
         for r in self.df.toLocalIterator():
-            item = r[0] if single else r.asDict(recursive=True)
-            acc = fn(acc, item, snap) if ctx_aware else fn(acc, item)
+            acc = fn(acc, extract(r), snap) if ctx_aware else fn(acc, extract(r))
         return acc, self._snapshot()
 
     def __iter__(self) -> Iterator[Any]:
         """Stream results to the driver one partition at a time
         (reference: laygo/pipeline.py:264-278 → toLocalIterator)."""
-        cols = self.df.columns
-        single = cols == ["value"]
+        extract = _item_extractor(self.df.columns)
         for r in self.df.toLocalIterator():
-            yield r[0] if single else r.asDict(recursive=True)
+            yield extract(r)
 
     # -- branch fan-out (reference: laygo/pipeline.py:459-555) -----------------
     def branch(

@@ -44,6 +44,19 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
 
 
+@query("embedding_cosine_topk_fast")  # rows-only: numpy summation order
+def embedding_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10, vectorized path: one numpy matmul per Arrow
+    batch with per-batch partial top-k (similarity.py:92-132) — ~10×
+    the fold path and the variant to run at scale. Exactness vs the fold
+    path is asserted in tests/test_similarity.py (identical rankings;
+    sims equal to 1e-12 rel — only the float SUMMATION ORDER differs,
+    which is why this registers rows-only instead of hash-compared)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, vectorized=True)
+    return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
+
+
 @query("ann_lsh_topk")  # rows-only: approximate by design
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed approximate top-k for the same query set — the

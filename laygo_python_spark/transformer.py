@@ -57,6 +57,45 @@ def _as_condition(cond: Column | str) -> Column:
     return F.expr(cond) if isinstance(cond, str) else cond
 
 
+# -- mixed-type (tagged-union) element encoding ------------------------------
+# ``Pipeline([1, "hello", 3.14], allow_mixed=True)`` encodes scalars as
+# (__tag, __v string) rows — a DataFrame column has exactly one type, so
+# heterogeneous laygo sources (reference tests/test_pipeline.py:117-120)
+# get an explicit variant encoding instead of silent stringification.
+# map_rows/filter_rows decode to real Python values (the element
+# convention), and terminal ops decode back, so lambdas never see tags.
+MIXED_COLS = ["__tag", "__v"]
+MIXED_SCHEMA = "__tag string, __v string"
+
+
+def encode_mixed(x: Any) -> tuple[str, str | None]:
+    if x is None:
+        return ("none", None)
+    if isinstance(x, bool):  # BEFORE int: bool is an int subclass
+        return ("bool", "1" if x else "")
+    if isinstance(x, int):
+        return ("int", str(x))
+    if isinstance(x, float):
+        return ("float", repr(x))  # repr = shortest exact round-trip
+    if isinstance(x, str):
+        return ("str", x)
+    raise TypeError(
+        f"allow_mixed supports None/bool/int/float/str elements, got {type(x).__name__}"
+    )
+
+
+def decode_mixed(tag: str, v: str | None) -> Any:
+    if tag == "none":
+        return None
+    if tag == "bool":
+        return bool(v)
+    if tag == "int":
+        return int(v)
+    if tag == "float":
+        return float(v)
+    return v
+
+
 def _worker_ctx(context: Context | None) -> dict[str, Any]:
     """Snapshot the context for executor-side closures.
 
@@ -197,11 +236,20 @@ class Transformer:
         ctx_aware = is_context_aware(fn)
 
         def batch_fn(pdf: pd.DataFrame, ctx: dict | None = None) -> pd.DataFrame:
-            if list(pdf.columns) == ["value"]:
-                records: list[Any] = pdf["value"].tolist()
+            cols = list(pdf.columns)
+            tagged = cols == MIXED_COLS
+            if tagged:
+                records: list[Any] = [
+                    decode_mixed(t, v) for t, v in zip(pdf["__tag"], pdf["__v"])
+                ]
+            elif cols == ["value"]:
+                records = pdf["value"].tolist()
             else:
                 records = pdf.to_dict("records")
             out = [fn(r, ctx) if ctx_aware else fn(r) for r in records]
+            if tagged:
+                enc = [encode_mixed(o) for o in out]
+                return pd.DataFrame({"__tag": [t for t, _ in enc], "__v": [v for _, v in enc]})
             if out and not isinstance(out[0], dict):
                 return pd.DataFrame({"value": out})
             return pd.DataFrame(out)
@@ -235,8 +283,13 @@ class Transformer:
         def batch_fn(pdf: pd.DataFrame, ctx: dict | None = None) -> pd.DataFrame:
             if not len(pdf):
                 return pdf
-            if list(pdf.columns) == ["value"]:
-                items: list[Any] = pdf["value"].tolist()
+            cols = list(pdf.columns)
+            if cols == MIXED_COLS:
+                items: list[Any] = [
+                    decode_mixed(t, v) for t, v in zip(pdf["__tag"], pdf["__v"])
+                ]
+            elif cols == ["value"]:
+                items = pdf["value"].tolist()
             else:
                 items = pdf.to_dict("records")
             if ctx_aware:

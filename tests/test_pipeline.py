@@ -317,3 +317,44 @@ def test_branch_broadcast_python_conditions_not_exclusive(spark):
     )
     assert sorted(results["gt10"]) == [50, 150]
     assert sorted(results["gt100"]) == [150]
+
+
+# -- mixed-type sources (reference tests/test_pipeline.py:117-120) -----------
+def test_mixed_type_transformation_opt_in(spark):
+    """Port of the reference's mixed-type test via allow_mixed=True:
+    heterogeneous scalars round-trip through a map lambda."""
+    result, _ = (
+        Pipeline([1, "hello", 3.14], spark=spark, allow_mixed=True)
+        .transform(lambda t: t.map_rows(lambda x: str(x)))
+        .to_list()
+    )
+    assert sorted(result) == ["1", "3.14", "hello"]
+
+
+def test_mixed_roundtrip_identity_preserves_types(spark):
+    data = [1, "hello", 3.14, True, None, -7]
+    result, _ = Pipeline(data, spark=spark, allow_mixed=True).to_list()
+    assert sorted(result, key=lambda x: str(type(x)) + str(x)) == sorted(
+        data, key=lambda x: str(type(x)) + str(x)
+    )
+    # types preserved exactly (bool is not int, float is not str)
+    assert {type(x) for x in result} == {type(x) for x in data}
+
+
+def test_mixed_filter_and_each(spark):
+    seen = []
+    p = Pipeline([1, "a", 2.5, None], spark=spark, allow_mixed=True).transform(
+        lambda t: t.filter(lambda x: isinstance(x, (int, float)))
+    )
+    result, _ = p.to_list()
+    assert sorted(result, key=str) == [1, 2.5]
+    for item in Pipeline([1, "a"], spark=spark, allow_mixed=True):
+        seen.append(item)
+    assert sorted(seen, key=str) == [1, "a"]
+
+
+def test_mixed_requires_opt_in(spark):
+    import pytest
+
+    with pytest.raises(TypeError, match="allow_mixed=True"):
+        Pipeline([1, "hello", 3.14], spark=spark)
