@@ -50,6 +50,7 @@ def load_all() -> None:
         relational3,
         relational4,
         relational5,
+        relational6,
         sampling_ops,
         similarity_ops,
         streaming_ops,

@@ -103,3 +103,38 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "2024-01-05" in plan
     expected = ev.filter(F.col("day") == "2024-01-05").count()
     assert back.count() == expected > 0
+
+
+def test_q5_nation_comembership_rides_broadcast(spark, sf_dir):
+    """Q5's extra join condition (customer and supplier share a nation)
+    must NOT add an exchange: the supplier×nation map broadcasts, so the
+    only shuffles are the lineitem⋈orders⋈customer equi-joins."""
+    from laygo_python_spark.queries.relational6 import q5_local_supplier_volume
+
+    df = q5_local_supplier_volume(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert has_pushed_filters(df)  # orderdate range reaches the orders scan
+
+
+def test_q21_single_fact_shuffle(spark, sf_dir):
+    """Q21's EXISTS + NOT EXISTS are folded into one window pass: the
+    plan must scan lineitem ONCE (the textbook decorrelation scans it
+    three times) and shuffle the fact rows on one key only."""
+    from laygo_python_spark.plans import physical_plan
+    from laygo_python_spark.queries.relational6 import q21_waiting_suppliers
+
+    plan = physical_plan(q21_waiting_suppliers(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q11_threshold_is_broadcast_not_window(spark, sf_dir):
+    """The global-total threshold must attach via a broadcast of the
+    1-row aggregate, not an empty-partitionBy window that would funnel
+    every per-part row through a single task."""
+    from laygo_python_spark.plans import physical_plan
+    from laygo_python_spark.queries.relational6 import q11_important_part_revenue
+
+    df = q11_important_part_revenue(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert has_broadcast_join(df)
