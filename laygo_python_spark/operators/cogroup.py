@@ -1,0 +1,41 @@
+"""Cogrouped map — the two-table sibling of grouped ``applyInPandas``.
+
+The reference has no multi-input operator at all (a laygo pipeline is a
+single chunk stream; reference laygo/pipeline.py:94-112), so per-key
+reconciliation of two datasets there means materializing one side into a
+dict and mapping over the other — driver-memory-bound. Spark's
+``cogroup().applyInPandas`` shuffles BOTH tables on the key once and
+hands each key's two pandas frames to an Arrow-batched Python function:
+the per-key logic can be arbitrary (set differences, per-key model
+scoring, order-book matching) while the data movement stays one co-
+partitioned exchange per side.
+
+100 TB posture: identical to a shuffle join on the same key — no
+broadcast, no skew surprise beyond what the key distribution implies
+(salt upstream via operators.skew for pathological keys). Python touches
+each group exactly once; there is no driver-side collection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def cogroup_apply(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    fn: Callable[[pd.DataFrame, pd.DataFrame], pd.DataFrame],
+    schema: str,
+) -> DataFrame:
+    """Apply ``fn(left_group_pdf, right_group_pdf) -> pdf`` per key.
+
+    Keys present in only one input still produce a group (the other
+    frame arrives empty) — ``fn`` chooses its own inner/left/full
+    semantics, which is exactly the flexibility a join can't give.
+    """
+    return left.groupBy(*on).cogroup(right.groupBy(*on)).applyInPandas(fn, schema=schema)

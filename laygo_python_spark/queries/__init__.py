@@ -41,10 +41,12 @@ def load_all() -> None:
     from laygo_python_spark.queries import (  # noqa: F401
         advanced_ops,
         analytics_ops,
+        cogroup_ops,
         core_ops,
         dedup_ops,
         functions_ops,
         interval_ops,
+        mixing_ops,
         relational,
         relational2,
         relational3,

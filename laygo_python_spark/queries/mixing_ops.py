@@ -1,0 +1,104 @@
+"""Corpus-mixing operators: stratified sampling and TF-IDF term scoring.
+
+Training-data curation needs (a) balanced downsampling of over-represented
+strata and (b) corpus-statistics features — both as deterministic,
+engine-reproducible plans (hash order, not RNG; see sampling_ops.py for
+why `df.sample()` is a contamination foot-gun).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from laygo_python_spark.queries import query
+from laygo_python_spark.session import read_table as _t
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, source, rn FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 10
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-source subsample: keep the 10 hash-first docs of every
+    stratum. The md5 sort key makes membership content-stable — the same
+    doc is kept no matter how the corpus is partitioned or grown, unlike
+    ``df.sampleBy``'s partitioning-sensitive RNG. One shuffle (the window
+    partition); at 100 TB strata >> 10 rows are cut map-side by the
+    window's rank limit under AQE."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, source, term FROM (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        FROM documents)
+      WHERE length(term) >= 3),
+    tf AS (SELECT source, term, count(*) AS tf FROM words GROUP BY source, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term, CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT source, term, tf, df, tfidf, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per source — the classic corpus-signature /
+    domain-classification feature.
+
+    Plan shape: one explode → two keyed aggregations (tf by (source,term),
+    df by term — both partial+final map-side combines) → equi-join on term
+    → per-source window top-k. The doc count N rides in as a broadcast
+    1-row cross join, not a driver `.count()` round-trip. tfidf is rounded
+    to 6 before ranking so the rank is a function of the compared value
+    (ln() last-ulp differences between engines can't flip an order the
+    hash check would accept)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") >= 3)
+    )
+    tf = words.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = words.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), "term")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
