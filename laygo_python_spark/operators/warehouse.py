@@ -1,0 +1,131 @@
+"""Warehouse-maintenance operators: MERGE-style upsert, SCD2 history
+collapse, and time-series gap-fill.
+
+The reference has none of these (laygo is a forward-only chunk stream,
+reference laygo/pipeline.py:94-112 / transformer.py:229-260); they are
+table-shaped maintenance patterns every dimensional pipeline needs. All
+three are pure DataFrame compositions — one keyed shuffle each, no
+Python in the hot path, so they hold at 100 TB:
+
+- merge_upsert: one full-outer shuffle join on the key (broadcast if the
+  source is a small changeset — pass ``broadcast_source=True``).
+- scd2_collapse: one window shuffle on the key; change-points found with
+  lag(), ranges closed with lead() — never a self-join.
+- gapfill: the dense grid is generated with ``sequence`` + explode
+  (executor-side, no driver loop) and left-joined to the sparse series;
+  forward fill is last(ignorenulls) over the per-series window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    update_set: dict[str, Column],
+    insert_set: dict[str, Column],
+    broadcast_source: bool = False,
+) -> DataFrame:
+    """MERGE INTO semantics as a full-outer join.
+
+    For each key: matched rows get ``update_set`` expressions, source-only
+    keys get ``insert_set``, target-only rows pass through unchanged.
+    Expressions reference the input frames' columns (``target[...]`` /
+    ``source[...]``); both sets must define the same output columns.
+
+    ``broadcast_source=True`` is the scale path for a small changeset
+    against a huge dim: Spark cannot broadcast a full-outer build side,
+    so the merge decomposes into (a) target LEFT JOIN broadcast(source)
+    — the big table never shuffles — unioned with (b) the inserts from a
+    source-vs-target-keys anti join, which shuffles only the key columns.
+    ``insert_set`` expressions must then reference only source columns.
+    Key columns are assumed non-null in both inputs (true of any real
+    dim/changeset).
+    """
+    if set(update_set) != set(insert_set):
+        raise ValueError("update_set and insert_set must define the same output columns")
+    if broadcast_source:
+        # update_set applies to every target row (expressions see NULL
+        # source columns for unmatched keys — same as the full-outer path).
+        joined = target.join(F.broadcast(source), on=on, how="left")
+        updated = joined.select(
+            *[target[k].alias(k) for k in on],
+            *[update_set[n].alias(n) for n in update_set],
+        )
+        inserts = source.join(target.select(*on), on=on, how="left_anti").select(
+            *[source[k].alias(k) for k in on],
+            *[insert_set[n].alias(n) for n in insert_set],
+        )
+        return updated.unionByName(inserts)
+    joined = target.join(source, on=on, how="full_outer")
+    has_target = target[on[0]].isNotNull()
+    cols = [F.coalesce(target[k], source[k]).alias(k) for k in on]
+    for name in update_set:
+        cols.append(F.when(has_target, update_set[name]).otherwise(insert_set[name]).alias(name))
+    return joined.select(*cols)
+
+
+def scd2_collapse(df: DataFrame, key: list[str], attr: str, ts: str) -> DataFrame:
+    """Collapse a change log into SCD2 validity ranges.
+
+    Consecutive rows (per key, ordered by ``ts``) with an unchanged
+    ``attr`` merge into one version; each version carries
+    ``valid_from`` / ``valid_to`` (NULL = current) and ``is_current``.
+    """
+    order_w = Window.partitionBy(*key).orderBy(ts)
+    prev = F.lag(attr).over(order_w)
+    changed = prev.isNull() | (F.col(attr) != prev)
+    versions = (
+        df.withColumn("__chg", changed.cast("int"))
+        .filter(F.col("__chg") == 1)
+        .drop("__chg")
+    )
+    close_w = Window.partitionBy(*key).orderBy(ts)
+    return versions.select(
+        *key,
+        F.col(attr),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(close_w).alias("valid_to"),
+        F.lead(ts).over(close_w).isNull().alias("is_current"),
+    )
+
+
+def gapfill(
+    df: DataFrame,
+    series: list[str],
+    ts: str,
+    step: str = "1 hour",
+    fill_cols: list[str] | None = None,
+) -> DataFrame:
+    """Densify a sparse per-series time grid and forward-fill values.
+
+    Grid spans the GLOBAL [min, max] of ``ts`` truncated to the step unit,
+    crossed with the distinct series keys (a broadcast of two tiny
+    frames), left-joined to the sparse input. ``fill_cols`` are forward-
+    filled with last(ignorenulls) per series; a ``filled`` flag marks
+    grid rows that had no source row.
+    """
+    unit = step.split()[-1].rstrip("s")
+    bounds = df.agg(
+        F.date_trunc(unit, F.min(ts)).alias("__lo"), F.date_trunc(unit, F.max(ts)).alias("__hi")
+    )
+    grid = (
+        df.select(*series)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            *series,
+            F.explode(F.sequence("__lo", "__hi", F.expr(f"interval {step}"))).alias(ts),
+        )
+    )
+    dense = grid.join(df, on=[*series, ts], how="left")
+    out = dense.withColumn("filled", F.col(fill_cols[0] if fill_cols else df.columns[-1]).isNull())
+    if fill_cols:
+        w = Window.partitionBy(*series).orderBy(ts).rowsBetween(Window.unboundedPreceding, 0)
+        for c in fill_cols:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out

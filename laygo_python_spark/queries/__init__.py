@@ -58,4 +58,5 @@ def load_all() -> None:
         streaming_ops,
         text_ops,
         text_ops2,
+        warehouse_ops,
     )

@@ -1,0 +1,100 @@
+"""Warehouse operators (operators/warehouse.py): MERGE upsert semantics,
+SCD2 collapse, gap-fill — value semantics plus the 100 TB plan shape.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from laygo_python_spark.operators.warehouse import gapfill, merge_upsert, scd2_collapse
+from laygo_python_spark.plans import has_broadcast_join, physical_plan
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0)], "k int, name string, bal double"
+    )
+
+
+def _changes(spark):
+    return spark.createDataFrame([(2, 5.0), (3, 7.0)], "k int, delta double")
+
+
+def _merge(target, source, broadcast_source):
+    return merge_upsert(
+        target,
+        source,
+        on=["k"],
+        update_set={
+            "name": target["name"],
+            "bal": target["bal"] + F.coalesce(source["delta"], F.lit(0.0)),
+        },
+        insert_set={"name": F.lit("(new)"), "bal": source["delta"]},
+        broadcast_source=broadcast_source,
+    )
+
+
+def test_merge_upsert_semantics_both_paths(spark):
+    for broadcast_source in (False, True):
+        out = {r["k"]: r for r in _merge(_dim(spark), _changes(spark), broadcast_source).collect()}
+        # 1: target-only (unchanged), 2: matched (updated), 3: source-only (inserted)
+        assert set(out) == {1, 2, 3}
+        assert (out[1]["name"], out[1]["bal"]) == ("alice", 10.0)
+        assert (out[2]["name"], out[2]["bal"]) == ("bob", 25.0)
+        assert (out[3]["name"], out[3]["bal"]) == ("(new)", 7.0)
+
+
+def test_merge_upsert_broadcast_path_never_shuffles_target(spark):
+    out = _merge(_dim(spark), _changes(spark), broadcast_source=True)
+    assert has_broadcast_join(out)
+    # The update arm must be a broadcast join: no Exchange may sit between
+    # the target scan and the BroadcastHashJoin that applies the changeset.
+    plan = physical_plan(out)
+    update_arm = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in update_arm
+
+
+def test_scd2_collapse_versions_and_ranges(spark):
+    log = spark.createDataFrame(
+        [
+            (1, "A", 1),
+            (1, "A", 2),
+            (1, "B", 3),
+            (1, "A", 4),
+            (2, "C", 1),
+        ],
+        "k int, attr string, ts int",
+    )
+    rows = sorted(
+        scd2_collapse(log, key=["k"], attr="attr", ts="ts").collect(),
+        key=lambda r: (r["k"], r["valid_from"]),
+    )
+    assert [(r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"]) for r in rows] == [
+        (1, "A", 1, 3, False),
+        (1, "B", 3, 4, False),
+        (1, "A", 4, None, True),  # same value as v1 but non-consecutive → new version
+        (2, "C", 1, None, True),
+    ]
+
+
+def test_gapfill_densifies_and_forward_fills(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0)
+    sparse = spark.createDataFrame(
+        [
+            ("a", t0, 1.0),
+            ("a", t0 + datetime.timedelta(hours=3), 4.0),
+            ("b", t0 + datetime.timedelta(hours=1), 9.0),
+        ],
+        "s string, h timestamp, v double",
+    )
+    out = gapfill(sparse, series=["s"], ts="h", step="1 hour", fill_cols=["v"])
+    rows = {(r["s"], r["h"].hour): r for r in out.collect()}
+    # Grid spans global [0h, 3h] for BOTH series → 8 rows.
+    assert len(rows) == 8
+    assert rows[("a", 1)]["v"] == 1.0 and rows[("a", 1)]["filled"] is True
+    assert rows[("a", 3)]["v"] == 4.0 and rows[("a", 3)]["filled"] is False
+    # Series b has no row at h0: nothing to fill from yet.
+    assert rows[("b", 0)]["v"] is None
+    assert rows[("b", 3)]["v"] == 9.0
