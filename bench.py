@@ -39,6 +39,12 @@ HEADLINE = [
     "embedding_cosine_topk_fast",
     "asof_join_last_error",
     "salted_heavy_hitters",
+    "cogroup_order_reconcile",
+    "merge_upsert_customer_balance",
+    "scd2_priority_history",
+    "gapfill_hourly_purchases",
+    "stratified_sample",
+    "tfidf_top_terms",
 ]
 
 

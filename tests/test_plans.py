@@ -138,3 +138,47 @@ def test_q11_threshold_is_broadcast_not_window(spark, sf_dir):
     plan = physical_plan(df)
     assert "Window" not in plan
     assert has_broadcast_join(df)
+
+
+def test_scd2_is_single_shuffle(spark, sf_dir):
+    """Both SCD2 windows (lag change-point, lead range-close) share the
+    per-key partitioning — the whole history build must cost exactly ONE
+    hash exchange, never a self-join."""
+    from laygo_python_spark.plans import physical_plan
+    from laygo_python_spark.queries.warehouse_ops import scd2_priority_history
+
+    plan = physical_plan(scd2_priority_history(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_stratified_sample_is_single_shuffle(spark, sf_dir):
+    from laygo_python_spark.plans import physical_plan
+    from laygo_python_spark.queries.mixing_ops import stratified_sample
+
+    assert physical_plan(stratified_sample(spark, sf_dir)).count("Exchange hashpartitioning") == 1
+
+
+def test_gapfill_grid_join_stays_cheap(spark, sf_dir):
+    """The dense grid must attach via broadcast (the grid is tiny relative
+    to the data at any scale); hash shuffles are only the hourly agg and
+    the per-series fill window."""
+    from laygo_python_spark.plans import physical_plan
+    from laygo_python_spark.queries.warehouse_ops import gapfill_hourly_purchases
+
+    plan = physical_plan(gapfill_hourly_purchases(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastExchange" in plan
+
+
+def test_tfidf_shuffles_counts_not_text(spark, sf_dir):
+    """tf/df aggregations must be partial+final (map-side combine before
+    every exchange) and the doc-count must ride a broadcast, so shuffles
+    carry (term, count) pairs — never document text."""
+    from laygo_python_spark.plans import physical_plan
+    from laygo_python_spark.queries.mixing_ops import tfidf_top_terms
+
+    plan = physical_plan(tfidf_top_terms(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert "BroadcastExchange" in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
