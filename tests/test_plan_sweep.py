@@ -1,0 +1,50 @@
+"""Catalog-wide anti-pattern sweep: build the physical plan of EVERY
+registered query at sf0.001 and reject the three classic scale-killers —
+cartesian products, row-at-a-time Python UDFs, and full-column scans that
+ignore pruning. Individual plan-shape assertions live in test_plans.py;
+this is the net that catches a regression in any query nobody thought to
+pin.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from laygo_python_spark.plans import physical_plan
+from laygo_python_spark.queries import QUERIES, load_all
+
+load_all()
+
+# Queries whose body drives execution rather than returning a lazy plan
+# (streaming run-to-completion, driver-fixpoint loops, k-means training):
+# their plan is either unavailable or not meaningful to sweep.
+_EXECUTING = {
+    "stream_hourly_counts",
+    "stream_session_windows",
+    "loop_double",
+    "dedup_cluster_representatives",
+    "ann_ivf_topk",
+}
+
+# brute-force exact ANN is O(n·q) by design — the documented exact
+# baseline; every scale path (LSH/IVF) is bucketed.
+_KNOWN_BNLJ = {"embedding_cosine_topk", "embedding_cosine_topk_fast", "embedding_near_dups"}
+
+# Arrow-batched Python surfaces (mapInPandas/applyInPandas/cogroup) are
+# the documented escape hatch — allowed; only ROW-AT-A-TIME eval is not.
+_SWEEP = sorted(set(QUERIES) - _EXECUTING)
+
+
+@pytest.mark.parametrize("name", _SWEEP)
+def test_no_scale_killers(spark, sf_dir, name):
+    plan = physical_plan(QUERIES[name](spark, sf_dir))
+    if name not in _KNOWN_BNLJ:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        # A broadcast CROSS nested-loop is the scalar-attach pattern
+        # (crossJoin(broadcast(1-row agg)) — e.g. a global threshold or
+        # doc count) and is the right plan; any OTHER nested-loop join
+        # (non-cross condition, non-broadcast) is a scale killer.
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert ", Cross" in line, f"{name}: non-cross nested-loop join: {line.strip()}"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
