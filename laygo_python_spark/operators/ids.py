@@ -1,0 +1,84 @@
+"""Global sequential ID assignment — the DataFrame ``zipWithIndex``.
+
+The naive spelling, ``row_number() OVER (ORDER BY ...)`` with no
+partition key, funnels the ENTIRE dataset through one task — the classic
+accidental scale killer (it works at sf0.01 and dies at 100 TB). The
+scalable shape is the RDD zipWithIndex trick, DataFrame-native:
+
+1. range-repartition + sort by the order key (one shuffle, all tasks);
+2. count rows per partition (a task-count-sized driver list — KBs);
+3. broadcast the cumulative offsets; each partition adds
+   ``offset[pid] + local_index`` in one Arrow batch pass.
+
+Cost: one range shuffle + one tiny count job — vs the single-task sort
+the window would do. Determinism requires ``order_by`` to be a total
+order (add a tiebreak column if the key has duplicates).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assign_sequential_ids(
+    df: DataFrame,
+    order_by: list[str],
+    id_col: str = "seq_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a dense 0-based ``id_col`` following the total order of
+    ``order_by``, without ever collapsing to one partition.
+
+    The result rides on an eager ``localCheckpoint`` (required for
+    partition stability); its cached blocks are released when the
+    DataFrame is garbage-collected — callers assigning ids in a tight
+    loop should materialize each result before the next call.
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint pins the materialized partitions: the count job and
+    # the id job MUST see byte-identical partitioning (and the range
+    # shuffle should run once, not once per downstream action).
+    ordered = (
+        df.repartitionByRange(parts, *order_by)
+        .sortWithinPartitions(*order_by)
+        .localCheckpoint(eager=True)
+    )
+
+    # Tiny driver round-trip: one (pid, count) row per partition.
+    counts = (
+        ordered.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    sizes = {r["pid"]: r["count"] for r in counts}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+
+    # StructType.add MUTATES (and df.schema is cached on the DataFrame):
+    # build a fresh StructType so the input frame's schema stays intact.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType([*ordered.schema.fields, StructField(id_col, LongType())])
+
+    def add_ids(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Arrow batches arrive in partition order; number locally and
+        # shift by this partition's global offset.
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in pdf_iter:
+            pdf = pdf.copy()
+            pdf[id_col] = range(offsets.get(pid, 0) + seen, offsets.get(pid, 0) + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return ordered.mapInPandas(add_ids, schema=out_schema)

@@ -45,6 +45,7 @@ def load_all() -> None:
         core_ops,
         dedup_ops,
         functions_ops,
+        ids_ops,
         interval_ops,
         mixing_ops,
         relational,
