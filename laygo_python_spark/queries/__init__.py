@@ -56,6 +56,7 @@ def load_all() -> None:
         relational6,
         sampling_ops,
         similarity_ops,
+        stats_ops,
         streaming_ops,
         text_ops,
         text_ops2,

@@ -1,0 +1,92 @@
+"""Distribution-statistics operators: outlier clipping via exact
+percentiles. Complements relational4's approximate sketches — this is the
+exact path (single interpolated percentile over the full column), used
+when the clip bounds must be reproducible to the cent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from laygo_python_spark.queries import query
+from laygo_python_spark.session import read_table as _t
+
+
+@query(
+    "winsorize_order_totals",
+    oracle="""
+    WITH b AS (SELECT round(quantile_cont(o_totalprice, 0.01), 2) AS lo,
+                      round(quantile_cont(o_totalprice, 0.99), 2) AS hi
+               FROM orders)
+    SELECT o_orderkey, o_totalprice,
+           least(greatest(o_totalprice, b.lo), b.hi) AS clipped,
+           (o_totalprice < b.lo OR o_totalprice > b.hi) AS was_clipped
+    FROM orders CROSS JOIN b
+    """,
+)
+def winsorize_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize order totals to the exact [p01, p99] envelope — the
+    outlier-clipping step before value-based training-data weighting.
+
+    The bounds are ONE interpolated-percentile aggregate (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``) attached as a broadcast
+    scalar; rows never shuffle. Bounds are rounded to cents before
+    clipping (aggregate-rounding rule) so a last-ulp interpolation
+    difference between engines cannot leak into row values."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.01)), 2).alias("lo"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("hi"),
+    )
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")).alias("clipped"),
+            ((F.col("o_totalprice") < F.col("lo")) | (F.col("o_totalprice") > F.col("hi"))).alias(
+                "was_clipped"
+            ),
+        )
+    )
+
+
+@query(
+    "time_rollup_event_value",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(hour(ts) AS INT) AS hr,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type, ROLLUP(day, hr)
+    """,
+)
+def time_rollup_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour, day, and per-type
+    grand totals from ONE pass — GROUP BY type + ROLLUP(day, hour)
+    computes all three granularities with a single shuffle (Catalyst
+    expands the grouping sets map-side), instead of three jobs or a
+    stored rollup tree.
+
+    Spelled as rollup(type, day, hr) minus the global all-null set
+    (event_type is never null in the data, so the filter drops exactly
+    the grand-total row the oracle's mixed GROUP BY doesn't produce)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.hour("ts").cast("int").alias("hr"),
+            "value",
+        )
+        .rollup("event_type", "day", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .filter(F.col("event_type").isNotNull())
+    )
