@@ -90,3 +90,35 @@ def time_rollup_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("event_type").isNotNull())
     )
+
+
+@query(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f')
+                               || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS latest_orderkey,
+           arg_max(o_totalprice, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f')
+                                 || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS latest_total,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregation (max_by): each customer's most recent order in
+    ONE partial+final aggregation — no window, no self-join, no sort.
+    This is the scalable 'keep latest record per key' primitive; the
+    window row_number spelling costs a full sort per key group.
+
+    The ordering key is (timestamp string || zero-padded orderkey): a
+    total order that both engines compare identically byte-wise."""
+    orders = _t(spark, sf_dir, "orders")
+    key = F.concat(
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", key).alias("latest_orderkey"),
+        F.max_by("o_totalprice", key).alias("latest_total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

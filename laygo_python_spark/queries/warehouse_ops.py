@@ -8,7 +8,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from laygo_python_spark.operators.warehouse import gapfill, merge_upsert, scd2_collapse
+from laygo_python_spark.operators.warehouse import (
+    gapfill,
+    merge_upsert,
+    scd2_collapse,
+    snapshot_diff,
+)
 from laygo_python_spark.queries import query
 from laygo_python_spark.session import read_table as _t
 
@@ -166,3 +171,47 @@ def gapfill_hourly_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         "filled",
     )
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+                 WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+         new AS (SELECT o_orderkey, o_orderstatus, round(o_totalprice, -2) AS o_totalprice
+                 FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+                   AND o_orderdate < TIMESTAMP '1997-07-01')
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+                     OR old.o_totalprice IS DISTINCT FROM new.o_totalprice THEN 'changed'
+           END AS change_type
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE CASE WHEN old.o_orderkey IS NULL THEN 'added'
+               WHEN new.o_orderkey IS NULL THEN 'removed'
+               WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+                    OR old.o_totalprice IS DISTINCT FROM new.o_totalprice THEN 'changed'
+          END IS NOT NULL
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff between two simulated snapshots of the orders table
+    (overlapping date windows; the newer snapshot's totals rounded to
+    hundreds so the overlap contains both changed and unchanged rows).
+    The operator ships key + xxhash64 row-hash through the shuffle; the
+    oracle compares raw values — identical output modulo 2^-64 collision
+    odds."""
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderstatus", F.round("o_totalprice", -2).alias("o_totalprice"))
+    )
+    return snapshot_diff(old, new, on=["o_orderkey"])

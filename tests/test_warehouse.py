@@ -98,3 +98,25 @@ def test_gapfill_densifies_and_forward_fills(spark):
     # Series b has no row at h0: nothing to fill from yet.
     assert rows[("b", 0)]["v"] is None
     assert rows[("b", 3)]["v"] == 9.0
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from laygo_python_spark.operators.warehouse import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k int, s string, v double")
+    new = spark.createDataFrame([(2, "b", 2.0), (3, "c", 99.0), (4, "d", 4.0)], "k int, s string, v double")
+    out = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, on=["k"]).collect()}
+    # 1 removed, 2 unchanged (absent), 3 changed, 4 added.
+    assert out == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_shuffles_hashes_not_rows(spark):
+    from laygo_python_spark.operators.warehouse import snapshot_diff
+
+    old = spark.range(0, 100).selectExpr("id AS k", "CAST(id AS STRING) AS payload")
+    new = spark.range(50, 150).selectExpr("id AS k", "CAST(id + 1 AS STRING) AS payload")
+    plan = physical_plan(snapshot_diff(old, new, on=["k"]))
+    # The payload column must be hashed away BEFORE the join: no plan node
+    # above the join may carry it.
+    join_and_above = plan.split("Join")[0]
+    assert "payload" not in join_and_above
