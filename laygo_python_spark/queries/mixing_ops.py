@@ -102,3 +102,50 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), "term")
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+@query(
+    "weighted_sample_topk",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             round(-ln((1.0 + (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000))
+                       / 1000001.0) / n_chars, 9) AS es_key
+      FROM documents)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, es_key, rn FROM (
+      SELECT *, row_number() OVER (ORDER BY es_key, doc_id) AS rn FROM keyed)
+    WHERE rn <= 50
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, distributed: the
+    Efraimidis-Spirakis exponential-rank trick — key = -ln(u)/w, keep the
+    k smallest keys — turns weighted reservoir sampling into a plain
+    top-k, which TakeOrderedAndProject computes with per-partition heaps
+    and a k-row merge (no global sort, no sequential reservoir).
+
+    u is hash-derived (md5 bucket mapped into (0,1]), not rand(): the
+    sample is reproducible across runs/partitionings/engines. Weight =
+    n_chars, so longer docs are proportionally likelier — the corpus
+    re-weighting primitive. es_key rounds to 9 so ln() ulp differences
+    can't flip the cross-engine rank (doc_id breaks residual ties)."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        1.0
+        + F.pmod(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+            F.lit(1000000),
+        )
+    ) / 1000001.0
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(-F.log(u) / F.col("n_chars"), 9).alias("es_key"),
+    )
+    # Heap top-k over the full data (TakeOrderedAndProject); the rank
+    # window then runs over only the k surviving rows — the full dataset
+    # never funnels through one partition.
+    top = keyed.orderBy("es_key", "doc_id").limit(50)
+    w = Window.orderBy("es_key", "doc_id")
+    return top.withColumn("rn", F.row_number().over(w))
