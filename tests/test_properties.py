@@ -159,3 +159,72 @@ def test_text_hygiene_partition_invariance(spark, sf_dir):
         finally:
             mod._t = orig
         assert base == repart and len(base) > 0
+
+
+# --- warehouse operators vs pure-Python models ------------------------------
+
+changelog = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # key
+        st.sampled_from(["A", "B", "C"]),        # attr
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(log=changelog, parts=st.integers(min_value=1, max_value=5))
+@SET
+def test_scd2_matches_python_model(spark, log, parts):
+    """scd2_collapse == a sequential scan collapsing consecutive equal
+    values per key, for random logs under random partitioning."""
+    from laygo_python_spark.operators.warehouse import scd2_collapse
+
+    rows = [(k, a, i) for i, (k, a) in enumerate(log)]  # ts = arrival order
+    df = spark.createDataFrame(rows, "k int, attr string, ts int").repartition(parts)
+    got = sorted(
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_collapse(df, key=["k"], attr="attr", ts="ts").collect()
+    )
+
+    expected = []
+    by_key: dict[int, list[tuple[str, int]]] = {}
+    for k, a, ts in rows:
+        by_key.setdefault(k, []).append((a, ts))
+    for k, seq in by_key.items():
+        seq.sort(key=lambda p: p[1])
+        versions = [(a, ts) for i, (a, ts) in enumerate(seq) if i == 0 or seq[i - 1][0] != a]
+        for i, (a, ts) in enumerate(versions):
+            nxt = versions[i + 1][1] if i + 1 < len(versions) else None
+            expected.append((k, a, ts, nxt, nxt is None))
+    assert got == sorted(expected)
+
+
+upserts = st.tuples(
+    st.dictionaries(st.integers(0, 9), st.floats(-100, 100, allow_nan=False), max_size=8),
+    st.dictionaries(st.integers(0, 9), st.floats(-100, 100, allow_nan=False), max_size=8),
+)
+
+
+@given(data=upserts)
+@SET
+def test_merge_upsert_paths_agree(spark, data):
+    """The broadcast decomposition and the full-outer path must produce
+    identical results for any target/changeset pair."""
+    from laygo_python_spark.operators.warehouse import merge_upsert
+
+    tgt_d, src_d = data
+    target = spark.createDataFrame([(k, v) for k, v in tgt_d.items()] or [(None, None)], "k int, bal double").filter(F.col("k").isNotNull())
+    source = spark.createDataFrame([(k, v) for k, v in src_d.items()] or [(None, None)], "k int, delta double").filter(F.col("k").isNotNull())
+    results = []
+    for bc in (False, True):
+        out = merge_upsert(
+            target,
+            source,
+            on=["k"],
+            update_set={"bal": target["bal"] + F.coalesce(source["delta"], F.lit(0.0))},
+            insert_set={"bal": source["delta"]},
+            broadcast_source=bc,
+        )
+        results.append(sorted((r["k"], round(r["bal"], 6)) for r in out.collect()))
+    assert results[0] == results[1]
