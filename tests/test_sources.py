@@ -41,3 +41,26 @@ def test_from_iterable_with_schema(spark):
 def test_from_iterable_scalars(spark):
     df = from_iterable(spark, [1, 2, 3])
     assert df.columns == ["value"] and df.count() == 3
+
+
+def test_write_training_shards_balanced(spark, tmp_path):
+    from laygo_python_spark.sources.sinks import write_training_shards
+
+    df = spark.range(0, 10_000).selectExpr("id", "CAST(id % 97 AS STRING) AS s")
+    # Skew the input partitioning on purpose: shard balance must not care.
+    df = df.repartition(5, "s")
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, shard_rows=1_000, order_by=["id"])
+
+    import glob
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) == 10
+    sizes = [pq.read_metadata(f).num_rows for f in files]
+    assert all(s == 1_000 for s in sizes), sizes
+    # Within-shard order is the requested one.
+    first = pq.read_table(files[0], columns=["id"]).column("id").to_pylist()
+    assert first == sorted(first)
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
