@@ -122,3 +122,57 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_totalprice", key).alias("latest_total"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "trend_per_event_type",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 4) AS avg_value,
+           round(corr(value, CAST(epoch_us(ts) AS DOUBLE)), 6) AS corr_ts,
+           round(regr_slope(value, CAST(epoch_us(ts) AS DOUBLE)) * 86400000000.0, 6) AS slope_per_day,
+           round(regr_r2(value, CAST(epoch_us(ts) AS DOUBLE)), 6) AS r2
+    FROM events GROUP BY event_type
+    """,
+)
+def trend_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of event values over time: corr / slope / R²
+    in ONE partial+final aggregation pass (regression aggregates keep
+    running moments, so they combine map-side like any sum — no window,
+    no sort, no second scan). Time enters as integer microseconds
+    (unix_micros ≡ epoch_us — the cross-engine timestamp rule); the
+    slope is rescaled to per-day for readability."""
+    events = _t(spark, sf_dir, "events")
+    x = F.unix_micros("ts").cast("double")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.corr("value", x), 6).alias("corr_ts"),
+        F.round(F.regr_slope("value", x) * 86400000000.0, 6).alias("slope_per_day"),
+        F.round(F.regr_r2("value", x), 6).alias("r2"),
+    )
+
+
+@query(
+    "histogram_order_totals",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 25000), 23) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY bucket
+    """,
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (fixed $25k bins, top-capped) — one map-side
+    bucket expression + one partial+final count agg. Fixed bounds keep it
+    a single pass; data-dependent bounds would add one broadcast scalar
+    (see winsorize_order_totals for that pattern)."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 25000), F.lit(23)).cast("long")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
