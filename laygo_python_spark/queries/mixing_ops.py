@@ -149,3 +149,70 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = keyed.orderBy("es_key", "doc_id").limit(50)
     w = Window.orderBy("es_key", "doc_id")
     return top.withColumn("rn", F.row_number().over(w))
+
+
+@query(
+    "curation_pipeline",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, source, n_chars, text,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(trim(text), ' '),
+                      t -> list_contains(['the','a','is','and','of','to','in'], t))) AS DOUBLE)
+               / len(string_split(trim(text), ' ')) AS stop_ratio
+      FROM documents),
+    kept AS (
+      SELECT doc_id, source, n_chars,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      FROM feats
+      WHERE n_tokens >= 10 AND n_chars >= 50 AND stop_ratio >= 0.01),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM kept)
+      WHERE doc_id = keeper),
+    split AS (
+      SELECT source, n_chars,
+             CASE WHEN (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100) < 90
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM deduped)
+    SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM split GROUP BY split, source
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation in ONE lazy plan: quality gate → exact dedup
+    (fingerprint window, keep lowest doc_id) → deterministic 90/10 split
+    → per-(split, source) accounting. Composing the stages as DataFrame
+    transforms lets Catalyst fuse them — the quality filter and the
+    fingerprint hash run in the same scan stage, and only (fp, ids,
+    counters) ever shuffle; the text column is pruned after the map side.
+    The same stages as the standalone quality_gate / dedup_exact /
+    hash_split_train_eval queries, proving the operators compose."""
+    from laygo_python_spark.queries.sampling_ops import hash_bucket
+    from laygo_python_spark.queries.text_ops import _STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    stops = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tokens = F.size(toks).cast("long")
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stops, t))).cast("double") / F.size(toks)
+    kept = docs.filter(
+        (n_tokens >= 10) & (F.col("n_chars") >= 50) & (stop_ratio >= 0.01)
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))).alias("fp"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    deduped = kept.withColumn("keeper", keeper).filter(F.col("doc_id") == F.col("keeper"))
+    split = F.when(hash_bucket(F.col("doc_id")) < 90, "train").otherwise("eval")
+    return (
+        deduped.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
