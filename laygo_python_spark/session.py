@@ -132,3 +132,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register the fixture tables as temp views so raw ``spark.sql``
+    works next to the fluent API (migrating users keep their SQL; the
+    nanos-timestamp handling of read_table rides along)."""
+    for name in names:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)

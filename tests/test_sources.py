@@ -64,3 +64,15 @@ def test_write_training_shards_balanced(spark, tmp_path):
     assert first == sorted(first)
     back = spark.read.parquet(path)
     assert back.count() == 10_000
+
+
+def test_register_tables_enables_raw_sql(spark, sf_dir):
+    from laygo_python_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    got = spark.sql(
+        "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1"
+    ).collect()
+    assert len(got) == 5 and sum(r["n"] for r in got) == spark.table("orders").count()
+    # events rides through the nanos-timestamp normalization.
+    assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
