@@ -83,3 +83,49 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
         "n_events",
     )
+
+
+@query(
+    "stream_click_error_join",
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+               WHERE event_type = 'click'),
+         e AS (SELECT event_id AS error_id, user_id, ts AS e_ts FROM events
+               WHERE event_type = 'error')
+    SELECT c.click_id, e.error_id
+    FROM c JOIN e ON c.user_id = e.user_id
+     AND e.e_ts >= c.c_ts - INTERVAL 15 MINUTE
+     AND e.e_ts <= c.c_ts + INTERVAL 15 MINUTE
+    """,
+)
+def stream_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with symmetric watermarks and a ±15 min
+    time-range condition, drained to completion — must equal the batch
+    interval join exactly. At scale the watermarks bound BOTH sides'
+    state stores; without them a stream-stream join buffers forever."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("c_ts") - F.expr("INTERVAL 15 MINUTES"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 15 MINUTES")),
+    ).select("click_id", "error_id")
+    return run_to_completion(joined, "stream_ssj", output_mode="append")
