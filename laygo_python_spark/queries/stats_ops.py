@@ -176,3 +176,46 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "incremental_hourly_stats",
+    oracle="""
+    SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def incremental_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a PRIOR aggregate table (history
+    through Jan 20) is merged with a fresh DELTA batch (Jan 20+) by
+    re-aggregating the union of partial states — count and sum partials
+    combine associatively, so yesterday's 100 TB history is never
+    rescanned; only its (keys × hours)-sized aggregate and the new day's
+    raw rows are touched. The oracle is the full-batch answer: the
+    incremental path must be indistinguishable from recomputation.
+
+    (Partials that DON'T combine this way — exact distinct, medians —
+    need sketch states instead: see approx_sketches.)"""
+    events = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-20").cast("timestamp")
+    hour = F.date_trunc("hour", "ts")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", hour.alias("h")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_raw")
+        )
+
+    prior = agg(events.filter(F.col("ts") < cut))      # stands in for the stored agg table
+    delta = agg(events.filter(F.col("ts") >= cut))     # the new batch's partials
+    merged = (
+        prior.unionByName(delta)
+        .groupBy("event_type", "h")
+        .agg(F.sum("n").alias("n"), F.sum("total_raw").alias("total_raw"))
+    )
+    return merged.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("n").cast("long").alias("n"),
+        F.round("total_raw", 2).alias("total"),
+    )
