@@ -219,3 +219,40 @@ def incremental_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round("total_raw", 2).alias("total"),
     )
+
+
+@query(
+    "validate_lineitem_rules",
+    oracle="""
+    SELECT 'discount_below_8pct' AS check_name, CAST(count(*) AS BIGINT) AS n_violations
+    FROM lineitem WHERE NOT (l_discount < 0.08)
+    UNION ALL
+    SELECT 'qty_at_most_45', CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE NOT (l_quantity <= 45)
+    UNION ALL
+    SELECT 'tax_below_7pct', CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE NOT (l_tax < 0.07)
+    """,
+)
+def validate_lineitem_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality screening (operators/quality.validate):
+    three business-rule predicates over lineitem, reported as violations
+    per rule. One codegen'd projection computes every check; the explode
+    touches only violating rows. A row failing two rules counts once per
+    rule here but once per ROW in the violations frame itself."""
+    from laygo_python_spark.operators.quality import validate
+
+    li = _t(spark, sf_dir, "lineitem")
+    _, violations = validate(
+        li,
+        checks={
+            "discount_below_8pct": F.col("l_discount") < 0.08,
+            "qty_at_most_45": F.col("l_quantity") <= 45,
+            "tax_below_7pct": F.col("l_tax") < 0.07,
+        },
+    )
+    return (
+        violations.select(F.explode("failed_checks").alias("check_name"))
+        .groupBy("check_name")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
