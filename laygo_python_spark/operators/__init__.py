@@ -27,6 +27,16 @@ from laygo_python_spark.operators.similarity import (
     lsh_bucketed_topk,
 )
 from laygo_python_spark.operators.skew import salted_agg, salted_broadcast_join
+from laygo_python_spark.operators.cogroup import cogroup_apply
+from laygo_python_spark.operators.ids import assign_sequential_ids
+from laygo_python_spark.operators.quality import flatten_schema, validate
+from laygo_python_spark.operators.warehouse import (
+    gapfill,
+    merge_upsert,
+    scd2_collapse,
+    snapshot_diff,
+)
+from laygo_python_spark.operators.zorder import morton_key, zorder_layout
 
 __all__ = [
     "asof_join",
@@ -39,6 +49,16 @@ __all__ = [
     "interval_join",
     "ivf_topk",
     "lsh_bucketed_topk",
+    "assign_sequential_ids",
+    "cogroup_apply",
+    "flatten_schema",
+    "gapfill",
+    "merge_upsert",
+    "morton_key",
+    "scd2_collapse",
+    "snapshot_diff",
+    "validate",
+    "zorder_layout",
     "minhash_lsh_candidates",
     "minhash_signatures",
     "ngram_jaccard_pairs",
