@@ -45,6 +45,10 @@ HEADLINE = [
     "gapfill_hourly_purchases",
     "stratified_sample",
     "tfidf_top_terms",
+    "snapshot_diff_orders",
+    "winsorize_order_totals",
+    "curation_pipeline",
+    "assign_global_ids",
 ]
 
 
