@@ -27,6 +27,8 @@ from laygo_python_spark.session import read_table as _t
     """,
 )
 def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family (upper/substr/replace/lpad/levenshtein/...)
+    exercised as one projection, value-matched cross-engine."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
     return cust.select(
         "c_custkey",

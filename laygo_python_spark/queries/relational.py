@@ -176,6 +176,8 @@ def window_top3_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers WITH at least one urgent order — left-semi join (existence
+    probe; the orders side never appears in the output)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select("c_custkey", "c_name")
@@ -189,6 +191,7 @@ def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with NO orders at all — left-anti join (NOT EXISTS)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey", "c_name")
@@ -226,6 +229,8 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity totals at (flag, status), (flag), and grand-total levels in
+    one ROLLUP pass."""
     return (
         _t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -354,6 +359,7 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 )
 def distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a two-column projection (hash-dedup shuffle)."""
     return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
 
 

@@ -56,6 +56,8 @@ def except_all_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts/revenue across every (status, priority) combination —
+    CUBE = all 2^n grouping sets in one shuffle."""
     return (
         _t(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
