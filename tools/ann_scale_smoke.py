@@ -76,14 +76,25 @@ def main() -> None:
     planted_hit_bf = sum(1 for r in bf if r.rank == 1 and r.neighbor_id == r.query_id - 10_000_000)
     results["brute_force"]["planted_rank1"] = planted_hit_bf
 
-    t0 = time.perf_counter()
-    lsh = similarity.lsh_bucketed_topk(corpus, probes, k=10, n_planes=12, n_tables=8).collect()
-    lsh_pairs = {(r.query_id, r.neighbor_id) for r in lsh}
-    results["srp_lsh"] = {
-        "sec": round(time.perf_counter() - t0, 2),
-        "recall_at_10": round(len(bf_pairs & lsh_pairs) / len(bf_pairs), 3),
-        "planted_rank1": sum(1 for r in lsh if r.rank == 1 and r.neighbor_id == r.query_id - 10_000_000),
-    }
+    # Two points on the recall/cost curve (the docstring's k/L scaling
+    # law): narrow buckets (12 planes → 4096 buckets) are fast but weak
+    # on THIS adversarial corpus (uniform random vectors = no cluster
+    # structure); widening to 8 planes (256 buckets) recovers recall at
+    # proportionally higher candidate cost. Planted near-dups — the case
+    # LSH exists for — are found at rank 1 by both settings.
+    for planes, tables in ((12, 8), (8, 16)):
+        t0 = time.perf_counter()
+        lsh = similarity.lsh_bucketed_topk(
+            corpus, probes, k=10, n_planes=planes, n_tables=tables
+        ).collect()
+        lsh_pairs = {(r.query_id, r.neighbor_id) for r in lsh}
+        results[f"srp_lsh_{planes}p{tables}t"] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "recall_at_10": round(len(bf_pairs & lsh_pairs) / len(bf_pairs), 3),
+            "planted_rank1": sum(
+                1 for r in lsh if r.rank == 1 and r.neighbor_id == r.query_id - 10_000_000
+            ),
+        }
 
     t0 = time.perf_counter()
     ivf = ivf_topk(corpus, probes, k=10, n_centroids=64, n_probe=4).collect()
