@@ -256,3 +256,51 @@ def validate_lineitem_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("check_name")
         .agg(F.count(F.lit(1)).alias("n_violations"))
     )
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           round(min(o_custkey), 2) AS min_v, round(max(o_custkey), 2) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           round(min(o_totalprice), 2), round(max(o_totalprice), 2)
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null rate / exact distinct / range) for numeric
+    columns, all columns in ONE scan: each metric set is an aggregate
+    over the same pass, then unpivoted — not one job per column like a
+    naive profiler. At 100 TB swap count(DISTINCT) for
+    approx_count_distinct (see approx_sketches); exact distinct is kept
+    here because the oracle must be deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c in ("o_custkey", "o_totalprice"):
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.count_distinct(c).alias(f"{c}__n_distinct"),
+            F.round(F.min(c), 2).alias(f"{c}__min_v"),
+            F.round(F.max(c), 2).alias(f"{c}__max_v"),
+        ]
+    wide = orders.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n").cast("long").alias("n"),
+            F.col(f"{c}__n_null").cast("long").alias("n_null"),
+            F.col(f"{c}__n_distinct").cast("long").alias("n_distinct"),
+            F.col(f"{c}__min_v").cast("double").alias("min_v"),
+            F.col(f"{c}__max_v").cast("double").alias("max_v"),
+        )
+        for c in ("o_custkey", "o_totalprice")
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
