@@ -68,13 +68,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per source — the classic corpus-signature /
     domain-classification feature.
 
-    Plan shape: one explode → two keyed aggregations (tf by (source,term),
-    df by term — both partial+final map-side combines) → equi-join on term
-    → per-source window top-k. The doc count N rides in as a broadcast
-    1-row cross join, not a driver `.count()` round-trip. tfidf is rounded
-    to 6 before ranking so the rank is a function of the compared value
-    (ln() last-ulp differences between engines can't flip an order the
-    hash check would accept)."""
+    Plan shape: the corpus is tokenized ONCE. Because every doc belongs
+    to exactly ONE source, the global doc-frequency of a term is the sum
+    over sources of its per-(source, term) distinct-doc count — so tf
+    and df both come out of a single aggregation keyed by (source, term),
+    and df materializes as a window sum over the (tiny) per-term stats.
+    No tf⋈df join, no second explode (at 100 TB tokenization dominates;
+    the naive two-branch spelling pays it twice). The doc count N rides
+    in as a broadcast 1-row cross join, not a driver `.count()`
+    round-trip. tfidf is rounded to 6 before ranking so the rank is a
+    function of the compared value (ln() last-ulp differences between
+    engines can't flip an order the hash check would accept)."""
     docs = _t(spark, sf_dir, "documents")
     words = (
         docs.select(
@@ -84,13 +88,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.length("term") >= 3)
     )
-    tf = words.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = words.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
+    stats = words.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.count_distinct("doc_id").alias("df_part"),
     )
+    df_w = Window.partitionBy("term")
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.join(df_tbl, "term")
+        stats.withColumn("df", F.sum("df_part").over(df_w).cast("long"))
         .crossJoin(F.broadcast(n))
         .select(
             "source",
