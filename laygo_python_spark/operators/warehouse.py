@@ -110,7 +110,15 @@ def gapfill(
     frames), left-joined to the sparse input. ``fill_cols`` are forward-
     filled with last(ignorenulls) per series; a ``filled`` flag marks
     grid rows that had no source row.
+
+    The input is pinned with an eager localCheckpoint first: three plan
+    branches read it (bounds, series keys, the join) and without pinning
+    each would recompute the upstream — e.g. three full scans of the raw
+    table feeding the sparse aggregate. The sparse series is small by
+    construction (series × occupied buckets), so materializing it is the
+    right trade at any scale.
     """
+    df = df.localCheckpoint(eager=True)
     unit = step.split()[-1].rstrip("s")
     bounds = df.agg(
         F.date_trunc(unit, F.min(ts)).alias("__lo"), F.date_trunc(unit, F.max(ts)).alias("__hi")
