@@ -10,7 +10,7 @@ never float seconds, never engine-specific date_trunc.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from laygo_python_spark.queries import query
@@ -36,27 +36,36 @@ _WEEK_US = 7 * 86400 * 1_000_000
 )
 def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: a user counts
-    at stage k only if the stage-k event happened strictly AFTER their
-    first stage-(k-1) event. Three per-user min-aggregations chained by
-    join — each stage shrinks the key set, and all shuffles key on
-    user_id so AQE can reuse the partitioning. At 100 TB the events scan
-    pushes event_type IN (...) to parquet and nothing per-user ever
-    leaves the executors."""
-    ev = _t(spark, sf_dir, "events")
+    at stage k only if a stage-k event happened strictly AFTER an event
+    that qualified at stage k-1.
 
-    def first_after(event_type: str, prev: DataFrame | None) -> DataFrame:
-        e = ev.filter(F.col("event_type") == event_type)
-        if prev is not None:
-            e = e.join(prev, "user_id").filter(F.col("ts") > F.col("t")).drop("t")
-        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
-
-    v = first_after("view", None)
-    c = first_after("click", v)
-    p = first_after("purchase", c)
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    The funnel is a subsequence match, so it needs ONE scan and ONE
+    per-user window shuffle — not a join per stage (an earlier version
+    scanned events five times). Cumulative RANGE frames over event-time
+    micros give the strictly-earlier semantics: a click qualifies if any
+    view precedes it; a purchase qualifies if any QUALIFYING click
+    precedes it (same window, second pass, no extra shuffle). 'After the
+    first qualifying stage-(k-1) event' ≡ 'after ANY qualifying one'."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tu"), "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tu")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    is_view = (F.col("event_type") == "view").cast("int")
+    seen_view = F.coalesce(F.max(is_view).over(w), F.lit(0))
+    q_click = ((F.col("event_type") == "click") & (seen_view == 1)).cast("int")
+    seen_qclick = F.coalesce(F.max(q_click).over(w), F.lit(0))
+    q_purchase = ((F.col("event_type") == "purchase") & (seen_qclick == 1)).cast("int")
+    marked = ev.select("user_id", is_view.alias("v"), q_click.alias("c"), q_purchase.alias("p"))
+    return marked.agg(
+        F.count_distinct(F.when(F.col("v") == 1, F.col("user_id"))).alias("n_view"),
+        F.count_distinct(F.when(F.col("c") == 1, F.col("user_id"))).alias("n_view_click"),
+        F.count_distinct(F.when(F.col("p") == 1, F.col("user_id"))).alias(
+            "n_view_click_purchase"
+        ),
     )
 
 
