@@ -87,6 +87,23 @@ def _spread_small_input(df: DataFrame, min_bytes_per_partition: int = 4 << 20) -
     return df
 
 
+def _sorted_pairs(ids_col: str) -> Column:
+    """All i<j pairs from an id array, as array<struct<a,b>> — the
+    bucket-local pair expansion that replaces a self-join. The array is
+    sorted first so (a, b) is canonical; cost is O(size²) per bucket,
+    bounded by the caller's max_bucket cap."""
+    ids = F.array_sort(F.col(ids_col))
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def shingles(text_col: str = "text", n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> — pure Column algebra:
     transform over a sequence of start offsets, concat_ws over slices.
@@ -192,24 +209,19 @@ def minhash_lsh_candidates(
             )
         ).alias("band_key"),
     )
-    # Hot-bucket cap (skew guard) as a WINDOW count, not a count+semi-join:
-    # one shuffle on band_key instead of two, and because both sides of
-    # the pair self-join below are the identical subplan, Spark reuses
-    # that single exchange (ReusedExchange) — the signatures compute once
-    # without an explicit persist.
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band_key")
-    sized = (
-        band_entries.withColumn("__bc", F.count(F.lit(1)).over(w))
-        .filter(F.col("__bc") <= max_bucket)
-        .drop("__bc")
-    )
-    a = sized.alias("a")
-    b = sized.alias("b")
+    # Pair generation WITHOUT a self-join: collect each bucket's ids and
+    # expand i<j pairs with array functions. A self-join here would
+    # compute the Python signature pass TWICE — the two mapInPandas
+    # subtrees never canonicalize equal, so exchange reuse does not fire
+    # (measured: 2 scans, 0 ReusedExchange). This shape runs signatures
+    # ONCE, shuffles (id, band_key) once, and the skew cap is a plain
+    # size() filter on the collected bucket instead of a window.
     return (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_id_a"), F.col(f"b.{id_col}").alias("doc_id_b"))
+        band_entries.groupBy("band_key")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(F.explode(_sorted_pairs("ids")).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
 
@@ -428,12 +440,9 @@ def simhash_near_dups(
     ``max_bucket`` caps chunk-bucket occupancy (same skew guard as the
     LSH path): a degenerate chunk value shared by a huge doc population
     (e.g. boilerplate-heavy shards) would otherwise emit size² candidate
-    pairs from one task. The cap is a window count — and because the
-    window forces a hash exchange on the chunk keys BELOW the self-join,
-    both join sides read the same exchange (ReusedExchange): the
-    map-only fingerprint pass executes exactly once with nothing
-    persisted (the previous ``.persist()`` here leaked cached blocks
-    across the session)."""
+    pairs from one task. Pairs are expanded bucket-locally from a
+    collect_list (no self-join), so the map-only fingerprint pass
+    executes exactly once with nothing persisted."""
     n_chunks = max_hamming + 1
     if 64 % n_chunks != 0:
         raise ValueError("max_hamming+1 must divide 64 so chunks tile the fingerprint")
@@ -448,30 +457,28 @@ def simhash_near_dups(
         )
         for i in range(n_chunks)
     ]
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("chunk_idx", "chunk_val")
-    chunks = (
-        sh.select(id_col, "sh", F.explode(F.array(*chunk_structs)).alias("c"))
-        .select(id_col, "sh", "c.chunk_idx", "c.chunk_val")
-        .withColumn("__bc", F.count(F.lit(1)).over(w))
-        .filter(F.col("__bc") <= max_bucket)
-        .drop("__bc")
-    )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    chunks = sh.select(
+        F.struct(F.col(id_col).alias("id"), F.col("sh").alias("sh")).alias("doc"),
+        F.explode(F.array(*chunk_structs)).alias("c"),
+    ).select("doc", "c.chunk_idx", "c.chunk_val")
+    # Pair generation WITHOUT a self-join (same rationale as
+    # minhash_lsh_candidates: the fingerprint mapInPandas subtree would
+    # execute once per join side — exchange reuse does not fire across
+    # Python-UDF subtrees). Collect each pigeonhole bucket, cap its size
+    # (skew guard), expand i<j pairs bucket-locally, then distinct the
+    # (pair, fingerprints) rows because close pairs agree on several
+    # chunks.
+    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(F.collect_list("doc").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(F.explode(_sorted_pairs("ids")).alias("p"))
         .select(
-            F.col(f"a.{id_col}").alias("doc_id_a"),
-            F.col(f"b.{id_col}").alias("doc_id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            F.col("p.a.id").alias("doc_id_a"),
+            F.col("p.b.id").alias("doc_id_b"),
+            F.col("p.a.sh").alias("a_sh"),
+            F.col("p.b.sh").alias("b_sh"),
         )
         .distinct()
         .select("doc_id_a", "doc_id_b", hamming.alias("hamming"))

@@ -147,10 +147,15 @@ def test_dedup_queries_leave_no_cached_blocks(spark, planted):
     assert persistent() <= base + 1
 
 
-def test_simhash_reuses_fingerprint_exchange(spark, planted):
-    """The self-join's two sides must read ONE exchange (fingerprints
-    compute once, nothing persisted)."""
+def test_simhash_fingerprints_compute_once(spark, planted):
+    """Pairs expand bucket-locally from collect_list — there is no
+    self-join, so the Python fingerprint pass appears exactly ONCE in
+    the executed plan (the old self-join spelling ran it per join side:
+    exchange reuse does not fire across Python-UDF subtrees)."""
     df = dedup.simhash_near_dups(planted)
     df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan
+    # The AQE toString echoes the Initial Plan below the Final Plan —
+    # only the final section is what executed.
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert plan.count("MapInPandas") == 1
+    assert "Join" not in plan
