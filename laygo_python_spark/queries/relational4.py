@@ -103,3 +103,34 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("approx_median_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query("sketch_merge_daily_users")  # rows-only: Datasketches binary is engine-specific
+def sketch_merge_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-AGGREGATABLE distinct counts — the property approx_count_distinct
+    alone doesn't give you: per-day HLL sketches (the form you'd store in
+    an incremental aggregate table) are UNIONED across days and estimated,
+    so month-to-date distinct users comes from merging 30 tiny sketch
+    blobs instead of rescanning a month of raw events. The query emits
+    the merged estimate next to the exact count and the absolute relative
+    error so the rows-only check still pins behavior (pytest asserts
+    err < 5%)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).crossJoin(
+        # The exact twin rides in only as the self-check column; at 100 TB
+        # you would NOT compute it — that being unaffordable is the whole
+        # point of storing sketches.
+        F.broadcast(ev.agg(F.count_distinct("user_id").alias("exact_users")))
+    )
+    return merged.select(
+        "approx_users",
+        "exact_users",
+        "n_days",
+        F.round(F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users"), 4).alias("rel_err"),
+    )

@@ -152,3 +152,11 @@ def test_asof_join_attaches_null_from_matched_row(spark):
     row = asof_join(probes, refs, on="t", by=["k"], values=["v", "w"]).collect()[0]
     assert row.v_asof is None  # the t=5 row matched; its v is NULL
     assert row.w_asof == "new"  # and w comes from that same row
+
+
+def test_sketch_merge_matches_exact_within_tolerance(spark, sf_dir):
+    from laygo_python_spark.queries.relational4 import sketch_merge_daily_users
+
+    row = sketch_merge_daily_users(spark, sf_dir).collect()[0]
+    assert row["n_days"] >= 28
+    assert row["rel_err"] < 0.05, row
