@@ -53,3 +53,14 @@ def test_pretraining_pipeline_end_to_end(spark, sf_dir, tmp_path):
     bins = spark.read.parquet(str(tmp_path / "packed_bins"))
     bad = bins.filter((F.col("total_tokens") > 512) & (F.col("n_docs") > 1)).count()
     assert bad == 0
+
+
+def test_warehouse_maintenance_end_to_end(spark, sf_dir, tmp_path):
+    from examples.warehouse_maintenance import run as wh_run
+
+    stats = wh_run(spark, sf_dir, str(tmp_path))
+    assert stats["changed_rows"] > 0
+    assert stats["scd2_versions"] > 0
+    assert stats["grid_rows"] > 0
+    back = spark.read.parquet(str(tmp_path / "dim_customer"))
+    assert back.count() >= 150  # sf0.001 customer count
