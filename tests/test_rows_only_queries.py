@@ -1,0 +1,53 @@
+"""Query-level cross-validation for rows-only catalog entries that have
+no DuckDB oracle: each gets a semantic pin here so "rows-only" never
+means "unchecked". (Operator-level tests live in test_dedup /
+test_similarity etc.; these assert the REGISTERED query behaves.)
+"""
+
+from __future__ import annotations
+
+from laygo_python_spark.queries import QUERIES, load_all
+
+load_all()
+
+
+def test_minhash_signature_sample_shape_and_determinism(spark, sf_dir):
+    a = QUERIES["minhash_signature_sample"](spark, sf_dir).collect()
+    b = QUERIES["minhash_signature_sample"](spark, sf_dir).collect()
+    assert len(a) > 0
+    assert all(len(r["sig_head"]) == 8 for r in a)
+    assert sorted((r["doc_id"], tuple(r["sig_head"])) for r in a) == sorted(
+        (r["doc_id"], tuple(r["sig_head"])) for r in b
+    )
+
+
+def test_approx_sketches_within_tolerance(spark, sf_dir):
+    for r in QUERIES["approx_sketches"](spark, sf_dir).collect():
+        # HLL++ at default rsd=5%; generous bound for tiny groups.
+        assert abs(r["approx_parts"] - r["exact_parts"]) <= max(3, 0.15 * r["exact_parts"]), r
+
+
+def test_fast_cosine_topk_matches_exact_fold(spark, sf_dir):
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in QUERIES["embedding_cosine_topk"](spark, sf_dir).collect()
+    }
+    fast = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in QUERIES["embedding_cosine_topk_fast"](spark, sf_dir).collect()
+    }
+    assert exact.keys() == fast.keys()
+    for key, (nid, sim) in exact.items():
+        fnid, fsim = fast[key]
+        assert fnid == nid, (key, nid, fnid)
+        assert abs(fsim - sim) < 1e-9
+
+
+def test_multimodal_decode_features_contract(spark, sf_dir):
+    rows = QUERIES["multimodal_decode_features"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    cols = set(rows[0].asDict())
+    assert {"media_id", "width", "height", "feature"} <= cols
+    # Deterministic stub: same input → identical output.
+    again = QUERIES["multimodal_decode_features"](spark, sf_dir).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
