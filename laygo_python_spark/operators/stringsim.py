@@ -1,0 +1,133 @@
+"""String-similarity self-join by edit distance — the PassJoin scheme
+(segment pigeonhole + shift windows), DataFrame-native.
+
+All-pairs levenshtein is O(n²·len²) — dead at any scale. The pigeonhole
+argument: if edit(s, t) <= d, at least one of s's d+1 contiguous
+segments survives untouched, and its copy in t starts within ±d of its
+position in s (net indels before it shift it at most d). So:
+
+- INDEX side: each string emits its d+1 segments keyed by
+  (segment_idx, string_len, segment_text);
+- PROBE side: each string emits the substrings that could equal segment
+  i of a shorter-or-equal partner (lengths len..len-d, starts shifted
+  ±d) — at most (d+1)²·(2d+1) probes per string, a constant;
+- candidates = equi-join on the key (never a cartesian product), then
+  ONE exact levenshtein per distinct candidate pair.
+
+The ±d window is a superset of PassJoin's multi-match-aware windows —
+slightly more candidates, same correctness, much simpler Column algebra.
+Everything is codegen-able expressions; the only shuffle is the
+candidate equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _seg_start(length: Column, i: int, parts: int) -> Column:
+    """Start offset (0-based) of segment i when a `length`-char string is
+    split into `parts` near-even contiguous segments."""
+    base = (length / parts).cast("int")
+    rem = length % parts
+    return F.lit(i) * base + F.least(F.lit(i), rem)
+
+
+def _seg_len(length: Column, i: int, parts: int) -> Column:
+    base = (length / parts).cast("int")
+    rem = length % parts
+    return base + F.when(F.lit(i) < rem, 1).otherwise(0)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs with levenshtein(s, t) <= max_dist, as
+    (id_a, id_b, dist) with the shorter (or lower-id on ties) string
+    first. ``max_dist`` should stay small (candidates per string grow
+    with (d+1)²(2d+1))."""
+    d = max_dist
+    parts = d + 1
+    s = F.col(str_col)
+    slen = F.length(s)
+
+    idx_entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                slen.alias("L"),
+                F.substring(s, _seg_start(slen, i, parts) + 1, _seg_len(slen, i, parts)).alias("seg"),
+            )
+            for i in range(parts)
+        ]
+    )
+    index = (
+        df.filter(slen >= parts)
+        .select(F.col(id_col).alias("id_a"), s.alias("s_a"), F.explode(idx_entries).alias("e"))
+        .select("id_a", "s_a", "e.i", "e.L", "e.seg")
+    )
+
+    # Probe side: assume the partner has length L = len(t) - delta
+    # (delta in 0..d — the partner is never longer by symmetry: the
+    # shorter string is always the indexed one) and its segment i sits
+    # at _seg_start(L, i) + shift for shift in -d..d.
+    probe_structs = []
+    tlen = F.length(s)
+    for i in range(parts):
+        for delta in range(d + 1):
+            partner_len = tlen - delta
+            seg_l = _seg_len(partner_len, i, parts)
+            for shift in range(-d, d + 1):
+                start = _seg_start(partner_len, i, parts) + shift
+                valid = (
+                    (partner_len >= parts)
+                    & (start >= 0)
+                    & (start + seg_l <= tlen)
+                )
+                probe_structs.append(
+                    F.when(
+                        valid,
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            partner_len.alias("L"),
+                            F.substring(s, start + 1, seg_l).alias("seg"),
+                        ),
+                    )
+                )
+    probes = df.select(
+        F.col(id_col).alias("id_b"), s.alias("s_b"), F.explode(F.array_compact(F.array(*probe_structs))).alias("e")
+    ).select("id_b", "s_b", "e.i", "e.L", "e.seg")
+
+    order_ok = (F.length("s_a") < F.length("s_b")) | (
+        (F.length("s_a") == F.length("s_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    cand = index.join(probes, ["i", "L", "seg"]).filter(order_ok).select(
+        "id_a", "id_b", "s_a", "s_b"
+    )
+
+    # Degenerate-length path: a string shorter than d+1 chars cannot be
+    # partitioned into d+1 segments, so pairs whose SHORTER side has
+    # len <= d are matched in one tiny length-bounded bucket (partner
+    # len <= 2d by the length filter edit distance implies). Strings
+    # this short are a bounded vocabulary in any real corpus.
+    shorts = df.filter(F.length(s) <= d).select(
+        F.col(id_col).alias("id_a"), s.alias("s_a"), F.lit(0).alias("__k")
+    )
+    near = df.filter(F.length(s) <= 2 * d).select(
+        F.col(id_col).alias("id_b"), s.alias("s_b"), F.lit(0).alias("__k")
+    )
+    cand_short = shorts.join(near, "__k").filter(order_ok).select(
+        "id_a", "id_b", "s_a", "s_b"
+    )
+
+    return (
+        cand.unionByName(cand_short)
+        .distinct()
+        .withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("dist") <= d)
+        .select("id_a", "id_b", "dist")
+    )

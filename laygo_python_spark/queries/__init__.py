@@ -57,6 +57,7 @@ def load_all() -> None:
         sampling_ops,
         similarity_ops,
         stats_ops,
+        stringsim_ops,
         streaming_ops,
         text_ops,
         text_ops2,

@@ -1,0 +1,58 @@
+"""edit_distance_pairs (operators/stringsim.py) — PassJoin-style segment
+filtering must lose NO pair vs brute force, including insert/delete pairs
+where segment positions shift.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from laygo_python_spark.operators.stringsim import edit_distance_pairs
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+def _truth(data: list[tuple[int, str]], d: int) -> list[tuple[int, int, int]]:
+    out = []
+    for (ia, sa), (ib, sb) in itertools.combinations(data, 2):
+        if (len(sa), ia) > (len(sb), ib):
+            (ia, sa), (ib, sb) = (ib, sb), (ia, sa)
+        dist = _lev(sa, sb)
+        if dist <= d:
+            out.append((ia, ib, dist))
+    return sorted(out)
+
+
+def test_known_pairs_with_indels(spark):
+    data = [(1, "kitten"), (2, "sitten"), (3, "sittin"), (4, "kitty"),
+            (5, "mitten"), (6, "kittens"), (7, "itten"), (8, "abc")]
+    df = spark.createDataFrame(data, "id int, s string")
+    got = sorted((r.id_a, r.id_b, r.dist) for r in edit_distance_pairs(df, "id", "s", 1).collect())
+    assert got == _truth(data, 1)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=2, max_size=8), min_size=2, max_size=14, unique=True
+    ),
+    d=st.integers(min_value=1, max_value=2),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_matches_bruteforce_on_random_strings(spark, words, d):
+    """Tiny alphabet ('abc') makes near-pairs common — the adversarial
+    case for candidate filtering. The join must equal brute force."""
+    data = list(enumerate(words))
+    df = spark.createDataFrame(data, "id int, s string")
+    got = sorted((r.id_a, r.id_b, r.dist) for r in edit_distance_pairs(df, "id", "s", d).collect())
+    assert got == _truth(data, d)
