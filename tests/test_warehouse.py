@@ -120,3 +120,28 @@ def test_snapshot_diff_shuffles_hashes_not_rows(spark):
     # above the join may carry it.
     join_and_above = plan.split("Join")[0]
     assert "payload" not in join_and_above
+
+
+def test_merge_upsert_mismatched_sets_raise(spark):
+    import pytest
+
+    t, s = _dim(spark), _changes(spark)
+    with pytest.raises(ValueError, match="same output columns"):
+        merge_upsert(t, s, on=["k"], update_set={"bal": t["bal"]}, insert_set={"name": F.lit("x")})
+
+
+def test_scd2_empty_input(spark):
+    log = spark.createDataFrame([], "k int, attr string, ts int")
+    assert scd2_collapse(log, key=["k"], attr="attr", ts="ts").count() == 0
+
+
+def test_gapfill_without_fill_cols_keeps_nulls(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 0)
+    sparse = spark.createDataFrame(
+        [("a", t0, 1.0), ("a", t0 + datetime.timedelta(hours=2), 3.0)], "s string, h timestamp, v double"
+    )
+    out = gapfill(sparse, series=["s"], ts="h", step="1 hour")
+    rows = {r["h"].hour: r for r in out.collect()}
+    assert rows[1]["v"] is None and rows[1]["filled"] is True
