@@ -83,3 +83,54 @@ def write_training_shards(
         .option("compression", compression)
         .parquet(path)
     )
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    compression: str = "zstd",
+) -> dict:
+    """Compact a small-file parquet directory in place.
+
+    Long-running ingestion (streaming foreachBatch, incremental backfill)
+    accretes many small files; scans then pay per-file open/footer cost
+    and lose row-group-level skipping. This rewrites the directory to
+    ~``target_mb`` files: file count derives from the directory's actual
+    bytes (Hadoop FS metadata — no data read), the rewrite is one
+    repartition, and the swap is write-to-temp + atomic-ish rename so a
+    crash never leaves the table half-deleted. Returns before/after file
+    counts.
+
+    At real scale run per-partition (pass the partition directory as
+    ``path``) so compaction parallelizes across partitions and touches
+    only hot ones.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = fs_path.getFileSystem(conf)
+
+    def _parquet_files(p):
+        return [
+            f for f in fs.listStatus(p)
+            if f.getPath().getName().endswith(".parquet")
+        ]
+
+    before = _parquet_files(fs_path)
+    total_bytes = sum(f.getLen() for f in before)
+    n_files = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+
+    tmp = jvm.org.apache.hadoop.fs.Path(path + "__compacting")
+    (
+        spark.read.parquet(path)
+        .repartition(int(n_files))
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(str(tmp))
+    )
+    backup = jvm.org.apache.hadoop.fs.Path(path + "__precompact")
+    fs.rename(fs_path, backup)
+    fs.rename(tmp, fs_path)
+    fs.delete(backup, True)
+    return {"files_before": len(before), "files_after": len(_parquet_files(fs_path)), "bytes": int(total_bytes)}

@@ -76,3 +76,16 @@ def test_register_tables_enables_raw_sql(spark, sf_dir):
     assert len(got) == 5 and sum(r["n"] for r in got) == spark.table("orders").count()
     # events rides through the nanos-timestamp normalization.
     assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    from laygo_python_spark.sources.sinks import compact_files
+
+    path = str(tmp_path / "frag")
+    # Fragmented table: 64 tiny files.
+    spark.range(0, 64_000).repartition(64).write.parquet(path)
+    stats = compact_files(spark, path, target_mb=128)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 64_000 and back.agg({"id": "sum"}).collect()[0][0] == 64_000 * 63_999 // 2
