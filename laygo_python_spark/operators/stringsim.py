@@ -111,16 +111,17 @@ def edit_distance_pairs(
 
     # Degenerate-length path: a string shorter than d+1 chars cannot be
     # partitioned into d+1 segments, so pairs whose SHORTER side has
-    # len <= d are matched in one tiny length-bounded bucket (partner
-    # len <= 2d by the length filter edit distance implies). Strings
-    # this short are a bounded vocabulary in any real corpus.
+    # len <= d are matched by an explicit broadcast CROSS join against
+    # the (len <= 2d) partners — strings this short are a bounded
+    # vocabulary in any real corpus, so the broadcast side stays tiny
+    # and the cross product is the honest plan, not an accident.
     shorts = df.filter(F.length(s) <= d).select(
-        F.col(id_col).alias("id_a"), s.alias("s_a"), F.lit(0).alias("__k")
+        F.col(id_col).alias("id_a"), s.alias("s_a")
     )
     near = df.filter(F.length(s) <= 2 * d).select(
-        F.col(id_col).alias("id_b"), s.alias("s_b"), F.lit(0).alias("__k")
+        F.col(id_col).alias("id_b"), s.alias("s_b")
     )
-    cand_short = shorts.join(near, "__k").filter(order_ok).select(
+    cand_short = near.crossJoin(F.broadcast(shorts)).filter(order_ok).select(
         "id_a", "id_b", "s_a", "s_b"
     )
 
