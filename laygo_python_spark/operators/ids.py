@@ -1,5 +1,10 @@
 """Global sequential ID assignment — the DataFrame ``zipWithIndex``.
 
+No reference counterpart (capability uplift): the reference's single
+process makes enumerate() trivial (reference laygo/pipeline.py:264-278
+iterates in order); distributed ordered numbering is exactly what it
+cannot do.
+
 The naive spelling, ``row_number() OVER (ORDER BY ...)`` with no
 partition key, funnels the ENTIRE dataset through one task — the classic
 accidental scale killer (it works at sf0.01 and dies at 100 TB). The

@@ -1,6 +1,10 @@
 """String-similarity self-join by edit distance — the PassJoin scheme
 (segment pigeonhole + shift windows), DataFrame-native.
 
+No reference counterpart (capability uplift): the reference has no join
+of any kind (SURVEY.md §2.4); its users do string comparison in plain
+Python lambdas one element at a time.
+
 All-pairs levenshtein is O(n²·len²) — dead at any scale. The pigeonhole
 argument: if edit(s, t) <= d, at least one of s's d+1 contiguous
 segments survives untouched, and its copy in t starts within ±d of its

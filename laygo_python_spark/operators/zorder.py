@@ -1,5 +1,9 @@
 """Z-order (Morton curve) data layout — multi-dimensional data skipping.
 
+No reference counterpart (capability uplift): the reference has no
+storage layer at all (laygo materializes to Python lists,
+reference laygo/pipeline.py:280-295).
+
 Sorting a table by ONE column gives parquet min/max pruning on that
 column only; queries filtering the second dimension scan everything.
 Interleaving the bits of both dimensions into one Morton key and
