@@ -214,12 +214,21 @@ def minhash_lsh_candidates(
     # compute the Python signature pass TWICE — the two mapInPandas
     # subtrees never canonicalize equal, so exchange reuse does not fire
     # (measured: 2 scans, 0 ReusedExchange). This shape runs signatures
-    # ONCE, shuffles (id, band_key) once, and the skew cap is a plain
-    # size() filter on the collected bucket instead of a window.
+    # ONCE in a single linear chain: one exchange on band_key feeds the
+    # window COUNT (O(1) state — it must cap the degenerate bucket
+    # BEFORE collect_list materializes it in an agg buffer) and then the
+    # collect_list on the same partitioning (no second exchange).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_key")
+    capped = (
+        band_entries.withColumn("__bc", F.count(F.lit(1)).over(w))
+        .filter((F.col("__bc") >= 2) & (F.col("__bc") <= max_bucket))
+        .drop("__bc")
+    )
     return (
-        band_entries.groupBy("band_key")
+        capped.groupBy("band_key")
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
         .select(F.explode(_sorted_pairs("ids")).alias("p"))
         .groupBy(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
@@ -464,15 +473,24 @@ def simhash_near_dups(
     # Pair generation WITHOUT a self-join (same rationale as
     # minhash_lsh_candidates: the fingerprint mapInPandas subtree would
     # execute once per join side — exchange reuse does not fire across
-    # Python-UDF subtrees). Collect each pigeonhole bucket, cap its size
-    # (skew guard), expand i<j pairs bucket-locally, then distinct the
-    # (pair, fingerprints) rows because close pairs agree on several
-    # chunks.
+    # Python-UDF subtrees). The window COUNT caps the degenerate bucket
+    # BEFORE collect_list materializes it (O(1) window state vs an
+    # unbounded agg buffer); collect_list then runs on the same
+    # partitioning with no second exchange, and pairs expand
+    # bucket-locally. distinct afterwards because close pairs agree on
+    # several chunks.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chunk_idx", "chunk_val")
+    capped = (
+        chunks.withColumn("__bc", F.count(F.lit(1)).over(w))
+        .filter((F.col("__bc") >= 2) & (F.col("__bc") <= max_bucket))
+        .drop("__bc")
+    )
     hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
     return (
-        chunks.groupBy("chunk_idx", "chunk_val")
+        capped.groupBy("chunk_idx", "chunk_val")
         .agg(F.collect_list("doc").alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
         .select(F.explode(_sorted_pairs("ids")).alias("p"))
         .select(
             F.col("p.a.id").alias("doc_id_a"),

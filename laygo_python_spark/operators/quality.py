@@ -29,8 +29,17 @@ def validate(
     Both outputs derive from one projection: at scale, persist the input
     (or write both sides in one foreachBatch) to avoid a double scan.
     """
+    # Null-safe failure test: a predicate evaluating to NULL (e.g.
+    # `col > 0` on a NULL value) is a FAILED check, not a pass — NULLs
+    # are the most common bad-row class and `~pred` alone would let them
+    # sail through as clean.
     failed = F.array_compact(
-        F.array(*[F.when(~pred, F.lit(name)) for name, pred in checks.items()])
+        F.array(
+            *[
+                F.when(~pred.eqNullSafe(F.lit(True)), F.lit(name))
+                for name, pred in checks.items()
+            ]
+        )
     )
     marked = df.withColumn("failed_checks", failed)
     clean = marked.filter(F.size("failed_checks") == 0).drop("failed_checks")

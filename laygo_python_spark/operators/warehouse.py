@@ -80,7 +80,13 @@ def scd2_collapse(df: DataFrame, key: list[str], attr: str, ts: str) -> DataFram
     """
     order_w = Window.partitionBy(*key).orderBy(ts)
     prev = F.lag(attr).over(order_w)
-    changed = prev.isNull() | (F.col(attr) != prev)
+    # Null-safe change detection: a transition TO or FROM a NULL attr is
+    # a real version change ('attribute cleared' histories); plain !=
+    # evaluates to NULL there and silently drops the version. The first
+    # row per key is detected by row number, not prev IS NULL, so a
+    # legitimate leading NULL attr still opens a version.
+    first_row = F.row_number().over(order_w) == 1
+    changed = first_row | ~F.col(attr).eqNullSafe(prev)
     versions = (
         df.withColumn("__chg", changed.cast("int"))
         .filter(F.col("__chg") == 1)
@@ -132,8 +138,12 @@ def gapfill(
             F.explode(F.sequence("__lo", "__hi", F.expr(f"interval {step}"))).alias(ts),
         )
     )
-    dense = grid.join(df, on=[*series, ts], how="left")
-    out = dense.withColumn("filled", F.col(fill_cols[0] if fill_cols else df.columns[-1]).isNull())
+    # Presence marker BEFORE the join: a source row carrying NULL in the
+    # fill column is a real observation, not a synthesized grid row —
+    # testing the fill column itself after the join can't tell them apart.
+    marked = df.withColumn("__present", F.lit(True))
+    dense = grid.join(marked, on=[*series, ts], how="left")
+    out = dense.withColumn("filled", F.col("__present").isNull()).drop("__present")
     if fill_cols:
         w = Window.partitionBy(*series).orderBy(ts).rowsBetween(Window.unboundedPreceding, 0)
         for c in fill_cols:

@@ -49,6 +49,11 @@ def zorder_layout(
     for c in cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
     bounds = df.agg(*aggs).collect()[0]
+    if any(bounds[f"__lo_{c}"] is None or bounds[f"__hi_{c}"] is None for c in cols):
+        # Empty input or an all-NULL dimension: there is nothing to order
+        # by — degrade to a plain repartition instead of crashing (empty
+        # incremental batches are a normal scheduled-job occurrence).
+        return df.repartition(num_partitions)
     scaled = []
     top = (1 << bits) - 1
     for c in cols:

@@ -79,19 +79,19 @@ def merge_upsert_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame
     "scd2_priority_history",
     oracle=f"""
     WITH log AS (
-      SELECT o_custkey, o_orderpriority, o_orderdate,
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
              lag(o_orderpriority) OVER w AS prev
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
     versions AS (
-      SELECT o_custkey, o_orderpriority, o_orderdate
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
       FROM log WHERE prev IS NULL OR o_orderpriority <> prev)
     SELECT o_custkey, o_orderpriority,
            strftime(o_orderdate, '{_TS_FMT_DUCK}') AS valid_from,
            strftime(lead(o_orderdate) OVER w2, '{_TS_FMT_DUCK}') AS valid_to,
            lead(o_orderdate) OVER w2 IS NULL AS is_current
     FROM versions
-    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
 )
 def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -129,8 +129,22 @@ def compact_files(
         .option("compression", compression)
         .parquet(str(tmp))
     )
+    # Hadoop rename returns False instead of raising — every step is
+    # checked, and the backup is deleted ONLY after the new data is in
+    # place, so no failure mode loses the table. A leftover backup from
+    # a crashed prior run aborts up front rather than being silently
+    # swallowed into a nested rename.
     backup = jvm.org.apache.hadoop.fs.Path(path + "__precompact")
-    fs.rename(fs_path, backup)
-    fs.rename(tmp, fs_path)
+    if fs.exists(backup):
+        raise RuntimeError(
+            f"{backup} exists — a previous compaction crashed mid-swap; "
+            "recover it (rename back or delete) before compacting again"
+        )
+    if not fs.rename(fs_path, backup):
+        fs.delete(tmp, True)
+        raise RuntimeError(f"compaction aborted: could not move {path} aside")
+    if not fs.rename(tmp, fs_path):
+        fs.rename(backup, fs_path)  # roll back — original data untouched
+        raise RuntimeError(f"compaction aborted: could not move compacted data into {path}")
     fs.delete(backup, True)
     return {"files_before": len(before), "files_after": len(_parquet_files(fs_path)), "bytes": int(total_bytes)}

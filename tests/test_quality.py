@@ -49,3 +49,13 @@ def test_flatten_schema_recurses_structs(spark):
     row = out.collect()[0]
     assert (row["s_name"], row["s_inner_score"], row["s_inner_ok"]) == ("x", 2.5, True)
     assert row["arr"] == [1, 2]
+
+
+def test_validate_null_predicate_is_a_failure(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, 5.0), (2, None), (3, -1.0)], "id int, amt double")
+    clean, violations = validate(df, checks={"amt_pos": F.col("amt") > 0})
+    assert [r["id"] for r in clean.collect()] == [1]
+    got = {r["id"]: r["failed_checks"] for r in violations.collect()}
+    assert got == {2: ["amt_pos"], 3: ["amt_pos"]}

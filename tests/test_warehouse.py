@@ -145,3 +145,40 @@ def test_gapfill_without_fill_cols_keeps_nulls(spark):
     out = gapfill(sparse, series=["s"], ts="h", step="1 hour")
     rows = {r["h"].hour: r for r in out.collect()}
     assert rows[1]["v"] is None and rows[1]["filled"] is True
+
+
+def test_scd2_null_attr_transitions(spark):
+    # A->NULL->A must yield THREE versions (the NULL period is real
+    # history), and a leading NULL attr opens a version.
+    log = spark.createDataFrame(
+        [(1, "A", 1), (1, None, 2), (1, "A", 3), (2, None, 1), (2, "B", 2)],
+        "k int, attr string, ts int",
+    )
+    rows = sorted(
+        (
+            (r["k"], r["attr"], r["valid_from"], r["valid_to"])
+            for r in scd2_collapse(log, key=["k"], attr="attr", ts="ts").collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert rows == [
+        (1, "A", 1, 2),
+        (1, None, 2, 3),
+        (1, "A", 3, None),
+        (2, None, 1, 2),
+        (2, "B", 2, None),
+    ]
+
+
+def test_gapfill_filled_flag_distinguishes_null_observation(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 0)
+    # Hour 0: real observation with NULL value; hour 1: genuinely missing.
+    sparse = spark.createDataFrame(
+        [("a", t0, None), ("a", t0 + datetime.timedelta(hours=2), 3.0)],
+        "s string, h timestamp, v double",
+    )
+    out = {r["h"].hour: r for r in gapfill(sparse, series=["s"], ts="h", step="1 hour").collect()}
+    assert out[0]["filled"] is False  # present row, NULL value — NOT synthesized
+    assert out[1]["filled"] is True

@@ -53,3 +53,10 @@ def test_zorder_files_narrow_on_both_dims(spark, tmp_path):
     # per dim; allow generous slack for curve boundaries).
     assert _avg_file_span(zf, "x") < 0.5 * full
     assert _avg_file_span(zf, "y") < 0.5 * full
+
+
+def test_zorder_empty_and_allnull_inputs_degrade_gracefully(spark):
+    empty = spark.createDataFrame([], "x int, y int")
+    assert zorder_layout(empty, ["x", "y"], num_partitions=4).count() == 0
+    nulls = spark.createDataFrame([(None, 1), (None, 2)], "x int, y int")
+    assert zorder_layout(nulls, ["x", "y"], num_partitions=2).count() == 2
