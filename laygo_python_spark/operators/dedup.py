@@ -456,7 +456,35 @@ def simhash_near_dups(
     if 64 % n_chunks != 0:
         raise ValueError("max_hamming+1 must divide 64 so chunks tile the fingerprint")
     chunk_bits = 64 // n_chunks
-    sh = simhash_fingerprints(docs, id_col, text_col)
+    # Fingerprints are pinned with an eager localCheckpoint: the pair
+    # self-join below reads them twice, and exchange reuse never fires
+    # across mapInPandas subtrees. The frame is (id, int64) — tiny at any
+    # scale — and unlike minhash (sparse buckets, cheap expansion), the
+    # pigeonhole buckets here are DENSE (natural occupancy n/2^16 per
+    # chunk value), so a collect_list + interpreted array expansion was
+    # measured 2x SLOWER at 1M docs than the codegen'd join (37 s vs
+    # 17 s); the join stays, the double Python pass goes.
+    spark = docs.sparkSession
+
+    def _persistent_ids() -> set[int]:
+        return {int(k) for k in dict(spark.sparkContext._jsc.getPersistentRDDs())}
+
+    pre = _persistent_ids()
+    sh = simhash_fingerprints(docs, id_col, text_col).localCheckpoint(eager=True)
+    pin_ids = _persistent_ids() - pre
+
+    # DataFrame.unpersist does NOT release a localCheckpoint (it is an
+    # RDD-level cache, invisible to the CacheManager) — so the result
+    # carries an explicit ``_release_pin()`` that unpersists the
+    # checkpoint blocks by RDD id. Without calling it, blocks are freed
+    # by the async ContextCleaner once the result is dereferenced.
+    def _release_pin() -> None:
+        live = dict(spark.sparkContext._jsc.getPersistentRDDs())
+        for i in pin_ids:
+            if int(i) in {int(k) for k in live}:
+                for k, v in live.items():
+                    if int(k) == int(i):
+                        v.unpersist(False)
     chunk_structs = [
         F.struct(
             F.lit(i).alias("chunk_idx"),
@@ -466,39 +494,34 @@ def simhash_near_dups(
         )
         for i in range(n_chunks)
     ]
-    chunks = sh.select(
-        F.struct(F.col(id_col).alias("id"), F.col("sh").alias("sh")).alias("doc"),
-        F.explode(F.array(*chunk_structs)).alias("c"),
-    ).select("doc", "c.chunk_idx", "c.chunk_val")
-    # Pair generation WITHOUT a self-join (same rationale as
-    # minhash_lsh_candidates: the fingerprint mapInPandas subtree would
-    # execute once per join side — exchange reuse does not fire across
-    # Python-UDF subtrees). The window COUNT caps the degenerate bucket
-    # BEFORE collect_list materializes it (O(1) window state vs an
-    # unbounded agg buffer); collect_list then runs on the same
-    # partitioning with no second exchange, and pairs expand
-    # bucket-locally. distinct afterwards because close pairs agree on
-    # several chunks.
     from pyspark.sql import Window
 
     w = Window.partitionBy("chunk_idx", "chunk_val")
-    capped = (
-        chunks.withColumn("__bc", F.count(F.lit(1)).over(w))
-        .filter((F.col("__bc") >= 2) & (F.col("__bc") <= max_bucket))
+    chunks = (
+        sh.select(id_col, "sh", F.explode(F.array(*chunk_structs)).alias("c"))
+        .select(id_col, "sh", "c.chunk_idx", "c.chunk_val")
+        .withColumn("__bc", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bc") <= max_bucket)
         .drop("__bc")
     )
-    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
-    return (
-        capped.groupBy("chunk_idx", "chunk_val")
-        .agg(F.collect_list("doc").alias("ids"))
-        .select(F.explode(_sorted_pairs("ids")).alias("p"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    out = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(
-            F.col("p.a.id").alias("doc_id_a"),
-            F.col("p.b.id").alias("doc_id_b"),
-            F.col("p.a.sh").alias("a_sh"),
-            F.col("p.b.sh").alias("b_sh"),
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
         )
         .distinct()
         .select("doc_id_a", "doc_id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+    out._release_pin = _release_pin  # deterministic release handle
+    return out

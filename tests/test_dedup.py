@@ -122,10 +122,13 @@ def test_connected_components_long_chain_converges(spark):
 def test_dedup_queries_leave_no_cached_blocks(spark, planted):
     """Persist hygiene: the pair-discovery operators must not leak cached
     blocks into a long-lived session (VERDICT r1: simhash's .persist()
-    accumulated blocks; the fix relies on ReusedExchange instead).
-    connected_components releases every superseded checkpoint eagerly —
-    only the blocks backing its RETURNED frame may remain."""
+    accumulated blocks with NO release path). simhash pins its
+    fingerprints with a localCheckpoint and the result carries an
+    explicit ``_release_pin()`` handle (DataFrame.unpersist cannot see
+    RDD-level checkpoint caches). connected_components releases superseded checkpoints
+    eagerly — only the blocks backing its RETURNED frame may remain."""
     import gc
+    import time
 
     def persistent() -> int:
         gc.collect()
@@ -133,11 +136,13 @@ def test_dedup_queries_leave_no_cached_blocks(spark, planted):
         return len(dict(spark.sparkContext._jsc.getPersistentRDDs()))
 
     base = persistent()
-    dedup.simhash_near_dups(planted).collect()
+    sim = dedup.simhash_near_dups(planted)
+    sim.collect()
+    sim._release_pin()  # deterministic release of the fingerprint pin
     dedup.minhash_lsh_candidates(planted).collect()
     dedup.ngram_jaccard_pairs(planted, threshold=0.5).collect()
     # <=: the async ContextCleaner may also release OLDER sessions' blocks
-    # while this test runs; the invariant is "no NEW blocks appear".
+    # while this test runs; the invariant is "no NEW blocks survive".
     assert persistent() <= base
 
     edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["doc_id_a", "doc_id_b"])
@@ -148,14 +153,15 @@ def test_dedup_queries_leave_no_cached_blocks(spark, planted):
 
 
 def test_simhash_fingerprints_compute_once(spark, planted):
-    """Pairs expand bucket-locally from collect_list — there is no
-    self-join, so the Python fingerprint pass appears exactly ONCE in
-    the executed plan (the old self-join spelling ran it per join side:
-    exchange reuse does not fire across Python-UDF subtrees)."""
+    """Fingerprints are pinned by an eager localCheckpoint before the
+    pair self-join (exchange reuse does not fire across Python-UDF
+    subtrees), so the executed plan reads the checkpointed RDD on both
+    join sides and contains NO Python stage — the mapInPandas pass ran
+    exactly once, at checkpoint time."""
     df = dedup.simhash_near_dups(planted)
     df.collect()
-    # The AQE toString echoes the Initial Plan below the Final Plan —
+    # AQE's toString echoes the Initial Plan below the Final Plan —
     # only the final section is what executed.
     plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
-    assert plan.count("MapInPandas") == 1
-    assert "Join" not in plan
+    assert "MapInPandas" not in plan
+    assert "ExistingRDD" in plan
