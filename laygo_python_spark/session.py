@@ -73,6 +73,12 @@ def get_spark(
         .config("spark.sql.join.preferSortMergeJoin", "false")
         # Deterministic timestamps for the DuckDB oracle (UTC-naive).
         .config("spark.sql.session.timeZone", "UTC")
+        # Naive parquet timestamps (no isAdjustedToUTC flag) read as
+        # TIMESTAMP (ltz), not TIMESTAMP_NTZ. With the UTC session zone
+        # the wall values are identical, and ltz keeps the whole
+        # timestamp function library (unix_micros, window, watermarks)
+        # applicable. DuckDB's epoch_us on the same naive column agrees.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Arrow for pandas_udf / mapInPandas / toPandas — the "chunk"
         # transport. 10k rows/batch ≈ the reference's chunk_size scaled
         # for columnar amortization (reference default 1000,
@@ -96,11 +102,13 @@ def get_spark(
     return spark
 
 
-# Tables whose parquet stores TIMESTAMP(NANOS) columns, which Spark 4
-# refuses natively. We read them as long nanos and truncate to micros —
-# integer division, never float (1.7e18 ns does not fit a double's
-# 53-bit mantissa). DuckDB truncates ns→us the same way, so the oracle
-# sees identical timestamps.
+# Tables whose parquet MAY store TIMESTAMP(NANOS) columns (one fixture
+# vintage did), which Spark 4 refuses natively. We read them as long
+# nanos and truncate to micros — integer division, never float (1.7e18
+# ns does not fit a double's 53-bit mantissa). DuckDB truncates ns→us
+# the same way, so the oracle sees identical timestamps. Later fixture
+# vintages store naive micros; those read straight through (as ltz,
+# see inferTimestampNTZ above).
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -113,6 +121,7 @@ def ensure_session_defaults(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:  # noqa: BLE001 — a locked-down conf is non-fatal
         pass
 
@@ -127,6 +136,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nanos_cols:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    # Belt-and-braces for sessions where inferTimestampNTZ couldn't be
+    # flipped (a locked-down driver session): NTZ -> ltz is a wall-value
+    # no-op under the UTC session zone, and it keeps unix_micros/window/
+    # watermark operators valid on every fixture vintage.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

@@ -14,10 +14,11 @@ from pyspark.sql import functions as F
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based stream over the events fixture (schema pinned —
-    streaming readers must not infer). The fixture stores ts as
-    TIMESTAMP(NANOS): read as long under nanosAsLong and truncate to
-    micros with integer division (same convention as session.read_table,
-    so batch and stream agree to the microsecond)."""
+    streaming readers must not infer). Handles both fixture vintages:
+    TIMESTAMP(NANOS) reads as long under nanosAsLong and truncates to
+    micros with integer division; naive micros reads as ltz (same
+    conventions as session.read_table, so batch and stream agree to the
+    microsecond)."""
     from laygo_python_spark.session import ensure_session_defaults
 
     ensure_session_defaults(spark)
@@ -30,6 +31,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Naive-micros fixture vintage read by a session where
+    # inferTimestampNTZ couldn't be flipped: NTZ is not a valid event-time
+    # type (no watermark support), so normalize to ltz — a wall-value
+    # no-op under the UTC session zone.
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
