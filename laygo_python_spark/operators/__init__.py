@@ -27,7 +27,7 @@ from laygo_python_spark.operators.similarity import (
     lsh_bucketed_topk,
 )
 from laygo_python_spark.operators.skew import salted_agg, salted_broadcast_join
-from laygo_python_spark.operators.cogroup import cogroup_apply
+from laygo_python_spark.operators.cogroup import cogroup_apply, cogroup_apply_arrow
 from laygo_python_spark.operators.ids import assign_sequential_ids
 from laygo_python_spark.operators.quality import flatten_schema, validate
 from laygo_python_spark.operators.warehouse import (
@@ -51,6 +51,7 @@ __all__ = [
     "lsh_bucketed_topk",
     "assign_sequential_ids",
     "cogroup_apply",
+    "cogroup_apply_arrow",
     "flatten_schema",
     "gapfill",
     "merge_upsert",

@@ -45,3 +45,36 @@ def test_cogroup_group_rows_arrive_together(spark):
     rows = out.collect()
     assert len(rows) == 5
     assert all(r["n_left"] == 20 and r["n_right"] == 40 for r in rows)
+
+
+def _make_summarize_arrow():
+    import pyarrow as pa
+
+    def summarize(lg: pa.Table, rg: pa.Table) -> pa.Table:
+        key = lg["k"][0].as_py() if lg.num_rows else rg["k"][0].as_py()
+        rsum = 0.0
+        if rg.num_rows:
+            rsum = float(sum(v.as_py() for v in rg["v"]))
+        return pa.table(
+            {
+                "k": pa.array([key], pa.int32()),
+                "n_left": pa.array([lg.num_rows], pa.int64()),
+                "n_right": pa.array([rg.num_rows], pa.int64()),
+                "right_sum": pa.array([rsum], pa.float64()),
+            }
+        )
+
+    return summarize
+
+
+def test_cogroup_arrow_matches_pandas(spark):
+    # The arrow transport is a drop-in for the pandas one: same shuffle
+    # plan, same per-key contract, identical results.
+    from laygo_python_spark.operators.cogroup import cogroup_apply_arrow
+
+    left = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, s string")
+    right = spark.createDataFrame([(2, 10.0), (2, 5.0), (3, 7.0)], "k int, v double")
+    schema = "k int, n_left long, n_right long, right_sum double"
+    via_pandas = cogroup_apply(left, right, on=["k"], fn=_make_summarize(), schema=schema)
+    via_arrow = cogroup_apply_arrow(left, right, on=["k"], fn=_make_summarize_arrow(), schema=schema)
+    assert sorted(map(tuple, via_pandas.collect())) == sorted(map(tuple, via_arrow.collect()))
