@@ -49,6 +49,7 @@ HEADLINE = [
     "winsorize_order_totals",
     "curation_pipeline",
     "assign_global_ids",
+    "cms_heavy_hitters",
 ]
 
 

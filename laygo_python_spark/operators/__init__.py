@@ -28,6 +28,8 @@ from laygo_python_spark.operators.similarity import (
 )
 from laygo_python_spark.operators.skew import salted_agg, salted_broadcast_join
 from laygo_python_spark.operators.cogroup import cogroup_apply, cogroup_apply_arrow
+from laygo_python_spark.operators.cms import cms_build, cms_estimate, cms_merge
+from laygo_python_spark.operators.pagerank import pagerank
 from laygo_python_spark.operators.ids import assign_sequential_ids
 from laygo_python_spark.operators.quality import flatten_schema, validate
 from laygo_python_spark.operators.warehouse import (
@@ -50,12 +52,16 @@ __all__ = [
     "ivf_topk",
     "lsh_bucketed_topk",
     "assign_sequential_ids",
+    "cms_build",
+    "cms_estimate",
+    "cms_merge",
     "cogroup_apply",
     "cogroup_apply_arrow",
     "flatten_schema",
     "gapfill",
     "merge_upsert",
     "morton_key",
+    "pagerank",
     "scd2_collapse",
     "snapshot_diff",
     "validate",

@@ -1,0 +1,90 @@
+"""Count-min sketch — a mergeable frequency sketch as a DataFrame.
+
+The reference has no sketch surface at all (laygo/transformers/
+transformer.py exposes only exact fold/reduce over chunks); this is
+uplift for the incremental-aggregation story alongside the HLL entry
+(queries/relational4.py sketch_merge_daily_users): store a tiny sketch
+per partition/day, merge sketches instead of rescanning raw data, and
+answer point frequency queries with a one-sided (over-estimate only)
+error bound.
+
+Representation: a sketch IS a DataFrame of ``(i, bucket, cnt)`` rows —
+the d×w counter matrix in sparse COO form. That makes every sketch
+operation relational and codegen-friendly:
+
+- build   = explode d (row, bucket) probes per key → groupBy sum
+            (partial aggregation does the map-side combine, so the
+            shuffle carries at most d×w rows per partition, never the
+            raw keys);
+- merge   = union + groupBy sum (counters are linear);
+- estimate= equi-join the d probes of each query key → min(cnt).
+
+Error contract (standard CMS, Cormode & Muthukrishnan 2005): estimates
+never under-count; over-count ≤ ε·N with probability 1−δ for
+w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉, where N is the total stream weight. At 100 TB
+the sketch stays ≤ d×w rows (e.g. 4×65536 ≈ 262k counters ≈ a few MB)
+no matter how many distinct keys the data has — that fixed footprint is
+the reason to prefer it over an exact groupBy count at the tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _probes(key: Column, d: int, w: int) -> Column:
+    """Array of d (i, bucket) structs for one key — xxhash64 seeded by the
+    row index i gives d independent hash functions, all JVM-side."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.pmod(F.xxhash64(key, F.lit(i)), F.lit(w)).alias("bucket"),
+            )
+            for i in range(d)
+        ]
+    )
+
+
+def cms_build(df: DataFrame, key: str, d: int = 4, w: int = 8192, weight: str | None = None) -> DataFrame:
+    """Sketch the frequency distribution of ``df[key]``.
+
+    Returns the sparse counter table ``(i int, bucket bigint, cnt bigint)``
+    — at most d×w rows however large df is. ``weight`` optionally counts
+    each row with a column's weight instead of 1 (e.g. pre-aggregated
+    (key, n) pairs)."""
+    wcol = F.col(weight) if weight else F.lit(1)
+    return (
+        df.select(F.explode(_probes(F.col(key), d, w)).alias("p"), wcol.alias("wt"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket"))
+        .agg(F.sum("wt").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union counter tables built with the SAME (d, w) — linearity of
+    counters makes merge a sum, which is what lets per-day/per-shard
+    sketches roll up without touching raw data."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("i", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key: str, d: int = 4, w: int = 8192) -> DataFrame:
+    """Point-frequency estimates for each distinct key in ``keys[key]``.
+
+    min over the d probed counters; a probe absent from the sparse table
+    is 0 (only possible for keys never inserted). The sketch side is
+    ≤ d×w rows, so it broadcasts — estimation is a map-side join however
+    many query keys stream through."""
+    probes = keys.select(
+        F.col(key), F.explode(_probes(F.col(key), d, w)).alias("p")
+    ).select(key, F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["i", "bucket"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy(key)
+        .agg(F.min("cnt").alias("est"))
+    )

@@ -1,0 +1,79 @@
+"""PageRank — iterative DataFrame power iteration.
+
+The reference's only iteration primitive is ``loop`` (reference
+laygo/transformers/transformer.py:346-392), which re-runs a transformer
+over the whole chunk stream; it has no join, so no graph algorithm is
+expressible there. This is uplift in the same family as the
+connected-components clustering (operators/dedup.py): a fixpoint-style
+algorithm written as a bounded loop of relational operations.
+
+Scale posture (same discipline as connected components):
+
+- edges are hash-partitioned on ``src`` ONCE and persisted — every
+  iteration's contribution join reuses that partitioning, so the
+  per-round shuffle moves only the rank vector (|V| rows), never the
+  edge list (|E| rows);
+- ranks are ``localCheckpoint``-ed each round: without it, round k
+  replans rounds 1..k-1 (quadratic work) and the lineage eventually
+  blows the planner. Measured on connected components: 30 s → 3.4 s.
+- a fixed iteration count (power iteration converges geometrically at
+  rate = damping) rather than a convergence test — at 100 TB a
+  convergence check is another full pass per round; published practice
+  is 10-20 fixed rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Rank nodes of a directed graph given an edge list.
+
+    Standard uniform-init power iteration:
+    ``r₀ = 1/N; rₖ₊₁(v) = (1-d)/N + d·Σ_{u→v} rₖ(u)/deg(u)``.
+    Nodes with no out-edges (dangling) keep receiving but stop
+    contributing — callers wanting the redistribute-dangling-mass
+    variant should symmetrize the edge list first (an undirected graph
+    has none). Returns ``(node, pr)`` unrounded.
+    """
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Pre-join out-degree into the edge table and hash-partition on src
+    # ONCE: the per-round work is then one shuffle of the rank vector to
+    # this fixed layout plus one contribution aggregation — |E| never
+    # moves again.
+    e = raw.join(deg, "src").repartition("src").persist()
+    nodes = (
+        raw.select(F.col("src").alias("node"))
+        .unionByName(raw.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    try:
+        for _ in range(iterations):
+            contrib = e.join(ranks.withColumnRenamed("node", "src"), "src").select(
+                F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("c")
+            )
+            ranks = (
+                nodes.join(contrib.groupBy("node").agg(F.sum("c").alias("s")), "node", "left")
+                .select(
+                    "node",
+                    (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("pr"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+    return ranks

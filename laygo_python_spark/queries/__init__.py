@@ -44,6 +44,7 @@ def load_all() -> None:
         cogroup_ops,
         core_ops,
         dedup_ops,
+        graph_ops,
         functions_ops,
         ids_ops,
         interval_ops,

@@ -134,3 +134,39 @@ def sketch_merge_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         F.round(F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users"), 4).alias("rel_err"),
     )
+
+
+@query("cms_heavy_hitters")  # rows-only: sketch internals are engine-specific
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates (operators/cms.py) in the
+    incremental-aggregate shape: one small sketch per day, merged by
+    counter addition, point-queried for every candidate user — the
+    workflow that answers "how often did X occur this month" from a few
+    MB of stored sketches instead of a rescan of raw events. Emits the
+    exact twin and the over-estimate (CMS error is one-sided: est ≥
+    exact always; pytest pins that bound and the merge linearity). Top
+    20 by estimate with user_id tiebreak so the output is deterministic
+    however the error lands."""
+    from laygo_python_spark.operators.cms import cms_build, cms_estimate, cms_merge
+
+    ev = _t(spark, sf_dir, "events")
+    d, w = 4, 8192
+    daily = [
+        cms_build(ev.filter(F.dayofmonth("ts") == day), "user_id", d, w)
+        for day in (1, 2, 3)
+    ]
+    merged = cms_merge(*daily)
+    in_days = ev.filter(F.dayofmonth("ts").isin(1, 2, 3))
+    est = cms_estimate(merged, in_days.select("user_id").distinct(), "user_id", d, w)
+    exact = in_days.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "est",
+            "exact",
+            (F.col("est") - F.col("exact")).alias("overcount"),
+        )
+        .orderBy(F.desc("est"), "user_id")
+        .limit(20)
+    )

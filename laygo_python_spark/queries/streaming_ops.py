@@ -129,3 +129,50 @@ def stream_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 15 MINUTES")),
     ).select("click_id", "error_id")
     return run_to_completion(joined, "stream_ssj", output_mode="append")
+
+
+def _running_user_count(key, pdfs, state):
+    """Stateful kernel: running per-user event count kept in the state
+    store across micro-batches (module-level so executors import it)."""
+    import pandas as pd
+
+    total = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        total += len(pdf)
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+
+@query(
+    "stream_stateful_user_counts",
+    oracle="""
+    SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): arbitrary
+    per-key state carried across micro-batches — the upgrade over the
+    reference's shared context dict (SURVEY.md §2.10/§2.11), which has
+    no keyed state, no store, no recovery. Update-mode emissions are
+    drained to a sink and collapsed with max(), so the final running
+    count per user must equal the batch GROUP BY count exactly.
+
+    100 TB posture: state is partitioned by key in the state store
+    (RocksDB-backed on a real cluster) and each micro-batch touches only
+    keys present in that batch; use timeouts to evict idle keys when the
+    key space is unbounded."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_user_count,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    drained = run_to_completion(stream, "stream_stateful_counts", output_mode="update")
+    return drained.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

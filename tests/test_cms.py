@@ -1,0 +1,69 @@
+"""Count-min sketch (operators/cms.py) — the three properties that make
+it trustworthy at scale: one-sided error, merge linearity, and a fixed
+footprint independent of key cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from laygo_python_spark.operators.cms import cms_build, cms_estimate, cms_merge
+
+
+def _freq_table(spark, rows):
+    return spark.createDataFrame([(k,) for k in rows], "k string")
+
+
+def test_cms_never_undercounts(spark):
+    # Tight w forces collisions; the estimate must still bound the truth
+    # from above for EVERY key — the one-sided CMS guarantee.
+    data = [f"u{i % 50}" for i in range(2000)] + ["heavy"] * 500
+    df = _freq_table(spark, data)
+    sk = cms_build(df, "k", d=3, w=16)
+    est = cms_estimate(sk, df.select("k").distinct(), "k", d=3, w=16)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+    joined = est.join(exact, "k").collect()
+    assert len(joined) == 51
+    assert all(r["est"] >= r["exact"] for r in joined)
+    heavy = next(r for r in joined if r["k"] == "heavy")
+    assert heavy["est"] >= 500
+
+
+def test_cms_exact_when_wide(spark):
+    # w >> distinct keys → collision-free with overwhelming probability →
+    # estimates are exact (and deterministic: xxhash64 is seeded).
+    data = [f"u{i % 20}" for i in range(1000)]
+    df = _freq_table(spark, data)
+    sk = cms_build(df, "k", d=4, w=4096)
+    est = cms_estimate(sk, df.select("k").distinct(), "k", d=4, w=4096)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+    assert all(r["est"] == r["exact"] for r in est.join(exact, "k").collect())
+
+
+def test_cms_merge_equals_whole(spark):
+    # Counter linearity: sketch(A) + sketch(B) is bit-identical to
+    # sketch(A ∪ B) — the property that lets per-day sketches roll up.
+    a = _freq_table(spark, [f"x{i % 7}" for i in range(300)])
+    b = _freq_table(spark, [f"x{i % 11}" for i in range(400)])
+    merged = cms_merge(cms_build(a, "k"), cms_build(b, "k"))
+    whole = cms_build(a.unionByName(b), "k")
+    as_set = lambda df: {(r["i"], r["bucket"], r["cnt"]) for r in df.collect()}  # noqa: E731
+    assert as_set(merged) == as_set(whole)
+
+
+def test_cms_footprint_bounded(spark):
+    # 5k distinct keys through a d=4, w=64 sketch: at most 256 counters.
+    df = spark.range(5000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    sk = cms_build(df, "k", d=4, w=64)
+    assert sk.count() <= 4 * 64
+
+
+def test_cms_weighted_build(spark):
+    # weight= consumes pre-aggregated (key, n) pairs — building from a
+    # partial groupBy must equal building from the raw stream.
+    raw = _freq_table(spark, [f"u{i % 5}" for i in range(200)])
+    pre = raw.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    from_raw = cms_build(raw, "k", d=3, w=512)
+    from_pre = cms_build(pre, "k", d=3, w=512, weight="n")
+    as_set = lambda df: {(r["i"], r["bucket"], r["cnt"]) for r in df.collect()}  # noqa: E731
+    assert as_set(from_raw) == as_set(from_pre)

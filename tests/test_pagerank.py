@@ -1,0 +1,52 @@
+"""pagerank (operators/pagerank.py) vs an in-test pure-Python power
+iteration — the differential-model style the join/dedup operators use.
+"""
+
+from __future__ import annotations
+
+from laygo_python_spark.operators.pagerank import pagerank
+
+
+def _model(edges, iters=5, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out = {u: 0 for u in nodes}
+    for u, _ in edges:
+        out[u] += 1
+    r = {u: 1.0 / len(nodes) for u in nodes}
+    for _ in range(iters):
+        nxt = {u: (1 - d) / len(nodes) for u in nodes}
+        for u, v in edges:
+            nxt[v] += d * r[u] / out[u]
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_python_model(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (2, 4), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank(df, iterations=5).collect()}
+    want = _model(edges)
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-12 for k in want)
+
+
+def test_pagerank_dangling_node_keeps_receiving(spark):
+    # 2 has no out-edges: it must still appear with rank >= (1-d)/N, and
+    # the run must not error (contribution join just has no rows for it).
+    df = spark.createDataFrame([(1, 2), (3, 2), (3, 1)], "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank(df, iterations=3).collect()}
+    want = _model([(1, 2), (3, 2), (3, 1)], iters=3)
+    assert set(got) == {1, 2, 3}
+    assert all(abs(got[k] - want[k]) < 1e-12 for k in want)
+    assert got[2] > got[3]  # sink accumulates, pure source decays
+
+
+def test_pagerank_repeated_calls_agree(spark):
+    # Deterministic across invocations (fresh persists each call — the
+    # operator unpersists its edge/node caches in a finally block;
+    # localCheckpoint blocks are released by driver GC, not leaked
+    # explicit persists).
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    a = sorted(map(tuple, pagerank(df, iterations=4).collect()))
+    b = sorted(map(tuple, pagerank(df, iterations=4).collect()))
+    assert a == b
