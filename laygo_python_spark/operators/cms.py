@@ -50,40 +50,64 @@ def _probes(key: Column, d: int, w: int) -> Column:
 def cms_build(df: DataFrame, key: str, d: int = 4, w: int = 8192, weight: str | None = None) -> DataFrame:
     """Sketch the frequency distribution of ``df[key]``.
 
-    Returns the sparse counter table ``(i int, bucket bigint, cnt bigint)``
-    — at most d×w rows however large df is. ``weight`` optionally counts
-    each row with a column's weight instead of 1 (e.g. pre-aggregated
-    (key, n) pairs)."""
+    Returns the sparse counter table ``(i int, bucket bigint, cnt
+    bigint, d int, w int)`` — at most d×w rows however large df is. The
+    (d, w) geometry rides along as constant columns (free under parquet
+    RLE) so merge/estimate can verify they operate on compatible
+    sketches instead of silently undercounting. ``weight`` optionally
+    counts each row with a column's weight instead of 1 (e.g.
+    pre-aggregated (key, n) pairs)."""
     wcol = F.col(weight) if weight else F.lit(1)
     return (
         df.select(F.explode(_probes(F.col(key), d, w)).alias("p"), wcol.alias("wt"))
         .groupBy(F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket"))
         .agg(F.sum("wt").alias("cnt"))
+        .withColumns({"d": F.lit(d), "w": F.lit(w)})
     )
+
+
+def _geometry(sketch: DataFrame, what: str) -> tuple[int, int]:
+    """Read the (d, w) constants a sketch carries; one tiny driver action
+    (the sketch is ≤ d×w rows). Loud failure beats a silent undercount:
+    mixing sketch geometries is the one misuse that breaks the CMS
+    never-undercount guarantee without any visible error."""
+    rows = sketch.select("d", "w").distinct().collect()
+    if len(rows) != 1:
+        raise ValueError(f"{what}: mixed sketch geometries {sorted((r['d'], r['w']) for r in rows)}")
+    return rows[0]["d"], rows[0]["w"]
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Union counter tables built with the SAME (d, w) — linearity of
     counters makes merge a sum, which is what lets per-day/per-shard
-    sketches roll up without touching raw data."""
+    sketches roll up without touching raw data. Raises on geometry
+    mismatch rather than summing misaligned counters."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("i", "bucket").agg(F.sum("cnt").alias("cnt"))
+    _geometry(out, "cms_merge")
+    return out.groupBy("i", "bucket", "d", "w").agg(F.sum("cnt").alias("cnt")).select(
+        "i", "bucket", "cnt", "d", "w"
+    )
 
 
-def cms_estimate(sketch: DataFrame, keys: DataFrame, key: str, d: int = 4, w: int = 8192) -> DataFrame:
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key: str, d: int | None = None, w: int | None = None) -> DataFrame:
     """Point-frequency estimates for each distinct key in ``keys[key]``.
 
     min over the d probed counters; a probe absent from the sparse table
-    is 0 (only possible for keys never inserted). The sketch side is
-    ≤ d×w rows, so it broadcasts — estimation is a map-side join however
-    many query keys stream through."""
+    is 0 (only possible for keys never inserted). The probe geometry is
+    read from the sketch itself (pass d/w only to assert expectations —
+    a mismatch raises instead of silently estimating 0). The sketch side
+    is ≤ d×w rows, so it broadcasts — estimation is a map-side join
+    however many query keys stream through."""
+    sd, sw = _geometry(sketch, "cms_estimate")
+    if (d is not None and d != sd) or (w is not None and w != sw):
+        raise ValueError(f"cms_estimate: sketch was built with (d={sd}, w={sw}), caller expected (d={d}, w={w})")
     probes = keys.select(
-        F.col(key), F.explode(_probes(F.col(key), d, w)).alias("p")
+        F.col(key), F.explode(_probes(F.col(key), sd, sw)).alias("p")
     ).select(key, F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket"))
     return (
-        probes.join(F.broadcast(sketch), ["i", "bucket"], "left")
+        probes.join(F.broadcast(sketch.select("i", "bucket", "cnt")), ["i", "bucket"], "left")
         .fillna(0, subset=["cnt"])
         .groupBy(key)
         .agg(F.min("cnt").alias("est"))

@@ -58,6 +58,12 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        # Empty edge list (e.g. an upstream filter matched nothing):
+        # empty ranks, not a driver-side ZeroDivisionError.
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.withColumn("pr", F.lit(0.0))
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     try:

@@ -19,7 +19,10 @@ from laygo_python_spark.queries import query
 from laygo_python_spark.session import read_table as _t
 
 # Part nodes are offset so supplier ids and part ids share one integer
-# node space (fixture keys are < 100000 at every SF the driver uses).
+# node space. The invariant is on the UN-offset side: suppkey must stay
+# below the offset (TPC-H has 10,000×SF suppliers, so this holds to
+# SF=10; the driver's fixtures top out at SF=0.1). Part keys may exceed
+# the offset freely — they're the side being shifted.
 _OFF = 100000
 
 _PR_ITER = """

@@ -67,3 +67,27 @@ def test_cms_weighted_build(spark):
     from_pre = cms_build(pre, "k", d=3, w=512, weight="n")
     as_set = lambda df: {(r["i"], r["bucket"], r["cnt"]) for r in df.collect()}  # noqa: E731
     assert as_set(from_raw) == as_set(from_pre)
+
+
+def test_cms_geometry_mismatch_raises(spark):
+    import pytest
+
+    from laygo_python_spark.operators.cms import cms_merge
+
+    df = _freq_table(spark, ["a", "b", "a"])
+    sk_narrow = cms_build(df, "k", d=3, w=64)
+    sk_wide = cms_build(df, "k", d=3, w=128)
+    with pytest.raises(ValueError, match="mixed sketch geometries"):
+        cms_merge(sk_narrow, sk_wide)
+    with pytest.raises(ValueError, match="built with"):
+        cms_estimate(sk_wide, df.select("k").distinct(), "k", d=3, w=64)
+
+
+def test_cms_estimate_reads_geometry_from_sketch(spark):
+    # No (d, w) passed at estimate time: the sketch's own geometry is
+    # used, so build/estimate can never disagree silently.
+    df = _freq_table(spark, [f"u{i % 10}" for i in range(300)])
+    sk = cms_build(df, "k", d=5, w=2048)
+    est = cms_estimate(sk, df.select("k").distinct(), "k")
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+    assert all(r["est"] == r["exact"] for r in est.join(exact, "k").collect())

@@ -50,3 +50,10 @@ def test_pagerank_repeated_calls_agree(spark):
     a = sorted(map(tuple, pagerank(df, iterations=4).collect()))
     b = sorted(map(tuple, pagerank(df, iterations=4).collect()))
     assert a == b
+
+
+def test_pagerank_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(df, iterations=3)
+    assert out.columns == ["node", "pr"]
+    assert out.count() == 0

@@ -51,3 +51,16 @@ def test_multimodal_decode_features_contract(spark, sf_dir):
     # Deterministic stub: same input → identical output.
     again = QUERIES["multimodal_decode_features"](spark, sf_dir).collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_cms_heavy_hitters_semantic_pin(spark, sf_dir):
+    # The registered query must honor the CMS contract on real data:
+    # every estimate bounds its exact twin from above, overcount is
+    # exactly est - exact, and repeated runs agree (seeded hashes).
+    a = QUERIES["cms_heavy_hitters"](spark, sf_dir).collect()
+    assert 0 < len(a) <= 20
+    for r in a:
+        assert r["est"] >= r["exact"] >= 1, r
+        assert r["overcount"] == r["est"] - r["exact"], r
+    b = QUERIES["cms_heavy_hitters"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

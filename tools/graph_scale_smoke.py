@@ -1,18 +1,20 @@
 """PageRank + count-min-sketch scale smoke.
 
-PageRank: a synthetic power-law-ish graph (each node links to id/2 and
-id/3 — hub structure, no dangling after symmetrization) at 10^6 edges;
-asserts the probability mass is conserved (Σpr ≈ 1, the invariant a
+PageRank: a synthetic hub graph (each node links to id/2 and id/3, then
+symmetrized — the CLI argument counts DIRECTED pre-symmetrization
+links, so the run holds ~2× that many edges; the JSON reports the true
+count). Asserts probability mass is conserved (Σpr ≈ 1, the invariant a
 wrong contribution join breaks first) and prints sec/round. Rounds are
 fixed (power iteration), so wall time scales linearly with |E| — the
 per-round shuffle carries only the rank vector (operators/pagerank.py).
 
-CMS: 10^7 rows with a Zipf-ish key distribution through a 4×65536
-sketch; asserts the sketch never exceeds d×w rows, the heavy key's
-estimate bounds its true count from above, and build time is map-only
-fast (one shuffle of ≤ d×w rows per partition).
+CMS: 10^7 rows over ~1000 near-uniform keys PLUS one planted heavy key
+carrying ~9% of all mass, through a 4×65536 sketch; asserts the sketch
+never exceeds d×w rows, that the heavy key tops the estimates with an
+exact (collision-free) count, and that every top-5 estimate bounds its
+true count from above.
 
-Usage: python tools/graph_scale_smoke.py [pr_edges] [cms_rows]
+Usage: python tools/graph_scale_smoke.py [pr_links] [cms_rows]
 Prints one JSON line per smoke.
 """
 
@@ -32,8 +34,9 @@ from laygo_python_spark.operators.pagerank import pagerank  # noqa: E402
 from laygo_python_spark.session import get_spark  # noqa: E402
 
 
-def pagerank_smoke(spark, n_edges: int) -> None:
-    n_nodes = n_edges // 2
+def pagerank_smoke(spark, n_links: int) -> None:
+    # ~2 directed links per node before symmetrization.
+    n_nodes = n_links // 2
     half = (
         spark.range(2, n_nodes)
         .select(F.col("id").alias("src"), (F.col("id") / 2).cast("long").alias("dst"))
@@ -68,21 +71,35 @@ def pagerank_smoke(spark, n_edges: int) -> None:
 
 
 def cms_smoke(spark, n_rows: int) -> None:
-    # Zipf-ish: key = floor(n / (id mod n + 1)) concentrates mass on few
-    # keys; key 0 is planted 10× beyond its organic share.
+    # ~1000 near-uniform keys, plus every (id % 11 == 0) row remapped to
+    # planted key -1 → one genuinely heavy key holding ~9% of all mass.
     d, w = 4, 65536
     df = spark.range(n_rows).select(
-        (F.lit(n_rows) / (F.pmod(F.col("id"), F.lit(997)) + 1)).cast("long").alias("k")
+        F.when(F.pmod(F.col("id"), F.lit(11)) == 0, F.lit(-1))
+        .otherwise((F.lit(n_rows) / (F.pmod(F.col("id"), F.lit(997)) + 1)).cast("long"))
+        .alias("k")
     )
     t = time.time()
     sk = cms_build(df, "k", d=d, w=w)
     sk_rows = sk.count()
     build = time.time() - t
     assert sk_rows <= d * w, sk_rows
-    heavy = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact")).orderBy(F.desc("exact")).limit(5)
+    # Deterministic top-5 (key tiebreak) and persisted, so the two uses
+    # below — probe set and join side — can't resolve to different rows.
+    heavy = (
+        df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.desc("exact"), "k")
+        .limit(5)
+        .persist()
+    )
     est = cms_estimate(sk, heavy.select("k"), "k", d=d, w=w)
     j = est.join(heavy, "k").collect()
+    heavy.unpersist()
+    assert len(j) == 5, j
     assert all(r["est"] >= r["exact"] for r in j), j
+    top = max(j, key=lambda r: r["est"])
+    assert top["k"] == -1 and top["exact"] >= n_rows // 11, top
     max_over = max(r["est"] - r["exact"] for r in j)
     print(
         json.dumps(
@@ -98,10 +115,10 @@ def cms_smoke(spark, n_rows: int) -> None:
 
 
 def main() -> None:
-    pr_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    pr_links = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     cms_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
     spark = get_spark("graph_scale_smoke")
-    pagerank_smoke(spark, pr_edges)
+    pagerank_smoke(spark, pr_links)
     cms_smoke(spark, cms_rows)
 
 
