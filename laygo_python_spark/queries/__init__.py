@@ -49,6 +49,7 @@ def load_all() -> None:
         ids_ops,
         interval_ops,
         mixing_ops,
+        pysource_ops,
         relational,
         relational2,
         relational3,

@@ -1,0 +1,122 @@
+"""Custom Python DataSource — the generator-source parity surface.
+
+The reference feeds pipelines from arbitrary Python generators
+(reference laygo/pipeline.py:94-112 accepts any iterable; the profiler
+uses unbounded generators, reference profiler/basic.py:5-11). The naive
+Spark translation — materialize the generator on the driver and
+``createDataFrame`` — is exactly the driver bottleneck this engine
+exists to avoid. Spark 4's Python DataSource API is the idiomatic form:
+the generator logic runs ON EXECUTORS, partitioned, with each partition
+producing its own deterministic id range.
+
+Two surfaces on one source class:
+
+- batch  (``spark.read.format("synthetic_events")``): n rows split over
+  ``partitions`` input partitions — the bounded-generator case;
+- stream (``spark.readStream.format("synthetic_events")``): micro-batches
+  of ``batch`` rows until the ``n`` cap, then empty batches (offset
+  stops advancing) so ``processAllAvailable`` terminates — the
+  unbounded-generator case with a test-friendly bound.
+
+Rows are formula-generated from the row id (no RNG), so the SAME rows
+can be reproduced by any engine from a range table — which is what makes
+the registered query DuckDB-oracle-able (``FROM range(...)``) and the
+stream provably equal to the batch.
+
+100 TB posture: generation is embarrassingly parallel and executor-side;
+the driver only plans id ranges. This is also the template for wrapping
+a real external feed (paginated API, message log): partition by shard /
+offset range, yield tuples, let Spark own retries per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+EVENT_TYPES = ("click", "view", "error", "purchase", "scroll")
+
+
+def _row(i: int) -> tuple[int, int, str, float]:
+    """One deterministic event per id — integer-derived doubles only, so
+    every engine computes bit-identical values."""
+    return (i, i % 1000, EVENT_TYPES[i % 5], (i % 997) / 10.0)
+
+
+# The same derivation as ANSI SQL, for oracles: DuckDB/Spark both
+# evaluate it identically over a range table.
+ROW_SQL = (
+    "i AS event_id, i % 1000 AS user_id, "
+    "CASE i % 5 WHEN 0 THEN 'click' WHEN 1 THEN 'view' WHEN 2 THEN 'error' "
+    "WHEN 3 THEN 'purchase' ELSE 'scroll' END AS event_type, "
+    "(i % 997) / 10.0 AS value"
+)
+
+
+class _IdRange(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start, self.end = start, end
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 10_000))
+        self.parts = max(1, int(options.get("partitions", 8)))
+
+    def partitions(self) -> list[_IdRange]:
+        step = -(-self.n // self.parts)
+        return [_IdRange(s, min(s + step, self.n)) for s in range(0, self.n, step)]
+
+    def read(self, partition: _IdRange):
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+
+class _StreamReader(SimpleDataSourceStreamReader):
+    """Micro-batched generator: offset = next unread id. Past the ``n``
+    cap it returns empty batches with an unmoved offset, which is how a
+    bounded test stream signals drain without a real unbounded source's
+    blocking semantics."""
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 10_000))
+        self.batch = int(options.get("batch", 1_000))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + self.batch, self.n)
+        return iter([_row(i) for i in range(lo, hi)]), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # Replay for recovery: same formula, same rows.
+        return iter([_row(i) for i in range(start["i"], end["i"])])
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.dataSource.register(SyntheticEventsDataSource)`` then read
+    format ``synthetic_events`` with options n / partitions / batch."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, event_type string, value double"
+
+    def reader(self, schema) -> _BatchReader:
+        return _BatchReader(self.options)
+
+    def simpleStreamReader(self, schema) -> _StreamReader:
+        return _StreamReader(self.options)
+
+
+def register(spark: SparkSession) -> None:
+    spark.dataSource.register(SyntheticEventsDataSource)
