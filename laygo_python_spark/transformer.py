@@ -655,6 +655,15 @@ class Transformer:
         algebra can't express (reference UDAF-analog, SURVEY.md §2.12)."""
         return self._with(lambda df, ctx: df.groupBy(*keys).applyInPandas(fn, schema=schema))
 
+    def group_apply_arrow(self, keys: list[str], fn: Callable, schema: Any) -> "Transformer":
+        """``group_apply`` on the pyarrow transport: ``fn(pa.Table) ->
+        pa.Table`` per key group, no pandas materialization. Same shuffle
+        plan; prefer it for many-small-groups workloads where the
+        per-group cost is transport conversion, not logic (measured 2.3×
+        on ~1k single-row cogroups — operators/cogroup.py). Keep the
+        pandas form when per-group logic wants pandas semantics."""
+        return self._with(lambda df, ctx: df.groupBy(*keys).applyInArrow(fn, schema=schema))
+
     def order_by(self, *cols: Column | str) -> "Transformer":
         return self._with(lambda df, ctx: df.orderBy(*cols))
 

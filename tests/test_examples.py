@@ -64,3 +64,17 @@ def test_warehouse_maintenance_end_to_end(spark, sf_dir, tmp_path):
     assert stats["grid_rows"] > 0
     back = spark.read.parquet(str(tmp_path / "dim_customer"))
     assert back.count() >= 150  # sf0.001 customer count
+
+
+def test_incremental_analytics(spark):
+    import incremental_analytics as inc
+
+    from laygo_python_spark.sources.python_datasource import register
+
+    register(spark)
+    top, distinct_est = inc.incremental_heavy_users(spark)
+    # 120k events over user_id = id % 1000 → every user ~120 events;
+    # CMS estimates bound truth from above, HLL is within 5%.
+    assert len(top) == 10
+    assert all(est >= 120 for _, est in top)
+    assert abs(distinct_est - 1000) <= 50

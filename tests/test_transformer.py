@@ -479,3 +479,31 @@ def test_loop_chunks_no_iterations(spark):
         .to_list()
     )
     assert sorted(result) == [1, 2, 3]
+
+
+def test_group_apply_arrow_matches_pandas(spark):
+    import pandas as pd
+    import pyarrow as pa
+
+    from laygo_python_spark.transformer import Transformer
+
+    df = spark.range(100).selectExpr("CAST(id % 7 AS INT) AS k", "CAST(id AS DOUBLE) AS v")
+
+    def via_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [int(pdf["k"].iloc[0])], "s": [float(pdf["v"].sum())]})
+
+    def via_arrow(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "k": pa.array([tbl["k"][0].as_py()], pa.int32()),
+                "s": pa.array([pc.sum(tbl["v"]).as_py()], pa.float64()),
+            }
+        )
+
+    schema = "k int, s double"
+    a = Transformer().group_apply(["k"], via_pandas, schema)(df, None).collect()
+    b = Transformer().group_apply_arrow(["k"], via_arrow, schema)(df, None).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 7
