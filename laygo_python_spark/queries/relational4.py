@@ -170,3 +170,53 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est"), "user_id")
         .limit(20)
     )
+
+
+@query("qsketch_value_quantiles")  # rows-only: bucket rounding is engine-specific
+def qsketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/qsketch.py) in the
+    incremental shape: one log-bucketed histogram per event day, merged
+    by counter addition, quantiles answered from the merged sketch. The
+    exact twins ride along so the rows-only check pins the relative
+    error (pytest asserts ≤ 2·(gamma-1)); at 100 TB you'd store only
+    the per-day sketches and never rescan raw events."""
+    from laygo_python_spark.operators.qsketch import (
+        qsketch_build,
+        qsketch_merge,
+        qsketch_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    gamma = 1.02
+    daily = [
+        qsketch_build(ev.filter(F.dayofmonth("ts") == day).select("value"), "value", gamma)
+        for day in (1, 2, 3)
+    ]
+    merged = qsketch_merge(*daily)
+    qs = [0.5, 0.95, 0.99]
+    est = qsketch_quantiles(merged, qs)
+    exact = (
+        ev.filter(F.dayofmonth("ts").isin(1, 2, 3))
+        .agg(*[F.percentile("value", F.lit(q)).alias(f"e{int(q * 100)}") for q in qs])
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(q).alias("q"), F.col(f"e{int(q * 100)}").alias("exact"))
+                        for q in qs
+                    ]
+                )
+            ).alias("x")
+        )
+        .select("x.q", "x.exact")
+    )
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            F.round("est", 4).alias("est"),
+            F.round("exact", 4).alias("exact"),
+            F.round(F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 4).alias("rel_err"),
+        )
+        .orderBy("q")
+    )

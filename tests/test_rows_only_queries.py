@@ -64,3 +64,12 @@ def test_cms_heavy_hitters_semantic_pin(spark, sf_dir):
         assert r["overcount"] == r["est"] - r["exact"], r
     b = QUERIES["cms_heavy_hitters"](spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_qsketch_value_quantiles_semantic_pin(spark, sf_dir):
+    rows = QUERIES["qsketch_value_quantiles"](spark, sf_dir).collect()
+    assert [r["q"] for r in rows] == [0.5, 0.95, 0.99]
+    for r in rows:
+        # gamma=1.02 → relative error ≤ ~2(gamma-1); rel_err is derived.
+        assert r["rel_err"] <= 0.04, r
+        assert abs(r["rel_err"] - abs(r["est"] - r["exact"]) / r["exact"]) < 1e-3
