@@ -66,6 +66,30 @@ def cms_build(df: DataFrame, key: str, d: int = 4, w: int = 8192, weight: str | 
     )
 
 
+def cms_build_sharded(df: DataFrame, key: str, shard, d: int = 4, w: int = 8192, weight: str | None = None) -> DataFrame:
+    """Per-shard sketches in ONE pass: ``(shard, i, bucket, cnt, d, w)``.
+
+    The backfill shape — when the shards are partitions of one table
+    (date-partitioned parquet, say), building each day's sketch with a
+    separate filtered scan reads the table N times; keying the build by
+    the shard column reads it once. Feeding the result straight to
+    ``cms_merge`` collapses the shard axis (counter linearity again);
+    store it as-is to keep per-shard rollups queryable. ``shard`` is a
+    column name or Column expression (e.g. ``F.to_date("ts")``)."""
+    shard_col = F.col(shard) if isinstance(shard, str) else shard
+    wcol = F.col(weight) if weight else F.lit(1)
+    return (
+        df.select(
+            shard_col.alias("shard"),
+            F.explode(_probes(F.col(key), d, w)).alias("p"),
+            wcol.alias("wt"),
+        )
+        .groupBy("shard", F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket"))
+        .agg(F.sum("wt").alias("cnt"))
+        .withColumns({"d": F.lit(d), "w": F.lit(w)})
+    )
+
+
 def _geometry(sketch: DataFrame, what: str) -> tuple[int, int]:
     """Read the (d, w) constants a sketch carries; one tiny driver action
     (the sketch is ≤ d×w rows). Loud failure beats a silent undercount:

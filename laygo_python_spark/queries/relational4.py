@@ -147,16 +147,16 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact always; pytest pins that bound and the merge linearity). Top
     20 by estimate with user_id tiebreak so the output is deterministic
     however the error lands."""
-    from laygo_python_spark.operators.cms import cms_build, cms_estimate, cms_merge
+    from laygo_python_spark.operators.cms import cms_build_sharded, cms_estimate, cms_merge
 
     ev = _t(spark, sf_dir, "events")
     d, w = 4, 8192
-    daily = [
-        cms_build(ev.filter(F.dayofmonth("ts") == day), "user_id", d, w)
-        for day in (1, 2, 3)
-    ]
-    merged = cms_merge(*daily)
     in_days = ev.filter(F.dayofmonth("ts").isin(1, 2, 3))
+    # One scan builds ALL the daily sketches (shard = day); the merge
+    # collapses the shard axis. Separate per-day cms_build calls would
+    # rescan the table once per day.
+    daily = cms_build_sharded(in_days, "user_id", F.dayofmonth("ts"), d, w)
+    merged = cms_merge(daily)
     est = cms_estimate(merged, in_days.select("user_id").distinct(), "user_id", d, w)
     exact = in_days.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
     return (

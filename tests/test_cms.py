@@ -91,3 +91,19 @@ def test_cms_estimate_reads_geometry_from_sketch(spark):
     est = cms_estimate(sk, df.select("k").distinct(), "k")
     exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
     assert all(r["est"] == r["exact"] for r in est.join(exact, "k").collect())
+
+
+def test_cms_sharded_build_merges_to_whole(spark):
+    # One-pass sharded build, then merge, must equal the sketch of the
+    # whole stream — and each shard's slice must equal a filtered build.
+    from laygo_python_spark.operators.cms import cms_build_sharded
+
+    df = spark.range(2000).selectExpr(
+        "CAST(id % 3 AS INT) AS day", "concat('u', id % 40) AS k"
+    )
+    sharded = cms_build_sharded(df, "k", "day", d=3, w=256)
+    whole = cms_build(df, "k", d=3, w=256)
+    as_set = lambda d_: {(r["i"], r["bucket"], r["cnt"]) for r in d_.collect()}  # noqa: E731
+    assert as_set(cms_merge(sharded)) == as_set(whole)
+    one_day = cms_build(df.filter("day = 1"), "k", d=3, w=256)
+    assert as_set(sharded.filter("shard = 1").drop("shard")) == as_set(one_day)
