@@ -107,3 +107,17 @@ def test_cms_sharded_build_merges_to_whole(spark):
     assert as_set(cms_merge(sharded)) == as_set(whole)
     one_day = cms_build(df.filter("day = 1"), "k", d=3, w=256)
     assert as_set(sharded.filter("shard = 1").drop("shard")) == as_set(one_day)
+
+
+def test_cms_parquet_roundtrip(spark, tmp_path):
+    # The incremental story says "store per-shard sketches, merge later":
+    # a sketch written to parquet and read back must merge and estimate
+    # identically (schema, geometry columns, and counters all survive).
+    df = _freq_table(spark, [f"u{i % 25}" for i in range(800)])
+    sk = cms_build(df, "k", d=4, w=1024)
+    path = str(tmp_path / "sketch")
+    sk.write.parquet(path)
+    back = spark.read.parquet(path)
+    est = cms_estimate(cms_merge(back, sk), df.select("k").distinct(), "k")
+    exact = df.groupBy("k").agg((2 * F.count(F.lit(1))).alias("doubled"))
+    assert all(r["est"] == r["doubled"] for r in est.join(exact, "k").collect())

@@ -48,3 +48,14 @@ def test_gamma_mismatch_raises(spark):
     df = spark.range(100).select(F.col("id").cast("double").alias("v"))
     with pytest.raises(ValueError, match="mixed sketch gammas"):
         qsketch_merge(qsketch_build(df, "v", gamma=1.02), qsketch_build(df, "v", gamma=1.05))
+
+
+def test_qsketch_parquet_roundtrip(spark, tmp_path):
+    df = spark.range(1, 20_001).select((F.col("id") / 7.0).alias("v"))
+    sk = qsketch_build(df, "v", gamma=1.02)
+    path = str(tmp_path / "qsketch")
+    sk.write.parquet(path)
+    back = spark.read.parquet(path)
+    a = sorted(map(tuple, qsketch_quantiles(sk, [0.5, 0.9]).collect()))
+    b = sorted(map(tuple, qsketch_quantiles(back, [0.5, 0.9]).collect()))
+    assert a == b
