@@ -34,11 +34,18 @@ def asof_join(
     values: list[str],
     right_on: str | None = None,
     suffix: str = "_asof",
+    tolerance=None,
 ) -> DataFrame:
     """For each left row, attach the ``values`` columns of the latest
     right row with ``right[right_on] <= left[on]`` within the same
     ``by`` group (backward as-of, ties included). Left rows with no
     prior right row get nulls — left-join semantics.
+
+    ``tolerance`` (pd.merge_asof parity): a Column/literal bounding how
+    stale the match may be — matches older than ``on - tolerance`` are
+    nulled. Same units as the time columns (an INTERVAL expression for
+    timestamps, a number for numerics). Applied AFTER the window fill,
+    so it adds zero shuffles.
     """
     right_on = right_on or on
     out_values = [f"{v}{suffix}" for v in values]
@@ -48,7 +55,12 @@ def asof_join(
     # value is genuinely NULL attaches as NULL (pd.merge_asof semantics)
     # instead of being skipped by a per-column ignorenulls last() — and
     # every attached value comes from the SAME reference row.
-    ref_struct = F.struct(*[F.col(v).alias(ov) for v, ov in zip(values, out_values)])
+    # __rt carries the matched row's own time so a post-fill tolerance
+    # check can see how stale the match is.
+    ref_struct = F.struct(
+        *[F.col(v).alias(ov) for v, ov in zip(values, out_values)],
+        F.col(right_on).alias("__rt"),
+    )
 
     probe = left.select(
         *by,
@@ -56,7 +68,9 @@ def asof_join(
         F.lit(1).alias("__is_probe"),
         F.struct(*left.columns).alias("__row"),
         F.lit(None).cast(
-            "struct<" + ",".join(f"{ov}:{right.schema[v].dataType.simpleString()}" for v, ov in zip(values, out_values)) + ">"
+            "struct<"
+            + ",".join(f"{ov}:{right.schema[v].dataType.simpleString()}" for v, ov in zip(values, out_values))
+            + f",__rt:{right.schema[right_on].dataType.simpleString()}>"
         ).alias("__ref"),
     )
     ref = right.select(
@@ -74,8 +88,12 @@ def asof_join(
     filled = probe.unionByName(ref).select(
         "__is_probe",
         "__row",
+        "__t",
         F.last("__ref", ignorenulls=True).over(w).alias("__ref"),
     )
+    if tolerance is not None:
+        fresh = (F.col("__t") - F.col("__ref.__rt")) <= tolerance
+        filled = filled.withColumn("__ref", F.when(fresh, F.col("__ref")))
     return filled.filter(F.col("__is_probe") == 1).select(
         *[F.col(f"__row.{c}").alias(c) for c in left.columns],
         *[F.col(f"__ref.{ov}").alias(ov) for ov in out_values],

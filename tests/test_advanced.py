@@ -160,3 +160,37 @@ def test_sketch_merge_matches_exact_within_tolerance(spark, sf_dir):
     row = sketch_merge_daily_users(spark, sf_dir).collect()[0]
     assert row["n_days"] >= 28
     assert row["rel_err"] < 0.05, row
+
+
+def test_asof_tolerance_matches_pandas(spark):
+    # Differential vs pd.merge_asof(tolerance=...): matches staler than
+    # the tolerance must come back NULL, fresh ones unchanged.
+    import pandas as pd
+
+    probes_pd = pd.DataFrame({"k": [1, 1, 1, 2], "t": [10, 25, 100, 50], "pid": [0, 1, 2, 3]})
+    refs_pd = pd.DataFrame({"k": [1, 1, 2], "t": [8, 20, 10], "v": [1.0, 2.0, 9.0]})
+    want = pd.merge_asof(
+        probes_pd.sort_values("t"),
+        refs_pd.sort_values("t"),
+        on="t",
+        by="k",
+        tolerance=15,
+    ).set_index("pid")["v"]
+
+    probes = spark.createDataFrame(probes_pd)
+    refs = spark.createDataFrame(refs_pd)
+    got = {
+        r["pid"]: r["v_asof"]
+        for r in asof_join(probes, refs, on="t", by=["k"], values=["v"], tolerance=15).collect()
+    }
+    for pid in probes_pd["pid"]:
+        w = want.loc[pid]
+        g = got[pid]
+        assert (pd.isna(w) and g is None) or w == g, (pid, w, g)
+
+
+def test_asof_no_tolerance_unchanged(spark):
+    probes = spark.createDataFrame([(1, 100, 0)], "k int, t int, pid int")
+    refs = spark.createDataFrame([(1, 1, 7.0)], "k int, t int, v double")
+    out = asof_join(probes, refs, on="t", by=["k"], values=["v"]).first()
+    assert out["v_asof"] == 7.0  # arbitrarily stale still matches without tolerance
