@@ -1,5 +1,5 @@
-"""As-of (backward) join — an operator Spark lacks natively
-(pyspark has no merge_asof analog in the DataFrame API).
+"""As-of join — an operator Spark lacks natively (pyspark has no
+merge_asof analog in the DataFrame API).
 
 Implementation: the union+window trick, not a range join —
 
@@ -13,6 +13,10 @@ Implementation: the union+window trick, not a range join —
    all values come from the same row — pd.merge_asof semantics);
 4. keep only probe rows.
 
+``direction="forward"`` mirrors it (first over current..following);
+``"nearest"`` evaluates both windows — same single shuffle, two sorts —
+and picks the closer match per row.
+
 Cost: ONE shuffle on the join keys + a sort within partitions — same
 price as a window function, no per-group Python, no O(n·m) range join.
 At 100 TB this is the only shape that works when both sides are large;
@@ -22,7 +26,7 @@ window state per key would not fit (not needed here).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -35,18 +39,25 @@ def asof_join(
     right_on: str | None = None,
     suffix: str = "_asof",
     tolerance=None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the ``values`` columns of the latest
-    right row with ``right[right_on] <= left[on]`` within the same
-    ``by`` group (backward as-of, ties included). Left rows with no
-    prior right row get nulls — left-join semantics.
+    """For each left row, attach the ``values`` columns of the matching
+    right row within the same ``by`` group; left rows with no match get
+    nulls — left-join semantics. ``direction`` (pd.merge_asof parity):
 
-    ``tolerance`` (pd.merge_asof parity): a Column/literal bounding how
-    stale the match may be — matches older than ``on - tolerance`` are
-    nulled. Same units as the time columns (an INTERVAL expression for
-    timestamps, a number for numerics). Applied AFTER the window fill,
-    so it adds zero shuffles.
+    - ``"backward"`` (default): latest right row with
+      ``right[right_on] <= left[on]`` (ties included);
+    - ``"forward"``: earliest right row with ``right_on >= on``;
+    - ``"nearest"``: whichever of the two is closer in time
+      (backward wins exact-distance ties, matching pandas).
+
+    ``tolerance``: a Column/literal bounding how far the match may be —
+    farther matches are nulled. Same units as the time columns (an
+    INTERVAL expression for timestamps, a number for numerics). Applied
+    AFTER the window fill, so it adds zero shuffles.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     right_on = right_on or on
     out_values = [f"{v}{suffix}" for v in values]
 
@@ -55,8 +66,8 @@ def asof_join(
     # value is genuinely NULL attaches as NULL (pd.merge_asof semantics)
     # instead of being skipped by a per-column ignorenulls last() — and
     # every attached value comes from the SAME reference row.
-    # __rt carries the matched row's own time so a post-fill tolerance
-    # check can see how stale the match is.
+    # __rt carries the matched row's own time so tolerance/nearest can
+    # see the match distance after the fill.
     ref_struct = F.struct(
         *[F.col(v).alias(ov) for v, ov in zip(values, out_values)],
         F.col(right_on).alias("__rt"),
@@ -80,21 +91,51 @@ def asof_join(
         F.lit(None).cast(probe.schema["__row"].dataType).alias("__row"),
         ref_struct.alias("__ref"),
     )
-    w = (
+    unioned = probe.unionByName(ref)
+
+    # Backward: refs sort BEFORE probes at equal t so <= holds under
+    # last() over preceding..current. Forward mirrors: probes first,
+    # first() over current..following.
+    wb = (
         Window.partitionBy(*by)
-        .orderBy("__t", "__is_probe")  # reference sorts before probe at equal t → <= semantics
+        .orderBy("__t", "__is_probe")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = probe.unionByName(ref).select(
-        "__is_probe",
-        "__row",
-        "__t",
-        F.last("__ref", ignorenulls=True).over(w).alias("__ref"),
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy("__t", F.desc("__is_probe"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    if tolerance is not None:
-        fresh = (F.col("__t") - F.col("__ref.__rt")) <= tolerance
-        filled = filled.withColumn("__ref", F.when(fresh, F.col("__ref")))
-    return filled.filter(F.col("__is_probe") == 1).select(
+
+    def _bounded(match: Column, dist: Column) -> Column:
+        if tolerance is None:
+            return match
+        return F.when(dist <= tolerance, match)
+
+    cols = ["__is_probe", "__row", "__t"]
+    if direction == "backward":
+        filled = unioned.select(*cols, F.last("__ref", ignorenulls=True).over(wb).alias("__m"))
+        chosen = _bounded(F.col("__m"), F.col("__t") - F.col("__m.__rt"))
+    elif direction == "forward":
+        filled = unioned.select(*cols, F.first("__ref", ignorenulls=True).over(wf).alias("__m"))
+        chosen = _bounded(F.col("__m"), F.col("__m.__rt") - F.col("__t"))
+    else:  # nearest: one shuffle, two sorts, pick the closer fresh match
+        filled = unioned.select(
+            *cols,
+            F.last("__ref", ignorenulls=True).over(wb).alias("__b"),
+            F.first("__ref", ignorenulls=True).over(wf).alias("__f"),
+        )
+        back = _bounded(F.col("__b"), F.col("__t") - F.col("__b.__rt"))
+        fwd = _bounded(F.col("__f"), F.col("__f.__rt") - F.col("__t"))
+        closer_fwd = (F.col("__f.__rt") - F.col("__t")) < (F.col("__t") - F.col("__b.__rt"))
+        chosen = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(closer_fwd, fwd)
+            .otherwise(back)  # exact-distance tie → backward (pandas)
+        )
+
+    return filled.withColumn("__ref", chosen).filter(F.col("__is_probe") == 1).select(
         *[F.col(f"__row.{c}").alias(c) for c in left.columns],
         *[F.col(f"__ref.{ov}").alias(ov) for ov in out_values],
     )

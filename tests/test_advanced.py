@@ -194,3 +194,47 @@ def test_asof_no_tolerance_unchanged(spark):
     refs = spark.createDataFrame([(1, 1, 7.0)], "k int, t int, v double")
     out = asof_join(probes, refs, on="t", by=["k"], values=["v"]).first()
     assert out["v_asof"] == 7.0  # arbitrarily stale still matches without tolerance
+
+
+def test_asof_directions_match_pandas(spark):
+    # Differential vs pd.merge_asof across all three directions,
+    # with and without tolerance, including exact-distance ties
+    # (probe t=30 sits exactly between refs at 25 and 35).
+    import pandas as pd
+
+    probes_pd = pd.DataFrame(
+        {"k": [1, 1, 1, 1, 2, 2], "t": [5, 22, 30, 90, 7, 60], "pid": [0, 1, 2, 3, 4, 5]}
+    )
+    refs_pd = pd.DataFrame(
+        {"k": [1, 1, 1, 2, 2], "t": [10, 25, 35, 8, 40], "v": [1.0, 2.0, 3.0, 9.0, 8.0]}
+    )
+    probes = spark.createDataFrame(probes_pd)
+    refs = spark.createDataFrame(refs_pd)
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 10):
+            want = pd.merge_asof(
+                probes_pd.sort_values("t"),
+                refs_pd.sort_values("t"),
+                on="t",
+                by="k",
+                direction=direction,
+                **({} if tol is None else {"tolerance": tol}),
+            ).set_index("pid")["v"]
+            got = {
+                r["pid"]: r["v_asof"]
+                for r in asof_join(
+                    probes, refs, on="t", by=["k"], values=["v"],
+                    direction=direction, tolerance=tol,
+                ).collect()
+            }
+            for pid in probes_pd["pid"]:
+                w, g = want.loc[pid], got[pid]
+                assert (pd.isna(w) and g is None) or w == g, (direction, tol, pid, w, g)
+
+
+def test_asof_bad_direction_raises(spark):
+    import pytest
+
+    probes = spark.createDataFrame([(1, 1, 0)], "k int, t int, pid int")
+    with pytest.raises(ValueError, match="unknown direction"):
+        asof_join(probes, probes, on="t", by=["k"], values=["pid"], direction="sideways")
