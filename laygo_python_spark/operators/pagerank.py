@@ -34,18 +34,23 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
 ) -> DataFrame:
     """Rank nodes of a directed graph given an edge list.
 
     Standard uniform-init power iteration:
-    ``r₀ = 1/N; rₖ₊₁(v) = (1-d)/N + d·Σ_{u→v} rₖ(u)/deg(u)``.
-    Nodes with no out-edges (dangling) keep receiving but stop
-    contributing — callers wanting the redistribute-dangling-mass
-    variant should symmetrize the edge list first (an undirected graph
-    has none). Returns ``(node, pr)`` unrounded.
+    ``r₀ = 1/N; rₖ₊₁(v) = (1-d)/N + d·Σ_{u→v} rₖ(u)·w(u,v)/W(u)``
+    where w is the edge weight (1 when ``weight`` is None) and W(u) the
+    source's total out-weight — each node still distributes exactly its
+    rank, so mass conservation holds weighted or not. Nodes with no
+    out-edges (dangling) keep receiving but stop contributing — callers
+    wanting the redistribute-dangling-mass variant should symmetrize the
+    edge list first (an undirected graph has none). Returns
+    ``(node, pr)`` unrounded.
     """
-    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    wcol = F.col(weight) if weight else F.lit(1.0)
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), wcol.alias("w"))
+    deg = raw.groupBy("src").agg(F.sum("w").alias("deg"))
     # Pre-join out-degree into the edge table and hash-partition on src
     # ONCE: the per-round work is then one shuffle of the rank vector to
     # this fixed layout plus one contribution aggregation — |E| never
@@ -69,7 +74,8 @@ def pagerank(
     try:
         for _ in range(iterations):
             contrib = e.join(ranks.withColumnRenamed("node", "src"), "src").select(
-                F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("c")
+                F.col("dst").alias("node"),
+                (F.col("pr") * F.col("w") / F.col("deg")).alias("c"),
             )
             ranks = (
                 nodes.join(contrib.groupBy("node").agg(F.sum("c").alias("s")), "node", "left")

@@ -57,3 +57,26 @@ def test_pagerank_empty_edges(spark):
     out = pagerank(df, iterations=3)
     assert out.columns == ["node", "pr"]
     assert out.count() == 0
+
+
+def test_weighted_pagerank_matches_model(spark):
+    edges = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0)]
+
+    def model(iters=4, d=0.85):
+        nodes = {1, 2, 3}
+        out = {u: sum(w for a, _, w in edges if a == u) for u in nodes}
+        r = {u: 1 / 3 for u in nodes}
+        for _ in range(iters):
+            nxt = {u: (1 - d) / 3 for u in nodes}
+            for u, v, w in edges:
+                nxt[v] += d * r[u] * w / out[u]
+            r = nxt
+        return r
+
+    df = spark.createDataFrame(edges, "src long, dst long, wt double")
+    got = {r["node"]: r["pr"] for r in pagerank(df, iterations=4, weight="wt").collect()}
+    want = model()
+    assert all(abs(got[k] - want[k]) < 1e-12 for k in want)
+    # weight=None must equal the unweighted model (all weights 1).
+    un = {r["node"]: r["pr"] for r in pagerank(df.drop("wt"), iterations=4).collect()}
+    assert un != got  # weights actually change the answer on this graph
