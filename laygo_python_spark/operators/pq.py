@@ -1,0 +1,179 @@
+"""Product quantization (PQ) — compressed-domain ANN scoring.
+
+Third leg of the ANN family: SRP-LSH (operators/similarity.py, no
+training, distribution-free) and IVF (operators/ivf.py, partition
+pruning) cut the CANDIDATE COUNT; PQ cuts the BYTES PER CANDIDATE. A
+dim=64 float32 vector is 256 bytes; its PQ code at m=8 subspaces × 256
+centroids is 8 bytes — 32×. At 100 TB of embeddings that is the
+difference between scanning vectors and scanning codes: the corpus is
+stored/shuffled as codes, and queries score candidates with per-subspace
+lookup tables (ADC — asymmetric distance computation, Jégou et al. 2011)
+instead of touching raw floats. Compose with IVF in production
+(IVF cells → PQ codes within each cell); standalone here so each index's
+recall is measurable in isolation.
+
+Training is a bounded driver-side sample (same posture as IVF's k-means:
+codebooks are m×ksub×dsub doubles — a few KB — shipped in task closures),
+with an explicit size guard like brute_force_topk's. Encode and score
+run in numpy over Arrow batches; nothing per-row, nothing JVM-interpreted.
+
+Cosine note: vectors are L2-normalized before train/encode, so the
+inner-product ADC score approximates cosine and ranks identically to the
+exact operators' cosine for well-quantized vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_MAX_TRAIN = 200_000  # rows the driver may collect for codebook training
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return mat / n
+
+
+def _kmeans_1sub(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Tiny seeded Lloyd's for one subspace (x: (n, dsub)) — numpy only,
+    deterministic, good enough for codebooks (exact ML k-means is
+    overkill for 8-dim subspaces)."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(x))
+    cent = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent
+
+
+def train_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 32,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    iters: int = 10,
+) -> np.ndarray:
+    """(m × ksub × dsub) codebooks from a bounded corpus sample.
+
+    Raises if the training collect would exceed the driver guard —
+    sample upstream (``df.limit``/hash-sample) for bigger corpora; the
+    codebooks only need a representative sample, not the corpus."""
+    n = corpus.count()
+    if n > _MAX_TRAIN:
+        raise ValueError(
+            f"train_codebooks: {n} rows exceeds the {_MAX_TRAIN} driver guard; "
+            "train on a bounded sample (e.g. corpus.limit(100_000))"
+        )
+    mat = np.array(
+        [r[0] for r in corpus.select(vec_col).collect()], dtype=np.float64
+    )
+    mat = _normalize(mat)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"train_codebooks: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack(
+        [
+            _kmeans_1sub(mat[:, s * dsub : (s + 1) * dsub], ksub, iters, seed + s)
+            for s in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — m small ints per vector; the form the
+    corpus is STORED in (write once, scan codes forever)."""
+    import pandas as pd
+
+    m, _, dsub = codebooks.shape
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for s in range(m):
+                sub = mat[:, s * dsub : (s + 1) * dsub]  # (n, dsub)
+                cb = codebooks[s]  # (ksub, dsub)
+                d2 = (cb**2).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "codes": codes.tolist()})
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=f"{id_col} long, codes array<int>")
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: each query builds an (m × ksub) inner-product lookup
+    table against the codebooks, then every corpus CODE row is scored by
+    m table lookups — no raw corpus floats anywhere. Queries ride in the
+    task closure (bounded by the same guard as training); per-batch
+    partial top-k keeps the shuffle at candidates × queries, and a final
+    window takes the global top-k. Returns (query_id, neighbor_id, sim,
+    rank) like the other ANN operators."""
+    import pandas as pd
+
+    m, ksub, dsub = codebooks.shape
+    qrows = queries.select(id_col, vec_col).collect()
+    if len(qrows) > 10_000:
+        raise ValueError("pq_topk: query side exceeds 10k; batch your queries")
+    qids = np.array([r[0] for r in qrows])
+    qmat = _normalize(np.array([r[1] for r in qrows], dtype=np.float64))  # (q, dim)
+    # (q, m, ksub): LUT[q, s, c] = <query_s, codebook[s, c]>
+    lut = np.stack(
+        [qmat[:, s * dsub : (s + 1) * dsub] @ codebooks[s].T for s in range(m)], axis=1
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            nids = pdf[id_col].to_numpy()
+            # sims[q, n] = Σ_s LUT[q, s, codes[n, s]] — m column-gathers
+            # of the (q, ksub) tables, no raw vectors anywhere.
+            sims = np.zeros((len(qids), len(codes)))
+            for s in range(m):
+                sims += lut[:, s, :][:, codes[:, s]]
+            # Drop self-matches BEFORE the partial top-k, or a batch
+            # containing the query vector yields only k-1 real hits.
+            sims[nids[None, :] == qids[:, None]] = -np.inf
+            top = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            out_q = np.repeat(qids, top)
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "neighbor_id": nids[idx].reshape(-1),
+                    "sim": np.take_along_axis(sims, idx, axis=1).reshape(-1),
+                }
+            )
+
+    scored = corpus_codes.mapInPandas(run, schema="query_id long, neighbor_id long, sim double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -79,6 +79,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
 
 
+@query("ann_pq_topk")  # rows-only: approximate by design (quantized codes)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-k (operators/pq.py): the
+    corpus is scored as m-byte codes via ADC lookup tables — the
+    compressed-domain complement to LSH (candidate pruning) and IVF
+    (partition pruning). Recall vs brute force is asserted in
+    tests/test_pq.py."""
+    from laygo_python_spark.operators.pq import pq_encode, pq_topk, train_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_codebooks(emb, m=32, ksub=64)
+    out = pq_topk(pq_encode(emb, cb), emb.filter(F.col("vec_id") < 5), cb, k=10)
+    return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
+
+
 @query("embedding_near_dups")  # rows-only: approximate by design
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim >= 0.35) discovered

@@ -73,3 +73,16 @@ def test_qsketch_value_quantiles_semantic_pin(spark, sf_dir):
         # gamma=1.02 → relative error ≤ ~2(gamma-1); rel_err is derived.
         assert r["rel_err"] <= 0.04, r
         assert abs(r["rel_err"] - abs(r["est"] - r["exact"]) / r["exact"]) < 1e-3
+
+
+def test_ann_pq_topk_semantic_pin(spark, sf_dir):
+    rows = QUERIES["ann_pq_topk"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == list(range(1, 11))
+        sims = [r["sim"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
