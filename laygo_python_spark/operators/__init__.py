@@ -30,7 +30,7 @@ from laygo_python_spark.operators.skew import salted_agg, salted_broadcast_join
 from laygo_python_spark.operators.cogroup import cogroup_apply, cogroup_apply_arrow
 from laygo_python_spark.operators.cms import cms_build, cms_estimate, cms_merge
 from laygo_python_spark.operators.pagerank import pagerank
-from laygo_python_spark.operators.pq import pq_encode, pq_topk, train_codebooks
+from laygo_python_spark.operators.pq import ivfpq_topk, pq_encode, pq_topk, train_codebooks
 from laygo_python_spark.operators.qsketch import qsketch_build, qsketch_merge, qsketch_quantiles
 from laygo_python_spark.operators.ids import assign_sequential_ids
 from laygo_python_spark.operators.quality import flatten_schema, validate
@@ -64,6 +64,7 @@ __all__ = [
     "merge_upsert",
     "morton_key",
     "pagerank",
+    "ivfpq_topk",
     "pq_encode",
     "pq_topk",
     "train_codebooks",

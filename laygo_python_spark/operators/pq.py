@@ -186,3 +186,80 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ — the production composition: IVF cells prune WHICH codes
+    a query touches (partition pruning at write time), PQ/ADC prunes the
+    BYTES per touched code. Candidates = the query's ``n_probe`` nearest
+    cells, joined cell-to-cell; scoring = m table lookups per candidate
+    code. Neither raw corpus floats nor out-of-cell codes are read.
+
+    Standalone ``pq_topk`` scans every code (exhaustive-ADC); this scans
+    ~n_probe/n_centroids of them — the knob that keeps query cost flat
+    as the corpus grows, with the same recall trade-offs as IVF."""
+    import pandas as pd
+
+    from laygo_python_spark.operators.ivf import _assign_cells, train_centroids
+
+    m, ksub, dsub = codebooks.shape
+    centroids = train_centroids(corpus, n_centroids, vec_col, seed)
+    # Corpus: one (cell, id, codes) row per vector — codes via pq_encode,
+    # cell via the IVF assignment, joined on id (both map-only).
+    cells = _assign_cells(corpus, centroids, id_col, "__v", id_col, vec_col, n_probe=1).drop("__v")
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    corpus_cells = codes.join(cells, id_col)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    if len(qrows) > 10_000:
+        raise ValueError("ivfpq_topk: query side exceeds 10k; batch your queries")
+    qids = np.array([r[0] for r in qrows])
+    qmat = _normalize(np.array([r[1] for r in qrows], dtype=np.float64))
+    lut = np.stack(
+        [qmat[:, s * dsub : (s + 1) * dsub] @ codebooks[s].T for s in range(m)], axis=1
+    )
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    q_cells = _assign_cells(
+        queries, centroids, "query_id", "__v", id_col, vec_col, n_probe=n_probe
+    ).drop("__v")
+    cand = corpus_cells.join(F.broadcast(q_cells), "cell").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qidx = pdf["query_id"].map(qpos).to_numpy()
+            cmat = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            sims = np.zeros(len(pdf))
+            for s in range(m):
+                sims += lut[qidx, s, cmat[:, s]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "sim": sims,
+                }
+            )
+
+    scored = cand.select("query_id", id_col, "codes").mapInPandas(
+        run, schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

