@@ -94,6 +94,19 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
 
 
+@query("ann_ivfpq_topk")  # rows-only: approximate by design (cells + codes)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed approximate top-k (operators/pq.ivfpq_topk): cell
+    pruning × compressed-code scoring — the production index shape.
+    Recall and pruning are pinned in tests/test_pq.py."""
+    from laygo_python_spark.operators.pq import ivfpq_topk, train_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_codebooks(emb, m=32, ksub=64)
+    out = ivfpq_topk(emb, emb.filter(F.col("vec_id") < 5), cb, k=10, n_centroids=8, n_probe=4)
+    return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
+
+
 @query("embedding_near_dups")  # rows-only: approximate by design
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim >= 0.35) discovered

@@ -86,3 +86,16 @@ def test_ann_pq_topk_semantic_pin(spark, sf_dir):
         sims = [r["sim"] for r in sorted(rs, key=lambda r: r["rank"])]
         assert sims == sorted(sims, reverse=True)
         assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_ann_ivfpq_topk_semantic_pin(spark, sf_dir):
+    rows = QUERIES["ann_ivfpq_topk"](spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) <= {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert all(r["neighbor_id"] != q for r in rs)
