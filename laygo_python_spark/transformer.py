@@ -191,6 +191,36 @@ class Transformer:
         step._batch_schema = schema  # type: ignore[attr-defined]
         return self._with(step)
 
+    def map_batches_arrow(self, fn: Callable, schema: Any | None = None) -> "Transformer":
+        """``map_batches`` on the pyarrow transport: ``fn(pa.RecordBatch)
+        -> pa.RecordBatch`` with no pandas materialization (mapInArrow).
+        Prefer it when the batch logic is arrow/numpy-native — the pandas
+        round-trip is pure overhead there (same lesson as
+        cogroup_apply_arrow / group_apply_arrow). Not fused by
+        catch/tap/loop_chunks, which compile the pandas chunk contract."""
+
+        def step(df: DataFrame, context: Context | None) -> DataFrame:
+            out_schema = schema if schema is not None else df.schema
+
+            def run(batches):
+                for rb in batches:
+                    out = fn(rb)
+                    if out is not None and out.num_rows:
+                        yield out
+
+            return df.mapInArrow(run, schema=out_schema)
+
+        return self._with(step)
+
+    def sort_within_partitions(self, *cols: Column | str) -> "Transformer":
+        """Partition-local sort — no shuffle, no global order. The
+        secondary-sort building block: repartition(key) then
+        sort_within_partitions(key, ts) gives every consumer
+        (mapInPandas, write) key-clustered, time-ordered rows at the
+        cost of ONE exchange, where orderBy would add a global range
+        exchange on top."""
+        return self._with(lambda df, ctx: df.sortWithinPartitions(*cols))
+
     def _compile_batch_chain(self) -> tuple[Callable, Any | None]:
         """Fuse this transformer's steps into one ``(pdf, wctx) -> pdf``
         function + the declared output schema (None = input schema).

@@ -507,3 +507,39 @@ def test_group_apply_arrow_matches_pandas(spark):
     b = Transformer().group_apply_arrow(["k"], via_arrow, schema)(df, None).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) == 7
+
+
+def test_map_batches_arrow_matches_pandas(spark):
+    import pyarrow as pa
+
+    from laygo_python_spark.transformer import Transformer
+
+    df = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v")
+
+    def via_pandas(pdf):
+        pdf["v"] = pdf["v"] * 2
+        return pdf
+
+    def via_arrow(rb: pa.RecordBatch) -> pa.RecordBatch:
+        import pyarrow.compute as pc
+
+        return pa.RecordBatch.from_arrays([pc.multiply(rb["v"], 2.0)], names=["v"])
+
+    a = Transformer().map_batches(via_pandas)(df, None).collect()
+    b = Transformer().map_batches_arrow(via_arrow)(df, None).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_sort_within_partitions_no_global_exchange(spark):
+    from laygo_python_spark.transformer import Transformer
+
+    df = spark.range(0, 1000).selectExpr("CAST(id % 7 AS INT) AS k", "CAST(id AS LONG) AS v")
+    t = Transformer().repartition(4, "k").sort_within_partitions("k", "v")
+    out = t(df, None)
+    # No range exchange (global sort) in the plan — only the hash
+    # repartition; rows within each partition are (k, v)-ordered.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    rows_per_part = out.rdd.glom().map(lambda rs: [(r["k"], r["v"]) for r in rs]).collect()
+    for part in rows_per_part:
+        assert part == sorted(part)
