@@ -272,6 +272,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def verify_candidates_jaccard(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for the given candidate pairs —
+    the verification half of the discovery→verify dedup pipeline
+    (reference equivalence-check idiom: performance_test.py:516-539).
+
+    ``candidates`` must carry (doc_id_a, doc_id_b). Cost is
+    O(|candidates| × doc length), never O(n²): grams are semi-joined down
+    to docs that appear in some candidate pair before the intersection
+    count, so at 100 TB the expensive token join touches only the
+    (tiny) candidate neighborhood discovered by LSH. All shuffles move
+    ids and tokens, never full documents."""
+    from pyspark.sql import Window
+
+    cand = candidates.select("doc_id_a", "doc_id_b")
+    touched = (
+        cand.select(F.col("doc_id_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_id_b").alias(id_col)))
+        .distinct()
+    )
+    grams = (
+        docs.join(touched, id_col, "semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(shingles(text_col, n) if n > 1 else tokens(text_col))
+            ).alias("g"),
+        )
+        .distinct()
+        .withColumn("n_grams", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    inter = (
+        cand.join(ga, F.col("doc_id_a") == F.col(f"ga.{id_col}"))
+        .join(
+            gb,
+            (F.col("doc_id_b") == F.col(f"gb.{id_col}")) & (F.col("ga.g") == F.col("gb.g")),
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("ga.n_grams").alias("na"),
+            F.first("gb.n_grams").alias("nb"),
+        )
+    )
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return inter.select("doc_id_a", "doc_id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_id_a",

@@ -1,8 +1,10 @@
 """Deduplication queries over ``documents`` (see operators/dedup.py for
 the scale rationale). The exact n-gram Jaccard query carries a full
-DuckDB oracle; the LSH/SimHash discovery paths are deterministic but not
-reasonably SQL-expressible (DuckDB lacks xxhash64), so they register as
-rows-only checks and are instead cross-validated in tests/test_dedup.py
+DuckDB oracle, and so does ``dedup_minhash_verified`` — the end-to-end
+LSH-discovery→exact-verify composition, checked against DuckDB's
+all-pairs Jaccard (sound because 32×4 banding makes a missed 0.95-pair
+a ~4e-24 event). The raw LSH/SimHash candidate queries remain rows-only
+(DuckDB lacks xxhash64) and are cross-validated in tests/test_dedup.py
 against planted duplicates and the exact-Jaccard ground truth.
 """
 
@@ -95,14 +97,48 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("minhash_signature_sample")  # rows-only
+@query("minhash_signature_sample")  # rows-only: DuckDB lacks crc32
 def minhash_signature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 signature slots for the 20 lowest doc_ids — a stable probe
-    of the signature computation itself (drift here breaks all LSH)."""
-    from pyspark.sql import functions as F
+    of the signature computation itself (drift here breaks all LSH).
 
+    Exploded to scalar (doc_id, slot, value) rows: the driver's
+    canonicalizer sorts the pandas frame across all columns, and raw
+    array columns are unhashable there (r2's one red row)."""
     sig = dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
-    return (
-        sig.filter(F.col("doc_id") < 20)
-        .select("doc_id", F.slice("sig", 1, 8).alias("sig_head"))
+    return sig.filter(F.col("doc_id") < 20).select(
+        "doc_id", F.posexplode(F.slice("sig", 1, 8)).alias("slot", "value")
     )
+
+
+@query(
+    "dedup_minhash_verified",
+    oracle="""
+    WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS g
+                 FROM documents),
+    counts AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+              FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_id_a, doc_id_b,
+           CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+    FROM inter
+    JOIN counts ca ON doc_id_a = ca.doc_id
+    JOIN counts cb ON doc_id_b = cb.doc_id
+    WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.95
+    """,
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end discovery→verify dedup path, oracle-gated: LSH
+    banding proposes candidate pairs (O(candidates), the 100 TB shape),
+    exact unigram Jaccard verifies them. The DuckDB oracle computes
+    ALL-PAIRS exact Jaccard — the two agree iff LSH recall at the 0.95
+    threshold is total, which 32 bands × 4 rows makes a near-certainty:
+    a pair at s=0.95 is missed with probability (1-s^4)^32 ≈ 4e-24.
+    This is the hard correctness signal for the whole LSH family: any
+    drift in shingling, hashing, banding or capping breaks the match."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(
+        docs, shingle_n=1, num_hashes=128, bands=32
+    )
+    return dedup.verify_candidates_jaccard(docs, cands, n=1, threshold=0.95)
