@@ -34,21 +34,28 @@ def _coerce_source(spark: SparkSession, source: Any, allow_mixed: bool = False) 
     items = list(source)
     if not items:
         raise ValueError("cannot infer a schema from an empty Python source; pass a DataFrame")
+    # ``allow_mixed=True`` opts the WHOLE source into the tagged-union
+    # encoding (transformer.MIXED_SCHEMA) — scalars, dicts, nested
+    # lists, arbitrary picklable objects, in any combination (reference
+    # dirty-data pipelines: tests/test_pipeline.py:117-124,
+    # tests/test_integration.py:50-58). Unconditional on opt-in: dirty
+    # dict records with inconsistent schemas must not fall into the
+    # Row(**d) schema-merge path below.
+    if allow_mixed:
+        from laygo_python_spark.transformer import MIXED_SCHEMA, encode_mixed
+
+        return spark.createDataFrame([encode_mixed(x) for x in items], MIXED_SCHEMA)
     if isinstance(items[0], dict):
         return spark.createDataFrame([Row(**d) for d in items])
     # Mixed scalar types (reference tests use [1, "hello", 3.14],
     # laygo tests/test_pipeline.py:117-120) have no honest DataFrame
     # schema. ``allow_mixed=True`` opts into the explicit tagged-union
-    # encoding (transformer.MIXED_SCHEMA — round-trips through
-    # map_rows/filter_rows/to_list); otherwise fail loudly with the
-    # migration options rather than silently stringifying (SURVEY.md §7.4.5).
+    # encoding (round-trips through map_rows/filter_rows/to_list);
+    # otherwise fail loudly with the migration options rather than
+    # silently stringifying (SURVEY.md §7.4.5).
     kinds = {type(x) for x in items if x is not None}
     numeric = {int, float}
     if len(kinds) > 1 and not kinds <= numeric:
-        if allow_mixed:
-            from laygo_python_spark.transformer import MIXED_SCHEMA, encode_mixed
-
-            return spark.createDataFrame([encode_mixed(x) for x in items], MIXED_SCHEMA)
         raise TypeError(
             f"mixed element types {sorted(k.__name__ for k in kinds)} need an explicit "
             "schema: pass a DataFrame, pre-convert to one type, use dict records "

@@ -58,10 +58,12 @@ def _as_condition(cond: Column | str) -> Column:
 
 
 # -- mixed-type (tagged-union) element encoding ------------------------------
-# ``Pipeline([1, "hello", 3.14], allow_mixed=True)`` encodes scalars as
+# ``Pipeline([1, "hello", 3.14], allow_mixed=True)`` encodes elements as
 # (__tag, __v string) rows — a DataFrame column has exactly one type, so
-# heterogeneous laygo sources (reference tests/test_pipeline.py:117-120)
+# heterogeneous laygo sources (reference tests/test_pipeline.py:117-124)
 # get an explicit variant encoding instead of silent stringification.
+# Scalars carry their repr; dicts/lists carry JSON (when it round-trips
+# exactly); anything else carries base64(pickle).
 # map_rows/filter_rows decode to real Python values (the element
 # convention), and terminal ops decode back, so lambdas never see tags.
 MIXED_COLS = ["__tag", "__v"]
@@ -79,9 +81,31 @@ def encode_mixed(x: Any) -> tuple[str, str | None]:
         return ("float", repr(x))  # repr = shortest exact round-trip
     if isinstance(x, str):
         return ("str", x)
-    raise TypeError(
-        f"allow_mixed supports None/bool/int/float/str elements, got {type(x).__name__}"
-    )
+    # Containers (reference pipelines carry dicts / nested lists —
+    # tests/test_pipeline.py:117-124, tests/test_integration.py:50-58):
+    # JSON when it round-trips EXACTLY (catches int dict keys that
+    # json.dumps would silently stringify, NaN, tuples), else pickle.
+    if isinstance(x, (dict, list)):
+        import json
+
+        try:
+            enc = json.dumps(x)
+            if json.loads(enc) == x:
+                return ("dict" if isinstance(x, dict) else "list", enc)
+        except (TypeError, ValueError):
+            pass
+    # Arbitrary Python objects (and non-JSON-able containers): pickle.
+    # Same-session round-trip of the caller's own elements — the bytes
+    # never outlive the pipeline and are only unpickled by its workers.
+    import base64
+    import pickle
+
+    try:
+        return ("pyobj", base64.b64encode(pickle.dumps(x)).decode("ascii"))
+    except Exception as e:  # noqa: BLE001 — unpicklable: the one true dead end
+        raise TypeError(
+            f"allow_mixed element of type {type(x).__name__} is not picklable: {e}"
+        ) from e
 
 
 def decode_mixed(tag: str, v: str | None) -> Any:
@@ -93,6 +117,15 @@ def decode_mixed(tag: str, v: str | None) -> Any:
         return int(v)
     if tag == "float":
         return float(v)
+    if tag in ("dict", "list"):
+        import json
+
+        return json.loads(v)
+    if tag == "pyobj":
+        import base64
+        import pickle
+
+        return pickle.loads(base64.b64decode(v))
     return v
 
 

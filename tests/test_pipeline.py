@@ -358,3 +358,69 @@ def test_mixed_requires_opt_in(spark):
 
     with pytest.raises(TypeError, match="allow_mixed=True"):
         Pipeline([1, "hello", 3.14], spark=spark)
+
+
+def test_mixed_dict_elements(spark):
+    """Port of reference tests/test_pipeline.py:122-124 via allow_mixed:
+    dict elements survive the variant encoding and map lambdas see real
+    dicts."""
+    data = [{"name": "Alice", "age": 30}, {"name": "Bob", "age": 25}]
+    result, _ = (
+        Pipeline(data, spark=spark, allow_mixed=True)
+        .transform(lambda t: t.map_rows(lambda x: x["name"]))
+        .to_list()
+    )
+    assert sorted(result) == ["Alice", "Bob"]
+
+
+def test_mixed_heterogeneous_dirty_data(spark):
+    """Reference dirty-data shape (tests/test_integration.py:61-80 +
+    test_pipeline.py:510): scalars, None, dicts and nested lists in ONE
+    source, validated/cleaned by Python predicates."""
+    raw = [1, "2", 3.0, "invalid", 5, None, [7, [8]], {"v": 9, "tags": ["a"]}]
+    result, _ = (
+        Pipeline(raw, spark=spark, allow_mixed=True)
+        .transform(
+            lambda t: t.map_rows(
+                lambda x: x["v"] if isinstance(x, dict) else (x[0] if isinstance(x, list) else x)
+            )
+        )
+        .transform(lambda t: t.filter(lambda x: x is not None and str(x) != "invalid"))
+        .transform(lambda t: t.map_rows(lambda x: int(float(x))))
+        .to_list()
+    )
+    assert sorted(result) == [1, 2, 3, 5, 7, 9]
+
+
+def test_mixed_container_roundtrip_fidelity(spark):
+    """Containers round-trip exactly: nested structure, int dict keys
+    (JSON would stringify them — must take the pickle path), tuples and
+    sets (non-JSON — pickle), floats inside lists."""
+    data = [
+        {"a": [1, {"b": None}], "c": 2.5},
+        [1, [2, [3.5, "x"]], None],
+        {1: "int-key", 2: "stays-int"},
+        (1, 2, 3),
+        {"frozen", "set"},
+    ]
+    result, _ = Pipeline(data, spark=spark, allow_mixed=True).to_list()
+    key = lambda x: str(type(x)) + str(sorted(x, key=str) if isinstance(x, set) else x)  # noqa: E731
+    assert sorted(result, key=key) == sorted(data, key=key)
+    assert {type(x) for x in result} == {type(x) for x in data}
+    # int keys really are ints (the silent-JSON-stringify trap)
+    intkeyed = next(x for x in result if isinstance(x, dict) and 1 in x)
+    assert set(intkeyed) == {1, 2}
+
+
+def test_mixed_map_can_emit_containers(spark):
+    """map_rows output is re-encoded through the same variant scheme —
+    a lambda may RETURN dicts/lists, not just consume them."""
+    result, _ = (
+        Pipeline([1, 2], spark=spark, allow_mixed=True)
+        .transform(lambda t: t.map_rows(lambda x: {"doubled": x * 2, "as_list": [x, x]}))
+        .to_list()
+    )
+    assert sorted(result, key=lambda d: d["doubled"]) == [
+        {"doubled": 2, "as_list": [1, 1]},
+        {"doubled": 4, "as_list": [2, 2]},
+    ]
