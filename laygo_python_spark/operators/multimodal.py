@@ -2,11 +2,13 @@
 columns with typed metadata, processed via Arrow-batched Pandas UDFs.
 
 The decode libraries (PIL/cv2/torchaudio/av) are NOT in this container,
-so the actual decode is stubbed (deterministic fake by default,
-NotImplementedError in strict mode) — but everything Spark-side is real
-and tested: the schema contract, the mapInPandas batch shape, the
-partition sizing, and the metadata extraction that CAN run without a
-decoder (byte length, magic-byte sniffing).
+so PIXEL decode is stubbed — but header metadata is parsed for REAL
+with zero dependencies: PNG IHDR and JPEG SOF width/height via struct
+unpacking (``png_dimensions`` / ``jpeg_dimensions``), plus magic-byte
+sniffing and byte length. Everything Spark-side is real and tested:
+the schema contract, the mapInPandas batch shape, the partition
+sizing. ``strict=True`` raises only for payloads whose dimensions
+can't be header-parsed.
 
 At 100 TB: binary payloads dominate row size. The rules encoded here:
 - keep payloads out of shuffles (extract features first, then drop the
@@ -62,42 +64,102 @@ def sniff_media_type(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.withColumn("sniffed_type", expr)
 
 
+def png_dimensions(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a PNG IHDR — zero-dependency struct parse.
+    Layout (PNG spec §5.2/§11.2.2): 8-byte signature, then the IHDR
+    chunk: 4-byte length, b"IHDR", width (u32 BE), height (u32 BE)."""
+    if len(b) < 24 or not b.startswith(b"\x89PNG\r\n\x1a\n") or b[12:16] != b"IHDR":
+        return None
+    import struct
+
+    w, h = struct.unpack(">II", b[16:24])
+    return (w, h) if w > 0 and h > 0 else None
+
+
+def jpeg_dimensions(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from the first JPEG SOF marker — walks the
+    segment chain (marker u8=0xFF, code u8, length u16 BE incl. itself).
+    SOFn payload: precision u8, height u16 BE, width u16 BE. Codes
+    0xC0-0xCF are SOF except 0xC4 (DHT), 0xC8 (JPG ext), 0xCC (DAC)."""
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    import struct
+
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:  # desynced — not a marker
+            return None
+        code = b[i + 1]
+        if code == 0xD8 or 0xD0 <= code <= 0xD7 or code == 0x01:  # standalone
+            i += 2
+            continue
+        if code == 0xD9:  # EOI before any SOF
+            return None
+        (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+        if seg_len < 2:
+            return None
+        if 0xC0 <= code <= 0xCF and code not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > len(b):
+                return None
+            h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+            return (w, h) if w > 0 and h > 0 else None
+        i += 2 + seg_len
+    return None
+
+
+def image_dimensions(b: bytes | None) -> tuple[int, int] | None:
+    if b is None:
+        return None
+    return png_dimensions(bytes(b)) or jpeg_dimensions(bytes(b))
+
+
 def decode_features(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
     strict: bool = False,
 ) -> DataFrame:
-    """Decode → feature-extract stage. Real pipeline: PIL/cv2 decode,
-    resize, embed. Here: STUB — ``strict=True`` raises
-    NotImplementedError (the honest production posture without the
-    libs); default produces a deterministic fake feature vector from the
-    payload bytes so the batch shape / schema / partitioning are
-    testable end-to-end.
+    """Decode → feature-extract stage.
 
-    The Spark-side contract is the real deliverable: mapInPandas over
-    Arrow batches, payload column dropped from the output (never shuffle
-    bytes), fixed-width feature vector out.
+    REAL with zero dependencies: PNG/JPEG payloads get their true
+    width/height via header struct parsing (``png_dimensions`` /
+    ``jpeg_dimensions`` — IHDR chunk / SOF marker walk). The pixel-level
+    feature vector still needs a decoder (PIL/cv2, not in this image),
+    so features are a deterministic byte-stat embedding; ``strict=True``
+    raises NotImplementedError for payloads whose dimensions can't be
+    parsed from headers (the honest production posture) instead of
+    inventing fake ones.
+
+    The Spark-side contract is the real deliverable either way:
+    mapInPandas over Arrow batches, payload column dropped from the
+    output (never shuffle bytes), fixed-width feature vector out.
     """
     out_schema = f"{id_col} long, width int, height int, feature array<double>"
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "media decode requires PIL/cv2/av — not available in this image; "
-                "run with strict=False for the deterministic stub"
-            )
         for pdf in batches:
             payloads = pdf[payload_col]
             n = payloads.str.len().fillna(0).astype("int64")
-            # Deterministic fake: "dimensions" and an 8-dim "embedding"
-            # derived from byte stats — stable across runs and partitionings.
+            dims = payloads.apply(image_dimensions)
+            if strict and dims.isna().any():
+                bad = int(pdf[id_col][dims.isna()].iloc[0])
+                raise NotImplementedError(
+                    f"payload for {id_col}={bad} is not PNG/JPEG — pixel decode "
+                    "requires PIL/cv2/av (not in this image); strict=False falls "
+                    "back to deterministic byte-stat dimensions"
+                )
+            # Non-image payloads (strict=False): deterministic fake dims
+            # derived from byte stats — stable across runs/partitionings.
             first = payloads.apply(lambda b: b[0] if b is not None and len(b) else 0)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "width": (n % 640 + 1).astype("int32"),
-                    "height": (n % 480 + 1).astype("int32"),
+                    "width": [
+                        d[0] if d else int(ln % 640 + 1) for d, ln in zip(dims, n)
+                    ],
+                    "height": [
+                        d[1] if d else int(ln % 480 + 1) for d, ln in zip(dims, n)
+                    ],
                     "feature": [
                         [float((ln + f * (i + 1)) % 251) for i in range(8)]
                         for ln, f in zip(n, first)

@@ -130,10 +130,12 @@ def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.select("media_id", "n_bytes")
 
 
-@query("multimodal_decode_features")  # rows-only: stubbed decoder
+@query("multimodal_decode_features")  # rows-only: pixel decode stubbed
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract plumbing through mapInPandas with the
-    deterministic stub decoder (real decode libs absent in this image —
-    operators/multimodal.py documents the strict mode)."""
+    """Decode/feature-extract through mapInPandas: REAL PNG-IHDR/JPEG-SOF
+    header parsing for dimensions (zero-dep struct unpacking), with a
+    deterministic byte-stat fallback for non-image payloads — pixel-level
+    features stay stubbed (decode libs absent; operators/multimodal.py
+    documents the strict mode)."""
     mm = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
     return multimodal.decode_features(mm)

@@ -94,6 +94,69 @@ def test_multimodal_decode_strict_raises(spark):
         multimodal.decode_features(mm, strict=True).collect()
 
 
+def _png_bytes(w: int, h: int) -> bytes:
+    import struct
+    import zlib as _z
+
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", _z.crc32(b"IHDR" + ihdr))
+    )
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    # SOI, APP0 (JFIF), DQT filler, then SOF0 carrying the dimensions.
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_image_header_parsers_pure():
+    assert multimodal.png_dimensions(_png_bytes(640, 480)) == (640, 480)
+    assert multimodal.jpeg_dimensions(_jpeg_bytes(1920, 1080)) == (1920, 1080)
+    assert multimodal.png_dimensions(b"\x89PNG\r\n\x1a\nshort") is None
+    assert multimodal.jpeg_dimensions(b"\xff\xd8\xff\xd9") is None
+    assert multimodal.image_dimensions(b"not an image") is None
+    assert multimodal.image_dimensions(None) is None
+
+
+def test_multimodal_decode_real_image_headers(spark):
+    """PNG IHDR / JPEG SOF0 dimensions are parsed for real (no decoder
+    libs needed) — strict mode SUCCEEDS on pure-image input."""
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(_png_bytes(800, 600)), media_type=None, n_bytes=0),
+            Row(media_id=2, payload=bytearray(_jpeg_bytes(320, 240)), media_type=None, n_bytes=0),
+        ],
+        schema="media_id long, payload binary, media_type string, n_bytes long",
+    )
+    got = {r.media_id: (r.width, r.height) for r in multimodal.decode_features(df, strict=True).collect()}
+    assert got == {1: (800, 600), 2: (320, 240)}
+
+
+def test_multimodal_decode_mixed_strict_vs_fallback(spark):
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(_png_bytes(10, 20)), media_type=None, n_bytes=0),
+            Row(media_id=2, payload=bytearray(b"not an image"), media_type=None, n_bytes=0),
+        ],
+        schema="media_id long, payload binary, media_type string, n_bytes long",
+    )
+    # strict: the non-image payload fails loudly
+    with pytest.raises(Exception, match="NotImplementedError|pixel decode"):
+        multimodal.decode_features(df, strict=True).collect()
+    # default: real dims for the image, deterministic fallback for the rest
+    got = {r.media_id: (r.width, r.height) for r in multimodal.decode_features(df).collect()}
+    assert got[1] == (10, 20)
+    assert got[2] == (12 % 640 + 1, 12 % 480 + 1)
+
+
 def test_multimodal_magic_sniffing(spark):
     df = spark.createDataFrame(
         [
