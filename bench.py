@@ -50,6 +50,14 @@ HEADLINE = [
     "curation_pipeline",
     "assign_global_ids",
     "cms_heavy_hitters",
+    # Join-heavy / iterative ops — benched so regressions are visible
+    # (r2 verdict: these were invisible to BENCH_r*.json).
+    "ngram_jaccard_pairs",
+    "dedup_cluster_representatives",
+    "pagerank_supplier_part",
+    "edit_distance_pairs",
+    "ann_ivfpq_topk",
+    "dedup_minhash_verified",
 ]
 
 

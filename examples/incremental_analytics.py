@@ -30,14 +30,15 @@ from laygo_python_spark.sources.python_datasource import register
 
 def _shard(spark, lo: int, hi: int):
     """One day/shard of the event stream: an executor-side generated id
-    range (stands in for `spark.read.parquet(day_path)`)."""
-    n = hi - lo
+    range (stands in for `spark.read.parquet(day_path)`). The source's
+    ``start`` option makes each shard produce EXACTLY its own ids —
+    generating [0, hi) and filtering would be quadratic across shards."""
     return (
         spark.read.format("synthetic_events")
+        .option("start", lo)
         .option("n", hi)
         .option("partitions", 8)
         .load()
-        .filter(F.col("event_id") >= lo)
     )
 
 

@@ -6,11 +6,13 @@ directly or spliced into a fluent program via ``Transformer.pipe``.
 
 from laygo_python_spark.operators.asof import asof_join
 from laygo_python_spark.operators.dedup import (
+    connected_components,
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_near_dups,
+    verify_candidates_jaccard,
 )
 from laygo_python_spark.operators.interval import interval_join
 from laygo_python_spark.operators.ivf import ivf_topk, train_centroids
@@ -18,6 +20,7 @@ from laygo_python_spark.operators.multimodal import (
     attach_binary_payload,
     decode_features,
     frame_sample_plan,
+    image_dimensions,
     sniff_media_type,
 )
 from laygo_python_spark.operators.similarity import (
@@ -28,7 +31,7 @@ from laygo_python_spark.operators.similarity import (
 )
 from laygo_python_spark.operators.skew import salted_agg, salted_broadcast_join
 from laygo_python_spark.operators.cogroup import cogroup_apply, cogroup_apply_arrow
-from laygo_python_spark.operators.cms import cms_build, cms_estimate, cms_merge
+from laygo_python_spark.operators.cms import cms_build, cms_build_sharded, cms_estimate, cms_merge
 from laygo_python_spark.operators.pagerank import pagerank
 from laygo_python_spark.operators.pq import ivfpq_topk, pq_encode, pq_topk, train_codebooks
 from laygo_python_spark.operators.qsketch import qsketch_build, qsketch_merge, qsketch_quantiles
@@ -55,6 +58,7 @@ __all__ = [
     "lsh_bucketed_topk",
     "assign_sequential_ids",
     "cms_build",
+    "cms_build_sharded",
     "cms_estimate",
     "cms_merge",
     "cogroup_apply",
@@ -82,6 +86,9 @@ __all__ = [
     "salted_broadcast_join",
     "simhash_fingerprints",
     "simhash_near_dups",
+    "verify_candidates_jaccard",
+    "connected_components",
+    "image_dimensions",
     "sniff_media_type",
     "train_centroids",
 ]

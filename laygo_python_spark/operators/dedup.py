@@ -87,12 +87,13 @@ def _spread_small_input(df: DataFrame, min_bytes_per_partition: int = 4 << 20) -
     return df
 
 
-def _sorted_pairs(ids_col: str) -> Column:
-    """All i<j pairs from an id array, as array<struct<a,b>> — the
+def _sorted_pairs(ids_col: str | Column) -> Column:
+    """All i<j pairs from an array column, as array<struct<a,b>> — the
     bucket-local pair expansion that replaces a self-join. The array is
-    sorted first so (a, b) is canonical; cost is O(size²) per bucket,
-    bounded by the caller's max_bucket cap."""
-    ids = F.array_sort(F.col(ids_col))
+    sorted first so (a, b) is canonical (for struct elements the sort is
+    lexicographic on fields, so put the id field first); cost is
+    O(size²) per bucket, bounded by the caller's max_bucket cap."""
+    ids = F.array_sort(F.col(ids_col) if isinstance(ids_col, str) else ids_col)
     return F.flatten(
         F.transform(
             ids,
@@ -496,6 +497,7 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int = 2000,
+    expand_threshold: int = 200_000,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance, via pigeonhole
     banding: split the 64-bit fingerprint into 4 chunks of 16 bits —
@@ -506,9 +508,16 @@ def simhash_near_dups(
     ``max_bucket`` caps chunk-bucket occupancy (same skew guard as the
     LSH path): a degenerate chunk value shared by a huge doc population
     (e.g. boilerplate-heavy shards) would otherwise emit size² candidate
-    pairs from one task. Pairs are expanded bucket-locally from a
-    collect_list (no self-join), so the map-only fingerprint pass
-    executes exactly once with nothing persisted."""
+    pairs from one task.
+
+    SIZE-ADAPTIVE pair generation (measured crossover): below
+    ``expand_threshold`` fingerprints, pairs expand bucket-locally from
+    a collect_list — sparse buckets, one linear pass, no second scan of
+    the checkpoint (sf0.1 ~5k docs: expansion beats the join). Above
+    it, the pigeonhole buckets are DENSE (natural occupancy n/2^16 per
+    chunk value) and the codegen'd self-join wins: 17 s vs 37 s at 1M
+    docs for interpreted array expansion. The fingerprint count is free
+    — the frame is already checkpointed for the join's double read."""
     n_chunks = max_hamming + 1
     if 64 % n_chunks != 0:
         raise ValueError("max_hamming+1 must divide 64 so chunks tile the fingerprint")
@@ -561,8 +570,31 @@ def simhash_near_dups(
         .filter(F.col("__bc") <= max_bucket)
         .drop("__bc")
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    if sh.count() <= expand_threshold:
+        # Small corpus: bucket-local expansion. Struct field order (i, s)
+        # makes array_sort order by id, so a.i < b.i after _sorted_pairs.
+        out = (
+            chunks.groupBy("chunk_idx", "chunk_val")
+            .agg(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col("sh").alias("s"))
+                ).alias("members")
+            )
+            .select(F.explode(_sorted_pairs(F.col("members"))).alias("p"))
+            .select(
+                F.col("p.a.i").alias("doc_id_a"),
+                F.col("p.b.i").alias("doc_id_b"),
+                F.col("p.a.s").alias("sh_a"),
+                F.col("p.b.s").alias("sh_b"),
+            )
+            .distinct()
+            .select("doc_id_a", "doc_id_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+        )
+        out._release_pin = _release_pin
+        return out
+    a, b = chunks.alias("a"), chunks.alias("b")
     out = (
         a.join(
             b,

@@ -42,8 +42,23 @@ def qsketch_build(df: DataFrame, col: str, gamma: float = 1.02) -> DataFrame:
     ~log_gamma(max_value) — e.g. gamma=1.02, values to 10^9 → ~1050
     buckets — independent of row count."""
     b = F.round(F.log(F.col(col) + F.lit(1.0)) / F.lit(math.log(gamma))).cast("int")
+    # Null / negative values make the bucket expression null (log of a
+    # negative is null). A null bucket would sort FIRST in the quantile
+    # cumulative window and silently skew every estimate — fail loudly
+    # instead, matching the gamma-mismatch guard's posture. assert_true
+    # is FUSED into the sketch's own scan (it returns null when the
+    # condition holds, so the when() below just falls through to the
+    # bucket) — no extra pass, and the error fires whenever the sketch
+    # is actually computed.
+    guard = F.assert_true(
+        F.col(col).isNotNull() & (F.col(col) >= 0),
+        F.lit(
+            f"qsketch_build: column {col!r} contains null or negative values — "
+            "the sketch is defined for non-negative values; filter or shift them first"
+        ),
+    )
     return (
-        df.select(b.alias("bucket"))
+        df.select(F.when(guard.isNull(), b).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("gamma", F.lit(float(gamma)))

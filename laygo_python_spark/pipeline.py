@@ -87,26 +87,29 @@ def _exclusive_pred(cond: Callable, earlier: tuple[Callable, ...]) -> Callable:
 
 def _rows_to_python(rows: list[Row], columns: list[str]) -> list[Any]:
     """Single ``value`` column → bare scalars (laygo element parity);
-    tagged-union frames → decoded Python values; otherwise dict records."""
-    from laygo_python_spark.transformer import MIXED_COLS, decode_mixed
-
-    if columns == MIXED_COLS:
-        return [decode_mixed(r[0], r[1]) for r in rows]
-    if columns == ["value"]:
-        return [r[0] for r in rows]
-    return [r.asDict(recursive=True) for r in rows]
+    tagged-union frames → decoded Python values; otherwise dict records.
+    The source-order id (ORDER_COL) is internal — always stripped."""
+    extract = _item_extractor(columns)
+    return [extract(r) for r in rows]
 
 
 def _item_extractor(columns: list[str]) -> Callable[[Row], Any]:
-    """Per-row element extractor following the same conventions as
-    ``_rows_to_python`` (for streaming paths: each/__iter__/reduce)."""
-    from laygo_python_spark.transformer import MIXED_COLS, decode_mixed
+    """Per-row element extractor: single ``value`` column → bare scalar,
+    tagged-union frame → decoded Python value, otherwise dict record —
+    for to_list and the streaming paths (each/__iter__/reduce). The
+    source-order id (ORDER_COL) is internal and never reaches elements."""
+    from laygo_python_spark.transformer import MIXED_COLS, ORDER_COL, decode_mixed
 
-    if columns == MIXED_COLS:
-        return lambda r: decode_mixed(r[0], r[1])
-    if columns == ["value"]:
-        return lambda r: r[0]
-    return lambda r: r.asDict(recursive=True)
+    data_cols = [c for c in columns if c != ORDER_COL]
+    if data_cols == MIXED_COLS:
+        ti, vi = columns.index("__tag"), columns.index("__v")
+        return lambda r: decode_mixed(r[ti], r[vi])
+    if data_cols == ["value"]:
+        vi = columns.index("value")
+        return lambda r: r[vi]
+    return lambda r: {
+        k: v for k, v in r.asDict(recursive=True).items() if k != ORDER_COL
+    }
 
 
 class Pipeline:
@@ -118,6 +121,7 @@ class Pipeline:
         spark: SparkSession | None = None,
         context: dict | Context | None = None,
         allow_mixed: bool = False,
+        ordered: bool = False,
     ):
         if not sources:
             raise ValueError("Pipeline needs at least one source")
@@ -130,6 +134,18 @@ class Pipeline:
         # Multi-source concatenation (reference chains iterables lazily,
         # laygo/pipeline.py:108) → unionByName, still lazy under Catalyst.
         self.df = _functools_reduce(lambda a, b: a.unionByName(b), dfs)
+        # ``ordered=True`` stamps each source row with a stable id NOW
+        # (monotonically_increasing_id = partition_index<<33 | offset —
+        # source layout order, before any transform can shuffle it), so
+        # ``to_list(ordered=True)`` can restore source order later. The
+        # reference's ordered=True chunk-completion guarantee
+        # (laygo/transformers/strategies/threaded.py:46-90) has no cost
+        # here until the terminal sort, and narrow plans never lose
+        # order anyway — the id protects across repartition/coalesce.
+        if ordered:
+            from laygo_python_spark.transformer import ORDER_COL
+
+            self.df = self.df.withColumn(ORDER_COL, F.monotonically_increasing_id())
         if isinstance(context, Context):
             self._context = context
         else:
@@ -209,11 +225,29 @@ class Pipeline:
     def _snapshot(self) -> dict:
         return self._context.to_dict()
 
-    def to_list(self) -> tuple[list[Any], dict]:
+    def to_list(self, ordered: bool = False) -> tuple[list[Any], dict]:
         """Materialize all results + final context snapshot
-        (reference: laygo/pipeline.py:280-295)."""
+        (reference: laygo/pipeline.py:280-295).
+
+        ``ordered=True`` restores SOURCE order (the reference's
+        ``ordered=True`` guarantee, threaded.py:46-90) by sorting on the
+        id stamped by ``Pipeline(..., ordered=True)`` — a driver-side
+        sort of the already-collected rows, no extra Spark shuffle.
+        Plans without shuffles return source order either way; the id
+        protects across repartition/coalesce."""
+        cols = self.df.columns
         rows = self.df.collect()
-        return _rows_to_python(rows, self.df.columns), self._snapshot()
+        if ordered:
+            from laygo_python_spark.transformer import ORDER_COL
+
+            if ORDER_COL not in cols:
+                raise ValueError(
+                    "to_list(ordered=True) needs the source-order id: construct the "
+                    "pipeline with Pipeline(..., ordered=True)"
+                )
+            idx = cols.index(ORDER_COL)
+            rows = sorted(rows, key=lambda r: r[idx])
+        return _rows_to_python(rows, cols), self._snapshot()
 
     def first(self, n: int = 1) -> tuple[list[Any], dict]:
         """Take first n (reference: laygo/pipeline.py:321-344; the

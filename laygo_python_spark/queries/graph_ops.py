@@ -62,8 +62,17 @@ def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding to 8 decimals absorbs float-sum ordering differences
     between engines."""
     li = _t(spark, sf_dir, "lineitem")
+    # Fail loudly if a larger fixture ever breaks the node-space
+    # invariant (suppkey < _OFF) — silent supplier/part node collisions
+    # would produce wrong ranks with no error. assert_true rides the
+    # existing scan: no extra job.
+    guard = F.assert_true(
+        F.col("l_suppkey") < F.lit(_OFF),
+        F.lit(f"pagerank_supplier_part: l_suppkey >= {_OFF} collides with part node space"),
+    )
     half = li.select(
-        F.col("l_suppkey").alias("src"), (F.col("l_partkey") + _OFF).alias("dst")
+        F.when(guard.isNull(), F.col("l_suppkey")).alias("src"),
+        (F.col("l_partkey") + _OFF).alias("dst"),
     ).distinct()
     edges = half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return pagerank(edges, iterations=5).select("node", F.round("pr", 8).alias("pr"))

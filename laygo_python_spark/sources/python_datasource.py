@@ -6,8 +6,11 @@ uses unbounded generators, reference profiler/basic.py:5-11). The naive
 Spark translation — materialize the generator on the driver and
 ``createDataFrame`` — is exactly the driver bottleneck this engine
 exists to avoid. Spark 4's Python DataSource API is the idiomatic form:
-the generator logic runs ON EXECUTORS, partitioned, with each partition
-producing its own deterministic id range.
+the BATCH surface's generator logic runs ON EXECUTORS, partitioned,
+with each partition producing its own deterministic id range. (The
+stream surface uses the Simple reader, which runs driver-side — see
+``_StreamReader`` for the scale caveat and the partitioned
+alternative.)
 
 Two surfaces on one source class:
 
@@ -64,13 +67,21 @@ class _IdRange(InputPartition):
 
 
 class _BatchReader(DataSourceReader):
+    """Generates ids [start, n) — ``start`` exists so shard-style callers
+    (examples/incremental_analytics.py) produce exactly their own range
+    instead of regenerating-and-filtering every earlier id."""
+
     def __init__(self, options: dict) -> None:
         self.n = int(options.get("n", 10_000))
+        self.start = int(options.get("start", 0))
         self.parts = max(1, int(options.get("partitions", 8)))
 
     def partitions(self) -> list[_IdRange]:
-        step = -(-self.n // self.parts)
-        return [_IdRange(s, min(s + step, self.n)) for s in range(0, self.n, step)]
+        total = max(0, self.n - self.start)
+        step = -(-total // self.parts) if total else 1
+        return [
+            _IdRange(s, min(s + step, self.n)) for s in range(self.start, self.n, step)
+        ] or [_IdRange(0, 0)]
 
     def read(self, partition: _IdRange):
         for i in range(partition.start, partition.end):
@@ -81,7 +92,13 @@ class _StreamReader(SimpleDataSourceStreamReader):
     """Micro-batched generator: offset = next unread id. Past the ``n``
     cap it returns empty batches with an unmoved offset, which is how a
     bounded test stream signals drain without a real unbounded source's
-    blocking semantics."""
+    blocking semantics.
+
+    NOTE: ``SimpleDataSourceStreamReader.read()`` runs DRIVER-side (the
+    simple API trades scale for simplicity) — fine for this bounded test
+    stream, but a real unbounded feed should implement the partitioned
+    ``DataSourceStreamReader`` (executor-side ``read(partition)``, like
+    the batch reader above) instead."""
 
     def __init__(self, options: dict) -> None:
         self.n = int(options.get("n", 10_000))

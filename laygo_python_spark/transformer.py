@@ -69,6 +69,11 @@ def _as_condition(cond: Column | str) -> Column:
 MIXED_COLS = ["__tag", "__v"]
 MIXED_SCHEMA = "__tag string, __v string"
 
+# Source-order id column, attached by Pipeline(..., ordered=True) and
+# consumed by Pipeline.to_list(ordered=True). Row-path operators strip
+# it before applying the element convention and carry it through.
+ORDER_COL = "__seq"
+
 
 def encode_mixed(x: Any) -> tuple[str, str | None]:
     if x is None:
@@ -182,7 +187,13 @@ class Transformer:
             raise ValueError("pass either a positional expression or keyword columns")
         if expr is not None:
             cols = [_as_condition(expr)]
-            return self._with(lambda df, ctx: df.select(*cols))
+            # A projection would silently drop the source-order id —
+            # carry it when present (ordered pipelines).
+            return self._with(
+                lambda df, ctx: df.select(*cols, ORDER_COL)
+                if ORDER_COL in df.columns
+                else df.select(*cols)
+            )
         resolved = {k: _as_condition(v) for k, v in named.items()}
         return self._with(lambda df, ctx: df.withColumns(resolved))
 
@@ -299,6 +310,11 @@ class Transformer:
         ctx_aware = is_context_aware(fn)
 
         def batch_fn(pdf: pd.DataFrame, ctx: dict | None = None) -> pd.DataFrame:
+            # The order id rides along OUTSIDE the element convention:
+            # lambdas never see it, and a 1:1 map re-attaches it.
+            seq = pdf[ORDER_COL].tolist() if ORDER_COL in pdf.columns else None
+            if seq is not None:
+                pdf = pdf.drop(columns=[ORDER_COL])
             cols = list(pdf.columns)
             tagged = cols == MIXED_COLS
             if tagged:
@@ -312,10 +328,16 @@ class Transformer:
             out = [fn(r, ctx) if ctx_aware else fn(r) for r in records]
             if tagged:
                 enc = [encode_mixed(o) for o in out]
-                return pd.DataFrame({"__tag": [t for t, _ in enc], "__v": [v for _, v in enc]})
-            if out and not isinstance(out[0], dict):
-                return pd.DataFrame({"value": out})
-            return pd.DataFrame(out)
+                res = pd.DataFrame(
+                    {"__tag": [t for t, _ in enc], "__v": [v for _, v in enc]}
+                )
+            elif out and not isinstance(out[0], dict):
+                res = pd.DataFrame({"value": out})
+            else:
+                res = pd.DataFrame(out)
+            if seq is not None:
+                res[ORDER_COL] = seq
+            return res
 
         # Re-expose the right arity so map_batches dispatches ctx correctly.
         if ctx_aware:
@@ -346,15 +368,19 @@ class Transformer:
         def batch_fn(pdf: pd.DataFrame, ctx: dict | None = None) -> pd.DataFrame:
             if not len(pdf):
                 return pdf
-            cols = list(pdf.columns)
+            # Decode elements WITHOUT the order id (lambdas never see
+            # it); the mask then filters the full frame, so the id
+            # column survives for to_list(ordered=True).
+            data = pdf.drop(columns=[ORDER_COL]) if ORDER_COL in pdf.columns else pdf
+            cols = list(data.columns)
             if cols == MIXED_COLS:
                 items: list[Any] = [
-                    decode_mixed(t, v) for t, v in zip(pdf["__tag"], pdf["__v"])
+                    decode_mixed(t, v) for t, v in zip(data["__tag"], data["__v"])
                 ]
             elif cols == ["value"]:
-                items = pdf["value"].tolist()
+                items = data["value"].tolist()
             else:
-                items = pdf.to_dict("records")
+                items = data.to_dict("records")
             if ctx_aware:
                 mask = [bool(pred(it, ctx)) for it in items]
             else:

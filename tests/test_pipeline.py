@@ -412,6 +412,62 @@ def test_mixed_container_roundtrip_fidelity(spark):
     assert set(intkeyed) == {1, 2}
 
 
+# -- ordered results (reference threaded.py:46-90 ordered=True) --------------
+def test_to_list_ordered_survives_adversarial_repartition(spark):
+    """Source order restored across a shuffle that scrambles partition
+    layout — the distributed analogue of the reference's out-of-order
+    chunk completion."""
+    data = list(range(500))
+    result, _ = (
+        Pipeline(data, spark=spark, ordered=True)
+        .transform(
+            lambda t: t.repartition(7)
+            .map_rows(lambda x: x * 2)
+            .filter(lambda x: x % 3 != 0)
+        )
+        .to_list(ordered=True)
+    )
+    expected = [x * 2 for x in data if (x * 2) % 3 != 0]
+    assert result == expected
+
+
+def test_to_list_ordered_with_mixed_elements(spark):
+    data = [5, "b", 1, None, {"k": 2}, [9], "a"]
+    result, _ = (
+        Pipeline(data, spark=spark, allow_mixed=True, ordered=True)
+        .transform(lambda t: t.repartition(3))
+        .to_list(ordered=True)
+    )
+    assert result == data
+
+
+def test_to_list_ordered_column_map_projection_keeps_id(spark):
+    result, _ = (
+        Pipeline(list(range(100)), spark=spark, ordered=True)
+        .transform(lambda t: t.repartition(5).map((F.col("value") + 1).alias("value")))
+        .to_list(ordered=True)
+    )
+    assert result == [x + 1 for x in range(100)]
+
+
+def test_to_list_ordered_requires_opt_in(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="ordered=True"):
+        Pipeline([1, 2, 3], spark=spark).to_list(ordered=True)
+
+
+def test_ordered_id_never_leaks_into_elements(spark):
+    p = Pipeline([1, 2, 3], spark=spark, ordered=True)
+    rows, _ = p.to_list()
+    assert rows == [1, 2, 3]
+    assert list(p) == [1, 2, 3]
+    seen = []
+    dicts, _ = Pipeline([{"a": 1}], spark=spark, ordered=True).to_list(ordered=True)
+    assert dicts == [{"a": 1}]
+    Pipeline([1], spark=spark, ordered=True).each(lambda x: seen.append(x))
+
+
 def test_mixed_map_can_emit_containers(spark):
     """map_rows output is re-encoded through the same variant scheme —
     a lambda may RETURN dicts/lists, not just consume them."""

@@ -59,3 +59,14 @@ def test_qsketch_parquet_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, qsketch_quantiles(sk, [0.5, 0.9]).collect()))
     b = sorted(map(tuple, qsketch_quantiles(back, [0.5, 0.9]).collect()))
     assert a == b
+
+
+def test_null_and_negative_values_fail_loudly(spark):
+    """Null/negative inputs must error, not silently land in a null
+    bucket that sorts first and skews every quantile (r2 ADVICE)."""
+    nulls = spark.createDataFrame([(1.0,), (None,), (2.0,)], "v double")
+    with pytest.raises(Exception, match="null or negative"):
+        qsketch_build(nulls, "v").collect()
+    negs = spark.createDataFrame([(1.0,), (-3.0,)], "v double")
+    with pytest.raises(Exception, match="null or negative"):
+        qsketch_build(negs, "v").collect()
