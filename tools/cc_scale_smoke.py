@@ -1,15 +1,23 @@
-"""Connected-components scale smoke: 10^6 synthetic edges (chain +
-clique mix — VERDICT r1 item 9), asserting correctness AND a bounded
-round count (the pointer-jumping in operators/dedup.py must hold the
-fixpoint at O(log diameter) rounds, not O(diameter)).
+"""Connected-components scale smoke: synthetic edges (chain + clique
+mix — VERDICT r1 item 9), asserting correctness AND a bounded round
+count (the pointer-jumping in operators/dedup.py must hold the fixpoint
+at O(log diameter) rounds, not O(diameter)).
 
-Usage: python tools/cc_scale_smoke.py [n_edges]
+``--giant`` (VERDICT r2 item 9) adds the skewed-component shape at
+10^7 edges: ONE giant chain component holding 20% of all edges
+(diameter ~2·10^6 — the worst case for label propagation, and a single
+component so the label traffic all converges on one min). Asserts the
+round count stays logarithmic in THAT diameter and that executor
+storage is released (no leaked per-round checkpoints).
+
+Usage: python tools/cc_scale_smoke.py [n_edges] [--giant]
 Prints one JSON line with edges, components found/expected, rounds, sec.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -23,16 +31,20 @@ from laygo_python_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    target_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    giant = "--giant" in sys.argv[1:]
+    target_edges = int(args[0]) if args else (10_000_000 if giant else 1_000_000)
     spark = get_spark("cc_scale_smoke")
 
     # Half the edges from 200-node CHAINS (diameter 200 — the adversarial
     # case for plain propagation), half from 10-node CLIQUES (the shape
     # real near-dup components take). Node ids are disjoint ranges.
+    giant_edges = target_edges // 5 if giant else 0
+    mix_edges = target_edges - giant_edges
     chain_len = 200  # edges per chain (201 nodes)
-    n_chains = (target_edges // 2) // chain_len
+    n_chains = (mix_edges // 2) // chain_len
     clique_n = 10  # 45 edges per clique
-    n_cliques = (target_edges // 2) // (clique_n * (clique_n - 1) // 2)
+    n_cliques = (mix_edges // 2) // (clique_n * (clique_n - 1) // 2)
 
     chain_base = 0
     chains = (
@@ -55,9 +67,24 @@ def main() -> None:
             (F.col("base") + F.col("j")).alias("doc_id_b"),
         )
     )
-    edges = chains.unionByName(cliques).localCheckpoint(eager=True)
-    n_edges = edges.count()
+    edges = chains.unionByName(cliques)
     expected_components = n_chains + n_cliques
+    giant_diameter = 0
+    if giant:
+        # ONE chain of giant_edges edges — a single component whose
+        # diameter equals the edge count. Disjoint id range.
+        giant_base = 2_000_000_000
+        giant_chain = (
+            spark.range(giant_edges)
+            .select((F.lit(giant_base) + F.col("id")).alias("doc_id_a"))
+            .withColumn("doc_id_b", F.col("doc_id_a") + 1)
+        )
+        edges = edges.unionByName(giant_chain)
+        expected_components += 1
+        giant_diameter = giant_edges
+
+    edges = edges.localCheckpoint(eager=True)
+    n_edges = edges.count()
 
     stats: dict = {}
     t0 = time.perf_counter()
@@ -67,16 +94,29 @@ def main() -> None:
 
     # correctness: every chain/clique collapses to exactly one cluster
     assert n_components == expected_components, (n_components, expected_components)
-    # bounded rounds: ceil(log2(200)) = 8 propagation+jump phases + slack
-    assert stats.get("rounds", 99) <= 15, f"rounds blew up: {stats}"
+    # bounded rounds: propagation+jump covers >= 2^r - 1 hops after r
+    # rounds, so ceil(log2(diameter)) phases + slack for convergence
+    # detection. Default shape: ceil(log2(200)) = 8 -> bound 15; giant:
+    # ceil(log2(2e6)) = 21 -> bound 26.
+    bound = max(15, math.ceil(math.log2(max(giant_diameter, 2))) + 5)
+    assert stats.get("rounds", 99) <= bound, f"rounds blew up: {stats} (bound {bound})"
+
+    # storage release: the per-round localCheckpoints must be
+    # unpersisted as rounds retire — only the edge checkpoint and the
+    # final labels snapshot may remain pinned.
+    live = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert len(live) <= 3, f"leaked checkpoints: {len(live)} persistent RDDs"
 
     print(
         json.dumps(
             {
                 "edges": n_edges,
+                "giant_component_diameter": giant_diameter,
                 "components": n_components,
                 "expected": expected_components,
                 "rounds": stats["rounds"],
+                "round_bound": bound,
+                "persistent_rdds": len(live),
                 "sec": round(elapsed, 1),
             }
         )
