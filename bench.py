@@ -55,7 +55,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "dedup_cluster_representatives",
     "pagerank_supplier_part",
-    "edit_distance_pairs",
+    "edit_distance_name_pairs",
     "ann_ivfpq_topk",
     "dedup_minhash_verified",
 ]

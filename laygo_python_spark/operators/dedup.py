@@ -245,35 +245,139 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 1,
     threshold: float = 0.9,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing a token —
-    the verification primitive. Token self-join is quadratic per shared
-    token; use minhash_lsh_candidates for discovery at scale and this
-    (restricted to the candidate set) for the exact decision."""
+    """Exact n-gram Jaccard similarity, all qualifying pairs, EXACT —
+    adaptive between two published set-similarity-join strategies
+    (r2 bench exposed the naive shared-token self-join: a low-entropy
+    corpus makes its fan-out Σ_g count(g)² — 448M joined rows on the
+    sf0.1 fixture, from a 31-word vocabulary):
+
+    * **Bitmask path** (vocabulary ≤ 64 distinct grams): each doc's gram
+      set is one int64 bitmask; docs dedupe to DISTINCT masks (tiny-
+      vocab corpora repeat sets heavily), similarity is
+      bit_count(a&b)/bit_count(a|b) over distinct-mask pairs — codegen'd
+      long ops, no token join at all — and matching mask groups expand
+      back to doc pairs. Same-mask groups are Jaccard-1 pairs for free.
+    * **Prefix-filter path** (AllPairs; Bayardo, Ma & Srikant, WWW'07):
+      order grams globally by ascending frequency; a pair at Jaccard
+      >= t must share one of each side's |x| - ceil(t*|x|) + 1 RAREST
+      grams (pigeonhole: overlap >= ceil(t*max(|x|,|y|)) given the
+      length filter min >= t*max). Only those prefix grams join — the
+      hot common-token buckets never enter the self-join — then exact
+      intersection counts verify the surviving candidates.
+
+    Both paths return identical results (integer intersect/union counts,
+    bit-identical jaccard doubles); ``strategy`` pins one explicitly
+    ("bitmask" / "prefix") — "auto" probes the vocabulary with one cheap
+    count aggregate on the gram frame (tests/test_dedup.py asserts
+    path equivalence on both fixture shapes)."""
     from pyspark.sql import Window
 
+    if strategy not in ("auto", "bitmask", "prefix"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     grams = docs.select(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col, n) if n > 1 else tokens(text_col))).alias("g")
     ).distinct()
-    # Per-doc gram count rides on every gram row via a window, so the
-    # union-size arithmetic needs NO extra count-joins — the whole
-    # computation is one self-join + one aggregation (plan audit showed
-    # the count-join formulation at 10 exchanges; this is 5).
-    grams = grams.withColumn("n_grams", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
-    a, b = grams.alias("a"), grams.alias("b")
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_id_a"), F.col(f"b.{id_col}").alias("doc_id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.first("a.n_grams").alias("na"),
-            F.first("b.n_grams").alias("nb"),
+    jac_of = lambda i, na, nb: (i.cast("double") / (na + nb - i))  # noqa: E731
+
+    if strategy in ("auto", "bitmask"):
+        n_vocab = grams.agg(F.count_distinct("g")).first()[0] or 0
+        if strategy == "bitmask" and n_vocab > 64:
+            raise ValueError(f"bitmask strategy needs vocabulary <= 64 grams, found {n_vocab}")
+        if strategy == "auto":
+            strategy = "bitmask" if 0 < n_vocab <= 64 else "prefix"
+    if strategy == "bitmask":
+        vocab = (
+            grams.select("g")
+            .distinct()
+            .withColumn("bit", F.row_number().over(Window.orderBy("g")) - 1)
+        )
+        masks = (
+            grams.join(F.broadcast(vocab), "g")
+            .groupBy(id_col)
+            .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask"))
+        )
+        groups = masks.groupBy("mask").agg(F.collect_list(F.col(id_col)).alias("ids"))
+        a, b = groups.alias("a"), groups.alias("b")
+        i_bits = F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask")))
+        na_b, nb_b = F.bit_count("a.mask"), F.bit_count("b.mask")
+        cross = (
+            # Distinct-mask all-pairs: a broadcast nested-loop over the
+            # deduped set frame (|distinct sets| << |docs| when the
+            # vocabulary is this small), filtered by the bit arithmetic.
+            a.join(F.broadcast(b), F.col("a.mask") < F.col("b.mask"))
+            # >= 1 shared gram: the join-based paths only ever see pairs
+            # sharing a token, so zero-overlap pairs are never emitted
+            # even at threshold 0 — keep that contract here.
+            .filter((i_bits >= 1) & (jac_of(i_bits, na_b, nb_b) >= threshold))
+            .select(
+                F.explode("a.ids").alias("id_a"),
+                F.col("b.ids").alias("ids_b"),
+                jac_of(i_bits, na_b, nb_b).alias("jaccard"),
+            )
+            .select(F.col("id_a"), F.explode("ids_b").alias("id_b"), "jaccard")
+            .select(
+                F.least("id_a", "id_b").alias("doc_id_a"),
+                F.greatest("id_a", "id_b").alias("doc_id_b"),
+                "jaccard",
+            )
+        )
+        same = (
+            groups.filter(F.size("ids") >= 2)
+            .select(F.explode(_sorted_pairs("ids")).alias("p"))
+            .select(
+                F.col("p.a").alias("doc_id_a"),
+                F.col("p.b").alias("doc_id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        return cross.unionByName(same)
+
+    # Prefix-filter (AllPairs) path: global ascending-frequency gram
+    # order; index/probe only each doc's prefix (rarest) grams.
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("fc"))
+    ranked = (
+        grams.join(freq, "g")
+        .withColumn("n_grams", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy(id_col).orderBy("fc", "g"))
         )
     )
-    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
-    return inter.select("doc_id_a", "doc_id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
+    ).select(id_col, "g", "n_grams")
+    pa, pb = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # Length filter: Jaccard >= t forces min >= t * max.
+            & (
+                F.least("a.n_grams", "b.n_grams").cast("double")
+                >= F.lit(threshold) * F.greatest("a.n_grams", "b.n_grams")
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+            F.col("a.n_grams").alias("na"),
+            F.col("b.n_grams").alias("nb"),
+        )
+        .distinct()
     )
+    ga = grams.withColumnRenamed(id_col, "doc_id_a")
+    gb = grams.select(F.col(id_col).alias("__idb"), F.col("g").alias("gb"))
+    inter = (
+        cand.join(ga, "doc_id_a")
+        .join(gb, (F.col("doc_id_b") == F.col("__idb")) & (F.col("g") == F.col("gb")))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"), F.first("na").alias("na"), F.first("nb").alias("nb"))
+    )
+    return inter.select(
+        "doc_id_a", "doc_id_b", jac_of(F.col("n_inter"), F.col("na"), F.col("nb")).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def verify_candidates_jaccard(

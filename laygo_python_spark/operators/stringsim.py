@@ -44,20 +44,74 @@ def _seg_len(length: Column, i: int, parts: int) -> Column:
     return base + F.when(F.lit(i) < rem, 1).otherwise(0)
 
 
+def _deletion_variants(col_name: str) -> Column:
+    """The FastSS d=1 deletion neighborhood of a string column: the
+    string itself plus every single-character deletion, deduped.
+    edit(s, t) <= 1  ⇔  D1(s) ∩ D1(t) ≠ ∅ (delete the substituted
+    position from both sides / the inserted character from the longer),
+    so an equi-join on exploded variants is a complete candidate
+    generator — robust to low-entropy shared prefixes, which degenerate
+    the PassJoin segment keys (r2 bench: every c_name shares the 9-char
+    'Customer#' segment → one hot key joining all 15k rows to itself)."""
+    c = f"`{col_name}`"
+    return F.expr(
+        f"array_distinct(concat(array({c}), "
+        f"if(length({c}) = 0, array(), "
+        f"transform(sequence(1, length({c})), i -> concat(substr({c}, 1, i-1), substr({c}, i+1))))))"
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,
     str_col: str,
     max_dist: int = 1,
+    strategy: str = "auto",
 ) -> DataFrame:
     """All pairs with levenshtein(s, t) <= max_dist, as
     (id_a, id_b, dist) with the shorter (or lower-id on ties) string
     first. ``max_dist`` should stay small (candidates per string grow
-    with (d+1)²(2d+1))."""
+    with (d+1)²(2d+1)).
+
+    Two candidate generators, identical results (tests pin equivalence):
+
+    * **fastss** (d=1 default; Bocek et al., FastSS, 2007): equi-join on
+      exploded single-deletion neighborhoods — (L+1) short variants per
+      string, immune to hot segment keys on shared-prefix corpora.
+    * **passjoin** (d>=2 default; Li, Deng & Feng, PassJoin, VLDB'12):
+      segment pigeonhole + shift windows (module docstring).
+
+    Both verify candidates with a threshold-banded levenshtein (early
+    exit above d)."""
     d = max_dist
+    if strategy not in ("auto", "fastss", "passjoin"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        strategy = "fastss" if d == 1 else "passjoin"
+    if strategy == "fastss" and d != 1:
+        raise ValueError("fastss strategy implements max_dist=1 only")
     parts = d + 1
     s = F.col(str_col)
     slen = F.length(s)
+
+    if strategy == "fastss":
+        va = df.select(
+            F.col(id_col).alias("id_a"), s.alias("s_a"), F.explode(_deletion_variants(str_col)).alias("v")
+        )
+        vb = va.select(F.col("id_a").alias("id_b"), F.col("s_a").alias("s_b"), "v")
+        order_ok = (F.length("s_a") < F.length("s_b")) | (
+            (F.length("s_a") == F.length("s_b")) & (F.col("id_a") < F.col("id_b"))
+        )
+        dist = F.levenshtein("s_a", "s_b", d)  # banded: -1 above threshold
+        return (
+            va.join(vb, "v")
+            .filter(order_ok)
+            .select("id_a", "id_b", "s_a", "s_b")
+            .distinct()
+            .withColumn("dist", dist)
+            .filter(F.col("dist") >= 0)
+            .select("id_a", "id_b", "dist")
+        )
 
     idx_entries = F.array(
         *[
@@ -132,7 +186,7 @@ def edit_distance_pairs(
     return (
         cand.unionByName(cand_short)
         .distinct()
-        .withColumn("dist", F.levenshtein("s_a", "s_b"))
-        .filter(F.col("dist") <= d)
+        .withColumn("dist", F.levenshtein("s_a", "s_b", d))
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )

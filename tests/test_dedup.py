@@ -50,6 +50,31 @@ def test_jaccard_exact_values(spark):
     assert (1, 3) not in vals  # no shared tokens → no pair emitted
 
 
+def test_jaccard_strategies_agree(spark, sf_dir):
+    """The bitmask (vocab <= 64) and prefix-filter (AllPairs) strategies
+    are different physical plans for the same exact result — pin
+    equivalence on the fixture corpus (tiny vocab: bitmask-eligible,
+    and the repeated-set shape the bitmask dedup exploits) at two
+    thresholds, including jaccard values bit-for-bit."""
+    docs = read_table(spark, sf_dir, "documents")
+    for threshold in (0.95, 0.5):
+        bm = sorted(
+            map(tuple, dedup.ngram_jaccard_pairs(docs, threshold=threshold, strategy="bitmask").collect())
+        )
+        pf = sorted(
+            map(tuple, dedup.ngram_jaccard_pairs(docs, threshold=threshold, strategy="prefix").collect())
+        )
+        assert bm == pf and bm, f"strategy mismatch at t={threshold}"
+
+
+def test_jaccard_bitmask_rejects_large_vocab(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"tok{i}_{j}" for j in range(10))) for i in range(10)]
+    )
+    with pytest.raises(ValueError, match="vocabulary"):
+        dedup.ngram_jaccard_pairs(df, strategy="bitmask").collect()
+
+
 def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
     """On the fixture corpus, every LSH candidate pair with full-band
     agreement must have high exact shingle-Jaccard — and candidates are

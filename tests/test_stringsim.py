@@ -56,3 +56,23 @@ def test_matches_bruteforce_on_random_strings(spark, words, d):
     df = spark.createDataFrame(data, "id int, s string")
     got = sorted((r.id_a, r.id_b, r.dist) for r in edit_distance_pairs(df, "id", "s", d).collect())
     assert got == _truth(data, d)
+
+
+def test_fastss_equals_passjoin_on_shared_prefix_corpus(spark):
+    """The r2-bench degenerate shape: every string shares a long prefix,
+    so every PassJoin segment-0 key is one hot bucket. Both strategies
+    must return the identical exact result; fastss must also handle
+    empty/short strings (no degenerate-length special case needed)."""
+    data = [(i, f"Customer#{i:04d}") for i in range(60)] + [
+        (100, ""), (101, "a"), (102, "ab"), (103, "Customer#0001x")
+    ]
+    df = spark.createDataFrame(data, "id int, s string")
+    fast = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(df, "id", "s", 1, strategy="fastss").collect()
+    )
+    passj = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(df, "id", "s", 1, strategy="passjoin").collect()
+    )
+    assert fast == passj == _truth(data, 1)
