@@ -281,12 +281,30 @@ def ngram_jaccard_pairs(
     ).distinct()
     jac_of = lambda i, na, nb: (i.cast("double") / (na + nb - i))  # noqa: E731
 
-    if strategy in ("auto", "bitmask"):
-        n_vocab = grams.agg(F.count_distinct("g")).first()[0] or 0
-        if strategy == "bitmask" and n_vocab > 64:
-            raise ValueError(f"bitmask strategy needs vocabulary <= 64 grams, found {n_vocab}")
-        if strategy == "auto":
+    if strategy == "auto":
+        # Two-stage probe so the full-corpus distinct-gram count only
+        # ever runs when it is cheap: a bounded doc sample first (vocab
+        # is monotone — a >64 sample vocabulary settles it with a
+        # partial scan), and the exact global count only when the
+        # sample says "tiny" (then partial aggregation collapses every
+        # partition to <= ~64 local distincts before the shuffle).
+        sample_vocab = (
+            docs.select(text_col)
+            .limit(50_000)
+            .select(F.explode(shingles(text_col, n) if n > 1 else tokens(text_col)).alias("g"))
+            .agg(F.count_distinct("g"))
+            .first()[0]
+            or 0
+        )
+        if 0 < sample_vocab <= 64:
+            n_vocab = grams.agg(F.count_distinct("g")).first()[0] or 0
             strategy = "bitmask" if 0 < n_vocab <= 64 else "prefix"
+        else:
+            strategy = "prefix"
+    elif strategy == "bitmask":
+        n_vocab = grams.agg(F.count_distinct("g")).first()[0] or 0
+        if n_vocab > 64 or n_vocab == 0:
+            raise ValueError(f"bitmask strategy needs 1..64 distinct grams, found {n_vocab}")
     if strategy == "bitmask":
         vocab = (
             grams.select("g")
