@@ -187,6 +187,7 @@ def minhash_lsh_candidates(
     bands: int = 32,
     seed: int = 42,
     max_bucket: int = 1000,
+    clique_mode: str = "pairs",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -195,16 +196,92 @@ def minhash_lsh_candidates(
     bands (a cheap similarity proxy). Follow with ``verify_jaccard`` or
     signature comparison for the exact decision.
 
-    ``max_bucket`` drops degenerate buckets (e.g. boilerplate shingle
-    sets shared by everything) — at 100 TB a single hot bucket would
+    ``clique_mode`` controls the output SIZE contract:
+
+    * ``"pairs"`` (default): every candidate pair, explicitly — what
+      pairwise verification against an all-pairs oracle needs. A group
+      of g identical docs emits g(g-1)/2 pairs: inherent to the answer.
+    * ``"star"``: the 100 TB clustering/blocking mode — same-signature
+      groups emit a (min-member → member) star, band buckets emit a
+      star over their distinct signatures, and matched signature pairs
+      emit ONE (rep_a, rep_b) edge. Everything is LINEAR, so no bucket
+      is ever capped/dropped: the edge set's connected components are
+      IDENTICAL to full expansion's **with no recall loss at all** —
+      the blocking half of blocked dedup (see ``blocked`` in
+      ``queries/dedup_ops.py::dedup_minhash_verified``), while a
+      10%-boilerplate corpus emits O(n) instead of O(n²) edges
+      (tools/skew_guard_smoke.py proves the bound at 10^6 docs).
+      ``max_bucket`` is ignored in star mode.
+
+    SIGNATURE DEDUP before banding: boilerplate-heavy corpora put
+    thousands of docs on IDENTICAL signatures, and banding raw docs
+    then makes every one of their 32 band buckets a size-|group| hot
+    bucket — at sf0.1 that meant near-cap buckets expanding ~500k pairs
+    each (42 s), and groups above ``max_bucket`` silently LOST their
+    pairs (27k found of 190k true). Instead: group docs by signature
+    hash, band only the distinct signatures, and
+
+    * same-signature groups are guaranteed candidates (all bands agree)
+      — emitted directly as cliques, immune to the cap;
+    * cross-group band matches are found on the deduped frame (buckets
+      count distinct SIGNATURES, so the cap now guards genuine
+      signature diversity, not repetition) and expand to member pairs.
+
+    A 2^-64 sig-hash collision can only merge two groups — emitting
+    extra candidates for verification, never losing one.
+
+    ``max_bucket`` caps distinct signatures per band bucket (e.g. wide
+    near-miss shingle sets) — at 100 TB a single hot bucket would
     otherwise force one task to emit size² pairs.
     """
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
+    if clique_mode not in ("pairs", "star"):
+        raise ValueError(f"unknown clique_mode {clique_mode!r}")
 
     sig = minhash_signatures(docs, id_col, text_col, shingle_n, num_hashes, seed)
-    band_entries = sig.select(
-        id_col,
+    # One exchange on the signature hash; everything downstream of the
+    # Python signature pass stays a single linear chain (a self-join
+    # would re-execute the mapInPandas subtree — exchange reuse never
+    # fires across them; measured: 2 scans, 0 ReusedExchange).
+    # Eager localCheckpoint: `groups` feeds four subtrees (clique
+    # expansion, band entries, both membership joins); unpinned, each
+    # would re-run the Python signature pass. The frame is small —
+    # distinct signatures only. Blocks are freed by the async
+    # ContextCleaner once the result is dereferenced (the result
+    # recomputes FROM the checkpoint, so no explicit release hook).
+    groups = (
+        sig.groupBy(F.xxhash64(F.concat_ws(",", F.col("sig"))).alias("sig_key"))
+        .agg(
+            F.collect_list(F.col(id_col)).alias("members"),
+            F.min(F.col(id_col)).alias("rep"),
+            F.first("sig").alias("sig"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    if clique_mode == "pairs":
+        same = (
+            groups.filter(F.size("members") >= 2)
+            .select(F.explode(_sorted_pairs("members")).alias("p"))
+            .select(
+                F.col("p.a").alias("doc_id_a"),
+                F.col("p.b").alias("doc_id_b"),
+                F.lit(bands).cast("long").alias("n_bands"),
+            )
+        )
+    else:
+        same = (
+            groups.filter(F.size("members") >= 2)
+            .select("rep", F.explode("members").alias("m"))
+            .filter(F.col("m") != F.col("rep"))
+            .select(
+                F.col("rep").alias("doc_id_a"),
+                F.col("m").alias("doc_id_b"),
+                F.lit(bands).cast("long").alias("n_bands"),
+            )
+        )
+    band_entries = groups.select(
+        "sig_key",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -213,30 +290,78 @@ def minhash_lsh_candidates(
             )
         ).alias("band_key"),
     )
-    # Pair generation WITHOUT a self-join: collect each bucket's ids and
-    # expand i<j pairs with array functions. A self-join here would
-    # compute the Python signature pass TWICE — the two mapInPandas
-    # subtrees never canonicalize equal, so exchange reuse does not fire
-    # (measured: 2 scans, 0 ReusedExchange). This shape runs signatures
-    # ONCE in a single linear chain: one exchange on band_key feeds the
-    # window COUNT (O(1) state — it must cap the degenerate bucket
-    # BEFORE collect_list materializes it in an agg buffer) and then the
-    # collect_list on the same partitioning (no second exchange).
+    # One exchange on band_key feeds the window COUNT (O(1) state — it
+    # must cap the degenerate bucket BEFORE collect_list materializes
+    # it in an agg buffer) and then the collect_list on the same
+    # partitioning (no second exchange).
     from pyspark.sql import Window
 
     w = Window.partitionBy("band_key")
-    capped = (
-        band_entries.withColumn("__bc", F.count(F.lit(1)).over(w))
-        .filter((F.col("__bc") >= 2) & (F.col("__bc") <= max_bucket))
-        .drop("__bc")
-    )
-    return (
-        capped.groupBy("band_key")
-        .agg(F.collect_list(F.col(id_col)).alias("ids"))
-        .select(F.explode(_sorted_pairs("ids")).alias("p"))
-        .groupBy(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-    )
+    if clique_mode == "pairs":
+        capped = (
+            band_entries.withColumn("__bc", F.count(F.lit(1)).over(w))
+            .filter((F.col("__bc") >= 2) & (F.col("__bc") <= max_bucket))
+            .drop("__bc")
+        )
+        sig_pairs = (
+            capped.groupBy("band_key")
+            .agg(F.collect_list("sig_key").alias("ks"))
+            .select(F.explode(_sorted_pairs("ks")).alias("p"))
+            .groupBy(F.col("p.a").alias("ka"), F.col("p.b").alias("kb"))
+            .agg(F.count(F.lit(1)).alias("n_bands"))
+        )
+    else:
+        # Star mode expands each band bucket as a STAR over its sorted
+        # sig_keys — size-1 edges, LINEAR in bucket size, so NO bucket
+        # is ever dropped: max_bucket exists to stop quadratic pair
+        # blowup, and a star has none. Connectivity (hence downstream
+        # components) is exactly what full expansion would give; the
+        # n_bands on a star edge counts the bands where that edge
+        # appears (a lower-bound proxy, not the full pair band count).
+        sig_pairs = (
+            band_entries.groupBy("band_key")
+            .agg(F.sort_array(F.collect_list("sig_key")).alias("ks"))
+            .filter(F.size("ks") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.slice(F.col("ks"), 2, F.greatest(F.size("ks") - 1, F.lit(0))),
+                        lambda k: F.struct(
+                            F.element_at(F.col("ks"), 1).alias("a"), k.alias("b")
+                        ),
+                    )
+                ).alias("p")
+            )
+            .groupBy(F.col("p.a").alias("ka"), F.col("p.b").alias("kb"))
+            .agg(F.count(F.lit(1)).alias("n_bands"))
+        )
+    if clique_mode == "pairs":
+        ma = groups.select(F.col("sig_key").alias("ka"), F.col("members").alias("members_a"))
+        mb = groups.select(F.col("sig_key").alias("kb"), F.col("members").alias("members_b"))
+        cross = (
+            sig_pairs.join(ma, "ka")
+            .join(mb, "kb")
+            .select(F.explode("members_a").alias("id_a"), "members_b", "n_bands")
+            .select("id_a", F.explode("members_b").alias("id_b"), "n_bands")
+            .select(
+                F.least("id_a", "id_b").alias("doc_id_a"),
+                F.greatest("id_a", "id_b").alias("doc_id_b"),
+                "n_bands",
+            )
+        )
+    else:
+        ma = groups.select(F.col("sig_key").alias("ka"), F.col("rep").alias("rep_a"))
+        mb = groups.select(F.col("sig_key").alias("kb"), F.col("rep").alias("rep_b"))
+        cross = (
+            sig_pairs.join(ma, "ka")
+            .join(mb, "kb")
+            .select(
+                F.least("rep_a", "rep_b").alias("doc_id_a"),
+                F.greatest("rep_a", "rep_b").alias("doc_id_b"),
+                "n_bands",
+            )
+        )
+    return cross.unionByName(same)
 
 
 def ngram_jaccard_pairs(
@@ -246,6 +371,7 @@ def ngram_jaccard_pairs(
     n: int = 1,
     threshold: float = 0.9,
     strategy: str = "auto",
+    block_col: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity, all qualifying pairs, EXACT —
     adaptive between two published set-similarity-join strategies
@@ -271,13 +397,22 @@ def ngram_jaccard_pairs(
     bit-identical jaccard doubles); ``strategy`` pins one explicitly
     ("bitmask" / "prefix") — "auto" probes the vocabulary with one cheap
     count aggregate on the gram frame (tests/test_dedup.py asserts
-    path equivalence on both fixture shapes)."""
+    path equivalence on both fixture shapes).
+
+    ``block_col`` (entity-resolution blocking): only pairs whose rows
+    agree on this column are compared/emitted — the exact-match half of
+    a block→verify pipeline (e.g. LSH-component blocks from
+    ``minhash_lsh_candidates(clique_mode="star")`` + ``connected_
+    components``). Every join gains an equality on the block key, so
+    the cost is quadratic only WITHIN blocks. Rows with a null block
+    match nothing."""
     from pyspark.sql import Window
 
     if strategy not in ("auto", "bitmask", "prefix"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    blk = [block_col] if block_col else []
     grams = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, n) if n > 1 else tokens(text_col))).alias("g")
+        F.col(id_col), *blk, F.explode(F.array_distinct(shingles(text_col, n) if n > 1 else tokens(text_col))).alias("g")
     ).distinct()
     jac_of = lambda i, na, nb: (i.cast("double") / (na + nb - i))  # noqa: E731
 
@@ -313,18 +448,23 @@ def ngram_jaccard_pairs(
         )
         masks = (
             grams.join(F.broadcast(vocab), "g")
-            .groupBy(id_col)
+            .groupBy(id_col, *blk)
             .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask"))
         )
-        groups = masks.groupBy("mask").agg(F.collect_list(F.col(id_col)).alias("ids"))
+        groups = masks.groupBy("mask", *blk).agg(F.collect_list(F.col(id_col)).alias("ids"))
         a, b = groups.alias("a"), groups.alias("b")
         i_bits = F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask")))
         na_b, nb_b = F.bit_count("a.mask"), F.bit_count("b.mask")
+        mask_cond = F.col("a.mask") < F.col("b.mask")
+        if block_col:
+            # Equality on the block key turns the nested-loop into a
+            # hash join; quadratic comparison only within one block.
+            mask_cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & mask_cond
         cross = (
             # Distinct-mask all-pairs: a broadcast nested-loop over the
             # deduped set frame (|distinct sets| << |docs| when the
             # vocabulary is this small), filtered by the bit arithmetic.
-            a.join(F.broadcast(b), F.col("a.mask") < F.col("b.mask"))
+            a.join(F.broadcast(b), mask_cond)
             # >= 1 shared gram: the join-based paths only ever see pairs
             # sharing a token, so zero-overlap pairs are never emitted
             # even at threshold 0 — keep that contract here.
@@ -364,13 +504,15 @@ def ngram_jaccard_pairs(
     )
     prefix = ranked.filter(
         F.col("rk") <= F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
-    ).select(id_col, "g", "n_grams")
+    ).select(id_col, *blk, "g", "n_grams")
     pa, pb = prefix.alias("a"), prefix.alias("b")
+    join_cond = (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    if block_col:
+        join_cond = join_cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
     cand = (
         pa.join(
             pb,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            join_cond
             # Length filter: Jaccard >= t forces min >= t * max.
             & (
                 F.least("a.n_grams", "b.n_grams").cast("double")
@@ -415,10 +557,20 @@ def verify_candidates_jaccard(
     to docs that appear in some candidate pair before the intersection
     count, so at 100 TB the expensive token join touches only the
     (tiny) candidate neighborhood discovered by LSH. All shuffles move
-    ids and tokens, never full documents."""
+    ids and tokens, never full documents.
+
+    The candidate frame is pinned with an EAGER localCheckpoint: it
+    feeds three subtrees (both sides of the touched-doc union and the
+    verify join), and when it comes from ``minhash_lsh_candidates`` the
+    Python signature pass would otherwise re-execute per subtree —
+    mapInPandas subtrees never canonicalize equal, so exchange reuse
+    cannot fire (measured at sf0.1: 39.5 s re-executing vs ~8 s
+    pinned). The result recomputes FROM the checkpoint, so blocks are
+    freed by the async ContextCleaner once the result is dereferenced —
+    no explicit release hook, unlike simhash's self-contained pin."""
     from pyspark.sql import Window
 
-    cand = candidates.select("doc_id_a", "doc_id_b")
+    cand = candidates.select("doc_id_a", "doc_id_b").localCheckpoint(eager=True)
     touched = (
         cand.select(F.col("doc_id_a").alias(id_col))
         .unionByName(cand.select(F.col("doc_id_b").alias(id_col)))

@@ -129,16 +129,34 @@ def minhash_signature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end discovery→verify dedup path, oracle-gated: LSH
-    banding proposes candidate pairs (O(candidates), the 100 TB shape),
-    exact unigram Jaccard verifies them. The DuckDB oracle computes
-    ALL-PAIRS exact Jaccard — the two agree iff LSH recall at the 0.95
-    threshold is total, which 32 bands × 4 rows makes a near-certainty:
-    a pair at s=0.95 is missed with probability (1-s^4)^32 ≈ 4e-24.
-    This is the hard correctness signal for the whole LSH family: any
-    drift in shingling, hashing, banding or capping breaks the match."""
+    """The end-to-end discovery→verify dedup path, oracle-gated, as a
+    BLOCK→VERIFY pipeline (the entity-resolution shape):
+
+    1. star-mode LSH banding (linear edges, NO bucket ever capped —
+       zero connectivity loss) proposes the candidate neighborhood;
+    2. connected components turn it into blocks;
+    3. the exact adaptive Jaccard join runs WITHIN blocks only
+       (``block_col``), so the quadratic work is confined to documents
+       LSH already linked.
+
+    The DuckDB oracle computes ALL-PAIRS exact Jaccard — the two agree
+    iff LSH blocking recall at the 0.95 threshold is total, which 32
+    bands × 4 rows makes a near-certainty: a pair at s=0.95 lands in
+    different blocks only if every one of its 32 bands missed
+    ((1-s^4)^32 ≈ 4e-24) AND no transitive path links them. This is the
+    hard correctness signal for the whole LSH family: any drift in
+    shingling, hashing, banding or blocking breaks the match. (The
+    pre-r3 shape — pairwise LSH candidates + per-pair verification —
+    silently LOST 163k of 191k sf0.1 pairs to the bucket cap and took
+    39 s; this shape matches the oracle at every SF.)"""
     docs = _t(spark, sf_dir, "documents")
-    cands = dedup.minhash_lsh_candidates(
-        docs, shingle_n=1, num_hashes=128, bands=32
+    star = dedup.minhash_lsh_candidates(
+        docs, shingle_n=1, num_hashes=128, bands=32, clique_mode="star"
     )
-    return dedup.verify_candidates_jaccard(docs, cands, n=1, threshold=0.95)
+    comp = dedup.connected_components(star)
+    blocked = docs.join(
+        comp, docs["doc_id"] == comp["node"], "inner"
+    ).select(docs["doc_id"], docs["text"], comp["cluster"])
+    return dedup.ngram_jaccard_pairs(
+        blocked, n=1, threshold=0.95, block_col="cluster"
+    )

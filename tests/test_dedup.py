@@ -50,6 +50,40 @@ def test_jaccard_exact_values(spark):
     assert (1, 3) not in vals  # no shared tokens → no pair emitted
 
 
+def test_lsh_star_mode_same_components(spark, sf_dir):
+    """clique_mode='star' must reach the same connected components over
+    the same discovered doc set as the full pairs expansion — with an
+    edge count bounded by O(docs) per clique instead of O(docs²)."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(docs, shingle_n=1)
+    star = dedup.minhash_lsh_candidates(docs, shingle_n=1, clique_mode="star")
+    n_pairs, n_star = pairs.count(), star.count()
+    assert n_star <= n_pairs
+    cc_pairs = {
+        (r.node, r.cluster) for r in dedup.connected_components(pairs).collect()
+    }
+    cc_star = {
+        (r.node, r.cluster) for r in dedup.connected_components(star).collect()
+    }
+    assert cc_pairs == cc_star and cc_pairs
+
+
+def test_lsh_sig_dedup_keeps_identical_docs_past_cap(spark):
+    """A group of identical docs larger than max_bucket must still be
+    discovered: signature dedup collapses it to one banded signature,
+    so the bucket cap no longer silently drops its pairs (r3 found
+    27k of 190k true pairs lost at sf0.1 pre-dedup)."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="identical boilerplate text body") for i in range(40)]
+        + [Row(doc_id=100, text="a completely different document entirely")]
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dedup.minhash_lsh_candidates(docs, shingle_n=1, max_bucket=10).collect()
+    }
+    assert got == {(i, j) for i in range(40) for j in range(i + 1, 40)}
+
+
 def test_jaccard_strategies_agree(spark, sf_dir):
     """The bitmask (vocab <= 64) and prefix-filter (AllPairs) strategies
     are different physical plans for the same exact result — pin
@@ -71,7 +105,7 @@ def test_jaccard_bitmask_rejects_large_vocab(spark):
     df = spark.createDataFrame(
         [Row(doc_id=i, text=" ".join(f"tok{i}_{j}" for j in range(10))) for i in range(10)]
     )
-    with pytest.raises(ValueError, match="vocabulary"):
+    with pytest.raises(ValueError, match="distinct grams"):
         dedup.ngram_jaccard_pairs(df, strategy="bitmask").collect()
 
 

@@ -2,18 +2,21 @@
 bucket — 10% of a 10^6-doc corpus sharing one boilerplate text — and
 prove the `max_bucket` caps in both dedup discovery paths hold:
 
-* `minhash_lsh_candidates`: identical docs share every band bucket;
-  uncapped, ONE task would expand ~(10^5)^2/2 = 5e9 pairs. The window
-  count must drop the hot bucket BEFORE collect_list materializes it.
+* `minhash_lsh_candidates(clique_mode="star")`: identical docs collapse
+  to ONE signature group (signature dedup), and star expansion emits
+  n-1 edges instead of ~(10^5)^2/2 = 5e9 clique pairs — same connected
+  components, linear output. The `max_bucket` cap additionally guards
+  band buckets of distinct-but-colliding signatures.
 * `simhash_near_dups`: identical fingerprints collide on all 4
   pigeonhole chunks; the per-chunk occupancy cap must drop them before
   the pair join multiplies.
 
-Asserts (a) zero candidate pairs between degenerate docs survive,
+Asserts (a) the degenerate population's candidate count is LINEAR
+(star edges for LSH; zero surviving pairs for simhash's cap),
 (b) the unique-doc population still produces its (seeded, known)
-near-dup pairs — the cap kills the pathological bucket, not recall on
-the healthy corpus, and (c) bounded wall-clock, the proxy for "no task
-sat in a size² expansion".
+near-dup pairs — the guards kill the pathological blowup, not recall
+on the healthy corpus, and (c) bounded wall-clock, the proxy for "no
+task sat in a size² expansion".
 
 Usage: python tools/skew_guard_smoke.py [n_docs] [degenerate_frac]
 Prints one JSON line. Referenced from operators/dedup.py docstrings.
@@ -82,21 +85,26 @@ def main() -> None:
     out: dict = {"n_docs": n_docs, "n_degenerate": n_deg, "expected_planted_pairs": expected_pairs}
 
     t0 = time.perf_counter()
-    cand = minhash_lsh_candidates(docs, max_bucket=1000).localCheckpoint(eager=True)
+    cand = minhash_lsh_candidates(docs, max_bucket=1000, clique_mode="star").localCheckpoint(
+        eager=True
+    )
     n_cand = cand.count()
     deg_cand = cand.filter((F.col("doc_id_a") < n_deg) & (F.col("doc_id_b") < n_deg)).count()
     planted_found = cand.filter(
         (F.col("doc_id_a") >= n_deg) & (F.col("doc_id_b") == F.col("doc_id_a") + 1)
     ).count()
     t_lsh = time.perf_counter() - t0
-    # (a) the hot bucket is dropped wholesale — no degenerate pair leaks
-    assert deg_cand == 0, f"max_bucket cap leaked {deg_cand} degenerate pairs"
-    # (b) recall on the healthy corpus survives the cap (identical
-    # 12-token prefix => most bands agree; require >= 95%)
+    # (a) the identical-doc flood comes out LINEAR: one signature group,
+    # star-expanded to exactly n_deg - 1 edges (not ~5e9 clique pairs) —
+    # and the group is still DISCOVERED (the pre-sig-dedup cap dropped
+    # it wholesale, silently losing every one of its documents).
+    assert deg_cand == n_deg - 1, f"degenerate star expansion wrong: {deg_cand} vs {n_deg - 1}"
+    # (b) recall on the healthy corpus (identical 12-token prefix =>
+    # most bands agree; require >= 95%)
     assert planted_found >= 0.95 * expected_pairs, (planted_found, expected_pairs)
-    # total candidates stay O(planted + noise), not O(n_deg^2)
-    assert n_cand < 10 * expected_pairs + 1000, f"candidate blowup: {n_cand}"
-    out.update(lsh={"candidates": n_cand, "degenerate_pairs": 0, "planted_found": planted_found, "sec": round(t_lsh, 1)})
+    # total candidates stay O(n_deg + planted + noise), not O(n_deg^2)
+    assert n_cand < n_deg + 10 * expected_pairs + 1000, f"candidate blowup: {n_cand}"
+    out.update(lsh={"candidates": n_cand, "degenerate_star_edges": deg_cand, "planted_found": planted_found, "sec": round(t_lsh, 1)})
 
     t0 = time.perf_counter()
     sh = simhash_near_dups(docs, max_bucket=2000, max_hamming=3)
