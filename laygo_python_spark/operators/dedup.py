@@ -775,6 +775,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     max_bucket: int = 2000,
     expand_threshold: int = 200_000,
+    clique_mode: str = "pairs",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance, via pigeonhole
     banding: split the 64-bit fingerprint into 4 chunks of 16 bits —
@@ -782,38 +783,53 @@ def simhash_near_dups(
     candidate join is equi on (chunk_index, chunk_value), never O(n²).
     Returns (doc_id_a, doc_id_b, hamming).
 
-    ``max_bucket`` caps chunk-bucket occupancy (same skew guard as the
-    LSH path): a degenerate chunk value shared by a huge doc population
-    (e.g. boilerplate-heavy shards) would otherwise emit size² candidate
-    pairs from one task.
+    FINGERPRINT DEDUP first (mirrors ``minhash_lsh_candidates``): docs
+    group by exact fingerprint, and banding runs over DISTINCT
+    fingerprints only. Identical-fingerprint groups are hamming-0 pairs
+    by definition — emitted directly, immune to the bucket cap (which
+    previously dropped any identical-doc population larger than
+    ``max_bucket`` wholesale) — and the cap now guards genuine
+    fingerprint diversity per chunk bucket. The doc-pair `distinct` is
+    also gone: dedup happens at the (much smaller) fingerprint-pair
+    level.
+
+    ``clique_mode`` as in ``minhash_lsh_candidates``: ``"pairs"`` emits
+    every doc pair (g(g-1)/2 per identical group — the exact answer);
+    ``"star"`` emits min-member stars and one rep-to-rep edge per
+    matched fingerprint pair — identical connected components, O(n)
+    output on boilerplate floods (tools/skew_guard_smoke.py).
 
     SIZE-ADAPTIVE pair generation (measured crossover): below
-    ``expand_threshold`` fingerprints, pairs expand bucket-locally from
-    a collect_list — sparse buckets, one linear pass, no second scan of
-    the checkpoint (sf0.1 ~5k docs: expansion beats the join). Above
-    it, the pigeonhole buckets are DENSE (natural occupancy n/2^16 per
-    chunk value) and the codegen'd self-join wins: 17 s vs 37 s at 1M
-    docs for interpreted array expansion. The fingerprint count is free
-    — the frame is already checkpointed for the join's double read."""
+    ``expand_threshold`` distinct fingerprints, fp pairs expand
+    bucket-locally from a collect_list — sparse buckets, one linear
+    pass (sf0.1: expansion beats the join). Above it, the pigeonhole
+    buckets are DENSE (natural occupancy n/2^16 per chunk value) and
+    the codegen'd self-join wins: 17 s vs 37 s at 1M docs for
+    interpreted array expansion. The fingerprint count is free — the
+    frame is already checkpointed for the join's double read."""
     n_chunks = max_hamming + 1
     if 64 % n_chunks != 0:
         raise ValueError("max_hamming+1 must divide 64 so chunks tile the fingerprint")
+    if clique_mode not in ("pairs", "star"):
+        raise ValueError(f"unknown clique_mode {clique_mode!r}")
     chunk_bits = 64 // n_chunks
-    # Fingerprints are pinned with an eager localCheckpoint: the pair
-    # self-join below reads them twice, and exchange reuse never fires
-    # across mapInPandas subtrees. The frame is (id, int64) — tiny at any
-    # scale — and unlike minhash (sparse buckets, cheap expansion), the
-    # pigeonhole buckets here are DENSE (natural occupancy n/2^16 per
-    # chunk value), so a collect_list + interpreted array expansion was
-    # measured 2x SLOWER at 1M docs than the codegen'd join (37 s vs
-    # 17 s); the join stays, the double Python pass goes.
+    # The distinct-fingerprint frame is pinned with an eager
+    # localCheckpoint: the pair self-join reads it twice and the
+    # member/rep expansion joins read it again, and exchange reuse
+    # never fires across mapInPandas subtrees. The frame is
+    # (sh, members, rep) over distinct fingerprints — tiny at any scale.
     spark = docs.sparkSession
 
     def _persistent_ids() -> set[int]:
         return {int(k) for k in dict(spark.sparkContext._jsc.getPersistentRDDs())}
 
     pre = _persistent_ids()
-    sh = simhash_fingerprints(docs, id_col, text_col).localCheckpoint(eager=True)
+    fp = (
+        simhash_fingerprints(docs, id_col, text_col)
+        .groupBy("sh")
+        .agg(F.collect_list(F.col(id_col)).alias("members"), F.min(F.col(id_col)).alias("rep"))
+        .localCheckpoint(eager=True)
+    )
     pin_ids = _persistent_ids() - pre
 
     # DataFrame.unpersist does NOT release a localCheckpoint (it is an
@@ -828,6 +844,30 @@ def simhash_near_dups(
                 for k, v in live.items():
                     if int(k) == int(i):
                         v.unpersist(False)
+
+    # Same-fingerprint groups: hamming 0 by definition, no banding needed.
+    if clique_mode == "pairs":
+        same = (
+            fp.filter(F.size("members") >= 2)
+            .select(F.explode(_sorted_pairs("members")).alias("p"))
+            .select(
+                F.col("p.a").alias("doc_id_a"),
+                F.col("p.b").alias("doc_id_b"),
+                F.lit(0).cast("integer").alias("hamming"),
+            )
+        )
+    else:
+        same = (
+            fp.filter(F.size("members") >= 2)
+            .select("rep", F.explode("members").alias("m"))
+            .filter(F.col("m") != F.col("rep"))
+            .select(
+                F.col("rep").alias("doc_id_a"),
+                F.col("m").alias("doc_id_b"),
+                F.lit(0).cast("integer").alias("hamming"),
+            )
+        )
+
     chunk_structs = [
         F.struct(
             F.lit(i).alias("chunk_idx"),
@@ -841,53 +881,64 @@ def simhash_near_dups(
 
     w = Window.partitionBy("chunk_idx", "chunk_val")
     chunks = (
-        sh.select(id_col, "sh", F.explode(F.array(*chunk_structs)).alias("c"))
-        .select(id_col, "sh", "c.chunk_idx", "c.chunk_val")
+        fp.select("sh", F.explode(F.array(*chunk_structs)).alias("c"))
+        .select("sh", "c.chunk_idx", "c.chunk_val")
         .withColumn("__bc", F.count(F.lit(1)).over(w))
         .filter(F.col("__bc") <= max_bucket)
         .drop("__bc")
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    if sh.count() <= expand_threshold:
-        # Small corpus: bucket-local expansion. Struct field order (i, s)
-        # makes array_sort order by id, so a.i < b.i after _sorted_pairs.
-        out = (
+    if fp.count() <= expand_threshold:
+        # Small corpus: bucket-local expansion over distinct fps.
+        fp_pairs = (
             chunks.groupBy("chunk_idx", "chunk_val")
-            .agg(
-                F.collect_list(
-                    F.struct(F.col(id_col).alias("i"), F.col("sh").alias("s"))
-                ).alias("members")
-            )
-            .select(F.explode(_sorted_pairs(F.col("members"))).alias("p"))
-            .select(
-                F.col("p.a.i").alias("doc_id_a"),
-                F.col("p.b.i").alias("doc_id_b"),
-                F.col("p.a.s").alias("sh_a"),
-                F.col("p.b.s").alias("sh_b"),
-            )
+            .agg(F.collect_list("sh").alias("fps"))
+            .select(F.explode(_sorted_pairs("fps")).alias("p"))
+            .select(F.col("p.a").alias("sh_a"), F.col("p.b").alias("sh_b"))
             .distinct()
-            .select("doc_id_a", "doc_id_b", hamming.alias("hamming"))
+            .withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
         )
-        out._release_pin = _release_pin
-        return out
-    a, b = chunks.alias("a"), chunks.alias("b")
-    out = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    else:
+        a, b = chunks.alias("a"), chunks.alias("b")
+        fp_pairs = (
+            a.join(
+                b,
+                (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+                & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+                & (F.col("a.sh") < F.col("b.sh")),
+            )
+            .select(F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+            .distinct()
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
         )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_id_a"),
-            F.col(f"b.{id_col}").alias("doc_id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+    if clique_mode == "pairs":
+        ma = fp.select(F.col("sh").alias("sh_a"), F.col("members").alias("members_a"))
+        mb = fp.select(F.col("sh").alias("sh_b"), F.col("members").alias("members_b"))
+        cross = (
+            fp_pairs.join(ma, "sh_a")
+            .join(mb, "sh_b")
+            .select(F.explode("members_a").alias("id_a"), "members_b", "hamming")
+            .select("id_a", F.explode("members_b").alias("id_b"), "hamming")
+            .select(
+                F.least("id_a", "id_b").alias("doc_id_a"),
+                F.greatest("id_a", "id_b").alias("doc_id_b"),
+                "hamming",
+            )
         )
-        .distinct()
-        .select("doc_id_a", "doc_id_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    else:
+        ma = fp.select(F.col("sh").alias("sh_a"), F.col("rep").alias("rep_a"))
+        mb = fp.select(F.col("sh").alias("sh_b"), F.col("rep").alias("rep_b"))
+        cross = (
+            fp_pairs.join(ma, "sh_a")
+            .join(mb, "sh_b")
+            .select(
+                F.least("rep_a", "rep_b").alias("doc_id_a"),
+                F.greatest("rep_a", "rep_b").alias("doc_id_b"),
+                "hamming",
+            )
+        )
+    out = cross.unionByName(same)
     out._release_pin = _release_pin  # deterministic release handle
     return out

@@ -7,12 +7,13 @@ prove the `max_bucket` caps in both dedup discovery paths hold:
   n-1 edges instead of ~(10^5)^2/2 = 5e9 clique pairs — same connected
   components, linear output. The `max_bucket` cap additionally guards
   band buckets of distinct-but-colliding signatures.
-* `simhash_near_dups`: identical fingerprints collide on all 4
-  pigeonhole chunks; the per-chunk occupancy cap must drop them before
-  the pair join multiplies.
+* `simhash_near_dups(clique_mode="star")`: identical docs collapse to
+  ONE fingerprint (fingerprint dedup) — a hamming-0 group emitting n-1
+  star edges; the per-chunk occupancy cap guards distinct-fingerprint
+  diversity only.
 
 Asserts (a) the degenerate population's candidate count is LINEAR
-(star edges for LSH; zero surviving pairs for simhash's cap),
+(star edges in both paths, instead of ~5e9 clique pairs),
 (b) the unique-doc population still produces its (seeded, known)
 near-dup pairs — the guards kill the pathological blowup, not recall
 on the healthy corpus, and (c) bounded wall-clock, the proxy for "no
@@ -107,16 +108,19 @@ def main() -> None:
     out.update(lsh={"candidates": n_cand, "degenerate_star_edges": deg_cand, "planted_found": planted_found, "sec": round(t_lsh, 1)})
 
     t0 = time.perf_counter()
-    sh = simhash_near_dups(docs, max_bucket=2000, max_hamming=3)
+    sh = simhash_near_dups(docs, max_bucket=2000, max_hamming=3, clique_mode="star")
     n_sh = sh.count()
     deg_sh = sh.filter((F.col("doc_id_a") < n_deg) & (F.col("doc_id_b") < n_deg)).count()
     t_sh = time.perf_counter() - t0
-    assert deg_sh == 0, f"simhash chunk cap leaked {deg_sh} degenerate pairs"
+    # identical docs = ONE fingerprint group = exactly n_deg - 1 star
+    # edges at hamming 0 (pre-dedup, the chunk cap dropped the whole
+    # population; post-dedup it is discovered AND linear).
+    assert deg_sh == n_deg - 1, f"degenerate simhash star wrong: {deg_sh} vs {n_deg - 1}"
     # near-dup 13-token docs differ in 1 of 13 tokens -> expected
     # hamming well under the threshold for most planted pairs; but the
-    # hard assertion here is the cap + no blowup, same as LSH.
-    assert n_sh < 10 * expected_pairs + 1000, f"simhash pair blowup: {n_sh}"
-    out.update(simhash={"pairs": n_sh, "degenerate_pairs": 0, "sec": round(t_sh, 1)})
+    # hard assertion here is linear degenerate output + no blowup.
+    assert n_sh < n_deg + 10 * expected_pairs + 1000, f"simhash pair blowup: {n_sh}"
+    out.update(simhash={"pairs": n_sh, "degenerate_star_edges": deg_sh, "sec": round(t_sh, 1)})
 
     # (c) wall-clock bound: the uncapped degenerate expansion would be
     # ~5e9 struct pairs in one task (hours); capped, both passes are
