@@ -28,7 +28,17 @@ _EXECUTING = {
 
 # brute-force exact ANN is O(n·q) by design — the documented exact
 # baseline; every scale path (LSH/IVF) is bucketed.
-_KNOWN_BNLJ = {"embedding_cosine_topk", "embedding_cosine_topk_fast", "embedding_near_dups"}
+# ngram_jaccard_pairs: the bitmask strategy's broadcast NLJ runs over
+# DISTINCT gram-set masks, and only fires when the global vocabulary is
+# <= 64 grams — the deduped set space is then tiny relative to the
+# corpus and the broadcast is self-limiting (the blocked/prefix paths
+# join on equi keys and never NLJ).
+_KNOWN_BNLJ = {
+    "embedding_cosine_topk",
+    "embedding_cosine_topk_fast",
+    "embedding_near_dups",
+    "ngram_jaccard_pairs",
+}
 
 # Arrow-batched Python surfaces (mapInPandas/applyInPandas/cogroup) are
 # the documented escape hatch — allowed; only ROW-AT-A-TIME eval is not.
