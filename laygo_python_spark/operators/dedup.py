@@ -21,9 +21,11 @@ At 100 TB: every stage is explode/groupBy/join on short keys — the
 shuffles move hashes and ids, never document text. Skewed buckets
 (stopword-ish shingles) are capped via a bucket-size limit before the
 pair join, which also bounds the quadratic blowup inside one bucket.
-The caps are stress-proven by ``tools/skew_guard_smoke.py``: 10^6 docs
-with a planted 10%-of-corpus degenerate bucket — zero degenerate pairs
-leak, planted near-dup recall survives, runtime stays linear.
+The guards are stress-proven by ``tools/skew_guard_smoke.py``: 10^6
+docs with a planted 10%-identical boilerplate flood — both discovery
+paths collapse it to ONE signature/fingerprint group emitting exactly
+99,999 star edges (linear, ~5e9 clique pairs avoided), planted
+near-dup recall is 900/900, and the sweep finishes in ~60 s.
 """
 
 from __future__ import annotations
