@@ -71,10 +71,13 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def near_dedup(docs: DataFrame) -> DataFrame:
-    """MinHash-LSH near-duplicate removal: candidate pairs from band
-    buckets, clustered to components, keep each cluster's min doc_id.
-    All text stays on executors; only (id, id) pairs shuffle."""
-    pairs = minhash_lsh_candidates(docs, num_hashes=64, bands=16)
+    """MinHash-LSH near-duplicate removal: star-mode candidate edges
+    from band buckets, clustered to components, keep each cluster's min
+    doc_id. The edges only feed connected components, so star mode is
+    lossless here — and a boilerplate flood costs O(n) edges, not
+    O(n²) pairs. All text stays on executors; only (id, id) edges
+    shuffle."""
+    pairs = minhash_lsh_candidates(docs, num_hashes=64, bands=16, clique_mode="star")
     clusters = connected_components(pairs)  # (node, cluster)
     losers = clusters.filter(F.col("node") != F.col("cluster")).select(F.col("node").alias("doc_id"))
     return docs.join(losers, "doc_id", "left_anti")
