@@ -250,8 +250,15 @@ def minhash_lsh_candidates(
     # expansion, band entries, both membership joins); unpinned, each
     # would re-run the Python signature pass. The frame is small —
     # distinct signatures only. Blocks are freed by the async
-    # ContextCleaner once the result is dereferenced (the result
-    # recomputes FROM the checkpoint, so no explicit release hook).
+    # ContextCleaner once the result is dereferenced, or immediately
+    # via the result's ``_release_pin()`` handle (after which the
+    # result must not be recomputed — same contract as simhash).
+    spark = docs.sparkSession
+
+    def _persistent_ids() -> set[int]:
+        return {int(k) for k in dict(spark.sparkContext._jsc.getPersistentRDDs())}
+
+    pre = _persistent_ids()
     groups = (
         sig.groupBy(F.xxhash64(F.concat_ws(",", F.col("sig"))).alias("sig_key"))
         .agg(
@@ -261,6 +268,13 @@ def minhash_lsh_candidates(
         )
         .localCheckpoint(eager=True)
     )
+    pin_ids = _persistent_ids() - pre
+
+    def _release_pin() -> None:
+        live = dict(spark.sparkContext._jsc.getPersistentRDDs())
+        for k, v in live.items():
+            if int(k) in pin_ids:
+                v.unpersist(False)
     if clique_mode == "pairs":
         same = (
             groups.filter(F.size("members") >= 2)
@@ -363,7 +377,9 @@ def minhash_lsh_candidates(
                 "n_bands",
             )
         )
-    return cross.unionByName(same)
+    out = cross.unionByName(same)
+    out._release_pin = _release_pin  # deterministic release handle
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -636,7 +652,13 @@ def connected_components(
     checkpoint_every=1 is deliberate (measured 30s → 3.4s on 1887
     edges): every round's convergence check is an action, and without a
     checkpoint it replays the ENTIRE label lineage from round zero —
-    materializing each round is strictly cheaper.
+    materializing each round is strictly cheaper. The propagate join is
+    additionally checkpointed BEFORE the pointer-jump self-join (r3:
+    un-checkpointed, the jump's two aliases re-executed the edges⋈labels
+    join twice per round), and convergence is detected by comparing the
+    exact label sum across rounds (labels are monotone non-increasing,
+    so an unchanged sum is a fixpoint) — a scan-only aggregate instead
+    of a labels⋈labels join per round.
 
     Superseded checkpoints are released EAGERLY each round (see
     ``_release``): at 10^10 nodes a labels snapshot is ~160 GB of
@@ -668,22 +690,32 @@ def connected_components(
         sym.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
     )
     prev_ids: set[int] = set()
+    prev_sum = None
     for i in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.d == labels.node)
             .groupBy("s")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, labels.node == neighbor_min.s, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
             )
         )
+        # Materialize the propagate join ONCE — the pointer-jump
+        # self-join below reads this checkpoint on both sides instead of
+        # re-executing edges⋈labels twice.
+        pre = _persistent_ids()
+        propagated = propagated.localCheckpoint(eager=True)
+        prop_ids = _persistent_ids() - pre
+        # The propagate snapshot is materialized; the previous round's
+        # label snapshot has been consumed and nothing references it.
+        _release(prev_ids)
         # Pointer-jump: label ← min(label, label's label). Halves the
         # remaining hop distance to the component minimum each round.
-        l1, l2 = new_labels.alias("l1"), new_labels.alias("l2")
+        l1, l2 = propagated.alias("l1"), propagated.alias("l2")
         new_labels = l1.join(l2, F.col("l1.label") == F.col("l2.node"), "left").select(
             F.col("l1.node").alias("node"),
             F.least(F.col("l1.label"), F.coalesce(F.col("l2.label"), F.col("l1.label"))).alias("label"),
@@ -692,25 +724,24 @@ def connected_components(
             pre = _persistent_ids()
             new_labels = new_labels.localCheckpoint(eager=True)
             new_ids = _persistent_ids() - pre
+            # The jump consumed the propagate snapshot.
+            _release(prop_ids)
+            prev_ids = new_ids
         else:
-            new_ids = set()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        # The new checkpoint is materialized — the previous round's
-        # snapshot (and the convergence check above) no longer need the
-        # old blocks.
-        _release(prev_ids)
-        prev_ids = new_ids
+            # new_labels stays one cheap join above the propagate
+            # checkpoint; those blocks must survive until the next
+            # materialized snapshot replaces them.
+            prev_ids = prop_ids
+        # Convergence via the monotone label sum: labels only ever
+        # decrease, so an unchanged EXACT sum (decimal accumulation —
+        # no int64 overflow at any node-id scale) means a fixpoint.
+        cur_sum = new_labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
             if stats is not None:
                 stats["rounds"] = i + 1
             break
+        prev_sum = cur_sum
     else:
         if stats is not None:
             stats["rounds"] = max_iterations

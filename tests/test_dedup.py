@@ -198,10 +198,17 @@ def test_dedup_queries_leave_no_cached_blocks(spark, planted):
     sim = dedup.simhash_near_dups(planted)
     sim.collect()
     sim._release_pin()  # deterministic release of the fingerprint pin
-    dedup.minhash_lsh_candidates(planted).collect()
+    lsh = dedup.minhash_lsh_candidates(planted)
+    lsh.collect()
+    lsh._release_pin()  # deterministic release of the signature-group pin
     dedup.ngram_jaccard_pairs(planted, threshold=0.5).collect()
     # <=: the async ContextCleaner may also release OLDER sessions' blocks
     # while this test runs; the invariant is "no NEW blocks survive".
+    # Poll briefly: blocks without an explicit handle are freed by the
+    # ASYNC ContextCleaner after dereference — give it a moment.
+    deadline = time.time() + 20
+    while persistent() > base and time.time() < deadline:
+        time.sleep(0.5)
     assert persistent() <= base
 
     edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["doc_id_a", "doc_id_b"])
