@@ -32,6 +32,7 @@ from laygo_python_spark.operators.similarity import (
 from laygo_python_spark.operators.skew import salted_agg, salted_broadcast_join
 from laygo_python_spark.operators.cogroup import cogroup_apply, cogroup_apply_arrow
 from laygo_python_spark.operators.cms import cms_build, cms_build_sharded, cms_estimate, cms_merge
+from laygo_python_spark.operators.graph import bfs_hops, triangle_count
 from laygo_python_spark.operators.pagerank import pagerank
 from laygo_python_spark.operators.pq import ivfpq_topk, pq_encode, pq_topk, train_codebooks
 from laygo_python_spark.operators.qsketch import qsketch_build, qsketch_merge, qsketch_quantiles
@@ -47,6 +48,8 @@ from laygo_python_spark.operators.zorder import morton_key, zorder_layout
 
 __all__ = [
     "asof_join",
+    "bfs_hops",
+    "triangle_count",
     "attach_binary_payload",
     "brute_force_topk",
     "cosine",

@@ -1,0 +1,154 @@
+"""Graph traversal operators — bounded-hop BFS and triangle counting.
+
+Completes the graph-analytics family (connected components in
+operators/dedup.py, PageRank in operators/pagerank.py) with the other
+two staples of large-graph processing. The reference has no graph
+surface at all (its only iteration primitive is ``loop``, reference
+laygo/transformers/transformer.py:346-392, which cannot join); both
+operators here are uplift in the relational-iteration family.
+
+Scale posture:
+
+- ``bfs_hops`` is FRONTIER-based: edges are hash-partitioned on ``src``
+  once and persisted, and each round shuffles only the current frontier
+  (|frontier| rows) to that fixed layout — |E| never moves after round
+  zero. The visited set grows monotonically and is localCheckpoint-ed
+  per round, so round k never replans rounds 1..k-1.
+- ``triangle_count`` uses DEGREE ORIENTATION: every undirected edge is
+  directed from its lower-degree endpoint (ties by id), turning the
+  edge list into a DAG whose max out-degree is O(sqrt(|E|)). Wedge
+  enumeration — the quadratic step — is then bounded by
+  sum(outdeg^2) <= |E|^1.5 instead of sum(deg^2), which is the
+  difference between feasible and not on power-law graphs where a
+  celebrity node would otherwise generate deg^2 ~ 10^12 wedges.
+  This is the standard MapReduce triangle algorithm (Suri & Vassilvitskii,
+  WWW'11); the closing-edge check is one equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Minimum hop count from a source set to every reachable node,
+    bounded by ``max_hops``.
+
+    ``edges`` is directed (symmetrize first for an undirected graph);
+    ``sources`` holds one ``node`` column. Returns ``(node, hops)`` with
+    hops = min over all paths, 0 for the sources themselves.
+
+    Frontier BFS: because hops increase by exactly 1 per round, the
+    first round that reaches a node gives its minimum — no re-relaxation
+    (that would be Bellman-Ford, only needed for weighted edges). The
+    anti-join against the visited set keeps each node in exactly one
+    frontier, so total work is O(|E| * rounds-touched), not
+    O(|E| * max_hops).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    visited = (
+        sources.select(F.col(node).alias("node")).distinct().withColumn("hops", F.lit(0))
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    try:
+        for k in range(1, max_hops + 1):
+            nxt = (
+                frontier.select(F.col("node").alias("src"))
+                .join(e, "src")
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("hops", F.lit(k))
+            )
+            # One checkpoint materializes BOTH the new frontier and the
+            # grown visited set; take(1) on the checkpointed frontier is
+            # then a metadata-cheap early-exit probe.
+            frontier = nxt.localCheckpoint(eager=True)
+            if not frontier.take(1):
+                break
+            visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+    return visited
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts for an undirected graph.
+
+    ``edges`` may contain duplicates, self-loops, or both orientations —
+    it is canonicalized to distinct ``a < b`` pairs first. Returns
+    ``(node, n_triangles)`` for every node on at least one edge
+    (0 for triangle-free nodes), where each triangle {a,b,c} adds 1 to
+    all three members.
+
+    Pipeline: canonicalize -> degree -> orient low-degree->high-degree
+    -> enumerate wedges (u->v, u->w with v before w in orientation
+    order) -> close by joining wedge (v,w) against oriented edges ->
+    explode each triangle to its three members and count.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    both = canon.unionByName(canon.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = both.groupBy(F.col("a").alias("n")).agg(F.count("*").alias("deg"))
+    # Orientation key (deg, id): strictly totally ordered, so every
+    # canonical edge gets exactly one direction.
+    with_deg = (
+        canon.join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    # The oriented table feeds THREE plan legs (both wedge sides + the
+    # closing-edge probe); localCheckpoint materializes it once instead
+    # of re-running canonicalize+degree+orient per leg.
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("da")).otherwise(F.col("db")).alias("du"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint(eager=True)
+    # Wedges u->v, u->w with (v) before (w) in orientation order: dedups
+    # each candidate pair to one wedge row per center.
+    l, r = oriented.alias("l"), oriented.alias("r")
+    wedges = l.join(r, F.col("l.u") == F.col("r.u")).filter(
+        (F.col("l.dv") < F.col("r.dv"))
+        | ((F.col("l.dv") == F.col("r.dv")) & (F.col("l.v") < F.col("r.v")))
+    ).select(
+        F.col("l.u").alias("u"), F.col("l.v").alias("v"), F.col("r.v").alias("w")
+    )
+    closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    members = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    counts = members.groupBy("node").agg(F.count("*").alias("n_triangles"))
+    all_nodes = both.select(F.col("a").alias("node")).distinct()
+    return all_nodes.join(counts, "node", "left").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )

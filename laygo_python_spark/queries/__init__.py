@@ -62,6 +62,7 @@ def load_all() -> None:
         stringsim_ops,
         streaming_ops,
         text_ops,
+        timeseries_ops,
         text_ops2,
         warehouse_ops,
     )

@@ -3,10 +3,11 @@ derived from the relational fixtures.
 
 Companion to the connected-components dedup clustering
 (operators/dedup.py): where that finds components, PageRank weighs
-nodes by link structure. The oracle unrolls the same five power
-iterations as chained CTEs — fixed iteration count makes an iterative
-algorithm exactly SQL-expressible, so this one is oracle-gated rather
-than rows-only.
+nodes by link structure, BFS measures distance from a seed set, and
+triangle counting measures local clustering. Iterative algorithms stay
+exactly SQL-expressible by fixing the iteration count (PageRank:
+unrolled CTEs) or bounding the recursion depth (BFS: recursive CTE
+with a hop cap), so all four are oracle-gated rather than rows-only.
 """
 
 from __future__ import annotations
@@ -14,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from laygo_python_spark.operators.graph import bfs_hops, triangle_count
 from laygo_python_spark.operators.pagerank import pagerank
 from laygo_python_spark.queries import query
 from laygo_python_spark.session import read_table as _t
@@ -76,3 +78,75 @@ def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     edges = half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return pagerank(edges, iterations=5).select("node", F.round("pr", 8).alias("pr"))
+
+
+@query(
+    "bfs_hops_supplier_part",
+    oracle="""
+    WITH RECURSIVE
+    half AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 100000 AS p FROM lineitem),
+    edges AS (SELECT s AS src, p AS dst FROM half UNION ALL SELECT p, s FROM half),
+    walk(node, hops) AS (
+      SELECT DISTINCT src, 0 FROM edges WHERE src IN (1, 2, 3)
+      UNION
+      SELECT e.dst, w.hops + 1 FROM edges e JOIN walk w ON e.src = w.node
+      WHERE w.hops < 3
+    )
+    SELECT node, CAST(min(hops) AS INT) AS hops FROM walk GROUP BY node
+    """,
+)
+def bfs_hops_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance from suppliers {1,2,3} over the symmetrized
+    supplier<->part graph, capped at 3 hops (operators/graph.bfs_hops).
+
+    The Spark side is frontier BFS (only the frontier shuffles per
+    round); the DuckDB oracle is a depth-capped recursive CTE min-hop
+    walk — the two agree because BFS level = minimum hop count. Shares
+    the node-space offset (and its suppkey < 100000 guard rationale)
+    with pagerank_supplier_part above."""
+    li = _t(spark, sf_dir, "lineitem")
+    half = li.select(
+        F.col("l_suppkey").alias("src"), (F.col("l_partkey") + _OFF).alias("dst")
+    ).distinct()
+    edges = half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sources = edges.select(F.col("src").alias("node")).filter(F.col("node").isin(1, 2, 3))
+    out = bfs_hops(edges, sources, max_hops=3)
+    return out.select("node", F.col("hops").cast("int").alias("hops"))
+
+
+@query(
+    "triangle_count_coparts",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    members AS (SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri),
+    counts AS (SELECT node, count(*) AS c FROM members GROUP BY node),
+    nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e)
+    SELECT n.node, CAST(coalesce(c.c, 0) AS BIGINT) AS n_triangles
+    FROM nodes n LEFT JOIN counts c USING (node)
+    """,
+)
+def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts in the co-order graph (parts are linked
+    when some order contains both): the local-clustering staple, via the
+    degree-orientation algorithm (operators/graph.triangle_count) whose
+    wedge step is bounded by sum(outdeg^2) <= |E|^1.5 — survives
+    power-law hubs that would make the naive per-node pairing
+    quadratic. The oracle is the plain x<y<z three-way self-join, which
+    counts each triangle exactly once."""
+    lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    return triangle_count(edges)

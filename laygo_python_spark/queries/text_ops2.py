@@ -157,3 +157,45 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     redacted = F.regexp_replace(F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>")
     return docs.select("doc_id", n_red.alias("n_redactions"), redacted.alias("redacted"))
+
+
+@query(
+    "text_normalize_clean",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             '  ' || text || chr(9) || chr(7) || '  MIXED Case  TAIL ' AS text
+      FROM documents)
+    SELECT doc_id,
+           lower(trim(regexp_replace(
+             regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'), ' +', ' ', 'g'))) AS clean,
+           CAST(len(string_split(
+             lower(trim(regexp_replace(
+               regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'), ' +', ' ', 'g'))), ' '))
+             AS INT) AS n_tokens
+    FROM seeded
+    """,
+)
+def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/whitespace normalization — the first cleanup stage of a
+    pretraining pipeline: strip non-printable bytes, collapse runs of
+    whitespace, trim, casefold, and recount tokens. The fixture corpus
+    is already clean, so each doc is deterministically seeded with
+    leading/trailing junk (tab, BEL control byte, doubled spaces, mixed
+    case) in BOTH engines to make every normalization step observable.
+    Pure regexp/Column algebra in the Java∩RE2 regex subset — a map-only
+    pass that codegen fuses with adjacent stages at 100 TB."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("  "), F.col("text"), F.lit("\t\x07  MIXED Case  TAIL ")).alias("text"),
+    )
+    clean = F.lower(
+        F.trim(
+            F.regexp_replace(F.regexp_replace("text", r"[^\x20-\x7e]", ""), " +", " ")
+        )
+    )
+    return docs.select(
+        "doc_id",
+        clean.alias("clean"),
+        F.size(F.split(clean, " ")).cast("int").alias("n_tokens"),
+    )
