@@ -31,6 +31,7 @@ from laygo_python_spark.operators.similarity import (
 )
 from laygo_python_spark.operators.skew import salted_agg, salted_broadcast_join
 from laygo_python_spark.operators.cogroup import cogroup_apply, cogroup_apply_arrow
+from laygo_python_spark.operators.bloom import bloom_build, bloom_geometry, bloom_merge, bloom_might_contain
 from laygo_python_spark.operators.cms import cms_build, cms_build_sharded, cms_estimate, cms_merge
 from laygo_python_spark.operators.graph import bfs_hops, triangle_count
 from laygo_python_spark.operators.pagerank import pagerank
@@ -60,6 +61,10 @@ __all__ = [
     "ivf_topk",
     "lsh_bucketed_topk",
     "assign_sequential_ids",
+    "bloom_build",
+    "bloom_geometry",
+    "bloom_merge",
+    "bloom_might_contain",
     "cms_build",
     "cms_build_sharded",
     "cms_estimate",

@@ -41,6 +41,7 @@ def load_all() -> None:
     from laygo_python_spark.queries import (  # noqa: F401
         advanced_ops,
         analytics_ops,
+        bloom_ops,
         cogroup_ops,
         core_ops,
         dedup_ops,
