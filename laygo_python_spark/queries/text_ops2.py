@@ -199,3 +199,118 @@ def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.alias("clean"),
         F.size(F.split(clean, " ")).cast("int").alias("n_tokens"),
     )
+
+
+@query(
+    "bigram_pmi_collocations",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tok AS (SELECT unnest(ws) AS word FROM w),
+    wc AS (SELECT word, count(*) AS n FROM tok GROUP BY 1),
+    n_tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+    bg AS (SELECT unnest(list_zip(ws[:-2], ws[2:])) AS p FROM w),
+    bc AS (SELECT p[1] AS x, p[2] AS y, count(*) AS n_xy FROM bg GROUP BY 1, 2),
+    m_tot AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM bg)
+    SELECT bc.x, bc.y, bc.n_xy,
+           round(log2((bc.n_xy / m_tot.m)
+                      / ((wx.n / n_tot.n) * (wy.n / n_tot.n))), 6) AS pmi
+    FROM bc, n_tot, m_tot
+    JOIN wc wx ON wx.word = bc.x
+    JOIN wc wy ON wy.word = bc.y
+    WHERE bc.n_xy >= 10
+    """,
+)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs — the classic
+    collocation detector (PMI ≫ 0 means the pair co-occurs far more
+    than its unigram frequencies predict: "machine learning", not "of
+    the"), a staple corpus-statistics pass before tokenizer training.
+
+    Bigrams come from an index-lambda over the split array (map-side
+    explode, no join); unigram and bigram counts are the only two
+    shuffles, each a partial+final count keyed by the (bi)gram. The
+    corpus totals N and M are single-row aggregates cross-joined in
+    (broadcast NLJ on a 1-row side), and the PMI arithmetic is written
+    with the identical association order in both engines so the
+    doubles multiply/divide bit-identically before the final round.
+    The n_xy >= 10 support floor is the standard PMI noise gate (rare
+    pairs otherwise dominate with spuriously high scores)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    tok = w.select(F.explode("ws").alias("word"))
+    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    n_tot = tok.agg(F.count(F.lit(1)).cast("double").alias("n_corpus"))
+    bg = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> named_struct('x', element_at(ws, i), 'y', element_at(ws, i + 1)))"
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    bc = bg.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
+    m_tot = bg.agg(F.count(F.lit(1)).cast("double").alias("m_corpus"))
+    wx = wc.select(F.col("word").alias("x"), F.col("n").alias("nx"))
+    wy = wc.select(F.col("word").alias("y"), F.col("n").alias("ny"))
+    return (
+        bc.filter(F.col("n_xy") >= 10)
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(m_tot))
+        .join(wx, "x")
+        .join(wy, "y")
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            F.round(
+                F.log2(
+                    (F.col("n_xy") / F.col("m_corpus"))
+                    / ((F.col("nx") / F.col("n_corpus")) * (F.col("ny") / F.col("n_corpus")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "char_entropy_score",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(regexp_extract_all(substring(text, 1, 200), '.')) AS c
+      FROM documents),
+    cc AS (SELECT doc_id, c, count(*) AS n_c FROM ch GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(sum(n_c) AS DOUBLE) AS n FROM cc GROUP BY 1)
+    SELECT cc.doc_id,
+           CAST(tot.n AS BIGINT) AS n_chars_used,
+           round(-sum((cc.n_c / tot.n) * log2(cc.n_c / tot.n)), 6) AS entropy
+    FROM cc JOIN tot USING (doc_id)
+    GROUP BY cc.doc_id, tot.n
+    """,
+)
+def char_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the character distribution over each doc's
+    first 200 chars — a cheap quality signal orthogonal to the length/
+    stopword heuristics (doc_quality_score): keyboard mash and
+    base64 blobs score high, single-char padding scores near zero,
+    natural language sits in a narrow band (~4 bits for English).
+
+    The explode is bounded (≤200 chars/doc regardless of doc size), so
+    the per-doc histogram is a map-side explode + partial count; the
+    entropy fold runs over exact integer counts and only the final
+    -Σ p·log2 p summation is float (cross-engine order drift ~1e-15,
+    absorbed by round(6))."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(substring(text, 1, 200), '.', 0)")).alias("c"),
+    )
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n_c"))
+    tot = cc.groupBy("doc_id").agg(F.sum("n_c").cast("double").alias("n"))
+    p = F.col("n_c") / F.col("n")
+    return (
+        cc.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"))
+        .select("doc_id", F.col("n").cast("long").alias("n_chars_used"), "entropy")
+    )
