@@ -34,6 +34,7 @@ from laygo_python_spark.operators.cogroup import cogroup_apply, cogroup_apply_ar
 from laygo_python_spark.operators.bloom import bloom_build, bloom_geometry, bloom_merge, bloom_might_contain
 from laygo_python_spark.operators.cms import cms_build, cms_build_sharded, cms_estimate, cms_merge
 from laygo_python_spark.operators.graph import bfs_hops, triangle_count
+from laygo_python_spark.operators.heavyhitters import mg_heavy_hitters, mg_merge, mg_summarize
 from laygo_python_spark.operators.pagerank import pagerank
 from laygo_python_spark.operators.pq import ivfpq_topk, pq_encode, pq_topk, train_codebooks
 from laygo_python_spark.operators.qsketch import qsketch_build, qsketch_merge, qsketch_quantiles
@@ -74,6 +75,9 @@ __all__ = [
     "flatten_schema",
     "gapfill",
     "merge_upsert",
+    "mg_heavy_hitters",
+    "mg_merge",
+    "mg_summarize",
     "morton_key",
     "pagerank",
     "ivfpq_topk",

@@ -220,3 +220,28 @@ def qsketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+@query(
+    "mg_heavy_hitters_brands",
+    oracle="""
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt
+    FROM part GROUP BY p_brand
+    HAVING count(*) >= 0.03 * (SELECT count(*) FROM part)
+    """,
+)
+def mg_heavy_hitters_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brands covering >= 3% of parts, found by the Misra-Gries summary
+    (operators/heavyhitters.py) and verified by exact recount — unlike
+    its probabilistic sibling cms_heavy_hitters above, this one's final
+    answer is EXACT (the summary provably contains every key above the
+    floor; the recount removes the under-floor stragglers), so a
+    sketch-shaped plan gets a plain GROUP BY/HAVING oracle.
+
+    The scale shape: per-partition bounded-state summaries (k counters,
+    no shuffle), one KB-scale merge, then a recount whose map-side hash
+    table is bounded by the candidate list — never the key universe."""
+    from laygo_python_spark.operators.heavyhitters import mg_heavy_hitters
+
+    part = _t(spark, sf_dir, "part")
+    return mg_heavy_hitters(part, "p_brand", min_freq=0.03)
