@@ -176,3 +176,23 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = run_to_completion(stream, "stream_stateful_counts", output_mode="update")
     return drained.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@query(
+    "stream_dedup_user_types",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication (dedup_stream): first event per
+    (user_id, event_type) through the state store, drained to
+    completion and projected to the key columns — WHICH row survives
+    is arrival-order-dependent, but the key SET is exactly batch
+    DISTINCT, which is what makes a stateful streaming op
+    oracle-gateable. Global-state mode here (exact over the bounded
+    fixture); the watermarked mode is the bounded-state variant for
+    unbounded key universes (see streaming.dedup_stream docstring)."""
+    from laygo_python_spark.streaming import dedup_stream
+
+    deduped = dedup_stream(read_events_stream(spark, sf_dir), ["user_id", "event_type"])
+    result = run_to_completion(deduped, "stream_dedup", output_mode="append")
+    return result.select("user_id", "event_type")

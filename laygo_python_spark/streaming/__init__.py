@@ -93,3 +93,26 @@ def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str = 
         q.stop()
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming deduplication — the state-store twin of dedup_exact.
+
+    Two modes, the standard Structured Streaming trade-off:
+    - ``watermark=None``: ``dropDuplicates`` with global state — exact
+      DISTINCT semantics over the whole stream (state = one entry per
+      distinct key, growing with key cardinality; right for bounded
+      key universes like user ids).
+    - ``watermark`` set: ``dropDuplicatesWithinWatermark`` — state is
+      EVICTED once the watermark passes, so memory is bounded by the
+      key-arrival rate × delay instead of the universe; duplicates
+      farther apart than the delay can re-emit (the documented,
+      scale-correct contract for unbounded keys like request ids)."""
+    if watermark is None:
+        return events.dropDuplicates(keys)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -206,3 +206,45 @@ def test_stream_static_enrichment_join(spark, sf_dir):
         .collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_dedup_global_equals_batch_distinct(spark, sf_dir):
+    """Global-state dedup_stream: the surviving-row choice is
+    arrival-order-dependent, but the key set must be exactly batch
+    DISTINCT, with no multiplicity (one emitted row per key)."""
+    from laygo_python_spark.streaming import dedup_stream
+
+    deduped = dedup_stream(read_events_stream(spark, sf_dir), ["user_id", "event_type"])
+    out = run_to_completion(deduped, "t_sdedup", output_mode="append").select(
+        "user_id", "event_type"
+    )
+    rows = [(r.user_id, r.event_type) for r in out.collect()]
+    expected = {
+        (r.user_id, r.event_type)
+        for r in read_table(spark, sf_dir, "events").select("user_id", "event_type").distinct().collect()
+    }
+    assert len(rows) == len(expected)  # no duplicate emissions
+    assert set(rows) == expected
+
+
+def test_stream_dedup_watermarked_mode_runs(spark, sf_dir):
+    """Watermarked dedup (dropDuplicatesWithinWatermark): bounded state,
+    weaker contract — duplicates farther apart than the delay may
+    re-emit, so assert the output is a superset of nothing lost
+    (covers every key) and never exceeds the raw row count."""
+    from laygo_python_spark.streaming import dedup_stream
+
+    raw = read_table(spark, sf_dir, "events")
+    deduped = dedup_stream(
+        read_events_stream(spark, sf_dir), ["user_id", "event_type"], watermark="2 hours"
+    )
+    out = run_to_completion(deduped, "t_sdedup_wm", output_mode="append").select(
+        "user_id", "event_type"
+    )
+    keys = {(r.user_id, r.event_type) for r in out.collect()}
+    expected = {
+        (r.user_id, r.event_type)
+        for r in raw.select("user_id", "event_type").distinct().collect()
+    }
+    assert keys == expected  # no key lost
+    assert out.count() <= raw.count()
