@@ -6,7 +6,7 @@ when the clip bounds must be reproducible to the cent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from laygo_python_spark.queries import query
@@ -304,3 +304,51 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in ("o_custkey", "o_totalprice")
     ]
     return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+@query(
+    "feature_scale_order_prices",
+    oracle="""
+    WITH st AS (
+      SELECT round(min(o_totalprice), 3) AS lo, round(max(o_totalprice), 3) AS hi,
+             round(avg(o_totalprice), 6) AS mu, round(stddev_samp(o_totalprice), 6) AS sigma
+      FROM orders)
+    SELECT o_orderkey,
+           round((o_totalprice - st.lo) / (st.hi - st.lo), 6) AS minmax01,
+           round((o_totalprice - st.mu) / st.sigma, 6) AS zscore,
+           CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
+    FROM orders, st
+    """,
+)
+def feature_scale_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature engineering over a numeric column, the three standard
+    encodings in one pass: min-max scaling to [0,1], z-score
+    standardization, and equal-frequency decile binning — what an ML
+    feature pipeline runs before training on tabular data.
+
+    One global aggregate produces the four scalars (rounded before
+    reuse — rounding rule), broadcast back as a 1-row cross join so
+    the rows never shuffle for the scalings. The decile ntile orders by
+    (value, key) — the key tiebreak is what makes equal-frequency
+    binning deterministic across engines under duplicate values. At
+    100 TB the single-partition ntile window is the bottleneck; swap
+    the quantile-sketch cutpoints (operators/qsketch.py) joined as
+    bucket boundaries for the same feature at scale — registered this
+    way because exact ntile is the semantics ML libraries define."""
+    orders = _t(spark, sf_dir, "orders")
+    st = orders.agg(
+        F.round(F.min("o_totalprice"), 3).alias("lo"),
+        F.round(F.max("o_totalprice"), 3).alias("hi"),
+        F.round(F.avg("o_totalprice"), 6).alias("mu"),
+        F.round(F.stddev_samp("o_totalprice"), 6).alias("sigma"),
+    )
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.crossJoin(F.broadcast(st))
+        .select(
+            "o_orderkey",
+            F.round((F.col("o_totalprice") - F.col("lo")) / (F.col("hi") - F.col("lo")), 6).alias("minmax01"),
+            F.round((F.col("o_totalprice") - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
+            F.ntile(10).over(w).cast("int").alias("decile"),
+        )
+    )
