@@ -58,6 +58,14 @@ HEADLINE = [
     "edit_distance_name_pairs",
     "ann_ivfpq_topk",
     "dedup_minhash_verified",
+    # r3 additions: runtime-filter pruning, bounded-state heavy hitters,
+    # series analytics, and corpus statistics.
+    "bloom_prune_join",
+    "mg_heavy_hitters_brands",
+    "cusum_changepoint_daily",
+    "bigram_pmi_collocations",
+    "char_entropy_score",
+    "feature_scale_order_prices",
 ]
 
 

@@ -33,7 +33,7 @@ from laygo_python_spark.operators.skew import salted_agg, salted_broadcast_join
 from laygo_python_spark.operators.cogroup import cogroup_apply, cogroup_apply_arrow
 from laygo_python_spark.operators.bloom import bloom_build, bloom_geometry, bloom_merge, bloom_might_contain
 from laygo_python_spark.operators.cms import cms_build, cms_build_sharded, cms_estimate, cms_merge
-from laygo_python_spark.operators.graph import bfs_hops, triangle_count
+from laygo_python_spark.operators.graph import bfs_hops, kcore, triangle_count
 from laygo_python_spark.operators.heavyhitters import mg_heavy_hitters, mg_merge, mg_summarize
 from laygo_python_spark.operators.pagerank import pagerank
 from laygo_python_spark.operators.pq import ivfpq_topk, pq_encode, pq_topk, train_codebooks
@@ -60,6 +60,7 @@ __all__ = [
     "frame_sample_plan",
     "interval_join",
     "ivf_topk",
+    "kcore",
     "lsh_bucketed_topk",
     "assign_sequential_ids",
     "bloom_build",

@@ -152,3 +152,69 @@ def triangle_count(
     return all_nodes.join(counts, "node", "left").select(
         "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core peeling: repeatedly delete nodes of degree < k (with their
+    edges) until the graph stabilizes — the standard dense-subgraph /
+    graph-cleanup primitive (a node in the k-core has ≥ k neighbors that
+    are themselves in the k-core).
+
+    ``edges`` may be directed input; it is canonicalized and symmetrized
+    first. Returns ``(node, deg)`` for surviving nodes with their degree
+    inside the surviving subgraph.
+
+    ``rounds=None`` peels to the true fixpoint (one extra count() per
+    round as the convergence check — the same driver-side fixpoint shape
+    as connected_components). A fixed ``rounds`` bounds the iteration,
+    which makes the operator exactly SQL-expressible by unrolling — the
+    same trick that oracle-gates PageRank and BFS. Each round is one
+    degree aggregation plus two semi-joins over the CURRENT edge set
+    (monotonically shrinking), checkpointed so round r never replans
+    rounds 1..r-1; prior pins are released as soon as the next round
+    materializes.
+    """
+    if k < 1:
+        raise ValueError(f"kcore: k must be >= 1, got {k}")
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e = canon.unionByName(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    prev_rdd = e.rdd
+    r = 0
+    n_edges = e.count() if rounds is None else None
+    while True:
+        r += 1
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        nxt = (
+            e.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        prev_rdd.unpersist()
+        prev_rdd = nxt.rdd
+        e = nxt
+        if rounds is not None:
+            if r >= rounds:
+                break
+        else:
+            n_next = e.count()
+            if n_next == n_edges:
+                break
+            n_edges = n_next
+    return e.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))

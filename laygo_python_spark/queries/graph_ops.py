@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from laygo_python_spark.operators.graph import bfs_hops, triangle_count
+from laygo_python_spark.operators.graph import bfs_hops, kcore, triangle_count
 from laygo_python_spark.operators.pagerank import pagerank
 from laygo_python_spark.queries import query
 from laygo_python_spark.session import read_table as _t
@@ -150,3 +150,37 @@ def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.l_partkey") < F.col("b.l_partkey")),
     ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     return triangle_count(edges)
+
+
+@query(
+    "kcore_supplier_part",
+    oracle="""
+    WITH half AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 100000 AS p FROM lineitem),
+    e0 AS (SELECT s AS src, p AS dst FROM half UNION ALL SELECT p, s FROM half),
+    k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 3),
+    e1 AS (SELECT e.src, e.dst FROM e0 e
+           JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+    k2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 3),
+    e2 AS (SELECT e.src, e.dst FROM e1 e
+           JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
+    k3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 3),
+    e3 AS (SELECT e.src, e.dst FROM e2 e
+           JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src)
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e3 GROUP BY src
+    """,
+)
+def kcore_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the symmetrized supplier<->part graph after exactly 3
+    peel rounds (operators/graph.kcore): parts linked to fewer than 3
+    suppliers drop first, which lowers supplier degrees and can cascade
+    — the dense-subgraph cleanup that precedes community/clustering
+    passes. Fixing the round count makes the peeling exactly
+    SQL-expressible (3 unrolled HAVING+semi-join rounds in the oracle),
+    the same bounded-iteration trick as pagerank/bfs above; the
+    operator's rounds=None mode peels to the true fixpoint."""
+    li = _t(spark, sf_dir, "lineitem")
+    half = li.select(
+        F.col("l_suppkey").alias("src"), (F.col("l_partkey") + _OFF).alias("dst")
+    ).distinct()
+    edges = half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return kcore(edges, k=3, rounds=3)

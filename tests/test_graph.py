@@ -115,3 +115,54 @@ def test_triangles_empty_and_triangle_free(spark):
     star = [(0, i) for i in range(1, 6)]
     got = {r["node"]: r["n_triangles"] for r in triangle_count(_df(spark, star)).collect()}
     assert set(got.values()) == {0}
+
+
+def _kcore_model(edges, k):
+    """Reference fixpoint peeling on a python adjacency map."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items() if nb}
+
+
+def test_kcore_fixpoint_matches_model(spark):
+    from laygo_python_spark.operators.graph import kcore
+
+    # A 4-clique (3-core) with a pendant path hanging off it, plus a
+    # disjoint triangle (2-core, dies at k=3) — peeling must cascade
+    # down the path and erase the triangle.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (7, 8), (8, 9), (7, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["node"], r["deg"]) for r in kcore(df, k=3).collect()}
+    want = {(n, d) for n, d in _kcore_model(edges, 3).items()}
+    assert got == want == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def test_kcore_bounded_rounds_monotone(spark):
+    from laygo_python_spark.operators.graph import kcore
+
+    # A long path: each k=2 peel round removes both current endpoints,
+    # so survivors shrink monotonically with rounds and never dip below
+    # the fixpoint (empty — a path has no 2-core).
+    edges = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sizes = [kcore(df, k=2, rounds=r).count() for r in (1, 2, 3)]
+    assert sizes == sorted(sizes, reverse=True) and sizes[0] > sizes[-1]
+    assert kcore(df, k=2).count() == 0  # fixpoint: no 2-core in a path
+
+
+def test_kcore_validation(spark):
+    from laygo_python_spark.operators.graph import kcore
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="k must be"):
+        kcore(df, k=0)
