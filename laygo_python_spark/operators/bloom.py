@@ -131,8 +131,14 @@ def bloom_might_contain(bloom: DataFrame, df: DataFrame, key: str) -> DataFrame:
     membership test is a single shuffle-free map stage over ``df``
     however big it is (that is the entire point of the pattern; k is
     small, typically ≤ 7). A NULL key never matches (xxhash64 of NULL
-    is NULL → null word joins nothing)."""
+    is NULL → null word joins nothing).
+
+    The word table is localCheckpoint-ed once before the k joins —
+    without the pin, each broadcast side replans the whole build
+    (k redundant scans of the key source). The pinned footprint is
+    ≤ m/64 rows (MBs), held until the session drops the reference."""
     m, k = _geometry(bloom, "bloom_might_contain")
+    bloom = bloom.select("word", "bits").localCheckpoint(eager=True)
     out = df.withColumn(_KEY, F.col(key))
     keep = F.lit(True)
     for i in range(k):
