@@ -139,3 +139,39 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents the strict mode)."""
     mm = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
     return multimodal.decode_features(mm)
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH pos AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             unnest(embedding) AS x
+      FROM embeddings)
+    SELECT label, CAST(pos AS INT) AS pos,
+           round(avg(x), 6) AS centroid,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM pos GROUP BY label, pos
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, positionally — the
+    class-prototype computation behind nearest-centroid classification,
+    cluster drift monitoring, and IVF coarse-quantizer seeding
+    (operators/ivf.py trains its cells from exactly this shape).
+
+    posexplode multiplies rows by the dimension count, but the partial
+    aggregation combines map-side, so the shuffle carries at most
+    labels × dims rows per partition — the reduce-first discipline in
+    vector form. float32 inputs are exactly representable in the double
+    accumulators of both engines; round(6) absorbs summation order."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "x"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(
+            F.round(F.avg("x"), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

@@ -196,3 +196,32 @@ def stream_dedup_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_stream(read_events_stream(spark, sf_dir), ["user_id", "event_type"])
     result = run_to_completion(deduped, "stream_dedup", output_mode="append")
     return result.select("user_id", "event_type")
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH e AS (SELECT event_type, epoch_us(ts) // 300000000 AS sl FROM events),
+    w AS (SELECT event_type, (sl - k) * 300000000 AS ws
+          FROM e, unnest([0, 1]) AS t(k))
+    SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, count(*) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts (10 min window, 5 min slide) through the
+    streaming engine — every event lands in exactly window/slide = 2
+    overlapping windows, which the batch oracle reproduces by exploding
+    each event into its two slide buckets (the multiplicity is the
+    entire semantic difference from a tumbling window, so the oracle
+    pins it). Drained to completion, must equal the batch expansion."""
+    from laygo_python_spark.streaming import sliding_counts
+
+    agg = sliding_counts(read_events_stream(spark, sf_dir), window="10 minutes", slide="5 minutes")
+    result = run_to_completion(agg, "stream_sliding")
+    return result.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+    )
