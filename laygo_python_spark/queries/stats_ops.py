@@ -352,3 +352,138 @@ def feature_scale_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(10).over(w).cast("int").alias("decile"),
         )
     )
+
+
+@query(
+    "spearman_price_acctbal",
+    oracle="""
+    WITH j AS (
+      SELECT c_mktsegment, o_totalprice, c_acctbal, o_orderkey
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    r AS (
+      SELECT c_mktsegment,
+             rank() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey) AS rp,
+             rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, o_orderkey) AS rb
+      FROM j)
+    SELECT c_mktsegment,
+           round(corr(CAST(rp AS DOUBLE), CAST(rb AS DOUBLE)), 6) AS spearman,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r GROUP BY c_mktsegment
+    """,
+)
+def spearman_price_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order price and the customer's
+    account balance, per market segment — the robust (monotonic, not
+    linear) association measure: rank both variables, then Pearson-corr
+    the ranks. Complements trend_per_event_type's parametric regr_*
+    family.
+
+    Ranks tiebreak on the order key, so both engines assign identical
+    integer ranks and corr runs over identical inputs (round(6) absorbs
+    accumulation order). The two rank windows share one partition-key
+    shuffle; segments are bounded-cardinality so per-partition sorts
+    stay healthy — at extreme group sizes swap percent_rank or the
+    qsketch CDF for the exact window, same shape."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_totalprice", "c_acctbal", "o_orderkey"
+    )
+    wp = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    wb = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "o_orderkey")
+    r = j.select(
+        "c_mktsegment",
+        F.rank().over(wp).cast("double").alias("rp"),
+        F.rank().over(wb).cast("double").alias("rb"),
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.round(F.corr("rp", "rb"), 6).alias("spearman"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "chi2_segment_priority",
+    oracle="""
+    WITH j AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    o AS (SELECT seg, pri, CAST(count(*) AS DOUBLE) AS obs FROM j GROUP BY 1, 2),
+    rt AS (SELECT seg, sum(obs) AS row_n FROM o GROUP BY 1),
+    ct AS (SELECT pri, sum(obs) AS col_n FROM o GROUP BY 1),
+    n AS (SELECT sum(obs) AS total FROM o)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum(pow(obs - row_n * col_n / total, 2) / (row_n * col_n / total)), 6) AS chi2
+    FROM o JOIN rt USING (seg) JOIN ct USING (pri), n
+    """,
+)
+def chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for market segment × order
+    priority — the categorical-association screen (is priority
+    distributed the same across segments?) that data-quality and
+    feature-selection passes both run.
+
+    One contingency aggregation (the only shuffle over the data), then
+    row/column marginals and the 1-row total joined back onto the ≤
+    25-cell table; observed counts are exact integers and the expected-
+    count arithmetic is written with identical association order in
+    both engines, so only the final sum needs round(6)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+    )
+    o = j.groupBy("seg", "pri").agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    rt = o.groupBy("seg").agg(F.sum("obs").alias("row_n"))
+    ct = o.groupBy("pri").agg(F.sum("obs").alias("col_n"))
+    n = o.agg(F.sum("obs").alias("total"))
+    exp = F.col("row_n") * F.col("col_n") / F.col("total")
+    return (
+        o.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "pri")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum(F.pow(F.col("obs") - exp, 2) / exp), 6).alias("chi2"),
+        )
+    )
+
+
+@query(
+    "impute_missing_acctbal",
+    oracle="""
+    WITH seeded AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 10 = 3 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer),
+    m AS (SELECT c_mktsegment, round(avg(bal), 2) AS seg_mean
+          FROM seeded GROUP BY 1)
+    SELECT s.c_custkey,
+           CAST(s.bal IS NULL AS BOOLEAN) AS was_missing,
+           round(coalesce(s.bal, m.seg_mean), 2) AS bal_imputed
+    FROM seeded s JOIN m USING (c_mktsegment)
+    """,
+)
+def impute_missing_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation — the standard missing-value repair before
+    training on tabular data: fill each null with its segment's mean,
+    flagging which rows were imputed. The fixture has no nulls, so 10%
+    of balances are deterministically knocked out in BOTH engines first
+    (the seeding idiom of text_normalize_clean; the predicate is plain
+    modular arithmetic on the key because the engines' hash() functions
+    are not cross-reproducible). Means are rounded before the coalesce
+    (rounding rule); rows never shuffle — the per-segment means come
+    back as a broadcast join, so at 100 TB this is one aggregate plus a
+    map-side repair pass."""
+    cust = _t(spark, sf_dir, "customer")
+    seeded = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 10 == 3, F.lit(None)).otherwise(F.col("c_acctbal")).alias("bal"),
+    )
+    m = seeded.groupBy("c_mktsegment").agg(F.round(F.avg("bal"), 2).alias("seg_mean"))
+    return seeded.join(F.broadcast(m), "c_mktsegment").select(
+        "c_custkey",
+        F.col("bal").isNull().alias("was_missing"),
+        F.round(F.coalesce("bal", "seg_mean"), 2).alias("bal_imputed"),
+    )
