@@ -3,12 +3,18 @@ replaces rescans at 100 TB, composed from the library's own operators:
 
   executor-side generator source (sources/python_datasource.py)
   → per-shard count-min + HLL sketches (operators/cms.py, hll_sketch_agg)
-  → sketches stored (tiny), raw rows discarded
-  → merge sketches across shards → point-frequency + distinct answers
+    + a per-shard bloom filter of seen keys (operators/bloom.py)
+    + per-shard Misra-Gries summaries (operators/heavyhitters.py)
+  → artifacts stored (tiny), raw rows discarded
+  → merge artifacts across shards → point-frequency, distinct,
+    membership, and guaranteed-heavy-key answers
 
 The point: every per-shard pass reads its shard ONCE, stores a few
-thousand counter rows, and month-to-date answers come from merging
-sketches — no raw-data rescan, bounded state however large the stream.
+thousand counter/word rows, and month-to-date answers come from merging
+artifacts — no raw-data rescan, bounded state however large the stream.
+The bloom answers "have we EVER seen key X?" map-side (new-key routing
+in a crawl/dedup pipeline); Misra-Gries names the heavy keys with a
+worst-case guarantee where CMS only estimates given candidates.
 
 Executed by tests/test_examples.py so it can never rot.
 Run directly: python examples/incremental_analytics.py
@@ -24,7 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from laygo_python_spark import get_spark
+from laygo_python_spark.operators.bloom import bloom_build, bloom_merge, bloom_might_contain
 from laygo_python_spark.operators.cms import cms_build, cms_estimate, cms_merge
+from laygo_python_spark.operators.heavyhitters import mg_merge, mg_summarize
 from laygo_python_spark.sources.python_datasource import register
 
 
@@ -46,14 +54,19 @@ def incremental_heavy_users(spark, shards=((0, 40_000), (40_000, 80_000), (80_00
     """Per-shard CMS + HLL sketches, merged, then answered from sketches
     alone. Returns (top_user_estimates, merged_distinct_estimate)."""
     d, w = 4, 16384
+    mg_k = 32
     day_cms = []
     day_hll = []
+    day_bloom = []
+    day_mg = []
     for lo, hi in shards:
         day = _shard(spark, lo, hi)
-        # In production each of these writes to a sketch table;
+        # In production each of these writes to an artifact table;
         # the raw day is never read again.
         day_cms.append(cms_build(day, "user_id", d=d, w=w))
         day_hll.append(day.agg(F.hll_sketch_agg("user_id").alias("sk")))
+        day_bloom.append(bloom_build(day.select("user_id"), "user_id", m=1 << 17, k=5))
+        day_mg.append(mg_summarize(day, "user_id", k=mg_k))
 
     merged_cms = cms_merge(*day_cms)
     hll_union = day_hll[0]
@@ -71,16 +84,39 @@ def incremental_heavy_users(spark, shards=((0, 40_000), (40_000, 80_000), (80_00
         .orderBy(F.desc("est"), "user_id")
         .collect()
     )
-    return [(r["user_id"], r["est"]) for r in top], distinct_est
+
+    # Membership across the whole month, from merged per-day blooms:
+    # probes never touch raw data (and a member is NEVER reported absent).
+    month_bloom = bloom_merge(*day_bloom)
+    probes = spark.range(10_000).select((F.col("id") * 1_000_003).alias("user_id"))
+    n_maybe_seen = bloom_might_contain(month_bloom, probes, "user_id").count()
+
+    # Heavy-key certification from merged Misra-Gries summaries — no
+    # candidate list needed (the summary IS the discovery). This stream
+    # is uniform, so the CORRECT answer is "no heavy users": every MG
+    # estimate stays at the ~uniform per-user rate (est never exceeds
+    # the true count), which CERTIFIES no user exceeds
+    # max(est) + n/(k+1) events — a guarantee CMS cannot give.
+    all_mg = day_mg[0]
+    for d_ in day_mg[1:]:
+        all_mg = all_mg.unionByName(d_)
+    mg_month = mg_merge(all_mg, "user_id", k=mg_k)
+    mg_top = [
+        (r["user_id"], r["est"])
+        for r in mg_month.orderBy(F.desc("est"), "user_id").limit(5).collect()
+    ]
+    return [(r["user_id"], r["est"]) for r in top], distinct_est, n_maybe_seen, mg_top
 
 
 def main() -> None:
     spark = get_spark("incremental_analytics_example")
     register(spark)
-    top, distinct_est = incremental_heavy_users(spark)
+    top, distinct_est, n_maybe_seen, mg_top = incremental_heavy_users(spark)
     print("distinct users (merged HLL):", distinct_est)
     for uid, est in top[:5]:
         print(f"user {uid}: ~{est} events")
+    print("probes passing merged bloom:", n_maybe_seen)
+    print("MG skew certificate (uniform stream -> all ests ~ per-user rate):", mg_top)
 
 
 if __name__ == "__main__":

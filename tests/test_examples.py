@@ -72,9 +72,16 @@ def test_incremental_analytics(spark):
     from laygo_python_spark.sources.python_datasource import register
 
     register(spark)
-    top, distinct_est = inc.incremental_heavy_users(spark)
+    top, distinct_est, n_maybe_seen, mg_top = inc.incremental_heavy_users(spark)
     # 120k events over user_id = id % 1000 → every user ~120 events;
     # CMS estimates bound truth from above, HLL is within 5%.
     assert len(top) == 10
     assert all(est >= 120 for _, est in top)
     assert abs(distinct_est - 1000) <= 50
+    # Bloom: of the 10k probes only user 0 is a real member; the rest
+    # pass at ~fpp (2^17 bits over 1000 keys → well under 1%).
+    assert 1 <= n_maybe_seen <= 100
+    # MG certificate on a uniform stream: estimates never exceed the
+    # true per-user count (~120), certifying no heavy user exists.
+    assert len(mg_top) <= 5
+    assert all(0 < est <= 150 for _, est in mg_top)
