@@ -215,3 +215,46 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderstatus", F.round("o_totalprice", -2).alias("o_totalprice"))
     )
     return snapshot_diff(old, new, on=["o_orderkey"])
+
+
+def _morton_sql(bits: int = 8) -> str:
+    """Unrolled bit-interleave of (a, b) as plain integer arithmetic —
+    the same expression tree the Spark side builds, term by term, so
+    the oracle pins the exact bit layout of operators/zorder.morton_key
+    (dimension j lands at output bit i*2 + j)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((a >> {i}) & 1) << {i * 2})")
+        terms.append(f"(((b >> {i}) & 1) << {i * 2 + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_morton_keys",
+    oracle=f"""
+    WITH d AS (SELECT l_orderkey, l_linenumber,
+                      l_partkey % 256 AS a, l_suppkey % 256 AS b
+               FROM lineitem)
+    SELECT l_orderkey, l_linenumber, CAST({_morton_sql(8)} AS BIGINT) AS zkey
+    FROM d
+    """,
+)
+def zorder_morton_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Morton (Z-curve) key behind zorder_layout, oracle-pinned bit
+    for bit: interleave 8 bits of two scaled dimensions into one long.
+    zorder_layout itself is a physical re-layout (verified by
+    tests/test_zorder.py min/max-pruning assertions); this query gates
+    the key derivation that makes the layout skippable in EVERY
+    participating dimension — pure Column bit algebra, map-only,
+    codegen'd."""
+    from laygo_python_spark.operators.zorder import morton_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        morton_key(
+            [(F.col("l_partkey") % 256).cast("int"), (F.col("l_suppkey") % 256).cast("int")],
+            bits=8,
+        ).alias("zkey"),
+    )
