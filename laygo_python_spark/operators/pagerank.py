@@ -35,6 +35,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Rank nodes of a directed graph given an edge list.
 
@@ -47,6 +48,14 @@ def pagerank(
     wanting the redistribute-dangling-mass variant should symmetrize the
     edge list first (an undirected graph has none). Returns
     ``(node, pr)`` unrounded.
+
+    ``checkpoint_every``: materialize the rank vector every k rounds
+    (0 = never). The checkpoint matters when actions interleave with
+    the loop or the round count is large (lineage/planner growth);
+    with few rounds the whole loop collapses into the single final-
+    round materialization (the last round ALWAYS checkpoints eagerly,
+    because the function unpins the edge layout before returning).
+    Long loops (≥ ~10 rounds) should keep the default.
     """
     wcol = F.col(weight) if weight else F.lit(1.0)
     raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), wcol.alias("w"))
@@ -72,7 +81,7 @@ def pagerank(
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     try:
-        for _ in range(iterations):
+        for it in range(iterations):
             contrib = e.join(ranks.withColumnRenamed("node", "src"), "src").select(
                 F.col("dst").alias("node"),
                 (F.col("pr") * F.col("w") / F.col("deg")).alias("c"),
@@ -83,8 +92,15 @@ def pagerank(
                     "node",
                     (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("pr"),
                 )
-                .localCheckpoint(eager=True)
             )
+            # The FINAL round always checkpoints eagerly: the finally
+            # block unpins the edge layout, so the returned frame must
+            # already be materialized (otherwise the caller's action
+            # would recompute every round against an unpersisted e).
+            if it + 1 == iterations or (
+                checkpoint_every and (it + 1) % checkpoint_every == 0
+            ):
+                ranks = ranks.localCheckpoint(eager=True)
     finally:
         e.unpersist()
         nodes.unpersist()

@@ -77,7 +77,9 @@ def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") + _OFF).alias("dst"),
     ).distinct()
     edges = half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return pagerank(edges, iterations=5).select("node", F.round("pr", 8).alias("pr"))
+    return pagerank(edges, iterations=5, checkpoint_every=0).select(
+        "node", F.round("pr", 8).alias("pr")
+    )
 
 
 @query(
