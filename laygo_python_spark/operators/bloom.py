@@ -133,12 +133,14 @@ def bloom_might_contain(bloom: DataFrame, df: DataFrame, key: str) -> DataFrame:
     small, typically ≤ 7). A NULL key never matches (xxhash64 of NULL
     is NULL → null word joins nothing).
 
-    The word table is localCheckpoint-ed once before the k joins —
-    without the pin, each broadcast side replans the whole build
-    (k redundant scans of the key source). The pinned footprint is
+    The word table is localCheckpoint-ed once BEFORE the geometry read
+    and the k joins — without the pin, each broadcast side (and the
+    geometry collect itself) replans the whole build, so a freshly
+    built bloom would materialize k+1 times. The pinned footprint is
     ≤ m/64 rows (MBs), held until the session drops the reference."""
+    bloom = bloom.localCheckpoint(eager=True)
     m, k = _geometry(bloom, "bloom_might_contain")
-    bloom = bloom.select("word", "bits").localCheckpoint(eager=True)
+    bloom = bloom.select("word", "bits")
     out = df.withColumn(_KEY, F.col(key))
     keep = F.lit(True)
     for i in range(k):
