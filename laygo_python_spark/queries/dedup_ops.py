@@ -160,3 +160,39 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
         blocked, n=1, threshold=0.95, block_col="cluster"
     )
+
+
+@query(
+    "dedup_new_vs_seen",
+    oracle="""
+    WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS g
+                 FROM documents),
+    counts AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+              FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_id_a, doc_id_b,
+           CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+    FROM inter
+    JOIN counts ca ON doc_id_a = ca.doc_id
+    JOIN counts cb ON doc_id_b = cb.doc_id
+    WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.95
+      AND (doc_id_a % 2) <> (doc_id_b % 2)
+    """,
+)
+def dedup_new_vs_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot contamination check — the incremental-ingest twin
+    of ngram_jaccard_pairs: split the corpus into "seen" (even ids,
+    standing in for yesterday's index) and "new" (odd ids, today's
+    batch) and report only the near-duplicate pairs that CROSS the
+    boundary — the docs today's batch must drop before training.
+
+    Here the exact set-similarity join runs on the union and filters to
+    cross-side pairs (exact, oracle-gated); the 100 TB production shape
+    stores yesterday's LSH band table and signature groups as artifacts
+    (minhash_lsh_candidates internals; same artifact-reuse discipline
+    as the parquet-persisted bloom in operators/bloom.py) and joins
+    only today's bands against them, so the seen corpus is never
+    re-shingled — its text is not even read."""
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=1, threshold=0.95)
+    return pairs.filter((F.col("doc_id_a") % 2) != (F.col("doc_id_b") % 2))
