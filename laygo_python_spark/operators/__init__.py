@@ -41,6 +41,7 @@ from laygo_python_spark.operators.qsketch import qsketch_build, qsketch_merge, q
 from laygo_python_spark.operators.ids import assign_sequential_ids
 from laygo_python_spark.operators.quality import flatten_schema, validate
 from laygo_python_spark.operators.warehouse import (
+    compact_parquet,
     gapfill,
     merge_upsert,
     scd2_collapse,
@@ -71,6 +72,7 @@ __all__ = [
     "cms_build_sharded",
     "cms_estimate",
     "cms_merge",
+    "compact_parquet",
     "cogroup_apply",
     "cogroup_apply_arrow",
     "flatten_schema",

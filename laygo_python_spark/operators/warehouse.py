@@ -184,3 +184,62 @@ def snapshot_diff(
         )
         .filter(F.col("change_type").isNotNull())
     )
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_bytes: int = 128 << 20,
+    order_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the OPTIMIZE half of warehouse
+    maintenance that zorder_layout's clustering is the other half of:
+    rewrite a directory of many small parquet files into
+    ⌈total/target_bytes⌉ right-sized ones.
+
+    Why it matters at 100 TB: streaming/incremental writers produce
+    file counts that grow without bound, and every downstream scan then
+    pays per-file open/footer costs plus a task per file — scan
+    parallelism is ruined in BOTH directions (too many tiny tasks, or
+    after naive coalesce(1), too few). Sizing from the actual listed
+    bytes keeps output files at the row-group sweet spot.
+
+    The file count comes from driver-side listing metadata (no job);
+    the rewrite is ONE shuffle (round-robin ``repartition`` for plain
+    compaction, range partition when ``order_by`` is given so min/max
+    stats stay narrow on the sort key — compose with
+    ``zorder_layout`` for multi-dimensional skipping instead). Writes
+    to ``dest_path`` (caller swaps directories atomically; this
+    operator never deletes the source). Returns
+    {files_before, files_after, bytes_total, rows}."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    total = 0
+    files_before = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith("_"):
+            total += st.getLen()
+            files_before += 1
+    if files_before == 0:
+        raise ValueError(f"compact_parquet: no parquet files under {src_path}")
+    n_out = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(src_path)
+    if order_by:
+        out = df.repartitionByRange(n_out, *order_by).sortWithinPartitions(*order_by)
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(dest_path)
+    back = spark.read.parquet(dest_path)
+    files_after = len([f for f in back.inputFiles()])
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_total": int(total),
+        "rows": back.count(),
+    }

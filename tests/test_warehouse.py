@@ -182,3 +182,60 @@ def test_gapfill_filled_flag_distinguishes_null_observation(spark):
     out = {r["h"].hour: r for r in gapfill(sparse, series=["s"], ts="h", step="1 hour").collect()}
     assert out[0]["filled"] is False  # present row, NULL value — NOT synthesized
     assert out[1]["filled"] is True
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from laygo_python_spark.operators.warehouse import compact_parquet
+    from laygo_python_spark.session import read_table
+
+    src = str(tmp_path / "frag")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    li.repartition(40).write.parquet(src)  # the small-files disease
+    dest = str(tmp_path / "compact")
+    stats = compact_parquet(spark, src, dest, target_bytes=1 << 30)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] <= 4  # everything fits one target file (+AQE splits)
+    # Content identical (multiset) after the rewrite.
+    before = li.groupBy("l_orderkey").count()
+    after = spark.read.parquet(dest).groupBy("l_orderkey").count()
+    assert before.exceptAll(after).count() == 0 and after.exceptAll(before).count() == 0
+    assert stats["rows"] == li.count()
+
+
+def test_compact_parquet_ordered_keeps_stats_narrow(spark, sf_dir, tmp_path):
+    from laygo_python_spark.operators.warehouse import compact_parquet
+    from laygo_python_spark.session import read_table
+
+    src = str(tmp_path / "frag2")
+    read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity").repartition(
+        16
+    ).write.parquet(src)
+    dest = str(tmp_path / "compact2")
+    stats = compact_parquet(spark, src, dest, target_bytes=16 << 10, order_by=["l_orderkey"])
+    assert stats["files_after"] >= 2  # small target → several range files
+    # Range layout: per-file key ranges must not overlap (narrow min/max
+    # stats = the scan-pruning payoff).
+    import pyarrow.parquet as pq
+    import glob
+    ranges = []
+    for f in sorted(glob.glob(dest + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["l_orderkey"]
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            los.append(st.min); his.append(st.max)
+        ranges.append((min(los), max(his)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (ranges,)
+
+
+def test_compact_parquet_empty_dir_raises(spark, tmp_path):
+    import pytest as _pytest
+    from laygo_python_spark.operators.warehouse import compact_parquet
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with _pytest.raises(ValueError, match="no parquet files"):
+        compact_parquet(spark, str(empty), str(tmp_path / "out"))
