@@ -66,6 +66,7 @@ HEADLINE = [
     "bigram_pmi_collocations",
     "char_entropy_score",
     "feature_scale_order_prices",
+    "kcore_supplier_part",
 ]
 
 

@@ -136,3 +136,47 @@ def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderkey", "day",
         F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_7d_total"),
     )
+
+
+@query(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+    SELECT digit, n,
+           round(n / total, 6) AS freq,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford,
+           round(n / total - log10(1.0 + 1.0 / digit), 6) AS deviation
+    FROM c, t
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on order totals: the leading-digit
+    distribution vs log10(1 + 1/d) — the classic anomaly/fraud check
+    for naturally occurring amounts (fabricated numbers over-represent
+    mid digits).
+
+    The first digit comes from the STRING of the truncated integer, not
+    floor(log10(x)) — libm rounding at exact powers of ten could flip
+    the float path's digit between engines, while bigint-to-string is
+    identical everywhere. One 9-row aggregate; the Benford expectation
+    is the same literal expression in both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    d = orders.select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("freq"),
+        F.round(benford, 6).alias("benford"),
+        F.round(F.col("n") / F.col("total") - benford, 6).alias("deviation"),
+    )

@@ -43,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from laygo_python_spark.operators.cms import cms_build, cms_estimate  # noqa: E402
-from laygo_python_spark.operators.graph import bfs_hops, triangle_count  # noqa: E402
+from laygo_python_spark.operators.graph import bfs_hops, kcore, triangle_count  # noqa: E402
 from laygo_python_spark.operators.pagerank import pagerank  # noqa: E402
 from laygo_python_spark.session import get_spark  # noqa: E402
 
@@ -175,6 +175,62 @@ def triangle_smoke(spark, n_cliques: int) -> None:
     )
 
 
+def kcore_smoke(spark, n_cliques: int) -> None:
+    clique = 5
+    # 5-cliques (every node degree 4) chained by single bridge edges
+    # (bridges add degree 1 to two nodes per clique): at k=4 nothing
+    # peels on the first round except... nothing — every clique node has
+    # degree >= 4; at k=5 EVERYTHING peels. The asserted shape: k=4
+    # keeps all clique nodes; pendant bridge chains of degree < 4 never
+    # appear. Plus a 10^5-node path, which a k=2 fixpoint erases
+    # entirely — the cascade depth stressor (bounded rounds keep it
+    # cheap; the assert uses rounds, not fixpoint, at this size).
+    pairs = [(p, q) for p in range(clique) for q in range(clique) if p < q]
+    pair_df = spark.createDataFrame(pairs, "p int, q int")
+    cliques = (
+        spark.range(n_cliques)
+        .crossJoin(pair_df)
+        .select(
+            (F.col("id") * clique + F.col("p") + 1).alias("src"),
+            (F.col("id") * clique + F.col("q") + 1).alias("dst"),
+        )
+    )
+    bridges = spark.range(n_cliques - 1).select(
+        (F.col("id") * clique + clique).alias("src"),
+        ((F.col("id") + 1) * clique + 1).alias("dst"),
+    )
+    path_n = 100_000
+    path = spark.range(1, path_n).select(
+        (-F.col("id")).alias("src"), (-F.col("id") - 1).alias("dst")
+    )
+    edges = cliques.unionByName(bridges).unionByName(path)
+    t = time.time()
+    surv = kcore(edges, k=4, rounds=2).persist()
+    n_surv = surv.count()
+    neg = surv.filter(F.col("node") < 0).count()
+    dt = time.time() - t
+    surv.unpersist()
+    assert n_surv == n_cliques * clique, (n_surv, n_cliques * clique)
+    assert neg == 0, neg  # the path (all degree <= 2) is gone by round 1
+    t = time.time()
+    gone = kcore(path, k=2, rounds=6).count()
+    dt2 = time.time() - t
+    # Each k=2 round peels both path ends: after r rounds 2r nodes are
+    # gone — bounded rounds shrink it deterministically.
+    assert gone == path_n - 1 - 2 * 6 + 1, gone
+    print(
+        json.dumps(
+            {
+                "smoke": "kcore",
+                "edges": n_cliques * 10 + n_cliques - 1 + path_n - 1,
+                "k4_survivors": n_surv,
+                "sec": round(dt, 2),
+                "path_rounds_sec": round(dt2, 2),
+            }
+        )
+    )
+
+
 def cms_smoke(spark, n_rows: int) -> None:
     # ~1000 near-uniform keys, plus every (id % 11 == 0) row remapped to
     # planted key -1 → one genuinely heavy key holding ~9% of all mass.
@@ -227,6 +283,7 @@ def main() -> None:
     pagerank_smoke(spark, pr_links)
     bfs_smoke(spark, pr_links)
     triangle_smoke(spark, tri_cliques)
+    kcore_smoke(spark, tri_cliques)
     cms_smoke(spark, cms_rows)
 
 
