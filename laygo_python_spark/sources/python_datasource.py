@@ -7,10 +7,11 @@ Spark translation — materialize the generator on the driver and
 ``createDataFrame`` — is exactly the driver bottleneck this engine
 exists to avoid. Spark 4's Python DataSource API is the idiomatic form:
 the BATCH surface's generator logic runs ON EXECUTORS, partitioned,
-with each partition producing its own deterministic id range. (The
-stream surface uses the Simple reader, which runs driver-side — see
-``_StreamReader`` for the scale caveat and the partitioned
-alternative.)
+with each partition producing its own deterministic id range. The
+stream surface defaults to the PARTITIONED reader (executor-side
+``read(partition)``, same scale posture as batch); pass
+``stream_mode=simple`` to exercise the driver-side Simple reader — kept
+for the replay/recovery surface its offset contract demonstrates.
 
 Two surfaces on one source class:
 
@@ -38,6 +39,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -89,16 +91,15 @@ class _BatchReader(DataSourceReader):
 
 
 class _StreamReader(SimpleDataSourceStreamReader):
-    """Micro-batched generator: offset = next unread id. Past the ``n``
-    cap it returns empty batches with an unmoved offset, which is how a
-    bounded test stream signals drain without a real unbounded source's
-    blocking semantics.
+    """Driver-side Simple reader (``stream_mode=simple``): offset = next
+    unread id. Past the ``n`` cap it returns empty batches with an
+    unmoved offset, which is how a bounded test stream signals drain
+    without a real unbounded source's blocking semantics.
 
-    NOTE: ``SimpleDataSourceStreamReader.read()`` runs DRIVER-side (the
-    simple API trades scale for simplicity) — fine for this bounded test
-    stream, but a real unbounded feed should implement the partitioned
-    ``DataSourceStreamReader`` (executor-side ``read(partition)``, like
-    the batch reader above) instead."""
+    ``SimpleDataSourceStreamReader.read()`` runs DRIVER-side (the simple
+    API trades scale for simplicity); the default production path is
+    ``_PartitionedStreamReader`` below — this class stays as the replay
+    (``readBetweenOffsets``) reference."""
 
     def __init__(self, options: dict) -> None:
         self.n = int(options.get("n", 10_000))
@@ -117,6 +118,45 @@ class _StreamReader(SimpleDataSourceStreamReader):
         return iter([_row(i) for i in range(start["i"], end["i"])])
 
 
+class _PartitionedStreamReader(DataSourceStreamReader):
+    """Executor-side micro-batched generator — the scale-correct stream
+    surface: the driver only advances the offset (one int) and plans id
+    ranges; every ``read(partition)`` runs ON EXECUTORS like the batch
+    reader, so a micro-batch fans out over ``partitions`` tasks instead
+    of funneling through the driver. Past the ``n`` cap ``latestOffset``
+    stops advancing → empty micro-batches → ``processAllAvailable``
+    drains. This is the template for a real sharded feed (Kafka-like
+    log, paginated API): offsets on the driver, records on executors."""
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 10_000))
+        self.batch = int(options.get("batch", 1_000))
+        self.parts = max(1, int(options.get("partitions", 4)))
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def latestOffset(self) -> dict:
+        self._latest = min(self._latest + self.batch, self.n)
+        return {"i": self._latest}
+
+    def partitions(self, start: dict, end: dict) -> list[_IdRange]:
+        lo, hi = start["i"], end["i"]
+        total = hi - lo
+        if total <= 0:
+            return [_IdRange(lo, lo)]
+        step = -(-total // self.parts)
+        return [_IdRange(s, min(s + step, hi)) for s in range(lo, hi, step)]
+
+    def read(self, partition: _IdRange):
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SyntheticEventsDataSource(DataSource):
     """``spark.dataSource.register(SyntheticEventsDataSource)`` then read
     format ``synthetic_events`` with options n / partitions / batch."""
@@ -130,6 +170,18 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> _BatchReader:
         return _BatchReader(self.options)
+
+    def streamReader(self, schema) -> _PartitionedStreamReader:
+        if self.options.get("stream_mode", "partitioned") == "simple":
+            # Engine contract (pyspark datasource_internal._streamReader):
+            # raising PySparkNotImplementedError falls back to
+            # simpleStreamReader below.
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED", messageParameters={"feature": "streamReader"}
+            )
+        return _PartitionedStreamReader(self.options)
 
     def simpleStreamReader(self, schema) -> _StreamReader:
         return _StreamReader(self.options)

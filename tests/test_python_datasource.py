@@ -88,3 +88,50 @@ def test_source_name_and_schema():
     assert SyntheticEventsDataSource.name() == "synthetic_events"
     s = SyntheticEventsDataSource({}).schema()
     assert "event_id" in s and "value double" in s
+
+
+def test_partitioned_stream_reader_protocol():
+    # Unit-level for the DEFAULT (executor-side) stream reader: offsets
+    # advance by `batch` to the cap then hold; each micro-batch splits
+    # into `partitions` contiguous ranges that exactly tile [lo, hi).
+    from laygo_python_spark.sources.python_datasource import _PartitionedStreamReader
+
+    r = _PartitionedStreamReader({"n": "10", "batch": "4", "partitions": "3"})
+    assert r.initialOffset() == {"i": 0}
+    assert r.latestOffset() == {"i": 4}
+    assert r.latestOffset() == {"i": 8}
+    assert r.latestOffset() == {"i": 10}
+    assert r.latestOffset() == {"i": 10}  # cap reached: offset holds
+    parts = r.partitions({"i": 0}, {"i": 4})
+    ranges = [(p.start, p.end) for p in parts]
+    assert ranges[0][0] == 0 and ranges[-1][1] == 4
+    assert all(a[1] == b[0] for a, b in zip(ranges, ranges[1:]))
+    rows = [row for p in parts for row in r.read(p)]
+    assert [row[0] for row in rows] == [0, 1, 2, 3]
+    empty = r.partitions({"i": 10}, {"i": 10})
+    assert [list(r.read(p)) for p in empty] == [[]]
+
+
+def test_simple_mode_stream_equals_batch(spark):
+    # stream_mode=simple falls back to the driver-side Simple reader via
+    # the engine's PySparkNotImplementedError contract — same rows.
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n", 1500)
+        .option("batch", 400)
+        .option("stream_mode", "simple")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pysource_stream_simple")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(map(tuple, spark.sql("SELECT * FROM pysource_stream_simple").collect()))
+    want = sorted(map(tuple, _batch_df(spark, n=1500).collect()))
+    assert got == want
