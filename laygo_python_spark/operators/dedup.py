@@ -156,6 +156,12 @@ def minhash_signatures(
     A = np.array([a for a, _ in params], dtype=np.int64)[None, :]
     B = np.array([b for _, b in params], dtype=np.int64)[None, :]
 
+    # Per-DOC numpy ops, deliberately: a batch-vectorized variant (one
+    # (S × H) permute matrix + np.minimum.reduceat over doc boundaries)
+    # measures 2.4× SLOWER on this workload — the concatenated matrix
+    # (~768 MB at sf0.1) is memory-bandwidth-bound, while per-doc
+    # (~150 × 128) intermediates stay in cache. Shingling+crc32 alone is
+    # half the pass; the numpy overhead per doc is already minor.
     def run(batches):
         for pdf in batches:
             ids, sigs = [], []
