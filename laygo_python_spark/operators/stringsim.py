@@ -190,3 +190,48 @@ def edit_distance_pairs(
         .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95) —
+    the third candidate-generation strategy next to FastSS/PassJoin
+    above and the LSH/band family in operators/dedup.py: sort all rows
+    by a blocking key and emit every pair whose ranks are within
+    ``window`` of each other. Classic for fuzzy entity resolution where
+    the key puts look-alikes adjacent (names, addresses, normalized
+    titles), and the candidate count is exactly n×(window−1) − O(w²):
+    LINEAR, no hot buckets, regardless of key skew — the property the
+    equi-join blockers cannot promise on boilerplate-heavy keys.
+
+    Scale shape: the global rank comes from assign_sequential_ids
+    (range shuffle + broadcast offsets — no single-partition window),
+    and the rank-adjacency join is (window−1) exploded offset probes
+    equi-joined on rank: rank+k = rank ships as a plain shuffle join
+    key. Returns (id_a, id_b, key_a, key_b, rank_gap) with a before b
+    in sort order; follow with an exact verifier (levenshtein,
+    jaccard) exactly like the LSH candidates."""
+    if window < 2:
+        raise ValueError(f"sorted_neighborhood_pairs: window must be >= 2, got {window}")
+    from laygo_python_spark.operators.ids import assign_sequential_ids
+
+    ranked = assign_sequential_ids(
+        df.select(F.col(id_col), F.col(key_col)), order_by=[key_col, id_col], id_col="__rank"
+    )
+    offsets = F.explode(F.array(*[F.lit(k) for k in range(1, window)]))
+    probes = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col(key_col).alias("key_a"),
+        F.col("__rank").alias("__ra"),
+        offsets.alias("__k"),
+    ).withColumn("__rank", F.col("__ra") + F.col("__k"))
+    right = ranked.select(
+        F.col(id_col).alias("id_b"), F.col(key_col).alias("key_b"), "__rank"
+    )
+    return probes.join(right, "__rank").select(
+        "id_a", "id_b", "key_a", "key_b", F.col("__k").cast("int").alias("rank_gap")
+    )

@@ -76,3 +76,35 @@ def test_fastss_equals_passjoin_on_shared_prefix_corpus(spark):
         for r in edit_distance_pairs(df, "id", "s", 1, strategy="passjoin").collect()
     )
     assert fast == passj == _truth(data, 1)
+
+
+def test_sorted_neighborhood_linear_output_and_adjacency(spark):
+    from laygo_python_spark.operators.stringsim import sorted_neighborhood_pairs
+
+    rows = [(i, f"user_{i:04d}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, name string").repartition(7)
+    pairs = sorted_neighborhood_pairs(df, "id", "name", window=4).collect()
+    # Exactly n*(w-1) - (1+2+...+(w-1)) pairs: linear, skew-independent.
+    assert len(pairs) == 100 * 3 - (1 + 2 + 3)
+    # Adjacency respects the (name, id) sort order: zero-padded names
+    # sort like ids, so every pair's gap equals the id difference.
+    assert all(r["id_b"] - r["id_a"] == r["rank_gap"] for r in pairs)
+
+
+def test_sorted_neighborhood_skewed_keys_stay_linear(spark):
+    from laygo_python_spark.operators.stringsim import sorted_neighborhood_pairs
+
+    # 1000 IDENTICAL keys — the equi-join blockers' worst case (one
+    # bucket, ~500k pairs); sorted-neighborhood must still emit ~2/row.
+    df = spark.createDataFrame([(i, "same") for i in range(1000)], "id long, name string")
+    n = sorted_neighborhood_pairs(df, "id", "name", window=3).count()
+    assert n == 1000 * 2 - (1 + 2)
+
+
+def test_sorted_neighborhood_validation(spark):
+    import pytest as _pytest
+    from laygo_python_spark.operators.stringsim import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with _pytest.raises(ValueError, match="window must be"):
+        sorted_neighborhood_pairs(df, "id", "name", window=1)
