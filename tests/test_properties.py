@@ -228,3 +228,47 @@ def test_merge_upsert_paths_agree(spark, data):
         )
         results.append(sorted((r["k"], round(r["bal"], 6)) for r in out.collect()))
     assert results[0] == results[1]
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=80),
+    parts=st.integers(min_value=1, max_value=7),
+    m_words=st.integers(min_value=1, max_value=8),
+)
+@SET
+def test_bloom_never_false_negative_property(spark, keys, parts, m_words):
+    """For ANY key multiset, partitioning, and (even brutally small)
+    geometry, every inserted key must pass membership — the invariant
+    the prune-then-exact-join pattern rests on."""
+    from laygo_python_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(parts)
+    bloom = bloom_build(df, "k", m=64 * m_words, k=3)
+    kept = {r["k"] for r in bloom_might_contain(bloom, df.distinct(), "k").collect()}
+    assert kept == set(keys)
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=100),
+    parts=st.integers(min_value=1, max_value=7),
+    k=st.integers(min_value=2, max_value=12),
+)
+@SET
+def test_misra_gries_containment_property(spark, keys, parts, k):
+    """For ANY stream, partitioning, and counter budget: every key with
+    true frequency > n/(k+1) appears in the merged summary, and every
+    estimate obeys true ≥ est ≥ true − n/(k+1)."""
+    from collections import Counter
+
+    from laygo_python_spark.operators.heavyhitters import mg_merge, mg_summarize
+
+    df = spark.createDataFrame([(v,) for v in keys], "key long").repartition(parts)
+    merged = mg_merge(mg_summarize(df, "key", k=k), "key", k=k)
+    est = {r["key"]: r["est"] for r in merged.collect()}
+    true = Counter(keys)
+    bound = len(keys) / (k + 1)
+    for key, cnt in true.items():
+        if cnt > bound:
+            assert key in est, (key, cnt, bound, est)
+    for key, e in est.items():
+        assert true[key] >= e >= true[key] - bound, (key, e, true[key], bound)
