@@ -113,6 +113,35 @@ def image_dimensions(b: bytes | None) -> tuple[int, int] | None:
     return png_dimensions(bytes(b)) or jpeg_dimensions(bytes(b))
 
 
+def wav_audio_meta(b: bytes | None) -> tuple[int, int, int] | None:
+    """(sample_rate, channels, bits_per_sample) from a RIFF/WAVE ``fmt ``
+    chunk — the audio twin of the PNG/JPEG header parses, zero deps.
+    Layout (RIFF spec): 'RIFF' <size:4> 'WAVE', then chunks of
+    <id:4><size:4><data>; the 'fmt ' data holds format(2) channels(2)
+    sample_rate(4) byte_rate(4) block_align(2) bits(2), little-endian.
+    Walks the chunk list (a canonical file may put 'LIST'/'JUNK' before
+    'fmt ') and returns None on anything malformed."""
+    if b is None:
+        return None
+    b = bytes(b)
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and pos + 8 + 16 <= len(b):
+            d = b[pos + 8 : pos + 24]
+            channels = int.from_bytes(d[2:4], "little")
+            rate = int.from_bytes(d[4:8], "little")
+            bits = int.from_bytes(d[14:16], "little")
+            if channels == 0 or rate == 0:
+                return None
+            return (rate, channels, bits)
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    return None
+
+
 def decode_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -164,6 +193,36 @@ def decode_features(
                         [float((ln + f * (i + 1)) % 251) for i in range(8)]
                         for ln, f in zip(n, first)
                     ],
+                }
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def audio_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Audio metadata extraction — the WAV counterpart of
+    ``decode_features``: real RIFF header parsing (``wav_audio_meta``)
+    on executors, payload bytes never shuffled. Non-WAV payloads yield
+    NULL metadata (filter on ``sample_rate IS NOT NULL`` downstream);
+    sample decode (PCM frames → features) needs an audio lib and stays
+    out of scope, same posture as pixel decode."""
+    out_schema = f"{id_col} long, n_bytes long, sample_rate int, channels int, bits int"
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            metas = payloads.apply(wav_audio_meta)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": payloads.str.len().fillna(0).astype("int64"),
+                    "sample_rate": [m[0] if m else None for m in metas],
+                    "channels": [m[1] if m else None for m in metas],
+                    "bits": [m[2] if m else None for m in metas],
                 }
             )
 

@@ -314,3 +314,62 @@ def char_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"))
         .select("doc_id", F.col("n").cast("long").alias("n_chars_used"), "entropy")
     )
+
+
+@query(
+    "chunk_dedup_spans",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+               WHERE len(string_split(text, ' ')) >= 10),
+    ck AS (SELECT doc_id,
+                  unnest(range(0, CAST(floor(len(ws) / 10) AS BIGINT))) AS ci,
+                  ws
+           FROM w),
+    c2 AS (SELECT doc_id, ci, md5(array_to_string(ws[ci*10+1 : ci*10+10], ' ')) AS fp
+           FROM ck),
+    cnt AS (SELECT fp, count(*) AS n FROM c2 GROUP BY fp)
+    SELECT c2.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE cnt.n > 1) AS BIGINT) AS n_dup_chunks,
+           round(count(*) FILTER (WHERE cnt.n > 1) * 1.0 / count(*), 6) AS dup_fraction
+    FROM c2 JOIN cnt USING (fp)
+    GROUP BY c2.doc_id
+    """,
+)
+def chunk_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span detection at chunk granularity — the tractable
+    relaxation of exact substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): tile each doc into
+    non-overlapping 10-word chunks, fingerprint them, and flag chunks
+    whose fingerprint repeats ANYWHERE in the corpus. Per doc:
+    how much of it is corpus-repeated boilerplate (the dup_fraction
+    feeds the quality gate; span-level removal follows the same marks).
+
+    Scale shape: the explode is linear in corpus words; the only
+    shuffle keys are 16-byte fingerprints (never text) — first the
+    global count, then the per-doc rollup. The md5 fingerprints are
+    byte-identical across engines, so the oracle joins on them
+    directly."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(F.size("ws") >= 10)
+    ck = w.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, CAST(size(ws) / 10 AS INT) - 1)")).alias("ci"),
+        "ws",
+    )
+    c2 = ck.select(
+        "doc_id",
+        F.md5(F.array_join(F.expr("slice(ws, ci * 10 + 1, 10)"), " ")).alias("fp"),
+    )
+    cnt = c2.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c2.join(cnt, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.when(F.col("n") > 1, 1)).alias("n_dup_chunks"),
+            F.round(
+                F.count(F.when(F.col("n") > 1, 1)) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("dup_fraction"),
+        )
+    )

@@ -204,3 +204,37 @@ def test_brute_force_guards_large_query_side(spark):
     small = big.limit(10)
     with pytest.raises(ValueError, match="lsh_bucketed_topk"):
         similarity.brute_force_topk(small, big, k=2, vectorized=True)
+
+
+def _wav_bytes(rate: int, channels: int, bits: int, junk_first: bool = False) -> bytes:
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8, channels * bits // 8, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    if junk_first:
+        chunks = b"JUNK" + struct.pack("<I", 3) + b"\x00" * 3 + b"\x00" + chunks  # odd size → pad
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_header_parser_pure():
+    assert multimodal.wav_audio_meta(_wav_bytes(44100, 2, 16)) == (44100, 2, 16)
+    # chunk walk: JUNK (odd size, word-aligned) before fmt must be skipped
+    assert multimodal.wav_audio_meta(_wav_bytes(16000, 1, 24, junk_first=True)) == (16000, 1, 24)
+    assert multimodal.wav_audio_meta(b"RIFFxxxx") is None
+    assert multimodal.wav_audio_meta(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert multimodal.wav_audio_meta(None) is None
+    assert multimodal.wav_audio_meta(b"not audio at all") is None
+
+
+def test_audio_meta_operator(spark):
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(_wav_bytes(48000, 2, 16))),
+            Row(media_id=2, payload=bytearray(b"not audio")),
+        ],
+        schema="media_id long, payload binary",
+    )
+    got = {r.media_id: (r.sample_rate, r.channels, r.bits) for r in multimodal.audio_meta(df).collect()}
+    assert got[1] == (48000, 2, 16)
+    assert got[2] == (None, None, None)
