@@ -175,3 +175,52 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             round(list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) / 127.0, 9) AS scale
+      FROM embeddings),
+    q AS (SELECT vec_id, scale,
+                 unnest([CAST(trunc(CAST(x AS DOUBLE) / scale) AS INT) for x in embedding]) AS qv,
+                 unnest(range(1, len(embedding) + 1)) AS pos
+          FROM m)
+    SELECT vec_id, CAST(pos AS INT) AS pos, qv, scale
+    FROM q WHERE pos <= 8
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    serving/storage prep that shrinks a float32 vector store 4x (and
+    the scalar sibling of the PQ codebook path in operators/pq.py):
+    per-vector scale = max|x|/127, code = trunc(x/scale) ∈ [-127, 127].
+
+    Engine-exactness choices: the scale is rounded before use (rounding
+    rule), and codes use TRUNCATION toward zero, not round() — Spark's
+    double→int cast truncates while DuckDB's rounds, so trunc is the
+    one conversion both engines define identically (float32 inputs are
+    double-exact, making x/scale bit-identical). Map-only per vector;
+    the output projects the first 8 positions per the driver's
+    hashable-scalar contract (minhash_signature_sample precedent)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    m = emb.select(
+        "vec_id",
+        "embedding",
+        F.round(
+            F.expr("array_max(transform(embedding, x -> abs(cast(x as double))))") / 127.0, 9
+        ).alias("scale"),
+    )
+    return (
+        m.select("vec_id", "scale", F.posexplode("embedding").alias("pos0", "x"))
+        .withColumn("pos", (F.col("pos0") + 1).cast("int"))
+        .filter(F.col("pos") <= 8)
+        .select(
+            "vec_id",
+            "pos",
+            (F.col("x").cast("double") / F.col("scale")).cast("int").alias("qv"),
+            "scale",
+        )
+    )
