@@ -38,6 +38,8 @@ _KNOWN_BNLJ = {
     "embedding_cosine_topk_fast",
     "embedding_near_dups",
     "ngram_jaccard_pairs",
+    # same operator, same bitmask-path rationale, filtered to cross-side pairs
+    "dedup_new_vs_seen",
 }
 
 # Arrow-batched Python surfaces (mapInPandas/applyInPandas/cogroup) are
