@@ -97,12 +97,17 @@ def bloom_build(df: DataFrame, key: str, m: int = 1 << 20, k: int = 5) -> DataFr
     )
 
 
-def _geometry(bloom: DataFrame, what: str) -> tuple[int, int]:
+def _geometry(bloom: DataFrame, what: str) -> tuple[int, int] | None:
     """Read the (m, k) constants a bloom carries; one tiny driver action
-    (the word table is ≤ m/64 rows)."""
+    (the word table is ≤ m/64 rows). None for an EMPTY word table — a
+    bloom over zero keys (a legitimate shard state: no matching dim
+    rows) has no set bits and therefore no rows to carry its geometry;
+    callers treat it as the empty set."""
     rows = bloom.select("m", "k").distinct().collect()
-    if len(rows) != 1:
+    if len(rows) > 1:
         raise ValueError(f"{what}: mixed bloom geometries {sorted((r['m'], r['k']) for r in rows)}")
+    if not rows:
+        return None
     return rows[0]["m"], rows[0]["k"]
 
 
@@ -114,7 +119,7 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
     out = blooms[0]
     for b in blooms[1:]:
         out = out.unionByName(b)
-    _geometry(out, "bloom_merge")
+    _geometry(out, "bloom_merge")  # raises on mixed; empty-over-empty is fine
     return (
         out.groupBy("word", "m", "k")
         .agg(F.bit_or("bits").alias("bits"))
@@ -139,7 +144,11 @@ def bloom_might_contain(bloom: DataFrame, df: DataFrame, key: str) -> DataFrame:
     built bloom would materialize k+1 times. The pinned footprint is
     ≤ m/64 rows (MBs), held until the session drops the reference."""
     bloom = bloom.localCheckpoint(eager=True)
-    m, k = _geometry(bloom, "bloom_might_contain")
+    geom = _geometry(bloom, "bloom_might_contain")
+    if geom is None:
+        # Empty filter = empty set: nothing might be contained.
+        return df.limit(0)
+    m, k = geom
     bloom = bloom.select("word", "bits")
     out = df.withColumn(_KEY, F.col(key))
     keep = F.lit(True)

@@ -106,3 +106,14 @@ def test_probe_plan_is_shuffle_free(spark, tmp_path):
     for line in plan.splitlines():
         if "Exchange" in line and "Broadcast" not in line:
             raise AssertionError(f"probe side shuffles: {line}")
+
+
+def test_empty_bloom_rejects_everything(spark):
+    # A bloom over zero keys (no matching dim rows in this shard) is the
+    # empty set — membership keeps nothing, and merge with a real bloom
+    # is the real bloom.
+    none = bloom_build(_keys(spark, 0, 0), "k", m=1024, k=3)
+    assert bloom_might_contain(none, _keys(spark, 0, 50), "k").count() == 0
+    some = bloom_build(_keys(spark, 0, 20), "k", m=1024, k=3)
+    merged = bloom_merge(none, some)
+    assert bloom_might_contain(merged, _keys(spark, 0, 20), "k").count() == 20
