@@ -3,7 +3,8 @@ examples/pretraining_pipeline.py, composed from operators/warehouse.py:
 
   detect changes (snapshot_diff) → upsert the dim (merge_upsert,
   broadcast changeset) → record history (scd2_collapse) → densify the
-  ops dashboard series (gapfill) → balanced shards out
+  ops dashboard series (gapfill) → balanced shards out → compact the
+  fragmented landing zone back to right-sized files (compact_parquet)
 
 Run directly: python examples/warehouse_maintenance.py [sf_dir]
 Executed by tests/test_examples.py at sf0.001 so it can never rot.
@@ -21,6 +22,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from laygo_python_spark.operators.warehouse import (
+    compact_parquet,
     gapfill,
     merge_upsert,
     scd2_collapse,
@@ -74,7 +76,22 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
     # 4. Publish the refreshed dim as balanced shards.
     write_training_shards(new_dim, f"{out_dir}/dim_customer", shard_rows=500, order_by=["c_custkey"])
 
-    return {"changed_rows": changed, "scd2_versions": n_versions, "grid_rows": n_grid}
+    # 5. Nightly OPTIMIZE: the incremental writers left a fragmented
+    #    landing zone (simulated); rewrite it into key-ordered files
+    #    whose min/max stats stay narrow for tomorrow's scans.
+    frag = f"{out_dir}/events_landing"
+    events.select("event_id", "user_id", "event_type", "value").repartition(24).write.parquet(frag)
+    cstats = compact_parquet(
+        spark, frag, f"{out_dir}/events_compacted", target_bytes=8 << 20, order_by=["event_id"]
+    )
+
+    return {
+        "changed_rows": changed,
+        "scd2_versions": n_versions,
+        "grid_rows": n_grid,
+        "files_before": cstats["files_before"],
+        "files_after": cstats["files_after"],
+    }
 
 
 if __name__ == "__main__":

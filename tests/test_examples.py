@@ -62,6 +62,7 @@ def test_warehouse_maintenance_end_to_end(spark, sf_dir, tmp_path):
     assert stats["changed_rows"] > 0
     assert stats["scd2_versions"] > 0
     assert stats["grid_rows"] > 0
+    assert stats["files_before"] == 24 and stats["files_after"] < 24
     back = spark.read.parquet(str(tmp_path / "dim_customer"))
     assert back.count() >= 150  # sf0.001 customer count
 
