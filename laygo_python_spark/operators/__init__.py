@@ -31,7 +31,13 @@ from laygo_python_spark.operators.similarity import (
 )
 from laygo_python_spark.operators.skew import salted_agg, salted_broadcast_join
 from laygo_python_spark.operators.cogroup import cogroup_apply, cogroup_apply_arrow
-from laygo_python_spark.operators.bloom import bloom_build, bloom_geometry, bloom_merge, bloom_might_contain
+from laygo_python_spark.operators.bloom import (
+    bloom_build,
+    bloom_contains_col,
+    bloom_geometry,
+    bloom_merge,
+    bloom_might_contain,
+)
 from laygo_python_spark.operators.cms import cms_build, cms_build_sharded, cms_estimate, cms_merge
 from laygo_python_spark.operators.graph import bfs_hops, kcore, triangle_count
 from laygo_python_spark.operators.heavyhitters import mg_heavy_hitters, mg_merge, mg_summarize
@@ -65,6 +71,7 @@ __all__ = [
     "lsh_bucketed_topk",
     "assign_sequential_ids",
     "bloom_build",
+    "bloom_contains_col",
     "bloom_geometry",
     "bloom_merge",
     "bloom_might_contain",

@@ -127,9 +127,14 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
     )
 
 
-def bloom_might_contain(bloom: DataFrame, df: DataFrame, key: str) -> DataFrame:
-    """Filter ``df`` to rows whose ``key`` MIGHT be in the bloom (never
-    drops a true member; keeps ≈fpp of non-members).
+def bloom_contains_col(bloom: DataFrame, df: DataFrame, key: str, flag: str = "maybe_in") -> DataFrame:
+    """``df`` plus a boolean ``flag`` column: True when ``key`` MIGHT be
+    in the bloom (all k probed bits set), False when it is DEFINITELY
+    absent. The non-filtering form — the negative answer is the certain
+    one (no false negatives), which is what the new-vs-seen routing
+    pattern consumes: ``flag=False`` rows are provably new and skip the
+    exact check entirely; only the ≈fpp + true-member fraction with
+    ``flag=True`` needs the exact anti-join.
 
     One broadcast left-join per probe, ANDed — each join is a broadcast
     hash join, which never shuffles the stream side, so the whole
@@ -144,10 +149,10 @@ def bloom_might_contain(bloom: DataFrame, df: DataFrame, key: str) -> DataFrame:
     built bloom would materialize k+1 times. The pinned footprint is
     ≤ m/64 rows (MBs), held until the session drops the reference."""
     bloom = bloom.localCheckpoint(eager=True)
-    geom = _geometry(bloom, "bloom_might_contain")
+    geom = _geometry(bloom, "bloom_contains_col")
     if geom is None:
-        # Empty filter = empty set: nothing might be contained.
-        return df.limit(0)
+        # Empty filter = empty set: everything is definitely absent.
+        return df.withColumn(flag, F.lit(False))
     m, k = geom
     bloom = bloom.select("word", "bits")
     out = df.withColumn(_KEY, F.col(key))
@@ -164,4 +169,12 @@ def bloom_might_contain(bloom: DataFrame, df: DataFrame, key: str) -> DataFrame:
             & (F.col(f"__bb{i}").bitwiseAND(F.col(f"__m{i}")) == F.col(f"__m{i}"))
         )
     drop = [_KEY] + [c for i in range(k) for c in (f"__w{i}", f"__m{i}", f"__bw{i}", f"__bb{i}")]
-    return out.filter(keep).drop(*drop)
+    return out.withColumn(flag, keep).drop(*drop)
+
+
+def bloom_might_contain(bloom: DataFrame, df: DataFrame, key: str) -> DataFrame:
+    """Filter ``df`` to rows whose ``key`` MIGHT be in the bloom (never
+    drops a true member; keeps ≈fpp of non-members) — the filtering
+    form of ``bloom_contains_col``; same plan, same pin discipline."""
+    flagged = bloom_contains_col(bloom, df, key, flag="__bloom_maybe")
+    return flagged.filter(F.col("__bloom_maybe")).drop("__bloom_maybe")

@@ -57,3 +57,48 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "bloom_new_customers",
+    oracle="""
+    WITH seen AS (SELECT DISTINCT o_custkey FROM orders
+                  WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+    batch AS (SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+    SELECT b.o_custkey FROM batch b
+    WHERE b.o_custkey NOT IN (SELECT o_custkey FROM seen)
+    """,
+)
+def bloom_new_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen key detection — the crawl-frontier / incremental-ingest
+    shape: which customers in the new batch (1997+) have NEVER ordered
+    before? The bloom is the anti-join ACCELERATOR: keys failing it are
+    PROVABLY new (the certain direction of a bloom answer) and skip the
+    exact check entirely; only the ≈fpp + truly-seen fraction that
+    passes reaches the exact anti-join, whose small probe side makes it
+    broadcast-able. The final answer is exact — identical to the plain
+    NOT IN the oracle runs — because false positives are rescued by the
+    exact pass and false negatives don't exist.
+
+    At 100 TB: "seen" is yesterday's parquet-persisted bloom
+    (bloom_merge rolls daily filters up), so the historical key set is
+    never rescanned — the exact anti-join touches only the maybe-seen
+    sliver."""
+    from laygo_python_spark.operators.bloom import bloom_contains_col
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    seen = orders.filter(F.col("o_orderdate") < cut).select("o_custkey").distinct()
+    batch = orders.filter(F.col("o_orderdate") >= cut).select("o_custkey").distinct()
+    m, k = bloom_geometry(100_000, fpp=0.01)
+    flagged = bloom_contains_col(
+        bloom_build(seen, "o_custkey", m=m, k=k), batch, "o_custkey", flag="maybe_seen"
+    )
+    definitely_new = flagged.filter(~F.col("maybe_seen")).select("o_custkey")
+    rescued = (
+        flagged.filter(F.col("maybe_seen"))
+        .select("o_custkey")
+        .join(seen, "o_custkey", "left_anti")
+    )
+    return definitely_new.unionByName(rescued)

@@ -117,3 +117,18 @@ def test_empty_bloom_rejects_everything(spark):
     some = bloom_build(_keys(spark, 0, 20), "k", m=1024, k=3)
     merged = bloom_merge(none, some)
     assert bloom_might_contain(merged, _keys(spark, 0, 20), "k").count() == 20
+
+
+def test_contains_col_flag_partition(spark):
+    # Flag form: members always True (no false negatives); the flag
+    # partitions the frame (filtering form == flag==True subset).
+    bloom = bloom_build(_keys(spark, 0, 300), "k", m=8192, k=5)
+    probe = _keys(spark, 0, 600)
+    from laygo_python_spark.operators.bloom import bloom_contains_col
+
+    flagged = bloom_contains_col(bloom, probe, "k", flag="maybe")
+    rows = {r["k"]: r["maybe"] for r in flagged.collect()}
+    assert len(rows) == 600
+    assert all(rows[f"key{i}"] for i in range(300))  # members: certainly True
+    filtered = {r["k"] for r in bloom_might_contain(bloom, probe, "k").collect()}
+    assert filtered == {k for k, v in rows.items() if v}
