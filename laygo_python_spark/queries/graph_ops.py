@@ -27,6 +27,23 @@ from laygo_python_spark.session import read_table as _t
 # the offset freely — they're the side being shifted.
 _OFF = 100000
 
+
+def _sp_edges(li: "DataFrame", what: str) -> "DataFrame":
+    """Symmetrized supplier<->part edge list with the node-space guard:
+    fail loudly if a larger fixture ever breaks the suppkey < _OFF
+    invariant — silent supplier/part node collisions would merge graph
+    nodes with no error. assert_true rides the existing scan: no extra
+    job. Shared by pagerank/bfs/kcore so every consumer is guarded."""
+    guard = F.assert_true(
+        F.col("l_suppkey") < F.lit(_OFF),
+        F.lit(f"{what}: l_suppkey >= {_OFF} collides with part node space"),
+    )
+    half = li.select(
+        F.when(guard.isNull(), F.col("l_suppkey")).alias("src"),
+        (F.col("l_partkey") + _OFF).alias("dst"),
+    ).distinct()
+    return half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
 _PR_ITER = """
     pr{k} AS (
         SELECT e.dst AS node,
@@ -63,20 +80,7 @@ def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, so the Spark loop and the unrolled-CTE oracle agree exactly;
     rounding to 8 decimals absorbs float-sum ordering differences
     between engines."""
-    li = _t(spark, sf_dir, "lineitem")
-    # Fail loudly if a larger fixture ever breaks the node-space
-    # invariant (suppkey < _OFF) — silent supplier/part node collisions
-    # would produce wrong ranks with no error. assert_true rides the
-    # existing scan: no extra job.
-    guard = F.assert_true(
-        F.col("l_suppkey") < F.lit(_OFF),
-        F.lit(f"pagerank_supplier_part: l_suppkey >= {_OFF} collides with part node space"),
-    )
-    half = li.select(
-        F.when(guard.isNull(), F.col("l_suppkey")).alias("src"),
-        (F.col("l_partkey") + _OFF).alias("dst"),
-    ).distinct()
-    edges = half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = _sp_edges(_t(spark, sf_dir, "lineitem"), "pagerank_supplier_part")
     return pagerank(edges, iterations=5, checkpoint_every=0).select(
         "node", F.round("pr", 8).alias("pr")
     )
@@ -106,11 +110,7 @@ def bfs_hops_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk — the two agree because BFS level = minimum hop count. Shares
     the node-space offset (and its suppkey < 100000 guard rationale)
     with pagerank_supplier_part above."""
-    li = _t(spark, sf_dir, "lineitem")
-    half = li.select(
-        F.col("l_suppkey").alias("src"), (F.col("l_partkey") + _OFF).alias("dst")
-    ).distinct()
-    edges = half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = _sp_edges(_t(spark, sf_dir, "lineitem"), "bfs_hops_supplier_part")
     sources = edges.select(F.col("src").alias("node")).filter(F.col("node").isin(1, 2, 3))
     out = bfs_hops(edges, sources, max_hops=3)
     return out.select("node", F.col("hops").cast("int").alias("hops"))
@@ -180,9 +180,5 @@ def kcore_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible (3 unrolled HAVING+semi-join rounds in the oracle),
     the same bounded-iteration trick as pagerank/bfs above; the
     operator's rounds=None mode peels to the true fixpoint."""
-    li = _t(spark, sf_dir, "lineitem")
-    half = li.select(
-        F.col("l_suppkey").alias("src"), (F.col("l_partkey") + _OFF).alias("dst")
-    ).distinct()
-    edges = half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = _sp_edges(_t(spark, sf_dir, "lineitem"), "kcore_supplier_part")
     return kcore(edges, k=3, rounds=3)
