@@ -36,6 +36,7 @@ def pagerank(
     dst: str = "dst",
     weight: str | None = None,
     checkpoint_every: int = 1,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """Rank nodes of a directed graph given an edge list.
 
@@ -56,6 +57,14 @@ def pagerank(
     round materialization (the last round ALWAYS checkpoints eagerly,
     because the function unpins the edge layout before returning).
     Long loops (≥ ~10 rounds) should keep the default.
+
+    ``sources``: PERSONALIZED PageRank — a one-column ``node`` frame;
+    both the initial mass and the (1−d) teleport go only to these
+    nodes (uniformly), so ranks measure proximity TO the source set
+    (the recommendation / similar-items staple) instead of global
+    importance. The source flag joins into the node table once
+    (broadcast — source sets are small by definition) and the loop is
+    otherwise unchanged.
     """
     wcol = F.col(weight) if weight else F.lit(1.0)
     raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), wcol.alias("w"))
@@ -65,21 +74,46 @@ def pagerank(
     # this fixed layout plus one contribution aggregation — |E| never
     # moves again.
     e = raw.join(deg, "src").repartition("src").persist()
-    nodes = (
+    nodes_raw = (
         raw.select(F.col("src").alias("node"))
         .unionByName(raw.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
-    n = nodes.count()
+    n = nodes_raw.count()
     if n == 0:
         # Empty edge list (e.g. an upstream filter matched nothing):
         # empty ranks, not a driver-side ZeroDivisionError.
         e.unpersist()
-        nodes.unpersist()
-        return nodes.withColumn("pr", F.lit(0.0))
-    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
-    base = (1.0 - damping) / n
+        nodes_raw.unpersist()
+        return nodes_raw.withColumn("pr", F.lit(0.0))
+    nodes = nodes_raw
+    if sources is None:
+        nodes = nodes.withColumn("base", F.lit((1.0 - damping) / n)).withColumn(
+            "pr0", F.lit(1.0 / n)
+        )
+    else:
+        src_set = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
+        n_s = src_set.count()
+        if n_s == 0:
+            raise ValueError("pagerank: personalized mode needs a non-empty source set")
+        flagged = F.broadcast(src_set.withColumn("__is_src", F.lit(True)))
+        nodes = (
+            nodes.join(flagged, "node", "left")
+            .withColumn(
+                "base",
+                F.when(F.col("__is_src"), F.lit((1.0 - damping) / n_s)).otherwise(F.lit(0.0)),
+            )
+            .withColumn(
+                "pr0", F.when(F.col("__is_src"), F.lit(1.0 / n_s)).otherwise(F.lit(0.0))
+            )
+            .drop("__is_src")
+        )
+    # Checkpoint the per-node (base, pr0) table and drop the raw pin:
+    # the loop reads `nodes` every round; the checkpoint's blocks are
+    # released when the result is dereferenced (ContextCleaner).
+    nodes = nodes.localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.col("pr0").alias("pr"))
     try:
         for it in range(iterations):
             contrib = e.join(ranks.withColumnRenamed("node", "src"), "src").select(
@@ -90,7 +124,7 @@ def pagerank(
                 nodes.join(contrib.groupBy("node").agg(F.sum("c").alias("s")), "node", "left")
                 .select(
                     "node",
-                    (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("pr"),
+                    (F.col("base") + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("pr"),
                 )
             )
             # The FINAL round always checkpoints eagerly: the finally
@@ -103,5 +137,5 @@ def pagerank(
                 ranks = ranks.localCheckpoint(eager=True)
     finally:
         e.unpersist()
-        nodes.unpersist()
+        nodes_raw.unpersist()
     return ranks

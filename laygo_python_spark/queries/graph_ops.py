@@ -182,3 +182,45 @@ def kcore_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator's rounds=None mode peels to the true fixpoint."""
     edges = _sp_edges(_t(spark, sf_dir, "lineitem"), "kcore_supplier_part")
     return kcore(edges, k=3, rounds=3)
+
+
+_PPR_ITER = """
+    ppr{k} AS (
+        SELECT e.dst AS node,
+               CASE WHEN e.dst IN (1, 2, 3) THEN 0.15 / 3 ELSE 0.0 END
+                 + 0.85 * sum(p.r / d.deg) AS r
+        FROM edges e
+        JOIN deg d ON e.src = d.src
+        JOIN ppr{j} p ON e.src = p.node
+        GROUP BY e.dst
+    )"""
+
+_PPR_ORACLE = (
+    """
+    WITH half AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 100000 AS p FROM lineitem),
+    edges AS (SELECT s AS src, p AS dst FROM half UNION ALL SELECT p, s FROM half),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    ppr0 AS (SELECT node, CASE WHEN node IN (1, 2, 3) THEN 1.0 / 3 ELSE 0.0 END AS r
+             FROM nodes),"""
+    + ",".join(_PPR_ITER.format(k=k, j=k - 1) for k in range(1, 4))
+    + """
+    SELECT node, round(r, 9) AS pr FROM ppr3 WHERE round(r, 9) > 0
+    """
+)
+
+
+@query("ppr_similar_to_suppliers", oracle=_PPR_ORACLE)
+def ppr_similar_to_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from suppliers {1, 2, 3}: teleport and
+    initial mass go only to the source set, so ranks measure proximity
+    to those suppliers through the co-supply structure — the
+    "parts and suppliers most related to these" recommendation shape,
+    vs the global importance its sibling pagerank_supplier_part
+    computes. Same unrolled-CTE oracle trick with a per-node teleport
+    term; zero-rank nodes (untouched by 3 hops of mass) are filtered
+    on BOTH sides since 'unreached' is the semantic answer there."""
+    edges = _sp_edges(_t(spark, sf_dir, "lineitem"), "ppr_similar_to_suppliers")
+    sources = edges.sparkSession.createDataFrame([(1,), (2,), (3,)], "node long")
+    out = pagerank(edges, iterations=3, checkpoint_every=0, sources=sources)
+    return out.select("node", F.round("pr", 9).alias("pr")).filter(F.col("pr") > 0)

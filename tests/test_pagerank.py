@@ -80,3 +80,42 @@ def test_weighted_pagerank_matches_model(spark):
     # weight=None must equal the unweighted model (all weights 1).
     un = {r["node"]: r["pr"] for r in pagerank(df.drop("wt"), iterations=4).collect()}
     assert un != got  # weights actually change the answer on this graph
+
+
+def test_personalized_pagerank_matches_model(spark):
+    """PPR on a small directed graph vs a plain-python power iteration:
+    teleport and init restricted to the source set; non-source ranks
+    decay toward pure link-derived mass."""
+    from laygo_python_spark.operators.pagerank import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["pr"] for r in pagerank(df, iterations=4, sources=srcs).collect()}
+
+    from collections import defaultdict
+    out = defaultdict(list)
+    deg = defaultdict(int)
+    for a, b in edges:
+        out[a].append(b)
+        deg[a] += 1
+    nodes = {n for e in edges for n in e}
+    r = {n: (1.0 if n == 1 else 0.0) for n in nodes}
+    for _ in range(4):
+        nxt = {n: (0.15 if n == 1 else 0.0) for n in nodes}
+        for u in nodes:
+            for v in out[u]:
+                nxt[v] += 0.85 * r[u] / deg[u]
+        r = nxt
+    for n in nodes:
+        assert abs(got[n] - r[n]) < 1e-12, (n, got[n], r[n])
+
+
+def test_personalized_pagerank_empty_sources_raises(spark):
+    import pytest as _pytest
+    from laygo_python_spark.operators.pagerank import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    empty = spark.createDataFrame([], "node long")
+    with _pytest.raises(ValueError, match="non-empty source set"):
+        pagerank(df, sources=empty)
