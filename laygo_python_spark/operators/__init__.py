@@ -41,6 +41,7 @@ from laygo_python_spark.operators.bloom import (
 from laygo_python_spark.operators.cms import cms_build, cms_build_sharded, cms_estimate, cms_merge
 from laygo_python_spark.operators.graph import bfs_hops, kcore, triangle_count
 from laygo_python_spark.operators.heavyhitters import mg_heavy_hitters, mg_merge, mg_summarize
+from laygo_python_spark.operators.hll import hll_build, hll_estimate, hll_merge
 from laygo_python_spark.operators.pagerank import pagerank
 from laygo_python_spark.operators.pq import ivfpq_topk, pq_encode, pq_topk, train_codebooks
 from laygo_python_spark.operators.qsketch import qsketch_build, qsketch_merge, qsketch_quantiles
@@ -84,6 +85,9 @@ __all__ = [
     "cogroup_apply_arrow",
     "flatten_schema",
     "gapfill",
+    "hll_build",
+    "hll_estimate",
+    "hll_merge",
     "merge_upsert",
     "mg_heavy_hitters",
     "mg_merge",

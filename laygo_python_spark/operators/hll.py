@@ -1,0 +1,127 @@
+"""HyperLogLog — a mergeable distinct-count sketch as a DataFrame,
+completing the relational sketch family (CMS counts frequencies, the
+bloom filter answers membership, Misra-Gries names heavy keys, qsketch
+does quantiles; this one counts DISTINCTs).
+
+Spark already ships ``hll_sketch_agg`` (used by sketch_merge_daily_users)
+— but its sketch is an opaque engine-versioned binary. This
+implementation stores the register table AS ROWS ``(idx, rho, p)``,
+which buys three things the binary cannot give:
+
+- **engine-neutral artifacts**: a parquet of integers any system can
+  read, merge, or audit — the same artifact-reuse story as the bloom
+  word table and the CMS counter table;
+- **determinism**: xxhash64 is seeded and the register update is max()
+  — order-free, so the sketch is bit-identical under ANY partitioning
+  or merge order (the engine binary varies with internal buffering);
+- **relational everything**: build = groupBy max (map-side partial agg
+  → the shuffle carries ≤ m register rows per partition), merge =
+  union + groupBy max (registers form a max-lattice), estimate = one
+  aggregate row.
+
+Algorithm (Flajolet et al. 2007, with the standard small-range linear
+counting correction): register index = top p bits of the 64-bit hash,
+rho = 1 + count of leading zeros in the remaining 64−p bits, estimate
+= alpha_m · m² / Σ 2^−rho (absent registers count 2⁰ each). The
+leading-zero count is EXACT integer Column algebra — a 6-step binary
+search on bit masks — not a float log2, which silently miscounts above
+2^53.
+
+Error contract: relative standard error ≈ 1.04/√m (p=12 → m=4096 →
+~1.6%).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _clz_expr(col_sql: str) -> str:
+    """SQL expression for clz64 of ``col_sql`` — iterative mask
+    narrowing, pure integer ops."""
+    v = col_sql
+    n_terms = []
+    for bits in (32, 16, 8, 4, 2, 1):
+        cond = f"shiftrightunsigned({v}, {64 - bits}) = 0"
+        n_terms.append(f"(CASE WHEN {cond} THEN {bits} ELSE 0 END)")
+        v = f"(CASE WHEN {cond} THEN shiftleft({v}, {bits}) ELSE {v} END)"
+    zero_case = f"CASE WHEN {col_sql} = 0 THEN 64 ELSE " + " + ".join(n_terms) + " END"
+    return f"({zero_case})"
+
+
+def hll_build(df: DataFrame, key: str, p: int = 12) -> DataFrame:
+    """Sketch the distinct count of ``df[key]``.
+
+    Returns the register table ``(idx int, rho int, p int)`` — at most
+    2^p rows however large df is, only registers that were ever hit
+    (absent = 0). NULL keys are ignored (SQL COUNT DISTINCT
+    semantics)."""
+    if not (4 <= p <= 18):
+        raise ValueError(f"hll_build: p must be in [4, 18], got {p}")
+    m = 1 << p
+    h = "xxhash64(__hll_key, 42)"
+    keyed = df.select(F.col(key).alias("__hll_key")).filter(F.col(key).isNotNull())
+    reg = keyed.select(
+        F.expr(f"CAST(shiftrightunsigned({h}, {64 - p}) AS INT)").alias("idx"),
+        # rho = leading zeros of the LOW 64-p bits (shifted to the top) + 1,
+        # capped at 64-p+1 when those bits are all zero.
+        F.expr(
+            f"CAST(LEAST({_clz_expr(f'shiftleft({h}, {p})')} + 1, {64 - p + 1}) AS INT)"
+        ).alias("rho"),
+    )
+    return (
+        reg.groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+        .withColumn("p", F.lit(p))
+    )
+
+
+def _p_of(sketch: DataFrame, what: str) -> int:
+    rows = sketch.select("p").distinct().collect()
+    if len(rows) != 1:
+        raise ValueError(f"{what}: mixed HLL precisions {sorted(r['p'] for r in rows)}")
+    return rows[0]["p"]
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union register tables built with the SAME p — registers form a
+    max-lattice, so per-day/per-shard sketches roll up without raw
+    data, and the merge is bit-identical to building on the unioned
+    input (tested). Raises on precision mismatch."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    _p_of(out, "hll_merge")
+    return out.groupBy("idx", "p").agg(F.max("rho").alias("rho")).select("idx", "rho", "p")
+
+
+def hll_estimate(sketch: DataFrame) -> float:
+    """Distinct-count estimate from a register table — one aggregate
+    over ≤ 2^p rows (a driver scalar, like cms._geometry's collect:
+    the sketch is KBs). Standard bias-corrected harmonic mean with
+    linear-counting fallback for the small range."""
+    p = _p_of(sketch, "hll_estimate")
+    m = 1 << p
+    row = sketch.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.count(F.lit(1)).alias("nz"),
+    ).first()
+    s = float(row["s"] or 0.0)
+    nz = int(row["nz"])
+    zeros = m - nz
+    s += zeros  # absent registers contribute 2^0 each
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / s
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)  # linear counting
+    return est

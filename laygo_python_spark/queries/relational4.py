@@ -245,3 +245,25 @@ def mg_heavy_hitters_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = _t(spark, sf_dir, "part")
     return mg_heavy_hitters(part, "p_brand", min_freq=0.03)
+
+
+@query("hll_relational_daily_users")  # rows-only: DuckDB lacks xxhash64
+def hll_relational_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct users via the RELATIONAL HyperLogLog
+    (operators/hll.py) — same shape as sketch_merge_daily_users above
+    but the sketch is a parquet-able (idx, rho, p) integer table
+    instead of an engine-versioned binary: per-day register tables,
+    max-lattice merge, one-row estimate. Deterministic under any
+    partitioning (register update is max), so the output is stable —
+    pinned against exact distinct counts in tests/test_hll.py and
+    tests/test_rows_only_queries.py."""
+    from laygo_python_spark.operators.hll import hll_build, hll_estimate, hll_merge
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    days = [r["day"] for r in ev.select("day").distinct().orderBy("day").limit(3).collect()]
+    sketches = [hll_build(ev.filter(F.col("day") == d), "user_id", p=12) for d in days]
+    merged_est = hll_estimate(hll_merge(*sketches))
+    per_day = [hll_estimate(s) for s in sketches]
+    rows = [(str(d), float(round(e, 1))) for d, e in zip(days, per_day)]
+    rows.append(("merged", float(round(merged_est, 1))))
+    return spark.createDataFrame(rows, "day string, est_distinct double")

@@ -1,0 +1,77 @@
+"""Relational HyperLogLog (operators/hll.py) — accuracy within the
+published bound, max-lattice mergeability, determinism under
+partitioning, and the small-range linear-counting fallback.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from laygo_python_spark.operators.hll import hll_build, hll_estimate, hll_merge
+
+
+def _keys(spark, lo, hi, parts=4):
+    return (
+        spark.range(lo, hi)
+        .select(F.concat(F.lit("u"), F.col("id")).alias("k"))
+        .repartition(parts)
+    )
+
+
+def test_estimate_within_bound(spark):
+    # p=12 → rse ≈ 1.6%; assert 4 sigma.
+    est = hll_estimate(hll_build(_keys(spark, 0, 10_000), "k", p=12))
+    assert abs(est - 10_000) / 10_000 < 0.065
+
+
+def test_duplicates_do_not_inflate(spark):
+    dups = spark.range(50_000).select(F.concat(F.lit("u"), F.col("id") % 1000).alias("k"))
+    est = hll_estimate(hll_build(dups, "k", p=12))
+    assert abs(est - 1000) / 1000 < 0.1
+
+
+def test_small_range_linear_counting(spark):
+    est = hll_estimate(hll_build(_keys(spark, 0, 50), "k", p=12))
+    assert abs(est - 50) < 5
+
+
+def test_merge_equals_build_on_union(spark):
+    a, b = _keys(spark, 0, 6000), _keys(spark, 4000, 10_000)
+    merged = hll_merge(hll_build(a, "k"), hll_build(b, "k"))
+    whole = hll_build(a.unionByName(b), "k")
+    as_set = lambda df: {(r["idx"], r["rho"]) for r in df.collect()}  # noqa: E731
+    assert as_set(merged) == as_set(whole)
+
+
+def test_deterministic_under_partitioning(spark):
+    # max() register updates are order-free: the register TABLE (not
+    # just the estimate) must be identical for any partitioning — the
+    # property the engine-binary sketch does not give.
+    a = hll_build(_keys(spark, 0, 5000, parts=1), "k")
+    b = hll_build(_keys(spark, 0, 5000, parts=13), "k")
+    as_set = lambda df: {(r["idx"], r["rho"]) for r in df.collect()}  # noqa: E731
+    assert as_set(a) == as_set(b)
+
+
+def test_nulls_ignored(spark):
+    df = spark.createDataFrame([("a",), (None,), ("b",), (None,)], "k string")
+    est = hll_estimate(hll_build(df, "k", p=10))
+    assert abs(est - 2) < 1
+
+
+def test_precision_mismatch_raises(spark):
+    a = hll_build(_keys(spark, 0, 100), "k", p=10)
+    b = hll_build(_keys(spark, 0, 100), "k", p=12)
+    with pytest.raises(ValueError, match="mixed HLL precisions"):
+        hll_merge(a, b)
+    with pytest.raises(ValueError, match="p must be"):
+        hll_build(_keys(spark, 0, 10), "k", p=25)
+
+
+def test_parquet_round_trip(spark, tmp_path):
+    sk = hll_build(_keys(spark, 0, 3000), "k")
+    path = str(tmp_path / "hll.parquet")
+    sk.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert abs(hll_estimate(back) - hll_estimate(sk)) < 1e-9

@@ -109,3 +109,24 @@ def test_ann_ivfpq_topk_semantic_pin(spark, sf_dir):
         ranks = sorted(r["rank"] for r in rs)
         assert ranks == list(range(1, len(ranks) + 1))
         assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_hll_relational_daily_users_semantic_pin(spark, sf_dir):
+    """Each day's estimate within 10% of that day's exact distinct
+    users; the merged estimate within 10% of the exact 3-day union
+    (p=12 → rse 1.6%, so 10% is ~6 sigma of slack)."""
+    from pyspark.sql import functions as F
+
+    from laygo_python_spark.session import read_table
+
+    rows = {r["day"]: r["est_distinct"] for r in QUERIES["hll_relational_daily_users"](spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    days = [d for d in rows if d != "merged"]
+    assert len(days) == 3 and "merged" in rows
+    union_exact = (
+        ev.filter(F.col("day").cast("string").isin(days)).select("user_id").distinct().count()
+    )
+    assert abs(rows["merged"] - union_exact) / union_exact < 0.1
+    for d in days:
+        exact = ev.filter(F.col("day").cast("string") == d).select("user_id").distinct().count()
+        assert abs(rows[d] - exact) / exact < 0.1, (d, rows[d], exact)
