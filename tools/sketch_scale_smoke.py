@@ -1,4 +1,4 @@
-"""Bloom-filter + Misra-Gries scale smoke.
+"""Bloom-filter + Misra-Gries + relational-HLL scale smoke.
 
 Bloom: build a filter over 10^6 dimension keys (m sized for 1% fpp —
 ~1.2 MB of packed words), probe 10^7 fact rows of which only 10% are
@@ -14,7 +14,12 @@ Asserts the planted heavy key is found by mg_heavy_hitters with its
 EXACT count (discovery via ≤64 counters/partition, verification via
 recount), and that no key below the floor sneaks in.
 
-Usage: python tools/sketch_scale_smoke.py [bloom_facts] [mg_rows]
+HLL: 10^7 rows over 10^6 distinct keys through p=12 registers (4096
+rows of state); asserts the estimate lands within 5% (≈3 sigma of the
+1.04/sqrt(m) bound) and that a two-shard merge gives the SAME register
+table as one build — at any scale, by the max-lattice argument.
+
+Usage: python tools/sketch_scale_smoke.py [bloom_facts] [mg_rows] [hll_rows]
 Prints one JSON line per smoke.
 """
 
@@ -32,6 +37,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from laygo_python_spark.operators.bloom import bloom_build, bloom_geometry, bloom_might_contain  # noqa: E402
 from laygo_python_spark.operators.heavyhitters import mg_heavy_hitters  # noqa: E402
+from laygo_python_spark.operators.hll import hll_build, hll_estimate, hll_merge  # noqa: E402
 from laygo_python_spark.session import get_spark  # noqa: E402
 
 
@@ -111,12 +117,45 @@ def mg_smoke(spark, n_rows: int) -> None:
     )
 
 
+def hll_smoke(spark, n_rows: int) -> None:
+    n_distinct = max(1, n_rows // 10)
+    df = spark.range(n_rows).select(F.pmod(F.xxhash64("id"), F.lit(n_distinct)).alias("key"))
+    # pmod leaves a few keys unhit; the truth is the exact count.
+    exact = df.select("key").distinct().count()
+    t = time.time()
+    est = hll_estimate(hll_build(df, "key", p=12))
+    dt = time.time() - t
+    rel = abs(est - exact) / exact
+    assert rel < 0.05, (est, exact, rel)
+    a = df.filter(F.col("key") % 2 == 0)
+    b = df.filter(F.col("key") % 2 != 0)
+    merged = hll_merge(hll_build(a, "key", p=12), hll_build(b, "key", p=12))
+    whole = hll_build(df, "key", p=12)
+    ms = {(r["idx"], r["rho"]) for r in merged.collect()}
+    ws = {(r["idx"], r["rho"]) for r in whole.collect()}
+    assert ms == ws
+    print(
+        json.dumps(
+            {
+                "smoke": "hll",
+                "rows": n_rows,
+                "exact_distinct": exact,
+                "estimate": round(est),
+                "rel_err": round(rel, 4),
+                "sec": round(dt, 2),
+            }
+        )
+    )
+
+
 def main() -> None:
     bloom_facts = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     mg_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+    hll_rows = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000_000
     spark = get_spark("sketch_scale_smoke")
     bloom_smoke(spark, bloom_facts)
     mg_smoke(spark, mg_rows)
+    hll_smoke(spark, hll_rows)
 
 
 if __name__ == "__main__":
