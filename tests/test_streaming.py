@@ -248,3 +248,39 @@ def test_stream_dedup_watermarked_mode_runs(spark, sf_dir):
     }
     assert keys == expected  # no key lost
     assert out.count() <= raw.count()
+
+
+def test_available_now_trigger_exactly_once_resume(spark, sf_dir, tmp_path):
+    """The scheduled-incremental pattern: trigger(availableNow=True)
+    drains everything present and STOPS; re-running against the SAME
+    checkpoint processes nothing new (source offsets are committed), so
+    a nightly job is exactly-once without any dedup logic. A third run
+    with a fresh checkpoint reprocesses from scratch — proving the
+    checkpoint, not the sink, carries the guarantee."""
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once(checkpoint):
+        stream = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive  # availableNow terminates on its own
+
+    run_once(ckpt)
+    n_first = spark.read.parquet(out).count()
+    expected = read_table(spark, sf_dir, "events").filter("event_type = 'purchase'").count()
+    assert n_first == expected > 0
+
+    run_once(ckpt)  # same checkpoint: no new input → no new rows
+    assert spark.read.parquet(out).count() == n_first
+
+    # Fresh checkpoint, same sink: batch 0 replays but the sink's
+    # _spark_metadata log already committed batch 0 → still deduped.
+    run_once(str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(out).count() == n_first
