@@ -41,7 +41,7 @@ from laygo_python_spark.operators.bloom import (
 from laygo_python_spark.operators.cms import cms_build, cms_build_sharded, cms_estimate, cms_merge
 from laygo_python_spark.operators.graph import bfs_hops, kcore, triangle_count
 from laygo_python_spark.operators.heavyhitters import mg_heavy_hitters, mg_merge, mg_summarize
-from laygo_python_spark.operators.hll import hll_build, hll_estimate, hll_merge
+from laygo_python_spark.operators.hll import hll_build, hll_build_sharded, hll_estimate, hll_estimate_by, hll_merge
 from laygo_python_spark.operators.pagerank import pagerank
 from laygo_python_spark.operators.pq import ivfpq_topk, pq_encode, pq_topk, train_codebooks
 from laygo_python_spark.operators.qsketch import qsketch_build, qsketch_merge, qsketch_quantiles
@@ -86,6 +86,8 @@ __all__ = [
     "flatten_schema",
     "gapfill",
     "hll_build",
+    "hll_build_sharded",
+    "hll_estimate_by",
     "hll_estimate",
     "hll_merge",
     "merge_upsert",

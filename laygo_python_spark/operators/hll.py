@@ -125,3 +125,58 @@ def hll_estimate(sketch: DataFrame) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * math.log(m / zeros)  # linear counting
     return est
+
+
+def hll_build_sharded(df: DataFrame, key: str, shard, p: int = 12) -> DataFrame:
+    """Per-shard register tables in ONE pass: ``(shard, idx, rho, p)``
+    — the backfill/per-group shape (cms_build_sharded's twin): distinct
+    users per day, per source, per tenant, each ≤ 2^p rows of state,
+    all mergeable across the shard axis with ``hll_merge`` after
+    re-keying, or rolled up group-wise with ``hll_estimate_by``.
+    ``shard`` is a column name or Column expression."""
+    if not (4 <= p <= 18):
+        raise ValueError(f"hll_build_sharded: p must be in [4, 18], got {p}")
+    shard_col = F.col(shard) if isinstance(shard, str) else shard
+    h = "xxhash64(__hll_key, 42)"
+    keyed = df.select(shard_col.alias("shard"), F.col(key).alias("__hll_key")).filter(
+        F.col(key).isNotNull()
+    )
+    reg = keyed.select(
+        "shard",
+        F.expr(f"CAST(shiftrightunsigned({h}, {64 - p}) AS INT)").alias("idx"),
+        F.expr(
+            f"CAST(LEAST({_clz_expr(f'shiftleft({h}, {p})')} + 1, {64 - p + 1}) AS INT)"
+        ).alias("rho"),
+    )
+    return (
+        reg.groupBy("shard", "idx")
+        .agg(F.max("rho").alias("rho"))
+        .withColumn("p", F.lit(p))
+    )
+
+
+def hll_estimate_by(sketch: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Relational estimator: ``(…group_cols, est double)`` — the whole
+    bias-corrected harmonic mean (with linear-counting fallback) as ONE
+    aggregation expression, so per-group distinct estimates come out of
+    a sharded sketch with zero driver scalars (``hll_estimate`` is the
+    driver-scalar convenience for a single sketch). Groups estimate
+    independently; m and alpha come from the sketch's own p."""
+    p = _p_of(sketch, "hll_estimate_by")
+    m = 1 << p
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    gcols = group_cols or ["shard"]
+    s = F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+    nz = F.count(F.lit(1))
+    zeros = F.lit(m) - nz
+    harmonic = F.lit(alpha * m * m) / (s + zeros)
+    linear = F.lit(m) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((harmonic <= 2.5 * m) & (zeros > 0), linear).otherwise(harmonic)
+    return sketch.groupBy(*gcols).agg(est.alias("est"))

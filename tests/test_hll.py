@@ -8,7 +8,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from laygo_python_spark.operators.hll import hll_build, hll_estimate, hll_merge
+from laygo_python_spark.operators.hll import hll_build, hll_build_sharded, hll_estimate, hll_merge
 
 
 def _keys(spark, lo, hi, parts=4):
@@ -75,3 +75,42 @@ def test_parquet_round_trip(spark, tmp_path):
     sk.write.parquet(path)
     back = spark.read.parquet(path)
     assert abs(hll_estimate(back) - hll_estimate(sk)) < 1e-9
+
+
+def test_sharded_equals_per_filter_builds(spark):
+    df = spark.range(5000).select(
+        (F.col("id") % 4).alias("g"), F.concat(F.lit("u"), F.col("id")).alias("k")
+    ).repartition(5)
+    sharded = hll_build_sharded(df, "k", "g", p=10)
+    for g in range(4):
+        want = {
+            (r["idx"], r["rho"])
+            for r in hll_build(df.filter(F.col("g") == g), "k", p=10).collect()
+        }
+        got = {
+            (r["idx"], r["rho"])
+            for r in sharded.filter(F.col("shard") == g).collect()
+        }
+        assert got == want, g
+
+
+def test_relational_estimator_matches_scalar(spark):
+    from laygo_python_spark.operators.hll import hll_estimate_by
+
+    df = _keys(spark, 0, 4000)
+    sk = hll_build(df, "k", p=12).withColumn("shard", F.lit(0))
+    rel = hll_estimate_by(sk).collect()[0]["est"]
+    assert abs(rel - hll_estimate(sk.drop("shard"))) < 1e-9
+
+
+def test_per_group_estimates_within_bound(spark):
+    from laygo_python_spark.operators.hll import hll_build_sharded, hll_estimate_by
+
+    df = spark.range(30_000).select(
+        (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("u"), (F.col("id") * 7919) % (2000 * (1 + F.col("id") % 3))).alias("k"),
+    )
+    ests = {r["shard"]: r["est"] for r in hll_estimate_by(hll_build_sharded(df, "k", "g")).collect()}
+    for g in range(3):
+        exact = df.filter(F.col("g") == g).select("k").distinct().count()
+        assert abs(ests[g] - exact) / exact < 0.065, (g, ests[g], exact)
