@@ -67,6 +67,12 @@ HEADLINE = [
     "char_entropy_score",
     "feature_scale_order_prices",
     "kcore_supplier_part",
+    "ppr_similar_to_suppliers",
+    "sorted_neighborhood_name_pairs",
+    "chunk_dedup_spans",
+    "dedup_new_vs_seen",
+    "bloom_new_customers",
+    "embedding_label_centroids",
 ]
 
 
