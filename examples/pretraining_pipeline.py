@@ -35,6 +35,24 @@ from laygo_python_spark.sources.sinks import to_parquet
 WEEKLY_STOPWORDS = ("the", "a", "of", "and", "to")  # tiny synthetic-corpus stand-in
 
 
+def incremental_gate(docs: DataFrame, seen_fps: DataFrame, seen_bloom: DataFrame) -> DataFrame:
+    """Front door for incremental ingest: skip docs whose exact
+    fingerprint is already in the ingested index, BEFORE any
+    normalization/dedup work runs on them. The bloom (yesterday's
+    parquet artifact, operators/bloom.py) answers map-side; only the
+    ≈fpp + truly-seen sliver that passes needs the exact anti-join
+    against the fingerprint table — at 100 TB the historical index is
+    never rescanned and re-crawled bytes are dropped at the gate."""
+    from laygo_python_spark.operators.bloom import bloom_contains_col
+
+    flagged = bloom_contains_col(
+        seen_bloom, docs.withColumn("fp", F.md5("text")), "fp", flag="maybe_seen"
+    )
+    new = flagged.filter(~F.col("maybe_seen"))
+    rescued = flagged.filter(F.col("maybe_seen")).join(seen_fps, "fp", "left_anti")
+    return new.unionByName(rescued).drop("maybe_seen", "fp")
+
+
 def normalize(docs: DataFrame) -> DataFrame:
     """Whitespace-collapse + lowercase into the dedup normal form, keep
     token counts (whitespace tokenizer — swap for a BPE count UDF when a
@@ -104,6 +122,17 @@ def split_and_decontaminate(docs: DataFrame, n: int = 3) -> DataFrame:
 def run(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
     docs = read_table(spark, sf_dir, "documents")
     stages: dict[str, int] = {"ingested": docs.count()}
+
+    # Incremental front door: yesterday's run (simulated: every 7th doc)
+    # left behind a fingerprint table + bloom; today's feed re-contains
+    # those docs and must drop them at the gate, before any other work.
+    from laygo_python_spark.operators.bloom import bloom_build, bloom_geometry
+
+    seen_fps = docs.filter(F.col("doc_id") % 7 == 0).select(F.md5("text").alias("fp")).distinct()
+    m, k = bloom_geometry(100_000, fpp=0.01)
+    seen_bloom = bloom_build(seen_fps, "fp", m=m, k=k)
+    docs = incremental_gate(docs, seen_fps, seen_bloom)
+    stages["after_ingest_gate"] = docs.count()
 
     docs = docs.transform(normalize).transform(language_filter).transform(quality_gate)
     stages["after_quality"] = docs.count()

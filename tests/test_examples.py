@@ -39,11 +39,15 @@ def test_pretraining_pipeline_end_to_end(spark, sf_dir, tmp_path):
     counts = pp.run(spark, sf_dir, str(tmp_path))
     assert (
         counts["ingested"]
+        > counts["after_ingest_gate"]
         >= counts["after_quality"]
         >= counts["after_dedup"]
         >= counts["after_decontamination"]
         > 0
     )
+    # the gate drops EXACTLY the previously-ingested docs (every 7th:
+    # bloom false positives must be rescued by the exact anti-join)
+    assert counts["ingested"] - counts["after_ingest_gate"] == (counts["ingested"] + 6) // 7
     # the partitioned output reads back split-pruned
     back = spark.read.parquet(str(tmp_path / "documents"))
     assert set(r["split"] for r in back.select("split").distinct().collect()) == {"train", "eval"}
