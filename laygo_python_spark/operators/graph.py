@@ -190,24 +190,40 @@ def kcore(
         .filter(F.col("a") < F.col("b"))
         .distinct()
     )
+    # Release discipline (same as operators/dedup.py): DataFrame.rdd
+    # wraps a NEW RDD, so unpersisting it would be a no-op — the pinned
+    # localCheckpoint blocks are found and freed by persistent-RDD id.
+    spark = edges.sparkSession
+
+    def _persistent_ids() -> set[int]:
+        return {int(i) for i in dict(spark.sparkContext._jsc.getPersistentRDDs())}
+
+    def _release(ids: set[int]) -> None:
+        live = dict(spark.sparkContext._jsc.getPersistentRDDs())
+        for i, rdd in live.items():
+            if int(i) in ids:
+                rdd.unpersist(False)
+
+    pre = _persistent_ids()
     e = canon.unionByName(
         canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
-    prev_rdd = e.rdd
+    prev_pins = _persistent_ids() - pre
     r = 0
     n_edges = e.count() if rounds is None else None
     while True:
         r += 1
         deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("a")
+        before = _persistent_ids()
         nxt = (
             e.join(keep, "a", "left_semi")
             .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
-        prev_rdd.unpersist()
-        prev_rdd = nxt.rdd
+        _release(prev_pins)
+        prev_pins = _persistent_ids() - before
         e = nxt
         if rounds is not None:
             if r >= rounds:
