@@ -6,7 +6,7 @@ family, oracle-checked so the semantics provably match ANSI SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from laygo_python_spark.queries import query
@@ -148,3 +148,47 @@ def map_type_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("m")
     )
     return maps.select("user_id", F.explode("m").alias("event_type", "cnt"))
+
+
+@query(
+    "window_rank_functions",
+    oracle="""
+    SELECT o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           round(percent_rank() OVER w, 9) AS prnk,
+           round(cume_dist() OVER w, 9) AS cdist,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(nth_value(o_totalprice, 2) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_price,
+           round(lag(o_totalprice, 1, 0.0) OVER w, 2) AS prev_price,
+           round(lead(o_totalprice, 1, -1.0) OVER w, 2) AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window family in one pass — rank, dense_rank,
+    percent_rank, cume_dist, ntile, nth_value (full-frame), lag/lead
+    with defaults — everything the reference's Python-side enumerate/
+    sort idioms would hand-roll, here as ONE window shuffle on the
+    partition key (all nine functions share the same (key, order) spec,
+    so Catalyst evaluates them in a single Window node; the oracle's
+    WINDOW clause mirrors that sharing). Ordering tiebreaks on the
+    order key, so every rank is deterministic; percent_rank/cume_dist
+    are exact integer ratios — bit-identical across engines."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 9).alias("prnk"),
+        F.round(F.cume_dist().over(w), 9).alias("cdist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.nth_value("o_totalprice", 2).over(wf), 2).alias("second_price"),
+        F.round(F.lag("o_totalprice", 1, 0.0).over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1, -1.0).over(w), 2).alias("next_price"),
+    )
