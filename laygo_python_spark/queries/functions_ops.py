@@ -192,3 +192,32 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lag("o_totalprice", 1, 0.0).over(w), 2).alias("prev_price"),
         F.round(F.lead("o_totalprice", 1, -1.0).over(w), 2).alias("next_price"),
     )
+
+
+@query(
+    "regex_functions",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '[a-z]{5,}') AS first_long_word,
+           CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS INT) AS n_long_words,
+           regexp_replace(substring(text, 1, 40), '[aeiou]', '*', 'g') AS devoweled_head,
+           regexp_matches(text, 'hash') AS mentions_hash
+    FROM documents
+    """,
+)
+def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar-function family — extract / extract-all / global
+    replace / match-test in one map-only pass, restricted to the
+    Java∩RE2 pattern subset both engines implement identically (char
+    classes + bounded repetition; no backrefs or lookaround — the same
+    discipline as pii_redaction). Spark's regexp_replace is global by
+    default; DuckDB needs the explicit 'g' flag — the one semantic trap
+    this query pins."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "[a-z]{5,}", 0).alias("first_long_word"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]{5,}', 0)")).cast("int").alias("n_long_words"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "*").alias("devoweled_head"),
+        F.col("text").rlike("hash").alias("mentions_hash"),
+    )
