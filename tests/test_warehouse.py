@@ -239,3 +239,39 @@ def test_compact_parquet_empty_dir_raises(spark, tmp_path):
     empty.mkdir()
     with _pytest.raises(ValueError, match="no parquet files"):
         compact_parquet(spark, str(empty), str(tmp_path / "out"))
+
+
+def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
+    """The incremental-write contract: with partitionOverwriteMode=
+    dynamic, an overwrite replaces ONLY the partitions present in the
+    incoming frame — yesterday's untouched partitions survive. (Static
+    mode — the default — would wipe the whole table first; this pins
+    the difference.)"""
+    from laygo_python_spark.session import read_table
+
+    out = str(tmp_path / "by_status")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    orders.write.partitionBy("o_orderstatus").parquet(out)
+    statuses = {r["o_orderstatus"] for r in orders.select("o_orderstatus").distinct().collect()}
+    assert len(statuses) >= 2
+    target = sorted(statuses)[0]
+    patch = (
+        orders.filter(F.col("o_orderstatus") == target)
+        .limit(10)
+        .withColumn("o_totalprice", F.lit(0.0))
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    back = spark.read.parquet(out)
+    # untouched partitions intact...
+    for s in statuses - {target}:
+        want = orders.filter(F.col("o_orderstatus") == s).count()
+        assert back.filter(F.col("o_orderstatus") == s).count() == want
+    # ...only the written partition was replaced (10 zeroed rows now)
+    got = back.filter(F.col("o_orderstatus") == target)
+    assert got.count() == 10
+    assert got.agg(F.sum("o_totalprice")).first()[0] == 0.0
