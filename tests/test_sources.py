@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from laygo_python_spark.sources import from_csv, from_iterable, from_json, from_parquet
@@ -89,3 +90,43 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     assert stats["files_after"] == 1
     back = spark.read.parquet(path)
     assert back.count() == 64_000 and back.agg({"id": "sum"}).collect()[0][0] == 64_000 * 63_999 // 2
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on read: a v2 writer added a column; reading the
+    directory with mergeSchema=true unions the schemas and backfills
+    nulls for v1 files — the append-only-table evolution contract."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(base + "/d=1")
+    spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double").write.parquet(
+        base + "/d=2"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[2] == 9.5 and rows[1] is None
+
+
+def test_json_corrupt_record_modes(spark, tmp_path):
+    """Dirty-feed ingestion (the reference's mixed dirty-data tests,
+    reference tests/test_integration.py:61): PERMISSIVE mode quarantines
+    malformed lines into _corrupt_record instead of failing the job;
+    FAILFAST raises. Schema is pinned — streaming-grade discipline."""
+    import pytest as _pytest
+
+    path = tmp_path / "feed.json"
+    path.write_text('{"id": 1, "v": 10}\n{BROKEN!!\n{"id": 2, "v": 20}\n')
+    schema = "id long, v long, _corrupt_record string"
+    # Spark disallows pruning down to ONLY the corrupt-record column
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN); the documented workaround is
+    # caching the parsed frame before slicing it.
+    ok = spark.read.schema(schema).json(str(path)).cache()
+    try:
+        good = ok.filter(F.col("_corrupt_record").isNull())
+        bad = ok.filter(F.col("_corrupt_record").isNotNull())
+        assert {r["id"] for r in good.collect()} == {1, 2}
+        assert bad.count() == 1
+    finally:
+        ok.unpersist()
+    with _pytest.raises(Exception, match="Malformed|FAILFAST"):
+        spark.read.schema("id long, v long").option("mode", "FAILFAST").json(str(path)).collect()
