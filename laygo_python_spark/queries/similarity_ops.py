@@ -224,3 +224,39 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scale",
         )
     )
+
+
+@query(
+    "multimodal_decode_dims",
+    oracle="""
+    WITH b AS (SELECT doc_id AS media_id,
+                      octet_length(encode(text)) AS ln,
+                      ascii(substring(text, 1, 1)) AS f
+               FROM documents)
+    SELECT media_id,
+           CAST(ln % 640 + 1 AS INT) AS width,
+           CAST(ln % 480 + 1 AS INT) AS height,
+           round(CAST((ln + f * 1) % 251 AS DOUBLE) + CAST((ln + f * 2) % 251 AS DOUBLE) + CAST((ln + f * 3) % 251 AS DOUBLE) + CAST((ln + f * 4) % 251 AS DOUBLE) + CAST((ln + f * 5) % 251 AS DOUBLE) + CAST((ln + f * 6) % 251 AS DOUBLE) + CAST((ln + f * 7) % 251 AS DOUBLE) + CAST((ln + f * 8) % 251 AS DOUBLE), 1) AS feature_sum
+    FROM b
+""",
+)
+def multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETERMINISTIC half of the decode stage, oracle-gated: for
+    non-image payloads the byte-stat dimensions and feature vector are
+    pure functions of (byte length, first byte), which the oracle
+    reproduces in SQL over the same utf-8 payload bytes (the fixture
+    corpus is ASCII, so first char codepoint == first byte). This pins
+    the mapInPandas plumbing — schema, batching, the exact fallback
+    formulas — while the pixel decode itself stays an honest stub
+    (multimodal_decode_features, rows-only). The array column is
+    collapsed to its sum per the driver's hashable-scalar contract."""
+    mm = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    feats = multimodal.decode_features(mm)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda acc, v: acc + v), 1
+        ).alias("feature_sum"),
+    )
