@@ -373,3 +373,85 @@ def chunk_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+@query(
+    "bigram_lm_xent",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    train_bg AS (
+      SELECT p[1] AS x, p[2] AS y, count(*) AS c_xy
+      FROM (SELECT unnest(list_zip(ws[:-2], ws[2:])) AS p FROM w WHERE doc_id % 2 = 0)
+      GROUP BY 1, 2),
+    train_ug AS (
+      SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM train_bg GROUP BY x),
+    v AS (SELECT CAST(count(DISTINCT g) AS DOUBLE) AS v
+          FROM (SELECT unnest(ws) AS g FROM w WHERE doc_id % 2 = 0)),
+    eval_bg AS (
+      SELECT doc_id, p[1] AS x, p[2] AS y
+      FROM (SELECT doc_id, unnest(list_zip(ws[:-2], ws[2:])) AS p FROM w WHERE doc_id % 2 = 1)),
+    scored AS (
+      SELECT e.doc_id,
+             -log2((coalesce(b.c_xy, 0) + 1.0) / (coalesce(u.c_x, 0) + v.v)) AS nll
+      FROM eval_bg e
+      LEFT JOIN train_bg b ON b.x = e.x AND b.y = e.y
+      LEFT JOIN train_ug u ON u.x = e.x
+      CROSS JOIN v)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(nll) / count(*), 6) AS xent
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model cross-entropy scoring — the CCNet-style
+    perplexity quality filter, one full step up from the unigram
+    surprisal gate (unigram_logprob_score): train add-1-smoothed
+    conditionals P(y|x) = (C(x,y)+1)/(C(x)+V) on the even-id half of
+    the corpus, score each odd-id doc by its mean -log2 P over
+    bigrams. Out-of-domain text scores high (drop candidates);
+    in-domain boilerplate scores low.
+
+    Relational end to end: two count aggregations on the train split
+    (conditional totals derive from the bigram table, not a rescan),
+    a 1-row vocabulary scalar, and two left joins keyed by grams for
+    scoring — at 100 TB the model IS a parquet table you train once
+    and broadcast-join against every new crawl batch. Unseen contexts
+    fall out of the same smoothing formula via coalesce(0). The
+    per-doc sum of logs is the only float fold; round(6) absorbs
+    order (≤ ~30 terms/doc)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    bg = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> named_struct('x', element_at(ws, i), 'y', element_at(ws, i + 1)))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    train_bg = (
+        bg.filter(F.col("doc_id") % 2 == 0).groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    train_ug = train_bg.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    v = (
+        w.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode("ws").alias("g"))
+        .agg(F.count_distinct("g").cast("double").alias("v"))
+    )
+    eval_bg = bg.filter(F.col("doc_id") % 2 == 1)
+    nll = -F.log2(
+        (F.coalesce(F.col("c_xy"), F.lit(0)) + 1.0)
+        / (F.coalesce(F.col("c_x"), F.lit(0)) + F.col("v"))
+    )
+    return (
+        eval_bg.join(train_bg, ["x", "y"], "left")
+        .join(train_ug, "x", "left")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("nll") / F.count(F.lit(1)), 6).alias("xent"),
+        )
+    )
