@@ -64,3 +64,51 @@ def training_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = F.col("source").isin("src0", "src1")
     keep = (hi & (b < 80)) | (~hi & (b < 20))
     return docs.filter(keep).groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@query(
+    "temperature_mix_weights",
+    oracle="""
+    WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+    p AS (SELECT source, n, n / t.total AS raw_share,
+                 pow(n / t.total, 0.5) AS scaled
+          FROM c, t),
+    z AS (SELECT CAST(sum(scaled) AS DOUBLE) AS z FROM p)
+    SELECT p.source, CAST(p.n AS BIGINT) AS n_docs,
+           round(p.raw_share, 6) AS raw_share,
+           round(p.scaled / z.z, 6) AS temp_share,
+           round((p.scaled / z.z) / p.raw_share, 6) AS upsample_factor
+    FROM p, z
+    """,
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing (alpha = 0.5): sampling shares
+    proportional to p_s^alpha renormalized — the standard upweighting
+    of small/rare sources in multilingual and multi-domain pretraining
+    (alpha=1 keeps natural proportions, alpha→0 approaches uniform).
+    Complements training_mix_weights' fixed keep-ratios with the
+    principled curve; upsample_factor is the per-doc repetition rate a
+    sampler would apply.
+
+    One count aggregation; the two corpus scalars are 1-row cross
+    joins, and the power/normalize arithmetic is written with the same
+    association order in both engines (rounding rule on outputs only —
+    inputs are exact integer counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    p = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n",
+        (F.col("n") / F.col("total")).alias("raw_share"),
+        F.pow(F.col("n") / F.col("total"), 0.5).alias("scaled"),
+    )
+    z = p.agg(F.sum("scaled").cast("double").alias("z"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round("raw_share", 6).alias("raw_share"),
+        F.round(F.col("scaled") / F.col("z"), 6).alias("temp_share"),
+        F.round((F.col("scaled") / F.col("z")) / F.col("raw_share"), 6).alias("upsample_factor"),
+    )
