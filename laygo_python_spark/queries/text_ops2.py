@@ -11,7 +11,7 @@ explosion is map-side so the only shuffles are the final groupBys on
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from laygo_python_spark.queries import query
@@ -453,5 +453,46 @@ def bigram_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.sum("nll") / F.count(F.lit(1)), 6).alias("xent"),
+        )
+    )
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS g FROM documents),
+    c AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY g),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+    r AS (SELECT g, n, row_number() OVER (ORDER BY n DESC, g) AS rk FROM c)
+    SELECT r.rk AS rank, r.g AS token, r.n,
+           round(sum(r.n) OVER (ORDER BY r.rk) / t.total, 6) AS cum_coverage
+    FROM r, t
+    WHERE r.rk <= 20
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-budget question: what
+    fraction of all corpus tokens do the top-k types cover? (The knee
+    of this curve sizes vocabularies and predicts OOV rates.) Token
+    counts are one shuffle; the ranking and running coverage live on
+    the tiny type table. Ordering tiebreaks on the token string so
+    rank — and therefore the cumulative sum's order — is deterministic
+    in both engines; the running total divides exact integer sums by
+    the corpus total, so only the final round(6) is float."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("g"))
+    c = tok.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("g"))
+    w_cum = Window.orderBy("rank")
+    return (
+        c.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 20)
+        .crossJoin(F.broadcast(t))
+        .select(
+            "rank",
+            F.col("g").alias("token"),
+            "n",
+            F.round(F.sum("n").over(w_cum) / F.col("total"), 6).alias("cum_coverage"),
         )
     )
