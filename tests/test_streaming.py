@@ -284,3 +284,40 @@ def test_available_now_trigger_exactly_once_resume(spark, sf_dir, tmp_path):
     # _spark_metadata log already committed batch 0 → still deduped.
     run_once(str(tmp_path / "ckpt2"))
     assert spark.read.parquet(out).count() == n_first
+
+
+def test_watermark_drops_late_rows(spark):
+    """Late-data semantics pinned end to end: the third micro-batch
+    replays OLD event times (ts = id % 2000 s, batch size 1000 → batch
+    2 wraps back to 0..999 s) against a 100 s watermark. The watermark
+    standing after batch 1 (999 − 100 = 899 s; Spark advances it one
+    completed batch behind the data) makes every replayed row below
+    899 s provably late — the [0, 500) window must count exactly its
+    500 on-time rows, with the 500 replays DROPPED. Windows at or
+    above the lagged watermark may legally absorb replays (the lag is
+    the documented contract, not a bug), so only the guaranteed-late
+    window is pinned exactly."""
+    from laygo_python_spark.sources.python_datasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n", 3000)
+        .option("batch", 1000)
+        .load()
+        .withColumn("ts", F.timestamp_seconds(F.col("event_id") % 2000))
+    )
+    agg = (
+        stream.withWatermark("ts", "100 seconds")
+        .groupBy(F.window("ts", "500 seconds"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    result = run_to_completion(agg, "t_late_drop", output_mode="append")
+    counts = {r["window"].start.isoformat(): r["n"] for r in result.collect()}
+    # The guaranteed-late window: 500 on-time rows only, replays dropped.
+    assert counts["1970-01-01T00:00:00"] == 500, counts
+    # Sanity: an on-time mid window is intact, and the final window
+    # ([1500, 2000)) is NOT emitted at all — the watermark ends at
+    # 1899 s < its end, the append-mode finalization contract.
+    assert counts["1970-01-01T00:16:40"] >= 500, counts
+    assert "1970-01-01T00:25:00" not in counts, counts
