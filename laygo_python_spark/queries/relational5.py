@@ -191,22 +191,21 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: an aggregate (quarterly revenue per supplier)
     consumed TWICE — once as the join input, once reduced to its max for
-    the filter. Expressed as an unpartitioned window max so the revenue
-    aggregate is computed ONCE and reused, instead of the naive
-    re-evaluating scalar subquery. Revenue is rounded to cents BEFORE
-    the equality compare — raw double sums differ across reduction
-    orders, rounded money is stable."""
-    from pyspark.sql import Window
-
+    the filter. The max is a 1-row aggregate broadcast back as a cross
+    join — NOT an unpartitioned window max, which would funnel every
+    supplier's revenue row through a single task at scale. Both
+    consumers sit on the same groupBy shuffle, so Spark's exchange
+    reuse evaluates the revenue aggregate once. Revenue is rounded to
+    cents BEFORE the equality compare — raw double sums differ across
+    reduction orders, rounded money is stable."""
     li = _t(spark, sf_dir, "lineitem")
     rev = (
         li.filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
         .groupBy("l_suppkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
     )
-    top = rev.withColumn("mx", F.max("total_rev").over(Window.partitionBy())).filter(
-        F.col("total_rev") == F.col("mx")
-    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(F.col("total_rev") == F.col("mx"))
     supp = _t(spark, sf_dir, "supplier")
     return supp.join(top, supp.s_suppkey == top.l_suppkey).select("s_suppkey", "s_name", "total_rev")
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from laygo_python_spark.operators.ids import assign_sequential_ids
 from laygo_python_spark.queries import query
 from laygo_python_spark.session import read_table as _t
 
@@ -328,28 +329,44 @@ def feature_scale_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One global aggregate produces the four scalars (rounded before
     reuse — rounding rule), broadcast back as a 1-row cross join so
-    the rows never shuffle for the scalings. The decile ntile orders by
-    (value, key) — the key tiebreak is what makes equal-frequency
-    binning deterministic across engines under duplicate values. At
-    100 TB the single-partition ntile window is the bottleneck; swap
-    the quantile-sketch cutpoints (operators/qsketch.py) joined as
-    bucket boundaries for the same feature at scale — registered this
-    way because exact ntile is the semantics ML libraries define."""
-    orders = _t(spark, sf_dir, "orders")
+    the rows never shuffle for the scalings. The decile is EXACT
+    ntile(10) semantics — but computed without the single-partition
+    window ``ntile(10) OVER (ORDER BY ...)`` would cost: the global
+    (value, key) rank comes from the range-partitioned sequential-id
+    shape (operators/ids.py — one range shuffle, every task busy), and
+    the ntile bucket is derived arithmetically from (rank, n): with
+    base = n div 10 and r = n mod 10, SQL ntile gives the first r
+    buckets base+1 rows and the rest base, so
+    ``decile = rk <= r*(base+1) ? ceil(rk/(base+1))
+                                : r + ceil((rk - r*(base+1))/base)``.
+    (Note ``1 + floor((rk-1)*10/n)`` is NOT ntile when 10 ∤ n — it
+    spreads the remainder instead of front-loading it.) The tiebreak on
+    o_orderkey makes the total order — and therefore every bucket —
+    deterministic across engines under duplicate prices."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     st = orders.agg(
         F.round(F.min("o_totalprice"), 3).alias("lo"),
         F.round(F.max("o_totalprice"), 3).alias("hi"),
         F.round(F.avg("o_totalprice"), 6).alias("mu"),
         F.round(F.stddev_samp("o_totalprice"), 6).alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
     )
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = assign_sequential_ids(
+        orders, ["o_totalprice", "o_orderkey"], id_col="__seq"
+    ).withColumn("rk", F.col("__seq") + 1)
+    base = (F.col("n") / 10).cast("long")
+    rem = F.col("n") % 10
+    big = rem * (base + 1)  # rows covered by the base+1-sized buckets
+    decile = F.when(
+        F.col("rk") <= big, F.ceil(F.col("rk") / (base + 1))
+    ).otherwise(rem + F.ceil((F.col("rk") - big) / base))
     return (
-        orders.crossJoin(F.broadcast(st))
+        ranked.crossJoin(F.broadcast(st))
         .select(
             "o_orderkey",
             F.round((F.col("o_totalprice") - F.col("lo")) / (F.col("hi") - F.col("lo")), 6).alias("minmax01"),
             F.round((F.col("o_totalprice") - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
-            F.ntile(10).over(w).cast("int").alias("decile"),
+            decile.cast("int").alias("decile"),
         )
     )
 

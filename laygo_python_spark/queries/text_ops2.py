@@ -478,16 +478,23 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny type table. Ordering tiebreaks on the token string so
     rank — and therefore the cumulative sum's order — is deterministic
     in both engines; the running total divides exact integer sums by
-    the corpus total, so only the final round(6) is float."""
+    the corpus total, so only the final round(6) is float.
+
+    Scale note: the top-20 selection is ``orderBy(...).limit(20)`` —
+    Spark plans TakeOrderedAndProject (per-partition heap + driver
+    merge of 20-row heads), NOT a rank window, so the billion-type
+    vocabulary of a 100 TB corpus never funnels through one task. The
+    rank/cumsum windows then run over exactly 20 rows (post-limit
+    bounded frame — plan-lint allowlisted)."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split("text", " ")).alias("g"))
     c = tok.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
     t = c.agg(F.sum("n").cast("double").alias("total"))
+    top = c.orderBy(F.col("n").desc(), F.col("g")).limit(20)
     w_rank = Window.orderBy(F.col("n").desc(), F.col("g"))
     w_cum = Window.orderBy("rank")
     return (
-        c.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w_rank))
         .crossJoin(F.broadcast(t))
         .select(
             "rank",

@@ -60,3 +60,66 @@ def test_no_scale_killers(spark, sf_dir, name):
             if "BroadcastNestedLoopJoin" in line:
                 assert ", Cross" in line, f"{name}: non-cross nested-loop join: {line.strip()}"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+# ---------------------------------------------------------------------------
+# Partition-less Window lint: `Window.orderBy(...)` with no partitionBy
+# funnels its ENTIRE input through one task — the classic works-at-sf0.01
+# dies-at-100TB trap. A partition-less Window is acceptable ONLY over a
+# provably bounded frame. Auto-allowed: a Limit anywhere below the Window
+# (TakeOrdered first, rank the k survivors). Name-allowed: frames bounded
+# by construction where the bound isn't visible in the plan shape.
+_BOUNDED_WINDOW_QUERIES = {
+    # qsketch bucket table is <= O(log(range)/log(1+2*eps)) rows
+    # (operators/qsketch.py:99) — the cumulative-count window runs over
+    # sketch buckets, never raw rows.
+    "qsketch_value_quantiles",
+    "feature_bucket_boundaries",
+    # Misra-Gries candidate set is <= k rows by the sketch's guarantee
+    # (operators/heavyhitters.py:87).
+    "mg_heavy_hitters_brands",
+    # bitmask strategy's bit-assignment window runs over the distinct
+    # gram vocabulary ONLY when it's <= 64 grams (operators/dedup.py:471
+    # gates on the count) — bounded by the strategy precondition.
+    "ngram_jaccard_pairs",
+    "dedup_new_vs_seen",
+    # composes the blocked exact-Jaccard verify, whose auto strategy
+    # picks the bitmask path at test scale — same <=64-gram gate.
+    "dedup_minhash_verified",
+}
+
+
+def _unbounded_global_windows(df) -> list[str]:
+    """Partition-less Window nodes in the optimized logical plan whose
+    subtree contains no Limit (i.e. nothing bounds the rows the single
+    window task would receive)."""
+
+    def subtree_bounded(node) -> bool:
+        name = node.getClass().getSimpleName()
+        if "Limit" in name:  # GlobalLimit / LocalLimit
+            return True
+        return any(
+            subtree_bounded(node.children().apply(i))
+            for i in range(node.children().size())
+        )
+
+    bad: list[str] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "Window" and node.partitionSpec().isEmpty():
+            if not subtree_bounded(node):
+                bad.append(node.simpleString(120))
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bad
+
+
+@pytest.mark.parametrize("name", _SWEEP)
+def test_no_unbounded_global_window(spark, sf_dir, name):
+    if name in _BOUNDED_WINDOW_QUERIES:
+        pytest.skip("window frame bounded by construction (see allowlist)")
+    bad = _unbounded_global_windows(QUERIES[name](spark, sf_dir))
+    assert not bad, f"{name}: partition-less Window over unbounded input: {bad}"
