@@ -125,6 +125,31 @@ def shingles(text_col: str = "text", n: int = 3) -> Column:
     )
 
 
+def _shingle_hasher(hash_fn: str, seed: int):
+    """Per-shingle 31-bit hash, chosen for the trade the caller needs:
+
+    * ``"crc32"`` (production default): ``(crc32(s) ^ seed) & 0x7FFFFFFF``
+      — ~4× faster per call than md5 on short strings, but NOT
+      expressible in DuckDB SQL (no crc32), so crc32-hashed outputs are
+      rows-only in the oracle gate.
+    * ``"md5"`` (oracle twin): first 4 md5 bytes folded to 31 bits —
+      ``int(md5(s).hexdigest()[:8], 16) & 0x7FFFFFFF``, which BOTH
+      engines can compute (``conv(substr(md5(s),1,8),16,10) % 2^31`` in
+      Spark SQL, ``('0x'||substr(md5(s),1,8))::BIGINT % 2^31`` in
+      DuckDB), making the whole signature/banding pipeline
+      hash-matchable against a SQL oracle. The seed still varies the
+      universal-hash (a, b) params, just not the base hash.
+    """
+    import hashlib
+    import zlib
+
+    if hash_fn == "crc32":
+        return lambda s: (zlib.crc32(s.encode()) ^ seed) & 0x7FFFFFFF
+    if hash_fn == "md5":
+        return lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16) & 0x7FFFFFFF
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -132,10 +157,12 @@ def minhash_signatures(
     shingle_n: int = 3,
     num_hashes: int = 128,
     seed: int = 42,
+    hash_fn: str = "crc32",
 ) -> DataFrame:
     """(id, sig array<long>) — one minhash signature per document.
 
-    MAP-ONLY: shingling, hashing (crc32, deterministic) and the
+    MAP-ONLY: shingling, hashing (crc32 or md5 — see ``_shingle_hasher``
+    for the speed-vs-oracle-expressibility trade) and the
     (n_shingles × H) int64 matrix minimization all happen in one
     Arrow-batched mapInPandas pass per document — ZERO shuffle. Docs
     shorter than the shingle width produce no signature (dropped, as the
@@ -147,21 +174,20 @@ def minhash_signatures(
     never codegen'd) costs another ~6 s; this path is ~1 s and scales
     better — signature generation is embarrassingly parallel, so the
     only shuffle in the whole dedup pipeline is the band bucket join."""
-    import zlib
-
     import numpy as np
     import pandas as pd
 
     params = _hash_params(num_hashes, seed)
     A = np.array([a for a, _ in params], dtype=np.int64)[None, :]
     B = np.array([b for _, b in params], dtype=np.int64)[None, :]
+    hasher = _shingle_hasher(hash_fn, seed)
 
     # Per-DOC numpy ops, deliberately: a batch-vectorized variant (one
     # (S × H) permute matrix + np.minimum.reduceat over doc boundaries)
     # measures 2.4× SLOWER on this workload — the concatenated matrix
     # (~768 MB at sf0.1) is memory-bandwidth-bound, while per-doc
-    # (~150 × 128) intermediates stay in cache. Shingling+crc32 alone is
-    # half the pass; the numpy overhead per doc is already minor.
+    # (~150 × 128) intermediates stay in cache. Shingling+hashing alone
+    # is half the pass; the numpy overhead per doc is already minor.
     def run(batches):
         for pdf in batches:
             ids, sigs = [], []
@@ -171,7 +197,7 @@ def minhash_signatures(
                     continue
                 sh = {" ".join(toks[i : i + shingle_n]) for i in range(len(toks) - shingle_n + 1)}
                 h = np.fromiter(
-                    ((zlib.crc32(s.encode()) ^ seed) & 0x7FFFFFFF for s in sh),
+                    (hasher(s) for s in sh),
                     dtype=np.int64,
                     count=len(sh),
                 )[:, None]
@@ -186,6 +212,86 @@ def minhash_signatures(
     )
 
 
+# Odd multiplier (the PCG LCG constant) for the uint64 polynomial fold
+# used to key signatures and bands — multiplication by an odd constant
+# is a bijection mod 2^64, so the fold only loses information through
+# genuine 64-bit collisions (~2^-64; a collision can only ADD a
+# candidate pair, which downstream verification removes).
+_FOLD_C = 6364136223846793005
+_FOLD_SALT = 0x9E3779B97F4A7C15  # golden-ratio odd constant, salts band index
+
+
+def _minhash_sig_keys(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    hash_fn: str,
+) -> DataFrame:
+    """(id, sig_key long, band_keys array<long>) — the LSH-ready shape.
+
+    Same map-only pass as ``minhash_signatures``, but the 128-slot
+    signature never leaves Python: each doc emits a single uint64
+    polynomial fold of the whole signature (``sig_key``, the dedup
+    grouping key) and one fold per band slice salted with the band
+    index (``band_keys``). vs shipping raw signatures and hashing
+    JVM-side (xxhash64 over a ~1.2 KB concat_ws string per row, as the
+    r3 shape did): the exchange payload drops from 128 longs to
+    1 + bands longs per row BEFORE map-side combine collapses
+    duplicates, and the JVM string-building disappears entirely."""
+    import numpy as np
+    import pandas as pd
+
+    rows_per_band = num_hashes // bands
+    params = _hash_params(num_hashes, seed)
+    A = np.array([a for a, _ in params], dtype=np.int64)[None, :]
+    B = np.array([b for _, b in params], dtype=np.int64)[None, :]
+    hasher = _shingle_hasher(hash_fn, seed)
+    C = np.uint64(_FOLD_C)
+    band_salt = (np.arange(bands, dtype=np.uint64) * np.uint64(_FOLD_SALT)) + np.uint64(1)
+
+    def run(batches):
+        err = np.seterr(over="ignore")  # uint64 folds wrap by design
+        try:
+            for pdf in batches:
+                ids, sig_keys, band_keys = [], [], []
+                for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                    toks = (text or "").split()
+                    if len(toks) < shingle_n:
+                        continue
+                    sh = {" ".join(toks[i : i + shingle_n]) for i in range(len(toks) - shingle_n + 1)}
+                    h = np.fromiter(
+                        (hasher(s) for s in sh),
+                        dtype=np.int64,
+                        count=len(sh),
+                    )[:, None]
+                    sig = ((h * A + B) % _P).min(axis=0).astype(np.uint64)
+                    k = np.uint64(0)
+                    for v in sig:
+                        k = k * C + v
+                    # fold each band's R consecutive slots (reshape view)
+                    bmat = sig.reshape(bands, rows_per_band)
+                    bk = band_salt.copy()
+                    for j in range(rows_per_band):
+                        bk = bk * C + bmat[:, j]
+                    ids.append(doc_id)
+                    sig_keys.append(int(k.astype(np.int64)))
+                    band_keys.append(bk.astype(np.int64).tolist())
+                if ids:
+                    yield pd.DataFrame(
+                        {id_col: ids, "sig_key": sig_keys, "band_keys": band_keys}
+                    )
+        finally:
+            np.seterr(**err)
+
+    return _spread_small_input(docs.select(id_col, text_col)).mapInPandas(
+        run, schema=f"{id_col} long, sig_key long, band_keys array<long>"
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -196,6 +302,7 @@ def minhash_lsh_candidates(
     seed: int = 42,
     max_bucket: int = 1000,
     clique_mode: str = "pairs",
+    hash_fn: str = "crc32",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -247,11 +354,15 @@ def minhash_lsh_candidates(
     if clique_mode not in ("pairs", "star"):
         raise ValueError(f"unknown clique_mode {clique_mode!r}")
 
-    sig = minhash_signatures(docs, id_col, text_col, shingle_n, num_hashes, seed)
-    # One exchange on the signature hash; everything downstream of the
+    sig = _minhash_sig_keys(docs, id_col, text_col, shingle_n, num_hashes, bands, seed, hash_fn)
+    # One exchange on the signature key; everything downstream of the
     # Python signature pass stays a single linear chain (a self-join
     # would re-execute the mapInPandas subtree — exchange reuse never
-    # fires across them; measured: 2 scans, 0 ReusedExchange).
+    # fires across them; measured: 2 scans, 0 ReusedExchange). Both
+    # sig_key and band_keys are folded in numpy INSIDE the signature
+    # pass, so the exchange ships 1+bands longs per row (before
+    # map-side combine collapses same-signature duplicates) instead of
+    # the r3 shape's raw 128-long signature + JVM concat_ws/xxhash64.
     # Eager localCheckpoint: `groups` feeds four subtrees (clique
     # expansion, band entries, both membership joins); unpinned, each
     # would re-run the Python signature pass. The frame is small —
@@ -266,11 +377,11 @@ def minhash_lsh_candidates(
 
     pre = _persistent_ids()
     groups = (
-        sig.groupBy(F.xxhash64(F.concat_ws(",", F.col("sig"))).alias("sig_key"))
+        sig.groupBy("sig_key")
         .agg(
             F.collect_list(F.col(id_col)).alias("members"),
             F.min(F.col(id_col)).alias("rep"),
-            F.first("sig").alias("sig"),
+            F.first("band_keys").alias("band_keys"),
         )
         .localCheckpoint(eager=True)
     )
@@ -302,16 +413,7 @@ def minhash_lsh_candidates(
                 F.lit(bands).cast("long").alias("n_bands"),
             )
         )
-    band_entries = groups.select(
-        "sig_key",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                # band key = hash of (band index, that band's signature slice)
-                lambda b: F.xxhash64(b, F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))),
-            )
-        ).alias("band_key"),
-    )
+    band_entries = groups.select("sig_key", F.explode("band_keys").alias("band_key"))
     # One exchange on band_key feeds the window COUNT (O(1) state — it
     # must cap the degenerate bucket BEFORE collect_list materializes
     # it in an agg buffer) and then the collect_list on the same
@@ -761,19 +863,38 @@ def simhash_fingerprints(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    hash_fn: str = "crc32",
 ) -> DataFrame:
-    """(id, sh bigint) — 64-bit SimHash per document: hash each token to
-    64 bits, sum +1/-1 per bit position across tokens, set bits where
-    the tally is positive.
+    """(id, sh bigint) — ``bits``-wide SimHash per document: hash each
+    token to ``bits`` bits, sum +1/-1 per bit position across tokens,
+    set bits where the tally is positive.
+
+    ``hash_fn``: ``"crc32"`` (production default, 64-bit via two salted
+    crc32s — fastest) or ``"md5"`` (60-bit from the first 15 md5 hex
+    chars; forces ``bits=60``). The md5 form exists because BOTH
+    engines can compute it — ``('0x'||substr(md5(t),1,15))::BIGINT`` in
+    DuckDB — so the whole simhash pipeline becomes hash-matchable
+    against a SQL oracle (60 bits keeps the value inside a signed
+    int64 in both engines; 4 pigeonhole chunks tile it as 4×15 bits).
 
     MAP-ONLY like minhash_signatures (and for the same measured reason:
     64 interpreted sum() aggregates + explode were ~10 s at sf0.1, this
-    is ~1 s with zero shuffle): per batch, tokens hash via crc32-pair →
-    a (n_tokens × 64) ±1 matrix → column sum → sign → fingerprint."""
+    is ~1 s with zero shuffle): per batch, tokens hash → a
+    (n_tokens × bits) ±1 matrix → column sum → sign → fingerprint."""
+    import hashlib
     import zlib
 
     import numpy as np
     import pandas as pd
+
+    if hash_fn == "crc32":
+        tok_hash = lambda t: (zlib.crc32(t.encode()) << 32) | zlib.crc32(t.encode(), 0xBEEF)  # noqa: E731
+    elif hash_fn == "md5":
+        if bits != 60:
+            raise ValueError("hash_fn='md5' produces a 60-bit hash; pass bits=60")
+        tok_hash = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:15], 16)  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
     bit_idx = np.arange(bits, dtype=np.uint64)[None, :]
 
@@ -784,18 +905,13 @@ def simhash_fingerprints(
                 toks = (text or "").split()
                 if not toks:
                     continue
-                # two crc32s (different salts) make a 64-bit token hash
                 h = np.fromiter(
-                    (
-                        (zlib.crc32(t.encode()) << 32) | zlib.crc32(t.encode(), 0xBEEF)
-                        for t in toks
-                    ),
+                    (tok_hash(t) for t in toks),
                     dtype=np.uint64,
                     count=len(toks),
                 )[:, None]
                 signs = (((h >> bit_idx) & 1) * 2).astype(np.int64) - 1  # ±1
                 tally = signs.sum(axis=0)
-                fp = np.uint64(0)
                 fp = int(((tally > 0).astype(np.uint64) << bit_idx[0]).sum(dtype=np.uint64))
                 fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)  # to signed long
                 ids.append(doc_id)
@@ -815,6 +931,9 @@ def simhash_near_dups(
     max_bucket: int = 2000,
     expand_threshold: int = 200_000,
     clique_mode: str = "pairs",
+    bits: int = 64,
+    hash_fn: str = "crc32",
+    n_fingerprints: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance, via pigeonhole
     banding: split the 64-bit fingerprint into 4 chunks of 16 bits —
@@ -842,41 +961,64 @@ def simhash_near_dups(
     ``expand_threshold`` distinct fingerprints, fp pairs expand
     bucket-locally from a collect_list — sparse buckets, one linear
     pass (sf0.1: expansion beats the join). Above it, the pigeonhole
-    buckets are DENSE (natural occupancy n/2^16 per chunk value) and
-    the codegen'd self-join wins: 17 s vs 37 s at 1M docs for
-    interpreted array expansion. The fingerprint count is free — the
-    frame is already checkpointed for the join's double read."""
+    buckets are DENSE (natural occupancy n/2^chunk_bits per chunk
+    value) and the codegen'd self-join wins: 17 s vs 37 s at 1M docs
+    for interpreted array expansion. The strategy needs the distinct
+    fingerprint count: pass ``n_fingerprints`` (an estimate is fine —
+    it only picks expansion-vs-join) and COMPOSING this operator runs
+    ZERO Spark jobs (the checkpoint goes lazy too, materializing at
+    first action); leave it None and the operator probes with a
+    ``count()`` at plan-construction time (the count is cheap — the
+    frame is checkpointed for the join's double read anyway — but it
+    IS an eager action inside what looks like pure plan building)."""
     n_chunks = max_hamming + 1
-    if 64 % n_chunks != 0:
-        raise ValueError("max_hamming+1 must divide 64 so chunks tile the fingerprint")
+    if bits % n_chunks != 0:
+        raise ValueError("max_hamming+1 must divide bits so chunks tile the fingerprint")
     if clique_mode not in ("pairs", "star"):
         raise ValueError(f"unknown clique_mode {clique_mode!r}")
-    chunk_bits = 64 // n_chunks
-    # The distinct-fingerprint frame is pinned with an eager
-    # localCheckpoint: the pair self-join reads it twice and the
-    # member/rep expansion joins read it again, and exchange reuse
-    # never fires across mapInPandas subtrees. The frame is
-    # (sh, members, rep) over distinct fingerprints — tiny at any scale.
+    chunk_bits = bits // n_chunks
+    # The distinct-fingerprint frame is pinned so the pair self-join
+    # (which reads it twice) and the member/rep expansion joins don't
+    # re-run the Python fingerprint pass — exchange reuse never fires
+    # across mapInPandas subtrees. The frame is (sh, members, rep) over
+    # distinct fingerprints — tiny at any scale. Two pinning modes:
+    #
+    # * no hint: eager localCheckpoint (the count probe materializes it
+    #   anyway, and checkpoint truncates lineage so every subtree reads
+    #   the stored blocks).
+    # * ``n_fingerprints`` hint: ``persist()`` — the ONLY truly lazy
+    #   pin (under AQE even a lazy localCheckpoint triggers ``.rdd``
+    #   conversion, which materializes the shuffle stages = a job at
+    #   compose time). First execution populates the cache; parallel
+    #   stages may race the first fill (recompute, not wrong results).
     spark = docs.sparkSession
 
     def _persistent_ids() -> set[int]:
         return {int(k) for k in dict(spark.sparkContext._jsc.getPersistentRDDs())}
 
-    pre = _persistent_ids()
     fp = (
-        simhash_fingerprints(docs, id_col, text_col)
+        simhash_fingerprints(docs, id_col, text_col, bits, hash_fn)
         .groupBy("sh")
         .agg(F.collect_list(F.col(id_col)).alias("members"), F.min(F.col(id_col)).alias("rep"))
-        .localCheckpoint(eager=True)
     )
-    pin_ids = _persistent_ids() - pre
+    if n_fingerprints is None:
+        pre = _persistent_ids()
+        fp = fp.localCheckpoint(eager=True)
+        pin_ids = _persistent_ids() - pre
+    else:
+        fp = fp.persist()
+        pin_ids = None
 
     # DataFrame.unpersist does NOT release a localCheckpoint (it is an
     # RDD-level cache, invisible to the CacheManager) — so the result
     # carries an explicit ``_release_pin()`` that unpersists the
     # checkpoint blocks by RDD id. Without calling it, blocks are freed
-    # by the async ContextCleaner once the result is dereferenced.
+    # by the async ContextCleaner once the result is dereferenced. The
+    # hinted persist() path releases through the normal CacheManager.
     def _release_pin() -> None:
+        if pin_ids is None:
+            fp.unpersist(False)
+            return
         live = dict(spark.sparkContext._jsc.getPersistentRDDs())
         for i in pin_ids:
             if int(i) in {int(k) for k in live}:
@@ -927,7 +1069,8 @@ def simhash_near_dups(
         .drop("__bc")
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    if fp.count() <= expand_threshold:
+    n_fp = n_fingerprints if n_fingerprints is not None else fp.count()
+    if n_fp <= expand_threshold:
         # Small corpus: bucket-local expansion over distinct fps.
         fp_pairs = (
             chunks.groupBy("chunk_idx", "chunk_val")

@@ -1,11 +1,14 @@
 """Deduplication queries over ``documents`` (see operators/dedup.py for
-the scale rationale). The exact n-gram Jaccard query carries a full
-DuckDB oracle, and so does ``dedup_minhash_verified`` — the end-to-end
-LSH-discovery→exact-verify composition, checked against DuckDB's
-all-pairs Jaccard (sound because 32×4 banding makes a missed 0.95-pair
-a ~4e-24 event). The raw LSH/SimHash candidate queries remain rows-only
-(DuckDB lacks xxhash64) and are cross-validated in tests/test_dedup.py
-against planted duplicates and the exact-Jaccard ground truth.
+the scale rationale). EVERY query here is oracle-gated as of round 4:
+the exact n-gram Jaccard family and ``dedup_minhash_verified`` carry
+hand-written DuckDB SQL, and the LSH/SimHash discovery queries run with
+``hash_fn="md5"`` (measured ~1.05× the crc32 production default at
+sf0.1 — both hash choices stay pytest-covered) so the signature,
+banding and pigeonhole pipelines are reproducible in SQL: the oracles
+below are GENERATED — 128 universal-hash min() aggregates, 32 band
+keys, and a 60-bit simhash tally — from the same ``_hash_params`` LCG
+the operators use. Any drift in shingling, hashing, banding, grouping
+or expansion breaks the hash match.
 """
 
 from __future__ import annotations
@@ -14,8 +17,76 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from laygo_python_spark.operators import dedup
+from laygo_python_spark.operators.dedup import _P, _hash_params
 from laygo_python_spark.queries import query
 from laygo_python_spark.session import read_table as _t
+
+
+def _minhash_sig_cte(num_hashes: int, seed: int = 42, doc_filter: str = "") -> str:
+    """Shared oracle scaffolding: (doc_id, s0..s{H-1}) minhash slots over
+    3-gram shingles, md5-hashed exactly as ``_shingle_hasher('md5')``
+    does — ``('0x'||substr(md5(g),1,8))::BIGINT % 2^31``. MATERIALIZED:
+    DuckDB inlines CTEs by default, and the band unpivot below reads
+    this 32 times."""
+    params = _hash_params(num_hashes, seed)
+    slots = ",\n           ".join(
+        f"min(({a}*hv+{b})%{_P}) AS s{i}" for i, (a, b) in enumerate(params)
+    )
+    return f"""
+    toks AS (SELECT doc_id, string_split(trim(text),' ') AS l
+             FROM documents WHERE text IS NOT NULL{doc_filter}),
+    idx AS (SELECT doc_id, l, unnest(range(1, len(l)-1)) AS i
+            FROM toks WHERE len(l) >= 3),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2],' ') AS g FROM idx),
+    h AS (SELECT doc_id, (('0x'||substr(md5(g),1,8))::BIGINT % 2147483648) AS hv
+          FROM sh),
+    sig AS MATERIALIZED (
+        SELECT doc_id,
+           {slots}
+        FROM h GROUP BY doc_id)"""
+
+
+def _minhash_sample_oracle() -> str:
+    sel = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {i} AS slot, s{i} AS value FROM sig" for i in range(8)
+    )
+    return f"WITH {_minhash_sig_cte(8, doc_filter=' AND doc_id < 20')}\n    {sel}"
+
+
+def _minhash_lsh_oracle(num_hashes: int = 128, bands: int = 32) -> str:
+    r = num_hashes // bands
+    band_sel = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS b, concat_ws(',', {slots}) AS k FROM sig".format(
+            b=b, slots=", ".join(f"s{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""WITH {_minhash_sig_cte(num_hashes)},
+    bands AS (
+      {band_sel})
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_bands
+    FROM bands a JOIN bands b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+    GROUP BY 1, 2"""
+
+
+def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    tallies = ",\n           ".join(
+        f"sum(CASE WHEN (hv>>{j})&1=1 THEN 1 ELSE -1 END) AS t{j}" for j in range(bits)
+    )
+    fp_bits = " + ".join(
+        f"(CASE WHEN t{j}>0 THEN (1::BIGINT<<{j}) ELSE 0 END)" for j in range(bits)
+    )
+    return f"""WITH tok AS (SELECT doc_id, unnest(string_split(trim(text),' ')) AS t
+             FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+    th AS (SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT AS hv FROM tok),
+    tally AS (SELECT doc_id,
+           {tallies}
+        FROM th GROUP BY doc_id),
+    fp AS (SELECT doc_id, {fp_bits} AS sh FROM tally)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}"""
 
 
 @query(
@@ -42,22 +113,33 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=1, threshold=0.95)
 
 
-@query("dedup_minhash_lsh")  # rows-only: DuckDB lacks xxhash64
+@query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128) + LSH(32 bands × 4 rows) candidate pairs on 3-gram
     shingles — the O(candidates) discovery path for near-dup detection
-    at 100 TB. Deterministic (fixed seed); validated in tests against
-    planted duplicates and exact Jaccard."""
+    at 100 TB. md5 shingle hashing (~1.05× crc32, measured) makes the
+    ENTIRE discovery output SQL-reproducible: the generated oracle
+    recomputes all 128 signature slots and all 32 band keys per doc and
+    counts matching bands per pair — signature dedup, banding, bucket
+    grouping and member expansion are all hash-checked, not just
+    pinned by pytest."""
     return dedup.minhash_lsh_candidates(
-        _t(spark, sf_dir, "documents"), shingle_n=3, num_hashes=128, bands=32
+        _t(spark, sf_dir, "documents"), shingle_n=3, num_hashes=128, bands=32, hash_fn="md5"
     )
 
 
-@query("dedup_simhash")  # rows-only: DuckDB lacks xxhash64/bit_count parity
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-duplicate pairs within Hamming distance 3, found
-    via pigeonhole chunk banding (4×16-bit equi-join, never O(n²))."""
-    return dedup.simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash near-duplicate pairs within Hamming distance 3, found via
+    pigeonhole chunk banding (4-chunk equi-join, never O(n²)). The
+    md5-60 variant is registered (4×15-bit chunks) because a 60-bit
+    hash is SQL-reproducible in both engines; the oracle brute-forces
+    ALL-PAIRS Hamming distance, so the match also certifies pigeonhole
+    completeness — any pair the banding misses breaks the gate. The
+    64-bit crc32 production default stays pytest-covered."""
+    return dedup.simhash_near_dups(
+        _t(spark, sf_dir, "documents"), max_hamming=3, bits=60, hash_fn="md5"
+    )
 
 
 @query(
@@ -97,15 +179,20 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("minhash_signature_sample")  # rows-only: DuckDB lacks crc32
+@query("minhash_signature_sample", oracle=_minhash_sample_oracle())
 def minhash_signature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 signature slots for the 20 lowest doc_ids — a stable probe
     of the signature computation itself (drift here breaks all LSH).
+    md5 shingle hashing makes each slot's universal-hash min()
+    recomputable in DuckDB, so the values are hash-matched, not just
+    row-counted.
 
     Exploded to scalar (doc_id, slot, value) rows: the driver's
     canonicalizer sorts the pandas frame across all columns, and raw
     array columns are unhashable there (r2's one red row)."""
-    sig = dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+    sig = dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), num_hashes=8, hash_fn="md5"
+    )
     return sig.filter(F.col("doc_id") < 20).select(
         "doc_id", F.posexplode(F.slice("sig", 1, 8)).alias("slot", "value")
     )

@@ -231,3 +231,37 @@ def test_simhash_fingerprints_compute_once(spark, planted):
     plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert "MapInPandas" not in plan
     assert "ExistingRDD" in plan
+
+
+def test_simhash_compose_zero_jobs_with_hint(spark, planted):
+    """With an ``n_fingerprints`` hint, COMPOSING simhash_near_dups must
+    run zero Spark jobs (no plan-time count, lazy checkpoint) — callers
+    building plans ahead of execution get pure plan building. The
+    result must still be correct once executed."""
+    sc = spark.sparkContext
+    # count all jobs across groups via the JVM status tracker
+    jvm_tracker = sc._jsc.sc().statusTracker()
+    jobs_before = len(jvm_tracker.getJobIdsForGroup(None))
+    df = dedup.simhash_near_dups(planted, n_fingerprints=100)
+    jobs_after = len(jvm_tracker.getJobIdsForGroup(None))
+    assert jobs_after == jobs_before, "composing with a hint must trigger no Spark jobs"
+    pairs = {(r.doc_id_a, r.doc_id_b): r.hamming for r in df.collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_md5_hash_paths_match_crc32_structure(spark, planted):
+    """The md5 oracle-twin hashes must find the same planted structure
+    as the crc32 production default: exact dups at full band agreement
+    / hamming 0, unrelated docs unpaired."""
+    lsh = {
+        (r.doc_id_a, r.doc_id_b): r.n_bands
+        for r in dedup.minhash_lsh_candidates(planted, shingle_n=3, hash_fn="md5").collect()
+    }
+    assert lsh.get((1, 2)) == 32
+    assert (4, 5) not in lsh
+    sim = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in dedup.simhash_near_dups(planted, bits=60, hash_fn="md5").collect()
+    }
+    assert sim.get((1, 2)) == 0
+    assert (4, 5) not in sim
