@@ -81,10 +81,17 @@ def bloom_build(df: DataFrame, key: str, m: int = 1 << 20, k: int = 5) -> DataFr
     RLE) so merge/might_contain verify compatibility instead of
     silently answering from misaligned bits (a geometry mix-up is the
     one misuse that breaks the no-false-negative guarantee invisibly).
+
+    NULL keys are FILTERED on the build side (mirroring hll_build):
+    Spark's ``xxhash64(NULL, seed)`` does not return NULL — it skips
+    the null argument and returns a seed-derived value, so an unfiltered
+    NULL would set k real bits and make every NULL probe match.
+    Membership of NULL is not a meaningful question for a set sketch;
+    ``bloom_contains_col`` answers False for NULL probes by construction.
     """
     if m % 64 != 0:
         raise ValueError(f"bloom_build: m must be a multiple of 64, got {m}")
-    keyed = df.select(F.col(key).alias(_KEY))
+    keyed = df.select(F.col(key).alias(_KEY)).filter(F.col(_KEY).isNotNull())
     probes = keyed.select(
         F.explode(
             F.array(*[F.struct(_word(i, m).alias("word"), _mask(i, m).alias("mask")) for i in range(k)])
@@ -115,10 +122,18 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
     """OR together word tables built with the SAME (m, k) — per-shard
     filters union into the filter of the unioned key sets without
     touching raw data. Raises on geometry mismatch rather than OR-ing
-    misaligned words."""
+    misaligned words.
+
+    The union is pinned with one eager localCheckpoint BEFORE the
+    geometry validation collect (same discipline as
+    ``bloom_contains_col``): without the pin, the validation action and
+    the returned aggregate would each replan the full union — every
+    input bloom's build executing twice per merge. The pinned footprint
+    is ≤ Σ m/64 rows (MBs)."""
     out = blooms[0]
     for b in blooms[1:]:
         out = out.unionByName(b)
+    out = out.localCheckpoint(eager=True)
     _geometry(out, "bloom_merge")  # raises on mixed; empty-over-empty is fine
     return (
         out.groupBy("word", "m", "k")
@@ -140,8 +155,13 @@ def bloom_contains_col(bloom: DataFrame, df: DataFrame, key: str, flag: str = "m
     hash join, which never shuffles the stream side, so the whole
     membership test is a single shuffle-free map stage over ``df``
     however big it is (that is the entire point of the pattern; k is
-    small, typically ≤ 7). A NULL key never matches (xxhash64 of NULL
-    is NULL → null word joins nothing).
+    small, typically ≤ 7). A NULL probe key is deterministically False
+    by an explicit ``isNotNull`` term in the predicate — NOT by hashing:
+    Spark's ``xxhash64(NULL, seed)`` skips the null argument and
+    returns a seed-derived value, so without the guard a NULL probe
+    would hash like a sentinel key and answer maybe=True whenever that
+    sentinel's bits happen to be set (build filters NULLs for the same
+    reason).
 
     The word table is localCheckpoint-ed once BEFORE the geometry read
     and the k joins — without the pin, each broadcast side (and the
@@ -156,7 +176,7 @@ def bloom_contains_col(bloom: DataFrame, df: DataFrame, key: str, flag: str = "m
     m, k = geom
     bloom = bloom.select("word", "bits")
     out = df.withColumn(_KEY, F.col(key))
-    keep = F.lit(True)
+    keep = F.col(_KEY).isNotNull()
     for i in range(k):
         words = F.broadcast(
             bloom.select(F.col("word").alias(f"__bw{i}"), F.col("bits").alias(f"__bb{i}"))

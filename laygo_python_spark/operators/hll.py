@@ -79,10 +79,16 @@ def hll_build(df: DataFrame, key: str, p: int = 12) -> DataFrame:
     )
 
 
-def _p_of(sketch: DataFrame, what: str) -> int:
+def _p_of(sketch: DataFrame, what: str) -> int | None:
+    """The sketch's precision, or None for an EMPTY register table — a
+    sketch over zero (or all-NULL) keys has no registers to carry its p
+    (a legitimate shard state, mirroring bloom._geometry's None path):
+    estimate 0, merge identity."""
     rows = sketch.select("p").distinct().collect()
-    if len(rows) != 1:
+    if len(rows) > 1:
         raise ValueError(f"{what}: mixed HLL precisions {sorted(r['p'] for r in rows)}")
+    if not rows:
+        return None
     return rows[0]["p"]
 
 
@@ -90,7 +96,8 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
     """Union register tables built with the SAME p — registers form a
     max-lattice, so per-day/per-shard sketches roll up without raw
     data, and the merge is bit-identical to building on the unioned
-    input (tested). Raises on precision mismatch."""
+    input (tested). Raises on precision mismatch; EMPTY sketches are
+    the merge identity (they contribute no register rows)."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
@@ -102,8 +109,11 @@ def hll_estimate(sketch: DataFrame) -> float:
     """Distinct-count estimate from a register table — one aggregate
     over ≤ 2^p rows (a driver scalar, like cms._geometry's collect:
     the sketch is KBs). Standard bias-corrected harmonic mean with
-    linear-counting fallback for the small range."""
+    linear-counting fallback for the small range. An EMPTY sketch
+    (zero/all-NULL build input) estimates 0.0 — all registers zero."""
     p = _p_of(sketch, "hll_estimate")
+    if p is None:
+        return 0.0
     m = 1 << p
     row = sketch.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
@@ -163,6 +173,10 @@ def hll_estimate_by(sketch: DataFrame, group_cols: list[str] | None = None) -> D
     driver-scalar convenience for a single sketch). Groups estimate
     independently; m and alpha come from the sketch's own p."""
     p = _p_of(sketch, "hll_estimate_by")
+    if p is None:
+        # Empty sketch: no shards, no groups — an empty (group, est) frame.
+        gcols = group_cols or ["shard"]
+        return sketch.groupBy(*gcols).agg(F.lit(0.0).alias("est"))
     m = 1 << p
     if m == 16:
         alpha = 0.673

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from laygo_python_spark.operators.bloom import (
     bloom_build,
+    bloom_contains_col,
     bloom_geometry,
     bloom_merge,
     bloom_might_contain,
@@ -80,6 +81,25 @@ def test_null_keys_never_match(spark):
     probe = spark.createDataFrame([("key1",), (None,)], "k string")
     kept = [r["k"] for r in bloom_might_contain(bloom, probe, "k").collect()]
     assert kept == ["key1"]
+
+
+def test_null_keys_never_match_even_when_built_with_nulls(spark):
+    """The hard case behind the NULL contract: Spark's xxhash64(NULL, i)
+    is NOT NULL — it skips the null argument and returns a seed-derived
+    value, so an unfiltered build-side NULL would set k real sentinel
+    bits and a NULL probe would then answer maybe=True. The contract
+    must hold BY CONSTRUCTION (build filters NULLs, probe predicate
+    carries isNotNull), not by lucky bit geometry."""
+    with_nulls = spark.createDataFrame(
+        [("key0",), (None,), ("key1",), (None,)], "k string"
+    )
+    bloom = bloom_build(with_nulls, "k", m=4096, k=4)
+    probe = spark.createDataFrame([("key1",), (None,), ("absent",)], "k string")
+    flagged = {r["k"]: r["maybe_in"] for r in bloom_contains_col(bloom, probe, "k").collect()}
+    assert flagged["key1"] is True
+    assert flagged[None] is False  # NULL deterministically absent
+    # build-side NULLs set no bits: the word table only reflects 2 keys
+    assert bloom_might_contain(bloom, probe, "k").filter("k IS NULL").count() == 0
 
 
 def test_parquet_round_trip(spark, tmp_path):

@@ -114,3 +114,18 @@ def test_per_group_estimates_within_bound(spark):
     for g in range(3):
         exact = df.filter(F.col("g") == g).select("k").distinct().count()
         assert abs(ests[g] - exact) / exact < 0.065, (g, ests[g], exact)
+
+
+def test_empty_sketch_estimates_zero_and_merges_as_identity(spark):
+    """A sketch over zero or all-NULL keys is a legitimate shard state
+    (mirroring the empty bloom): estimate 0, merge identity — not a
+    ValueError from the precision probe."""
+    empty = hll_build(spark.createDataFrame([], "k string"), "k", p=12)
+    assert hll_estimate(empty) == 0.0
+    all_null = hll_build(spark.createDataFrame([(None,), (None,)], "k string"), "k", p=12)
+    assert hll_estimate(all_null) == 0.0
+    real = hll_build(_keys(spark, 0, 5_000), "k", p=12)
+    merged = hll_merge(real, empty)
+    assert hll_estimate(merged) == hll_estimate(real)  # identity: same registers
+    both_empty = hll_merge(empty, all_null)
+    assert hll_estimate(both_empty) == 0.0
