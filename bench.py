@@ -73,6 +73,15 @@ HEADLINE = [
     "dedup_new_vs_seen",
     "bloom_new_customers",
     "embedding_label_centroids",
+    # r4 additions: the families r3's bench left invisible — approximate
+    # ANN paths, HLL/quantile sketches, streaming — plus the LSH
+    # signature probe (now oracle-gated).
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "hll_relational_daily_users",
+    "qsketch_value_quantiles",
+    "stream_hourly_counts",
+    "minhash_signature_sample",
 ]
 
 

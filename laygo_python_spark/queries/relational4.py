@@ -253,17 +253,35 @@ def hll_relational_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/hll.py) — same shape as sketch_merge_daily_users above
     but the sketch is a parquet-able (idx, rho, p) integer table
     instead of an engine-versioned binary: per-day register tables,
-    max-lattice merge, one-row estimate. Deterministic under any
+    max-lattice merge, relational estimates. Deterministic under any
     partitioning (register update is max), so the output is stable —
     pinned against exact distinct counts in tests/test_hll.py and
-    tests/test_rows_only_queries.py."""
-    from laygo_python_spark.operators.hll import hll_build, hll_estimate, hll_merge
+    tests/test_rows_only_queries.py.
+
+    ONE events pass: ``hll_build_sharded`` builds all three days'
+    register tables in a single scan (the r3 shape built each day with
+    its own ``hll_build`` and estimated with driver scalars — 8 full
+    event scans, 25 s in the r3 sweep; this is ~3 s). The tiny sharded
+    sketch is checkpointed, the per-day AND merged estimates are both
+    ``hll_estimate_by`` (pure aggregation — zero driver scalars), and
+    the merge is a groupBy-max over registers, exactly the lattice
+    ``hll_merge`` implements."""
+    from laygo_python_spark.operators.hll import hll_build_sharded, hll_estimate_by
 
     ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     days = [r["day"] for r in ev.select("day").distinct().orderBy("day").limit(3).collect()]
-    sketches = [hll_build(ev.filter(F.col("day") == d), "user_id", p=12) for d in days]
-    merged_est = hll_estimate(hll_merge(*sketches))
-    per_day = [hll_estimate(s) for s in sketches]
-    rows = [(str(d), float(round(e, 1))) for d, e in zip(days, per_day)]
-    rows.append(("merged", float(round(merged_est, 1))))
-    return spark.createDataFrame(rows, "day string, est_distinct double")
+    sharded = hll_build_sharded(
+        ev.filter(F.col("day").isin(days)), "user_id", shard="day", p=12
+    ).localCheckpoint(eager=True)
+    per_day = hll_estimate_by(sharded, ["shard"]).select(
+        F.col("shard").cast("string").alias("day"), F.round("est", 1).alias("est_distinct")
+    )
+    merged_regs = (
+        sharded.groupBy("idx", "p")
+        .agg(F.max("rho").alias("rho"))
+        .withColumn("shard", F.lit("merged"))
+    )
+    merged = hll_estimate_by(merged_regs, ["shard"]).select(
+        F.col("shard").alias("day"), F.round("est", 1).alias("est_distinct")
+    )
+    return per_day.unionByName(merged)
