@@ -2,13 +2,17 @@
 columns with typed metadata, processed via Arrow-batched Pandas UDFs.
 
 The decode libraries (PIL/cv2/torchaudio/av) are NOT in this container,
-so PIXEL decode is stubbed — but header metadata is parsed for REAL
-with zero dependencies: PNG IHDR and JPEG SOF width/height via struct
-unpacking (``png_dimensions`` / ``jpeg_dimensions``), plus magic-byte
-sniffing and byte length. Everything Spark-side is real and tested:
-the schema contract, the mapInPandas batch shape, the partition
-sizing. ``strict=True`` raises only for payloads whose dimensions
-can't be header-parsed.
+but everything stdlib-expressible is decoded for REAL with zero
+dependencies: PNG IHDR and JPEG SOF width/height via struct unpacking
+(``png_dimensions`` / ``jpeg_dimensions``), WAV fmt metadata, magic-byte
+sniffing — and full PIXEL decode for non-interlaced 8-bit PNGs
+(``png_decode_pixels``: zlib inflate + numpy unfilter of all five
+scanline filters, round-trip tested against a reference encoder).
+Only codec-requiring formats stay stubbed (JPEG entropy decode,
+palette/16-bit/interlaced PNGs, compressed audio). Everything
+Spark-side is real and tested: the schema contract, the mapInPandas
+batch shape, the partition sizing. ``strict=True`` raises only for
+payloads whose dimensions can't be header-parsed.
 
 At 100 TB: binary payloads dominate row size. The rules encoded here:
 - keep payloads out of shuffles (extract features first, then drop the
@@ -113,6 +117,134 @@ def image_dimensions(b: bytes | None) -> tuple[int, int] | None:
     return png_dimensions(bytes(b)) or jpeg_dimensions(bytes(b))
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type → samples/pixel
+
+
+def png_decode_pixels(b: bytes | None, max_bytes: int = 64 << 20):
+    """Decode a non-interlaced 8-bit PNG (gray / RGB / gray+alpha /
+    RGBA) to an (h, w, channels) uint8 numpy array — ZERO dependencies:
+    stdlib ``zlib.decompress`` over the concatenated IDAT chunks, then
+    the spec's five scanline filters (§9: None/Sub/Up/Average/Paeth)
+    undone with numpy. Sub is a per-lane cumsum; Up is one vector add;
+    Average/Paeth walk pixels left-to-right with the channel lane
+    vectorized (the left-neighbor dependency is inherently sequential).
+
+    Returns None for anything else — palette, 16-bit, interlaced,
+    truncated, or over ``max_bytes`` decompressed (the decompression-
+    bomb guard: executors must not OOM on a crafted payload). Strict
+    callers turn that None into NotImplementedError; this function
+    never raises on malformed input."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    if b is None:
+        return None
+    b = bytes(b)
+    if len(b) < 33 or not b.startswith(b"\x89PNG\r\n\x1a\n") or b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    bit_depth, color_type, compression, filter_method, interlace = b[24:29]
+    if (
+        w == 0
+        or h == 0
+        or bit_depth != 8
+        or color_type not in _PNG_CHANNELS
+        or compression != 0
+        or filter_method != 0
+        or interlace != 0
+    ):
+        return None
+    ch = _PNG_CHANNELS[color_type]
+    expected = h * (1 + w * ch)
+    if expected > max_bytes:
+        return None
+
+    # Walk chunks, concatenating IDAT payloads.
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(b):
+        (size,) = struct.unpack(">I", b[pos : pos + 4])
+        cid = b[pos + 4 : pos + 8]
+        if cid == b"IDAT":
+            idat += b[pos + 8 : pos + 8 + size]
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # len + id + data + crc
+    if not idat:
+        return None
+    try:
+        raw = _z.decompress(bytes(idat), bufsize=min(expected, max_bytes))
+    except _z.error:
+        return None
+    if len(raw) != expected:
+        return None
+
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + w * ch)
+    filters, data = rows[:, 0], rows[:, 1:].astype(np.int16)
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    prior = np.zeros(w * ch, dtype=np.int16)
+    for r in range(h):
+        f, cur = int(filters[r]), data[r]
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: per-lane cumsum mod 256
+            rec = cur.copy()
+            for lane in range(ch):
+                rec[lane::ch] = np.cumsum(cur[lane::ch]) & 0xFF
+        elif f == 2:  # Up
+            rec = (cur + prior) & 0xFF
+        elif f == 3:  # Average — left-dependency: walk pixels, lanes vectorized
+            rec = np.zeros(w * ch, dtype=np.int16)
+            left = np.zeros(ch, dtype=np.int16)
+            for i in range(w):
+                s = slice(i * ch, (i + 1) * ch)
+                left = (cur[s] + ((left + prior[s]) >> 1)) & 0xFF
+                rec[s] = left
+        elif f == 4:  # Paeth
+            rec = np.zeros(w * ch, dtype=np.int16)
+            left = np.zeros(ch, dtype=np.int16)
+            upleft = np.zeros(ch, dtype=np.int16)
+            for i in range(w):
+                s = slice(i * ch, (i + 1) * ch)
+                up = prior[s]
+                p = left + up - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+                left = (cur[s] + pred) & 0xFF
+                rec[s] = left
+                upleft = up
+        else:
+            return None
+        out[r] = rec.astype(np.uint8)
+        prior = rec.astype(np.int16)
+    return out.reshape(h, w, ch)
+
+
+def png_pixel_stats(b: bytes | None) -> list[float] | None:
+    """8-wide deterministic pixel-stat feature from a decodable PNG:
+    [channels, mean, std, min, max, mean(ch0), mean(center row),
+    fraction of samples > 127] — the feature contract
+    ``decode_features`` emits when real decode succeeds."""
+    import numpy as np
+
+    px = png_decode_pixels(b)
+    if px is None:
+        return None
+    flat = px.astype(np.float64)
+    return [
+        float(px.shape[2]),
+        float(flat.mean()),
+        float(flat.std()),
+        float(flat.min()),
+        float(flat.max()),
+        float(flat[:, :, 0].mean()),
+        float(flat[px.shape[0] // 2].mean()),
+        float((flat > 127).mean()),
+    ]
+
+
 def wav_audio_meta(b: bytes | None) -> tuple[int, int, int] | None:
     """(sample_rate, channels, bits_per_sample) from a RIFF/WAVE ``fmt ``
     chunk — the audio twin of the PNG/JPEG header parses, zero deps.
@@ -152,12 +284,16 @@ def decode_features(
 
     REAL with zero dependencies: PNG/JPEG payloads get their true
     width/height via header struct parsing (``png_dimensions`` /
-    ``jpeg_dimensions`` — IHDR chunk / SOF marker walk). The pixel-level
-    feature vector still needs a decoder (PIL/cv2, not in this image),
-    so features are a deterministic byte-stat embedding; ``strict=True``
-    raises NotImplementedError for payloads whose dimensions can't be
-    parsed from headers (the honest production posture) instead of
-    inventing fake ones.
+    ``jpeg_dimensions`` — IHDR chunk / SOF marker walk), and
+    non-interlaced 8-bit PNGs get REAL pixel decode
+    (``png_decode_pixels`` — zlib inflate + numpy unfilter) feeding the
+    8-wide pixel-stat feature (``png_pixel_stats``). JPEG entropy
+    decode still needs a codec (PIL/cv2, not in this image), as do
+    palette/16-bit/interlaced PNGs — those fall back to the
+    deterministic byte-stat embedding; ``strict=True`` raises
+    NotImplementedError for payloads whose DIMENSIONS can't be
+    header-parsed (the honest production posture) instead of inventing
+    fake ones.
 
     The Spark-side contract is the real deliverable either way:
     mapInPandas over Arrow batches, payload column dropped from the
@@ -177,8 +313,10 @@ def decode_features(
                     "requires PIL/cv2/av (not in this image); strict=False falls "
                     "back to deterministic byte-stat dimensions"
                 )
-            # Non-image payloads (strict=False): deterministic fake dims
-            # derived from byte stats — stable across runs/partitionings.
+            # Real pixel stats when the payload pixel-decodes; byte-stat
+            # fallback otherwise (deterministic — stable across
+            # runs/partitionings either way).
+            pixel_feats = payloads.apply(png_pixel_stats)
             first = payloads.apply(lambda b: b[0] if b is not None and len(b) else 0)
             yield pd.DataFrame(
                 {
@@ -190,8 +328,10 @@ def decode_features(
                         d[1] if d else int(ln % 480 + 1) for d, ln in zip(dims, n)
                     ],
                     "feature": [
-                        [float((ln + f * (i + 1)) % 251) for i in range(8)]
-                        for ln, f in zip(n, first)
+                        pf
+                        if pf is not None
+                        else [float((ln + f * (i + 1)) % 251) for i in range(8)]
+                        for pf, ln, f in zip(pixel_feats, n, first)
                     ],
                 }
             )

@@ -130,13 +130,15 @@ def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.select("media_id", "n_bytes")
 
 
-@query("multimodal_decode_features")  # rows-only: pixel decode stubbed
+@query("multimodal_decode_features")  # rows-only: feature floats are impl-defined
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract through mapInPandas: REAL PNG-IHDR/JPEG-SOF
-    header parsing for dimensions (zero-dep struct unpacking), with a
-    deterministic byte-stat fallback for non-image payloads — pixel-level
-    features stay stubbed (decode libs absent; operators/multimodal.py
-    documents the strict mode)."""
+    header parsing for dimensions (zero-dep struct unpacking) AND real
+    pixel decode for non-interlaced 8-bit PNGs (zlib inflate + numpy
+    unfilter, operators/multimodal.py::png_decode_pixels) feeding an
+    8-wide pixel-stat feature; deterministic byte-stat fallback for
+    payloads needing a codec (JPEG entropy, palette/16-bit PNGs —
+    the remaining honest stub)."""
     mm = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
     return multimodal.decode_features(mm)
 

@@ -238,3 +238,116 @@ def test_audio_meta_operator(spark):
     got = {r.media_id: (r.sample_rate, r.channels, r.bits) for r in multimodal.audio_meta(df).collect()}
     assert got[1] == (48000, 2, 16)
     assert got[2] == (None, None, None)
+
+
+def _full_png(pixels, color_type=2, filters=None):
+    """Minimal zero-dep PNG ENCODER for the decode tests: non-interlaced
+    8-bit, one explicit filter byte per row (default all-0/None), so the
+    decoder's unfilter paths can be exercised one by one."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    bpp = ch
+
+    def _chunk(cid, data):
+        return struct.pack(">I", len(data)) + cid + data + struct.pack(">I", _z.crc32(cid + data))
+
+    ihdr = struct.pack(">II", w, h) + bytes([8, color_type, 0, 0, 0])
+    raw = bytearray()
+    filters = filters or [0] * h
+    prior = np.zeros(w * ch, dtype=np.int16)
+    for r in range(h):
+        cur = px[r].reshape(-1).astype(np.int16)
+        f = filters[r]
+        if f == 0:
+            enc = cur
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, dtype=np.int16), cur[:-bpp]])
+            enc = (cur - left) & 0xFF
+        elif f == 2:  # Up
+            enc = (cur - prior) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.int16), cur[:-bpp]])
+            enc = (cur - ((left + prior) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            left = np.concatenate([np.zeros(bpp, dtype=np.int16), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, dtype=np.int16), prior[:-bpp]])
+            p = left + prior - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft))
+            enc = (cur - pred) & 0xFF
+        raw.append(f)
+        raw += enc.astype(np.uint8).tobytes()
+        prior = cur
+    idat = _z.compress(bytes(raw))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_pixel_decode_roundtrip_all_filters():
+    """png_decode_pixels must invert every PNG scanline filter exactly:
+    encode a deterministic gradient with each of the five filters and
+    demand byte-identical recovery, for RGB, RGBA, gray and gray+alpha."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for color_type, ch in [(0, 1), (4, 2), (2, 3), (6, 4)]:
+        px = rng.randint(0, 256, size=(13, 17, ch)).astype("uint8")
+        for f in range(5):
+            blob = _full_png(px, color_type=color_type, filters=[f] * 13)
+            got = multimodal.png_decode_pixels(blob)
+            assert got is not None, (color_type, f)
+            assert got.shape == (13, 17, ch)
+            assert (got == px).all(), f"filter {f} color_type {color_type}"
+        # mixed filters per row, the realistic encoder output
+        blob = _full_png(px, color_type=color_type, filters=[r % 5 for r in range(13)])
+        assert (multimodal.png_decode_pixels(blob) == px).all()
+
+
+def test_png_pixel_decode_rejects_unsupported():
+    import struct
+    import zlib as _z
+
+    # interlaced flag set → None (not an exception)
+    ihdr = struct.pack(">II", 4, 4) + bytes([8, 2, 0, 0, 1])
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(">I", _z.crc32(b"IHDR" + ihdr))
+    )
+    assert multimodal.png_decode_pixels(blob) is None
+    assert multimodal.png_decode_pixels(b"garbage") is None
+    assert multimodal.png_decode_pixels(None) is None
+    # truncated IDAT → None
+    import numpy as np
+    good = _full_png(np.zeros((4, 4, 3), dtype="uint8"))
+    assert multimodal.png_decode_pixels(good[:-20]) is None
+
+
+def test_decode_features_real_pixel_stats(spark):
+    """The registered decode path emits REAL pixel statistics for
+    decodable PNGs: a solid-gray 100x50 RGB image must yield mean=128
+    std=0 exactly, while a non-image payload keeps the byte-stat
+    fallback embedding."""
+    import numpy as np
+
+    solid = np.full((50, 100, 3), 128, dtype="uint8")
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(_full_png(solid)), media_type=None, n_bytes=0),
+            Row(media_id=2, payload=bytearray(b"not an image"), media_type=None, n_bytes=0),
+        ],
+        schema="media_id long, payload binary, media_type string, n_bytes long",
+    )
+    rows = {r.media_id: r for r in multimodal.decode_features(df).collect()}
+    assert (rows[1].width, rows[1].height) == (100, 50)
+    ch, mean, std, mn, mx = rows[1].feature[:5]
+    assert (ch, mean, std, mn, mx) == (3.0, 128.0, 0.0, 128.0, 128.0)
+    assert rows[2].feature is not None and len(rows[2].feature) == 8
