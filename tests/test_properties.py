@@ -272,3 +272,50 @@ def test_misra_gries_containment_property(spark, keys, parts, k):
             assert key in est, (key, cnt, bound, est)
     for key, e in est.items():
         assert true[key] >= e >= true[key] - bound, (key, e, true[key], bound)
+
+
+def test_arrow_batch_size_invariance(spark, sf_dir):
+    """The reference asserts identical results for chunk_size 5 vs 50
+    (reference tests/test_transformer.py:383-396). The engine's chunk
+    unit is the Arrow batch — sweep
+    spark.sql.execution.arrow.maxRecordsInBatch over {1, 7, 1000} and
+    demand identical results from the map_batches / catch(mode='row') /
+    loop_chunks family (the surfaces whose execution granularity IS the
+    batch). catch(mode='batch') is deliberately excluded: whole-batch
+    drop semantics depend on batch boundaries by design (SURVEY §7.4.2).
+    """
+    import pandas as pd
+
+    def run_family():
+        df = spark.range(0, 500).select((F.col("id") - 250).alias("v"))
+
+        mb = Transformer().map_batches(lambda pdf: pdf.assign(v=pdf["v"] * 2 + 1))
+        got_mb = sorted(r.v for r in mb(df).collect())
+
+        def fragile(pdf: pd.DataFrame) -> pd.DataFrame:
+            if (pdf["v"] % 97 == 0).any():
+                raise ValueError("boom")
+            return pdf
+        salvage = Transformer().catch(fragile, mode="row")
+        got_catch = sorted(r.v for r in salvage(df).collect())
+
+        def body(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = pdf.copy()
+            mask = out["v"] < 100
+            out.loc[mask, "v"] = out.loc[mask, "v"] * 2 + 3
+            return out
+        lc = Transformer().loop_chunks(body, lambda pdf: bool((pdf["v"] < 100).any()), max_iterations=64)
+        got_loop = sorted(r.v for r in lc(df).collect())
+        return got_mb, got_catch, got_loop
+
+    results = {}
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        for n in (1, 7, 1000):
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(n))
+            results[n] = run_family()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert results[1] == results[7] == results[1000]
+    # and the family actually did something: salvage dropped the %97 rows
+    assert len(results[7][1]) == 500 - len([v for v in range(-250, 250) if v % 97 == 0])
