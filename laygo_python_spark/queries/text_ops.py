@@ -243,20 +243,38 @@ def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", verdict.alias("verdict"))
 
 
-@query("rolling_hash_fingerprint")  # rows-only: DuckDB lacks xxhash64
+@query(
+    "rolling_hash_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               [(('0x'||substr(md5(t),1,8))::BIGINT % 2147483648) % 2147483647
+                FOR t IN string_split(trim(text), ' ')]),
+             (acc, hv) -> (acc*1000003 + hv) % 2147483647) AS rolling_fp
+    FROM documents
+    """,
+)
 def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling hash over the token stream (Karp-Rabin style):
     h = (h*B + hash(token)) mod P, folded JVM-side with aggregate() —
     an order-sensitive fingerprint (unlike the bag-of-words md5), so
-    token reorderings produce different fingerprints. Deterministic;
-    validated for partitioning-invariance in tests."""
+    token reorderings produce different fingerprints. The token hash is
+    the md5-prefix 31-bit value (same family as the oracle-gated
+    minhash path), so DuckDB replays the exact fold with list_reduce —
+    the fingerprint VALUES are hash-matched, not just row-counted.
+    acc*B + hv < 2^31 · 2^20 ≈ 2^51: no int64 overflow in either
+    engine. Deterministic; partitioning-invariance in tests."""
     docs = _t(spark, sf_dir, "documents")
     P, B = 2_147_483_647, 1_000_003
     toks = F.split(F.trim(F.col("text")), r"\s+")
+    md5_31 = lambda t: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"), F.lit(1 << 31)
+    )
     h = F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(acc * B + F.pmod(F.xxhash64(t), F.lit(P)), F.lit(P)),
+        lambda acc, t: F.pmod(acc * B + F.pmod(md5_31(t), F.lit(P)), F.lit(P)),
     )
     return docs.select("doc_id", h.alias("rolling_fp"))
 

@@ -157,12 +157,15 @@ class Transformer:
     deliberate upgrade: a Transformer is a value, like a logical plan.)
     """
 
-    def __init__(self, steps: tuple[Step, ...] = ()):  # noqa: D107
+    def __init__(
+        self, steps: tuple[Step, ...] = (), chunker: Callable | None = None
+    ):  # noqa: D107
         self._steps = tuple(steps)
+        self._chunker = chunker
 
     # -- composition core (parity: _pipe, transformer.py:215-227) ----------
     def _with(self, step: Step) -> "Transformer":
-        return Transformer(self._steps + (step,))
+        return Transformer(self._steps + (step,), self._chunker)
 
     def __call__(self, df: DataFrame, context: Context | None = None) -> DataFrame:
         for step in self._steps:
@@ -173,7 +176,7 @@ class Transformer:
     def from_transformer(cls, other: "Transformer") -> "Transformer":
         """Clone (parity: transformer.py:165-184; trivially cheap here
         because Transformers are immutable values)."""
-        return cls(other._steps)
+        return cls(other._steps, other._chunker)
 
     # -- projections / per-row transforms ----------------------------------
     def map(self, expr: Column | str | None = None, /, **named: Column | str) -> "Transformer":
@@ -213,13 +216,15 @@ class Transformer:
         returns a pandas DataFrame; ``schema=None`` keeps the input schema.
         """
         ctx_aware = is_context_aware(fn)
+        chunker = self._chunker
 
         def step(df: DataFrame, context: Context | None) -> DataFrame:
             out_schema = schema if schema is not None else df.schema
             wctx = _worker_ctx(context) if ctx_aware else None
 
             def run(batches: Iterable[pd.DataFrame]):
-                for pdf in batches:
+                stream = chunker(batches) if chunker is not None else batches
+                for pdf in stream:
                     out = fn(pdf, wctx) if ctx_aware else fn(pdf)
                     if out is not None and len(out):
                         yield out
@@ -760,6 +765,43 @@ class Transformer:
         return self._with(lambda df, ctx: df.limit(n))
 
     # -- physical layout (parity: set_chunker, transformer.py:186-197) ---------
+    def set_chunker(self, chunker: "Callable | int") -> "Transformer":
+        """Custom chunk-boundary control for subsequent ``map_batches``
+        stages — full parity with the reference's ``set_chunker``
+        (transformer.py:186-197, an arbitrary ``Iterable ->
+        Iterator[list]``), expressed at the Arrow level: ``chunker`` is
+        ``Iterable[pd.DataFrame] -> Iterator[pd.DataFrame]`` and may
+        split, coalesce, or regroup the incoming batch stream however
+        it likes before the batch function sees it. An ``int`` is the
+        common case — re-chunk to exactly that many rows per batch
+        (tail excepted), whatever Arrow's maxRecordsPerBatch delivered.
+
+        Scope mirrors the reference: the chunker governs chunking
+        WITHIN a worker (here: within a partition); it cannot move rows
+        across partitions — that is ``repartition``. Applies to stages
+        added AFTER this call, like the reference's in-place setter."""
+        if isinstance(chunker, int):
+            if chunker <= 0:
+                raise ValueError(f"set_chunker: chunk size must be positive, got {chunker}")
+            size = chunker
+
+            def fixed(batches: Iterable[pd.DataFrame]):
+                buf: list[pd.DataFrame] = []
+                have = 0
+                for pdf in batches:
+                    buf.append(pdf)
+                    have += len(pdf)
+                    while have >= size:
+                        cat = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+                        yield cat.iloc[:size]
+                        rest = cat.iloc[size:]
+                        buf, have = ([rest], len(rest)) if len(rest) else ([], 0)
+                if have:
+                    yield pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+
+            return Transformer(self._steps, fixed)
+        return Transformer(self._steps, chunker)
+
     def repartition(self, n: int, *cols: str) -> "Transformer":
         return self._with(lambda df, ctx: df.repartition(n, *cols) if cols else df.repartition(n))
 

@@ -543,3 +543,66 @@ def test_sort_within_partitions_no_global_exchange(spark):
     rows_per_part = out.rdd.glom().map(lambda rs: [(r["k"], r["v"]) for r in rs]).collect()
     for part in rows_per_part:
         assert part == sorted(part)
+
+
+def test_set_chunker_fixed_size_controls_batch_boundaries(spark):
+    """Reference parity (set_chunker, reference transformer.py:186-197):
+    an int chunker re-chunks the Arrow stream so map_batches sees
+    exactly-N-row chunks (tails excepted) regardless of Arrow's own
+    batch size; results are row-identical either way."""
+    from laygo_python_spark import Transformer
+
+    df = spark.range(0, 101).select(F.col("id").alias("v")).coalesce(1)
+    sizes = (
+        Transformer()
+        .set_chunker(10)
+        .map_batches(lambda pdf: pdf.assign(chunk_n=len(pdf)), schema="v long, chunk_n int")
+    )
+    rows = sizes(df).collect()
+    counts = sorted({r.chunk_n for r in rows})
+    assert counts == [1, 10]  # ten 10-row chunks + the 1-row tail
+    assert sorted(r.v for r in rows) == list(range(101))
+
+
+def test_set_chunker_arbitrary_function(spark):
+    """The full reference contract: an ARBITRARY chunker function
+    regroups the stream — here, pairing batches two-at-a-time."""
+    import pandas as pd
+
+    from laygo_python_spark import Transformer
+
+    def pair_up(batches):
+        buf = []
+        for pdf in batches:
+            buf.append(pdf)
+            if len(buf) == 2:
+                yield pd.concat(buf, ignore_index=True)
+                buf = []
+        if buf:
+            yield buf[0]
+
+    df = spark.range(0, 40).select(F.col("id").alias("v")).coalesce(1)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        t = (
+            Transformer()
+            .set_chunker(pair_up)
+            .map_batches(lambda pdf: pdf.assign(chunk_n=len(pdf)), schema="v long, chunk_n int")
+        )
+        rows = t(df).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert {r.chunk_n for r in rows} == {10}  # 5-row Arrow batches paired into 10s
+    assert sorted(r.v for r in rows) == list(range(40))
+
+
+def test_set_chunker_survives_clone_and_applies_to_later_stages_only(spark):
+    from laygo_python_spark import Transformer
+
+    base = Transformer().set_chunker(7)
+    clone = Transformer.from_transformer(base)
+    df = spark.range(0, 21).select(F.col("id").alias("v")).coalesce(1)
+    rows = clone.map_batches(
+        lambda pdf: pdf.assign(chunk_n=len(pdf)), schema="v long, chunk_n int"
+    )(df).collect()
+    assert {r.chunk_n for r in rows} == {7}
