@@ -33,21 +33,34 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _probes(key: Column, d: int, w: int) -> Column:
-    """Array of d (i, bucket) structs for one key — xxhash64 seeded by the
-    row index i gives d independent hash functions, all JVM-side."""
+def _probes(key: Column, d: int, w: int, hash_fn: str = "xxhash64") -> Column:
+    """Array of d (i, bucket) structs for one key.
+
+    ``hash_fn="xxhash64"`` (production default): xxhash64 seeded by the
+    row index i — d independent hash functions, all JVM-side, fastest.
+    ``hash_fn="md5"`` (oracle twin): the md5-prefix 31-bit family over
+    ``"{i}:{key}"`` — reproducible in DuckDB SQL
+    (``('0x'||substr(md5(i||':'||key),1,8))::BIGINT % w``), which lets a
+    SQL oracle recompute the ENTIRE counter matrix and every estimate."""
+    if hash_fn == "xxhash64":
+        bucket = lambda i: F.pmod(F.xxhash64(key, F.lit(i)), F.lit(w))  # noqa: E731
+    elif hash_fn == "md5":
+        bucket = lambda i: F.pmod(  # noqa: E731
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), key.cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(w),
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.pmod(F.xxhash64(key, F.lit(i)), F.lit(w)).alias("bucket"),
-            )
-            for i in range(d)
-        ]
+        *[F.struct(F.lit(i).alias("i"), bucket(i).alias("bucket")) for i in range(d)]
     )
 
 
-def cms_build(df: DataFrame, key: str, d: int = 4, w: int = 8192, weight: str | None = None) -> DataFrame:
+def cms_build(df: DataFrame, key: str, d: int = 4, w: int = 8192, weight: str | None = None, hash_fn: str = "xxhash64") -> DataFrame:
     """Sketch the frequency distribution of ``df[key]``.
 
     Returns the sparse counter table ``(i int, bucket bigint, cnt
@@ -59,14 +72,14 @@ def cms_build(df: DataFrame, key: str, d: int = 4, w: int = 8192, weight: str | 
     pre-aggregated (key, n) pairs)."""
     wcol = F.col(weight) if weight else F.lit(1)
     return (
-        df.select(F.explode(_probes(F.col(key), d, w)).alias("p"), wcol.alias("wt"))
+        df.select(F.explode(_probes(F.col(key), d, w, hash_fn)).alias("p"), wcol.alias("wt"))
         .groupBy(F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket"))
         .agg(F.sum("wt").alias("cnt"))
         .withColumns({"d": F.lit(d), "w": F.lit(w)})
     )
 
 
-def cms_build_sharded(df: DataFrame, key: str, shard, d: int = 4, w: int = 8192, weight: str | None = None) -> DataFrame:
+def cms_build_sharded(df: DataFrame, key: str, shard, d: int = 4, w: int = 8192, weight: str | None = None, hash_fn: str = "xxhash64") -> DataFrame:
     """Per-shard sketches in ONE pass: ``(shard, i, bucket, cnt, d, w)``.
 
     The backfill shape — when the shards are partitions of one table
@@ -81,7 +94,7 @@ def cms_build_sharded(df: DataFrame, key: str, shard, d: int = 4, w: int = 8192,
     return (
         df.select(
             shard_col.alias("shard"),
-            F.explode(_probes(F.col(key), d, w)).alias("p"),
+            F.explode(_probes(F.col(key), d, w, hash_fn)).alias("p"),
             wcol.alias("wt"),
         )
         .groupBy("shard", F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket"))
@@ -115,7 +128,7 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     )
 
 
-def cms_estimate(sketch: DataFrame, keys: DataFrame, key: str, d: int | None = None, w: int | None = None) -> DataFrame:
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key: str, d: int | None = None, w: int | None = None, hash_fn: str = "xxhash64") -> DataFrame:
     """Point-frequency estimates for each distinct key in ``keys[key]``.
 
     min over the d probed counters; a probe absent from the sparse table
@@ -128,7 +141,7 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key: str, d: int | None = N
     if (d is not None and d != sd) or (w is not None and w != sw):
         raise ValueError(f"cms_estimate: sketch was built with (d={sd}, w={sw}), caller expected (d={d}, w={w})")
     probes = keys.select(
-        F.col(key), F.explode(_probes(F.col(key), sd, sw)).alias("p")
+        F.col(key), F.explode(_probes(F.col(key), sd, sw, hash_fn)).alias("p")
     ).select(key, F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket"))
     return (
         probes.join(F.broadcast(sketch.select("i", "bucket", "cnt")), ["i", "bucket"], "left")

@@ -52,7 +52,33 @@ def _clz_expr(col_sql: str) -> str:
     return f"({zero_case})"
 
 
-def hll_build(df: DataFrame, key: str, p: int = 12) -> DataFrame:
+def _hash_exprs(p: int, hash_fn: str) -> tuple[str, str]:
+    """(idx_sql, rho_sql) over the ``__hll_key`` column.
+
+    ``"xxhash64"`` (production default): seeded 64-bit JVM hash — idx =
+    top p bits, rho over the low 64−p bits. ``"md5"`` (oracle twin):
+    the 60-bit md5-prefix family — ``conv(substr(md5(key),1,15),16,10)``
+    — which DuckDB replays as ``('0x'||substr(md5(k),1,15))::BIGINT``,
+    making register tables AND estimates SQL-reproducible; idx = top p
+    of 60 bits, rho over the remaining 60−p."""
+    if hash_fn == "xxhash64":
+        h, bits = "xxhash64(__hll_key, 42)", 64
+    elif hash_fn == "md5":
+        h = "CAST(conv(substr(md5(CAST(__hll_key AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        bits = 60
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    tail = bits - p
+    idx_sql = f"CAST(shiftrightunsigned({h}, {tail}) AS INT)"
+    # rho = leading zeros of the LOW bits−p bits (shifted to the top of
+    # the 64-bit word) + 1, capped at bits−p+1 when all zero.
+    rho_sql = (
+        f"CAST(LEAST({_clz_expr(f'shiftleft({h}, {64 - tail})')} + 1, {tail + 1}) AS INT)"
+    )
+    return idx_sql, rho_sql
+
+
+def hll_build(df: DataFrame, key: str, p: int = 12, hash_fn: str = "xxhash64") -> DataFrame:
     """Sketch the distinct count of ``df[key]``.
 
     Returns the register table ``(idx int, rho int, p int)`` — at most
@@ -61,17 +87,9 @@ def hll_build(df: DataFrame, key: str, p: int = 12) -> DataFrame:
     semantics)."""
     if not (4 <= p <= 18):
         raise ValueError(f"hll_build: p must be in [4, 18], got {p}")
-    m = 1 << p
-    h = "xxhash64(__hll_key, 42)"
+    idx_sql, rho_sql = _hash_exprs(p, hash_fn)
     keyed = df.select(F.col(key).alias("__hll_key")).filter(F.col(key).isNotNull())
-    reg = keyed.select(
-        F.expr(f"CAST(shiftrightunsigned({h}, {64 - p}) AS INT)").alias("idx"),
-        # rho = leading zeros of the LOW 64-p bits (shifted to the top) + 1,
-        # capped at 64-p+1 when those bits are all zero.
-        F.expr(
-            f"CAST(LEAST({_clz_expr(f'shiftleft({h}, {p})')} + 1, {64 - p + 1}) AS INT)"
-        ).alias("rho"),
-    )
+    reg = keyed.select(F.expr(idx_sql).alias("idx"), F.expr(rho_sql).alias("rho"))
     return (
         reg.groupBy("idx")
         .agg(F.max("rho").alias("rho"))
@@ -137,7 +155,7 @@ def hll_estimate(sketch: DataFrame) -> float:
     return est
 
 
-def hll_build_sharded(df: DataFrame, key: str, shard, p: int = 12) -> DataFrame:
+def hll_build_sharded(df: DataFrame, key: str, shard, p: int = 12, hash_fn: str = "xxhash64") -> DataFrame:
     """Per-shard register tables in ONE pass: ``(shard, idx, rho, p)``
     — the backfill/per-group shape (cms_build_sharded's twin): distinct
     users per day, per source, per tenant, each ≤ 2^p rows of state,
@@ -147,16 +165,14 @@ def hll_build_sharded(df: DataFrame, key: str, shard, p: int = 12) -> DataFrame:
     if not (4 <= p <= 18):
         raise ValueError(f"hll_build_sharded: p must be in [4, 18], got {p}")
     shard_col = F.col(shard) if isinstance(shard, str) else shard
-    h = "xxhash64(__hll_key, 42)"
+    idx_sql, rho_sql = _hash_exprs(p, hash_fn)
     keyed = df.select(shard_col.alias("shard"), F.col(key).alias("__hll_key")).filter(
         F.col(key).isNotNull()
     )
     reg = keyed.select(
         "shard",
-        F.expr(f"CAST(shiftrightunsigned({h}, {64 - p}) AS INT)").alias("idx"),
-        F.expr(
-            f"CAST(LEAST({_clz_expr(f'shiftleft({h}, {p})')} + 1, {64 - p + 1}) AS INT)"
-        ).alias("rho"),
+        F.expr(idx_sql).alias("idx"),
+        F.expr(rho_sql).alias("rho"),
     )
     return (
         reg.groupBy("shard", "idx")

@@ -136,7 +136,23 @@ def sketch_merge_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cms_heavy_hitters")  # rows-only: sketch internals are engine-specific
+_CMS_HH_ORACLE = """
+    WITH ev AS (SELECT user_id FROM events WHERE EXTRACT(day FROM ts) IN (1, 2, 3)),
+    pr AS (SELECT user_id, i,
+                  (('0x'||substr(md5(i::VARCHAR || ':' || user_id::VARCHAR),1,8))::BIGINT % 8192) AS bucket
+           FROM ev, unnest([0,1,2,3]) AS t(i)),
+    counters AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY i, bucket),
+    kp AS (SELECT DISTINCT user_id, i, bucket FROM pr),
+    est AS (SELECT kp.user_id, min(coalesce(c.cnt, 0)) AS est
+            FROM kp LEFT JOIN counters c USING (i, bucket) GROUP BY kp.user_id),
+    exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact FROM ev GROUP BY user_id)
+    SELECT e.user_id, e.est, x.exact, e.est - x.exact AS overcount
+    FROM est e JOIN exact x USING (user_id)
+    ORDER BY e.est DESC, e.user_id LIMIT 20
+    """
+
+
+@query("cms_heavy_hitters", oracle=_CMS_HH_ORACLE)
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimates (operators/cms.py) in the
     incremental-aggregate shape: one small sketch per day, merged by
@@ -146,7 +162,13 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact twin and the over-estimate (CMS error is one-sided: est ≥
     exact always; pytest pins that bound and the merge linearity). Top
     20 by estimate with user_id tiebreak so the output is deterministic
-    however the error lands."""
+    however the error lands.
+
+    md5-probe variant registered (``hash_fn="md5"``) so the DuckDB
+    oracle recomputes the ENTIRE d×w counter matrix, every point
+    estimate, and the top-20 — sharded build, merge linearity and
+    estimate join are all hash-checked; the xxhash64 production default
+    stays pytest-covered."""
     from laygo_python_spark.operators.cms import cms_build_sharded, cms_estimate, cms_merge
 
     ev = _t(spark, sf_dir, "events")
@@ -155,9 +177,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One scan builds ALL the daily sketches (shard = day); the merge
     # collapses the shard axis. Separate per-day cms_build calls would
     # rescan the table once per day.
-    daily = cms_build_sharded(in_days, "user_id", F.dayofmonth("ts"), d, w)
+    daily = cms_build_sharded(in_days, "user_id", F.dayofmonth("ts"), d, w, hash_fn="md5")
     merged = cms_merge(daily)
-    est = cms_estimate(merged, in_days.select("user_id").distinct(), "user_id", d, w)
+    est = cms_estimate(merged, in_days.select("user_id").distinct(), "user_id", d, w, hash_fn="md5")
     exact = in_days.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
     return (
         est.join(exact, "user_id")
@@ -247,7 +269,34 @@ def mg_heavy_hitters_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mg_heavy_hitters(part, "p_brand", min_freq=0.03)
 
 
-@query("hll_relational_daily_users")  # rows-only: DuckDB lacks xxhash64
+_HLL_DAILY_ORACLE = """
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+                WHERE user_id IS NOT NULL),
+    d3 AS (SELECT DISTINCT day FROM ev ORDER BY day LIMIT 3),
+    h AS (SELECT e.day, ('0x'||substr(md5(e.user_id::VARCHAR),1,15))::BIGINT AS hv
+          FROM ev e JOIN d3 USING (day)),
+    reg AS (SELECT day, hv >> 48 AS idx,
+                   CASE WHEN (hv & 281474976710655) = 0 THEN 49
+                        ELSE 49 - length(format('{:b}', hv & 281474976710655)) END AS rho0
+            FROM h),
+    regs AS (SELECT day, idx, max(rho0) AS rho FROM reg GROUP BY day, idx),
+    allregs AS (
+      SELECT day::VARCHAR AS day, idx, rho FROM regs
+      UNION ALL
+      SELECT 'merged', idx, max(rho) FROM regs GROUP BY idx),
+    agg AS (SELECT day, sum(power(2.0, -rho)) AS s, count(*) AS nz
+            FROM allregs GROUP BY day)
+    SELECT day,
+           round(CASE WHEN ((0.7213/(1+1.079/4096))*4096*4096/(s + (4096-nz))) <= 10240.0
+                       AND nz < 4096
+                      THEN 4096 * ln(4096.0/(4096-nz))
+                      ELSE (0.7213/(1+1.079/4096))*4096*4096/(s + (4096-nz)) END, 1)
+             AS est_distinct
+    FROM agg
+    """
+
+
+@query("hll_relational_daily_users", oracle=_HLL_DAILY_ORACLE)
 def hll_relational_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental distinct users via the RELATIONAL HyperLogLog
     (operators/hll.py) — same shape as sketch_merge_daily_users above
@@ -271,7 +320,7 @@ def hll_relational_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     days = [r["day"] for r in ev.select("day").distinct().orderBy("day").limit(3).collect()]
     sharded = hll_build_sharded(
-        ev.filter(F.col("day").isin(days)), "user_id", shard="day", p=12
+        ev.filter(F.col("day").isin(days)), "user_id", shard="day", p=12, hash_fn="md5"
     ).localCheckpoint(eager=True)
     per_day = hll_estimate_by(sharded, ["shard"]).select(
         F.col("shard").cast("string").alias("day"), F.round("est", 1).alias("est_distinct")
