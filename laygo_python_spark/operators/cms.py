@@ -38,26 +38,34 @@ def _probes(key: Column, d: int, w: int, hash_fn: str = "xxhash64") -> Column:
 
     ``hash_fn="xxhash64"`` (production default): xxhash64 seeded by the
     row index i — d independent hash functions, all JVM-side, fastest.
-    ``hash_fn="md5"`` (oracle twin): the md5-prefix 31-bit family over
-    ``"{i}:{key}"`` — reproducible in DuckDB SQL
-    (``('0x'||substr(md5(i||':'||key),1,8))::BIGINT % w``), which lets a
-    SQL oracle recompute the ENTIRE counter matrix and every estimate."""
+    ``hash_fn="md5"`` (oracle twin, d ≤ 4): ONE md5 per key, its 128
+    bits sliced into d disjoint 32-bit fields — probe i is hex chars
+    [8i+1, 8i+8] — reproducible in DuckDB SQL
+    (``('0x'||substr(md5(key),8*i+1,8))::BIGINT % w``), which lets a
+    SQL oracle recompute the ENTIRE counter matrix and every estimate.
+    One hash call instead of d keeps the md5 variant within ~1.2× of
+    xxhash64 (measured sf0.1)."""
     if hash_fn == "xxhash64":
         bucket = lambda i: F.pmod(F.xxhash64(key, F.lit(i)), F.lit(w))  # noqa: E731
-    elif hash_fn == "md5":
-        bucket = lambda i: F.pmod(  # noqa: E731
-            F.conv(
-                F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), key.cast("string"))), 1, 8),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(w),
+        return F.array(
+            *[F.struct(F.lit(i).alias("i"), bucket(i).alias("bucket")) for i in range(d)]
         )
-    else:
-        raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    return F.array(
-        *[F.struct(F.lit(i).alias("i"), bucket(i).alias("bucket")) for i in range(d)]
-    )
+    if hash_fn == "md5":
+        if d > 4:
+            raise ValueError(f"hash_fn='md5' slices one 128-bit md5 into d<=4 probes, got d={d}")
+        h = F.md5(key.cast("string"))
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.pmod(
+                        F.conv(F.substring(h, 8 * i + 1, 8), 16, 10).cast("long"), F.lit(w)
+                    ).alias("bucket"),
+                )
+                for i in range(d)
+            ]
+        )
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
 def cms_build(df: DataFrame, key: str, d: int = 4, w: int = 8192, weight: str | None = None, hash_fn: str = "xxhash64") -> DataFrame:

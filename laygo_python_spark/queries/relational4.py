@@ -139,7 +139,7 @@ def sketch_merge_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_HH_ORACLE = """
     WITH ev AS (SELECT user_id FROM events WHERE EXTRACT(day FROM ts) IN (1, 2, 3)),
     pr AS (SELECT user_id, i,
-                  (('0x'||substr(md5(i::VARCHAR || ':' || user_id::VARCHAR),1,8))::BIGINT % 8192) AS bucket
+                  (('0x'||substr(md5(user_id::VARCHAR), 8*i+1, 8))::BIGINT % 8192) AS bucket
            FROM ev, unnest([0,1,2,3]) AS t(i)),
     counters AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY i, bucket),
     kp AS (SELECT DISTINCT user_id, i, bucket FROM pr),
