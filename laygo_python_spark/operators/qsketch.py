@@ -65,6 +65,29 @@ def qsketch_build(df: DataFrame, col: str, gamma: float = 1.02) -> DataFrame:
     )
 
 
+def qsketch_build_sharded(df: DataFrame, col: str, shard, gamma: float = 1.02) -> DataFrame:
+    """Per-shard histograms in ONE pass: ``(shard, bucket, cnt, gamma)``
+    — the backfill shape (cms_build_sharded / hll_build_sharded's twin):
+    one scan builds every day's sketch instead of one filtered scan per
+    day. Collapse the shard axis by summing counters (``qsketch_merge``
+    after dropping the shard column, or a direct groupBy-sum)."""
+    shard_col = F.col(shard) if isinstance(shard, str) else shard
+    b = F.round(F.log(F.col(col) + F.lit(1.0)) / F.lit(math.log(gamma))).cast("int")
+    guard = F.assert_true(
+        F.col(col).isNotNull() & (F.col(col) >= 0),
+        F.lit(
+            f"qsketch_build_sharded: column {col!r} contains null or negative values — "
+            "the sketch is defined for non-negative values; filter or shift them first"
+        ),
+    )
+    return (
+        df.select(shard_col.alias("shard"), F.when(guard.isNull(), b).alias("bucket"))
+        .groupBy("shard", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("gamma", F.lit(float(gamma)))
+    )
+
+
 def _gamma(sketch: DataFrame, what: str) -> float:
     rows = sketch.select("gamma").distinct().collect()
     if len(rows) != 1:

@@ -194,27 +194,58 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("qsketch_value_quantiles")  # rows-only: bucket rounding is engine-specific
+_QSKETCH_ORACLE = """
+    WITH ev AS (SELECT value FROM events WHERE EXTRACT(day FROM ts) IN (1, 2, 3)),
+    b AS (SELECT CAST(round(ln(value + 1.0) / ln(1.02)) AS INT) AS bucket FROM ev),
+    h AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM h),
+    cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h),
+    qv AS (SELECT unnest(CAST([0.5, 0.95, 0.99] AS DOUBLE[])) AS q),
+    picked AS (SELECT q, min(bucket) AS bucket
+               FROM qv, cum, t WHERE cum >= ceil(q * total) GROUP BY q),
+    ex AS (SELECT quantile_cont(value, 0.5) AS e50, quantile_cont(value, 0.95) AS e95,
+                  quantile_cont(value, 0.99) AS e99 FROM ev),
+    exact AS (SELECT 0.5::DOUBLE AS q, e50 AS exact FROM ex
+              UNION ALL SELECT 0.95::DOUBLE, e95 FROM ex
+              UNION ALL SELECT 0.99::DOUBLE, e99 FROM ex)
+    SELECT p.q, round(exp(p.bucket * ln(1.02)) - 1.0, 4) AS est,
+           round(x.exact, 4) AS exact,
+           round(abs((exp(p.bucket * ln(1.02)) - 1.0) - x.exact) / x.exact, 4) AS rel_err
+    FROM picked p JOIN exact x ON p.q = x.q
+    ORDER BY p.q
+    """
+
+
+@query("qsketch_value_quantiles", oracle=_QSKETCH_ORACLE)
 def qsketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (operators/qsketch.py) in the
-    incremental shape: one log-bucketed histogram per event day, merged
-    by counter addition, quantiles answered from the merged sketch. The
-    exact twins ride along so the rows-only check pins the relative
-    error (pytest asserts ≤ 2·(gamma-1)); at 100 TB you'd store only
-    the per-day sketches and never rescan raw events."""
+    incremental shape: one log-bucketed histogram per event day (ONE
+    scan via the sharded build — the r3 shape scanned events once per
+    day), merged by counter addition, quantiles answered from the
+    merged sketch. The exact twins ride along; as of r4 the whole
+    pipeline is ORACLE-gated — DuckDB recomputes the log buckets, the
+    cumulative pick and the geometric midpoints (cross-engine ln() is
+    within 1 ulp; a bucket flip would need the rounded quotient within
+    1 ulp of .5, which the hash match demonstrates doesn't occur here).
+    At 100 TB you'd store only the per-day sketches and never rescan
+    raw events."""
     from laygo_python_spark.operators.qsketch import (
-        qsketch_build,
-        qsketch_merge,
+        qsketch_build_sharded,
         qsketch_quantiles,
     )
 
     ev = _t(spark, sf_dir, "events")
     gamma = 1.02
-    daily = [
-        qsketch_build(ev.filter(F.dayofmonth("ts") == day).select("value"), "value", gamma)
-        for day in (1, 2, 3)
-    ]
-    merged = qsketch_merge(*daily)
+    daily = qsketch_build_sharded(
+        ev.filter(F.dayofmonth("ts").isin(1, 2, 3)).select(F.dayofmonth("ts").alias("day"), "value"),
+        "value",
+        shard="day",
+        gamma=gamma,
+    )
+    merged = (
+        daily.groupBy("bucket", "gamma").agg(F.sum("cnt").alias("cnt"))
+        .select("bucket", "cnt", "gamma")
+    )
     qs = [0.5, 0.95, 0.99]
     est = qsketch_quantiles(merged, qs)
     exact = (
