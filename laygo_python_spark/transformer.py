@@ -573,6 +573,7 @@ class Transformer:
             fn = lambda pdf, ctx: chain(pdf, ctx)  # noqa: E731
         handler = on_error
         fn_ctx_aware = is_context_aware(fn)
+        chunker = self._chunker
 
         def step(df: DataFrame, context: Context | None) -> DataFrame:
             out_schema = schema if schema is not None else df.schema
@@ -613,7 +614,12 @@ class Transformer:
                 yield from salvage(pdf.iloc[mid:])
 
             def run(batches: Iterable[pd.DataFrame]):
-                for pdf in batches:
+                # A set_chunker installed upstream governs the error-domain
+                # boundaries here too (batch-mode drops exactly one custom
+                # chunk per failure), mirroring the reference where the
+                # chunker defines the chunks catch operates on.
+                stream = chunker(batches) if chunker is not None else batches
+                for pdf in stream:
                     if mode == "batch":
                         ok, out = attempt(pdf)
                         if ok:

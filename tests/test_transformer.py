@@ -606,3 +606,21 @@ def test_set_chunker_survives_clone_and_applies_to_later_stages_only(spark):
         lambda pdf: pdf.assign(chunk_n=len(pdf)), schema="v long, chunk_n int"
     )(df).collect()
     assert {r.chunk_n for r in rows} == {7}
+
+
+def test_set_chunker_governs_catch_error_domains(spark):
+    """A custom chunker defines catch's batch-mode error domains: with
+    5-row chunks, one poison row drops exactly its 5-row chunk, not the
+    whole Arrow batch."""
+    from laygo_python_spark import Transformer
+
+    df = spark.range(0, 100).select(F.col("id").alias("v")).coalesce(1)
+
+    def fragile(pdf):
+        if (pdf["v"] == 42).any():
+            raise ValueError("poison")
+        return pdf
+
+    rows = Transformer().set_chunker(5).catch(fragile)(df).collect()
+    got = sorted(r.v for r in rows)
+    assert got == [v for v in range(100) if not (40 <= v < 45)]
