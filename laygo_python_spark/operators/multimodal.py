@@ -175,10 +175,21 @@ def png_decode_pixels(b: bytes | None, max_bytes: int = 64 << 20):
     if not idat:
         return None
     try:
-        raw = _z.decompress(bytes(idat), bufsize=min(expected, max_bytes))
+        # decompressobj + max_length is the REAL bomb guard:
+        # zlib.decompress's bufsize is only the initial buffer size and
+        # does not cap output, so a payload declaring small dimensions
+        # but inflating to gigabytes would still be fully expanded.
+        # Here inflation stops at expected+1 bytes; anything longer than
+        # the header's raw size is rejected without being materialized.
+        d = _z.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except _z.error:
         return None
-    if len(raw) != expected:
+    # d.eof guards truncation: decompressobj returns PARTIAL output for a
+    # cut-off stream without raising (unlike zlib.decompress), so the
+    # length check alone could accept a prefix that happens to inflate
+    # to the full raw size before the missing end marker.
+    if len(raw) != expected or d.unconsumed_tail or not d.eof:
         return None
 
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + w * ch)

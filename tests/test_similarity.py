@@ -351,3 +351,22 @@ def test_decode_features_real_pixel_stats(spark):
     ch, mean, std, mn, mx = rows[1].feature[:5]
     assert (ch, mean, std, mn, mx) == (3.0, 128.0, 0.0, 128.0, 128.0)
     assert rows[2].feature is not None and len(rows[2].feature) == 8
+
+
+def test_png_decode_rejects_decompression_bomb():
+    """A payload declaring tiny dimensions whose IDAT inflates far past
+    the header's raw size must be rejected WITHOUT materializing the
+    expansion (decompressobj max_length, not plain zlib.decompress)."""
+    import struct
+    import zlib as _z
+
+    ihdr = struct.pack(">II", 4, 4) + bytes([8, 2, 0, 0, 0])
+
+    def _chunk(cid, data):
+        return struct.pack(">I", len(data)) + cid + data + struct.pack(">I", _z.crc32(cid + data))
+
+    bomb_idat = _z.compress(b"\x00" * (10 << 20))  # 10 MB of zeros, ~10 KB compressed
+    blob = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", bomb_idat) + _chunk(b"IEND", b"")
+    )
+    assert multimodal.png_decode_pixels(blob) is None
