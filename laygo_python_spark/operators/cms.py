@@ -77,10 +77,17 @@ def cms_build(df: DataFrame, key: str, d: int = 4, w: int = 8192, weight: str | 
     RLE) so merge/estimate can verify they operate on compatible
     sketches instead of silently undercounting. ``weight`` optionally
     counts each row with a column's weight instead of 1 (e.g.
-    pre-aggregated (key, n) pairs)."""
+    pre-aggregated (key, n) pairs).
+
+    NULL keys are filtered (mirroring bloom_build / hll_build):
+    ``xxhash64(NULL, i)`` is a seed-derived value, not NULL, so an
+    unfiltered NULL would increment d real counters and over-count any
+    colliding key; frequency-of-NULL is not a question a key sketch
+    answers."""
     wcol = F.col(weight) if weight else F.lit(1)
     return (
-        df.select(F.explode(_probes(F.col(key), d, w, hash_fn)).alias("p"), wcol.alias("wt"))
+        df.filter(F.col(key).isNotNull())
+        .select(F.explode(_probes(F.col(key), d, w, hash_fn)).alias("p"), wcol.alias("wt"))
         .groupBy(F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket"))
         .agg(F.sum("wt").alias("cnt"))
         .withColumns({"d": F.lit(d), "w": F.lit(w)})
@@ -100,7 +107,8 @@ def cms_build_sharded(df: DataFrame, key: str, shard, d: int = 4, w: int = 8192,
     shard_col = F.col(shard) if isinstance(shard, str) else shard
     wcol = F.col(weight) if weight else F.lit(1)
     return (
-        df.select(
+        df.filter(F.col(key).isNotNull())
+        .select(
             shard_col.alias("shard"),
             F.explode(_probes(F.col(key), d, w, hash_fn)).alias("p"),
             wcol.alias("wt"),

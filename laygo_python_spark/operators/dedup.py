@@ -350,7 +350,8 @@ def minhash_lsh_candidates(
     otherwise force one task to emit size² pairs.
     """
     rows_per_band = num_hashes // bands
-    assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
+    if bands * rows_per_band != num_hashes:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     if clique_mode not in ("pairs", "star"):
         raise ValueError(f"unknown clique_mode {clique_mode!r}")
 

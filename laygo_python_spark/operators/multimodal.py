@@ -120,7 +120,7 @@ def image_dimensions(b: bytes | None) -> tuple[int, int] | None:
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type → samples/pixel
 
 
-def png_decode_pixels(b: bytes | None, max_bytes: int = 64 << 20):
+def png_decode_pixels(b: bytes | None, max_bytes: int = 16 << 20):
     """Decode a non-interlaced 8-bit PNG (gray / RGB / gray+alpha /
     RGBA) to an (h, w, channels) uint8 numpy array — ZERO dependencies:
     stdlib ``zlib.decompress`` over the concatenated IDAT chunks, then
@@ -133,7 +133,15 @@ def png_decode_pixels(b: bytes | None, max_bytes: int = 64 << 20):
     truncated, or over ``max_bytes`` decompressed (the decompression-
     bomb guard: executors must not OOM on a crafted payload). Strict
     callers turn that None into NotImplementedError; this function
-    never raises on malformed input."""
+    never raises on malformed input.
+
+    ``max_bytes`` bounds CPU as well as memory: Average/Paeth rows walk
+    pixels in a Python loop (the left-neighbor dependency is
+    sequential), ~O(raw bytes) small numpy ops — the 16 MB default
+    keeps the worst case to a few seconds per payload. Bulk decode of
+    genuinely large images belongs in a real codec, not this
+    stdlib-only fallback; raise the cap deliberately if you accept the
+    CPU cost."""
     import struct
     import zlib as _z
 

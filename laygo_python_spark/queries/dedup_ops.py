@@ -32,8 +32,12 @@ def _minhash_sig_cte(num_hashes: int, seed: int = 42, doc_filter: str = "") -> s
     slots = ",\n           ".join(
         f"min(({a}*hv+{b})%{_P}) AS s{i}" for i, (a, b) in enumerate(params)
     )
+    # regexp_split_to_array('\\s+'), not string_split(' '): the Python
+    # hashers tokenize with str.split(), which collapses whitespace RUNS
+    # and splits on tabs/newlines — a single-space split would silently
+    # diverge on any document with real whitespace.
     return f"""
-    toks AS (SELECT doc_id, string_split(trim(text),' ') AS l
+    toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
              FROM documents WHERE text IS NOT NULL{doc_filter}),
     idx AS (SELECT doc_id, l, unnest(range(1, len(l)-1)) AS i
             FROM toks WHERE len(l) >= 3),
@@ -53,7 +57,14 @@ def _minhash_sample_oracle() -> str:
     return f"WITH {_minhash_sig_cte(8, doc_filter=' AND doc_id < 20')}\n    {sel}"
 
 
-def _minhash_lsh_oracle(num_hashes: int = 128, bands: int = 32) -> str:
+def _minhash_lsh_oracle(num_hashes: int = 128, bands: int = 32, max_bucket: int = 1000) -> str:
+    """Faithful to the OPERATOR CONTRACT, including the ``max_bucket``
+    skew guard: same-signature doc pairs always emit with n_bands =
+    ``bands`` (immune to the cap, exactly as the signature-dedup path
+    guarantees); cross-signature pairs count only band buckets holding
+    between 2 and ``max_bucket`` DISTINCT signatures — a capless
+    all-pairs oracle would report a false mismatch on any corpus where
+    a hot bucket legitimately trips the guard."""
     r = num_hashes // bands
     band_sel = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS b, concat_ws(',', {slots}) AS k FROM sig".format(
@@ -61,32 +72,76 @@ def _minhash_lsh_oracle(num_hashes: int = 128, bands: int = 32) -> str:
         )
         for b in range(bands)
     )
+    all_slots = ", ".join(f"s{i}" for i in range(num_hashes))
     return f"""WITH {_minhash_sig_cte(num_hashes)},
-    bands AS (
-      {band_sel})
-    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_bands
-    FROM bands a JOIN bands b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
-    GROUP BY 1, 2"""
+    sg AS (SELECT doc_id, concat_ws(',', {all_slots}) AS fsig FROM sig),
+    band_docs AS (
+      {band_sel}),
+    bandsig AS (SELECT DISTINCT g.fsig, bd.b, bd.k
+                FROM band_docs bd JOIN sg g USING (doc_id)),
+    kept AS (SELECT b, k FROM bandsig GROUP BY b, k
+             HAVING count(*) BETWEEN 2 AND {max_bucket}),
+    spn AS (SELECT p.fsig AS fa, q.fsig AS fb, count(*) AS n_bands
+            FROM bandsig p
+            JOIN bandsig q ON p.b = q.b AND p.k = q.k AND p.fsig < q.fsig
+            JOIN kept ON kept.b = p.b AND kept.k = p.k
+            GROUP BY 1, 2),
+    cross_pairs AS (
+      SELECT least(x.doc_id, y.doc_id) AS doc_id_a,
+             greatest(x.doc_id, y.doc_id) AS doc_id_b, s.n_bands
+      FROM spn s JOIN sg x ON x.fsig = s.fa JOIN sg y ON y.fsig = s.fb),
+    same_pairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST({bands} AS BIGINT) AS n_bands
+      FROM sg a JOIN sg b ON a.fsig = b.fsig AND a.doc_id < b.doc_id)
+    SELECT doc_id_a, doc_id_b, n_bands FROM cross_pairs
+    UNION ALL SELECT doc_id_a, doc_id_b, n_bands FROM same_pairs"""
 
 
-def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+def _simhash_oracle(bits: int = 60, max_hamming: int = 3, max_bucket: int = 2000) -> str:
+    """Faithful to the OPERATOR CONTRACT including the ``max_bucket``
+    pigeonhole-bucket cap: same-fingerprint pairs always emit at
+    hamming 0 (immune); cross-fingerprint pairs require hamming ≤ k AND
+    ≥ 1 shared chunk bucket holding ≤ ``max_bucket`` distinct
+    fingerprints. On a corpus where no bucket trips the cap this
+    reduces to all-pairs Hamming — certifying pigeonhole completeness —
+    while a capped bucket no longer produces a false mismatch."""
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_idx = ", ".join(str(i) for i in range(n_chunks))
     tallies = ",\n           ".join(
         f"sum(CASE WHEN (hv>>{j})&1=1 THEN 1 ELSE -1 END) AS t{j}" for j in range(bits)
     )
     fp_bits = " + ".join(
         f"(CASE WHEN t{j}>0 THEN (1::BIGINT<<{j}) ELSE 0 END)" for j in range(bits)
     )
-    return f"""WITH tok AS (SELECT doc_id, unnest(string_split(trim(text),' ')) AS t
+    return f"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
              FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
     th AS (SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT AS hv FROM tok),
     tally AS (SELECT doc_id,
            {tallies}
         FROM th GROUP BY doc_id),
-    fp AS (SELECT doc_id, {fp_bits} AS sh FROM tally)
-    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}"""
+    fp AS MATERIALIZED (SELECT doc_id, {fp_bits} AS sh FROM tally),
+    fps AS (SELECT DISTINCT sh FROM fp),
+    chunks AS (SELECT sh, i, (sh >> ({chunk_bits} * i)) & {mask} AS cv
+               FROM fps, unnest([{chunk_idx}]) AS u(i)),
+    kept AS (SELECT i, cv FROM chunks GROUP BY i, cv HAVING count(*) <= {max_bucket}),
+    fpp AS (SELECT DISTINCT a.sh AS sa, b.sh AS sb
+            FROM chunks a
+            JOIN chunks b ON a.i = b.i AND a.cv = b.cv AND a.sh < b.sh
+            JOIN kept ON kept.i = a.i AND kept.cv = a.cv
+            WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}),
+    cross_pairs AS (
+      SELECT least(x.doc_id, y.doc_id) AS doc_id_a,
+             greatest(x.doc_id, y.doc_id) AS doc_id_b,
+             CAST(bit_count(xor(p.sa, p.sb)) AS INT) AS hamming
+      FROM fpp p JOIN fp x ON x.sh = p.sa JOIN fp y ON y.sh = p.sb),
+    same_pairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(0 AS INT) AS hamming
+      FROM fp a JOIN fp b ON a.sh = b.sh AND a.doc_id < b.doc_id)
+    SELECT doc_id_a, doc_id_b, hamming FROM cross_pairs
+    UNION ALL SELECT doc_id_a, doc_id_b, hamming FROM same_pairs"""
 
 
 @query(

@@ -348,7 +348,15 @@ def hll_relational_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``hll_merge`` implements."""
     from laygo_python_spark.operators.hll import hll_build_sharded, hll_estimate_by
 
-    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    # NULL-user rows are excluded BEFORE day selection so "the 3 earliest
+    # days" means days with at least one identified user — matching the
+    # oracle's d3 (a day of only-NULL users would otherwise be picked
+    # here but skipped there).
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .withColumn("day", F.to_date("ts"))
+    )
     days = [r["day"] for r in ev.select("day").distinct().orderBy("day").limit(3).collect()]
     sharded = hll_build_sharded(
         ev.filter(F.col("day").isin(days)), "user_id", shard="day", p=12, hash_fn="md5"

@@ -250,7 +250,7 @@ def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_reduce(
              list_prepend(0::BIGINT,
                [(('0x'||substr(md5(t),1,8))::BIGINT % 2147483648) % 2147483647
-                FOR t IN string_split(trim(text), ' ')]),
+                FOR t IN regexp_split_to_array(trim(text), '\\s+')]),
              (acc, hv) -> (acc*1000003 + hv) % 2147483647) AS rolling_fp
     FROM documents
     """,

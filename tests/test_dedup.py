@@ -265,3 +265,45 @@ def test_md5_hash_paths_match_crc32_structure(spark, planted):
     }
     assert sim.get((1, 2)) == 0
     assert (4, 5) not in sim
+
+
+def test_lsh_and_simhash_oracle_cap_semantics_differential(spark):
+    """The generated DuckDB oracles replicate the max_bucket skew guard
+    — differential check ON A CORPUS THAT TRIPS THE CAP (the standard
+    sf0.01 gate never does): near-dup docs put >cap distinct signatures
+    in shared band buckets; Spark with a tiny cap must equal the oracle
+    generated with the same cap, including reduced n_bands and the
+    cap-immune same-signature pairs."""
+    import duckdb
+    import pandas as pd
+
+    from laygo_python_spark.queries.dedup_ops import _minhash_lsh_oracle, _simhash_oracle
+
+    base = "the quick brown fox jumps over the lazy dog again and again near the river"
+    texts = [base] + [base.replace("river", w) for w in ("ocean", "lake", "pond", "creek")]
+    texts.append(base)  # exact dup of doc 0 → same-sig pair, cap-immune
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    docs = spark.createDataFrame(pdf)
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    got = sorted(
+        (r.doc_id_a, r.doc_id_b, r.n_bands)
+        for r in dedup.minhash_lsh_candidates(
+            docs, shingle_n=3, num_hashes=128, bands=32, max_bucket=2, hash_fn="md5"
+        ).collect()
+    )
+    want = sorted(map(tuple, con.execute(_minhash_lsh_oracle(max_bucket=2)).fetchall()))
+    assert got == want and len(got) > 0
+    # the cap actually fired: some cross pair counts fewer than 32 bands
+    assert any(n < 32 for _, _, n in got)
+
+    got_sh = sorted(
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in dedup.simhash_near_dups(
+            docs, max_hamming=3, bits=60, hash_fn="md5", max_bucket=1
+        ).collect()
+    )
+    want_sh = sorted(map(tuple, con.execute(_simhash_oracle(max_bucket=1)).fetchall()))
+    assert got_sh == want_sh
