@@ -82,6 +82,7 @@ HEADLINE = [
     "qsketch_value_quantiles",
     "stream_hourly_counts",
     "minhash_signature_sample",
+    "dedup_incremental_lsh",
 ]
 
 

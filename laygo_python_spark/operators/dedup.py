@@ -491,6 +491,123 @@ def minhash_lsh_candidates(
     return out
 
 
+def minhash_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    hash_fn: str = "crc32",
+    max_bucket: int = 1000,
+) -> dict[str, DataFrame]:
+    """Build the PERSISTENT form of the LSH state: the incremental-dedup
+    index a 100 TB crawl pipeline stores between snapshots so yesterday's
+    corpus is NEVER re-shingled (its text is not even read at match
+    time — the posture ``dedup_new_vs_seen``'s docstring describes, made
+    concrete here).
+
+    Two integer tables, both parquet-able engine-neutral artifacts (the
+    same discipline as the bloom word table / HLL register table):
+
+    * ``membership`` (doc_id, sig_key) — doc → signature-group key;
+    * ``bands`` (sig_key, band_key) — DISTINCT signature → its band
+      keys, with the ``max_bucket`` skew guard applied AT BUILD TIME:
+      band buckets holding more than ``max_bucket`` distinct signatures
+      are dropped once, here, so every future match pays nothing for
+      them (same-signature matches are immune via ``membership``).
+
+    Index size: |docs| membership rows + ≤ bands × |distinct sigs| band
+    rows — hashes and ids only, no text."""
+    sig = _minhash_sig_keys(docs, id_col, text_col, shingle_n, num_hashes, bands, seed, hash_fn)
+    membership = sig.select(F.col(id_col).alias("doc_id"), "sig_key")
+    band_tbl = (
+        sig.select("sig_key", F.explode("band_keys").alias("band_key"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_key")
+    band_tbl = (
+        band_tbl.withColumn("__bc", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bc") <= max_bucket)
+        .drop("__bc")
+    )
+    return {"membership": membership, "bands": band_tbl}
+
+
+def minhash_index_write(index: dict[str, DataFrame], path: str) -> None:
+    """Persist an index as two parquet subdirectories."""
+    index["membership"].write.mode("overwrite").parquet(f"{path}/membership")
+    index["bands"].write.mode("overwrite").parquet(f"{path}/bands")
+
+
+def minhash_index_read(spark, path: str) -> dict[str, DataFrame]:
+    return {
+        "membership": spark.read.parquet(f"{path}/membership"),
+        "bands": spark.read.parquet(f"{path}/bands"),
+    }
+
+
+def minhash_match_incremental(
+    new_docs: DataFrame,
+    index: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    hash_fn: str = "crc32",
+) -> DataFrame:
+    """Cross-snapshot LSH candidates: today's batch against a stored
+    index — (doc_id_new, doc_id_seen, n_bands), where n_bands counts
+    shared band keys (same-signature matches report the full ``bands``
+    count, exactly as the batch operator's signature-dedup path does).
+
+    Only the NEW docs are shingled/hashed (one map-only Python pass);
+    the seen side contributes two integer-table joins. Matches the
+    batch ``minhash_lsh_candidates(clique_mode="pairs")`` restricted to
+    (new × seen) pairs whenever the index was built with the same
+    params and no bucket was capped (pytest-pinned equivalence); with
+    capping, the index's build-time bucket drop replaces the batch
+    operator's combined-bucket cap — the documented incremental
+    semantics (seen-side skew is guarded once, at build)."""
+    sig = _minhash_sig_keys(
+        new_docs, id_col, text_col, shingle_n, num_hashes, bands, seed, hash_fn
+    )
+    membership = index["membership"]
+    band_tbl = index["bands"]
+
+    new_members = sig.select(F.col(id_col).alias("doc_id_new"), F.col("sig_key").alias("nsig"))
+    # Same-signature: the new doc's sig_key already exists in the index.
+    same = (
+        new_members.join(membership.withColumnsRenamed({"doc_id": "doc_id_seen", "sig_key": "nsig"}), "nsig")
+        .select("doc_id_new", "doc_id_seen", F.lit(bands).cast("long").alias("n_bands"))
+    )
+    # Cross-signature: new band keys probe the stored band table.
+    new_bands = (
+        sig.select(F.col("sig_key").alias("nsig"), F.explode("band_keys").alias("band_key"))
+        .distinct()
+    )
+    sig_pairs = (
+        new_bands.join(band_tbl.withColumnRenamed("sig_key", "ssig"), "band_key")
+        .filter(F.col("nsig") != F.col("ssig"))
+        .groupBy("nsig", "ssig")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    cross = (
+        sig_pairs.join(new_members, "nsig")
+        .join(
+            membership.withColumnsRenamed({"doc_id": "doc_id_seen", "sig_key": "ssig"}),
+            "ssig",
+        )
+        .select("doc_id_new", "doc_id_seen", "n_bands")
+    )
+    return cross.unionByName(same)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -304,6 +304,68 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_lsh_oracle(num_hashes: int = 128, bands: int = 32, max_bucket: int = 1000) -> str:
+    """Oracle for the incremental index-match path: seen = even doc_ids
+    (the stored index), new = odd. The build-time bucket cap applies to
+    the SEEN side only — exactly ``minhash_index``'s semantics."""
+    r = num_hashes // bands
+    band_sel = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS b, concat_ws(',', {slots}) AS k FROM sig".format(
+            b=b, slots=", ".join(f"s{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    all_slots = ", ".join(f"s{i}" for i in range(num_hashes))
+    return f"""WITH {_minhash_sig_cte(num_hashes)},
+    sg AS (SELECT doc_id, concat_ws(',', {all_slots}) AS fsig FROM sig),
+    band_docs AS (
+      {band_sel}),
+    seen_sig AS (SELECT DISTINCT g.fsig, bd.b, bd.k
+                 FROM band_docs bd JOIN sg g USING (doc_id) WHERE bd.doc_id % 2 = 0),
+    kept AS (SELECT b, k FROM seen_sig GROUP BY b, k HAVING count(*) <= {max_bucket}),
+    new_sig AS (SELECT DISTINCT g.fsig, bd.b, bd.k
+                FROM band_docs bd JOIN sg g USING (doc_id) WHERE bd.doc_id % 2 = 1),
+    spn AS (SELECT n.fsig AS nf, s.fsig AS sf, count(*) AS n_bands
+            FROM new_sig n
+            JOIN seen_sig s ON n.b = s.b AND n.k = s.k AND n.fsig <> s.fsig
+            JOIN kept ON kept.b = s.b AND kept.k = s.k
+            GROUP BY 1, 2),
+    cross_pairs AS (
+      SELECT x.doc_id AS doc_id_new, y.doc_id AS doc_id_seen, p.n_bands
+      FROM spn p
+      JOIN sg x ON x.fsig = p.nf AND x.doc_id % 2 = 1
+      JOIN sg y ON y.fsig = p.sf AND y.doc_id % 2 = 0),
+    same_pairs AS (
+      SELECT x.doc_id AS doc_id_new, y.doc_id AS doc_id_seen,
+             CAST({bands} AS BIGINT) AS n_bands
+      FROM sg x JOIN sg y ON x.fsig = y.fsig
+      WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0)
+    SELECT doc_id_new, doc_id_seen, n_bands FROM cross_pairs
+    UNION ALL SELECT doc_id_new, doc_id_seen, n_bands FROM same_pairs"""
+
+
+@query("dedup_incremental_lsh", oracle=_incremental_lsh_oracle())
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION cross-snapshot dedup shape: yesterday's corpus
+    (even doc_ids) lives as a stored LSH index — two integer parquet
+    tables, membership (doc, sig_key) and the band table with the skew
+    guard applied once at build — and today's batch (odd doc_ids) is
+    the only text that gets shingled. ``minhash_match_incremental``
+    joins the new batch's band keys against the index: the seen corpus
+    is never re-read (the index frames are checkpoint-pinned here to
+    stand in for the parquet artifact). Oracle-gated with the md5 hash
+    family: DuckDB rebuilds both sides' signatures and replays the
+    index-side bucket cap. Complements ``dedup_new_vs_seen`` (the exact
+    verify on the union) with the discovery half of the incremental
+    story."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = dedup.minhash_index(seen, hash_fn="md5")
+    idx = {k: v.localCheckpoint(eager=True) for k, v in idx.items()}
+    return dedup.minhash_match_incremental(new, idx, hash_fn="md5")
+
+
 @query(
     "dedup_new_vs_seen",
     oracle="""

@@ -307,3 +307,37 @@ def test_lsh_and_simhash_oracle_cap_semantics_differential(spark):
     )
     want_sh = sorted(map(tuple, con.execute(_simhash_oracle(max_bucket=1)).fetchall()))
     assert got_sh == want_sh
+
+
+def test_incremental_lsh_equals_batch_cross_pairs(spark, sf_dir):
+    """The stored-index match must reproduce the batch operator's
+    (new x seen) candidate pairs exactly — same pairs, same n_bands —
+    whenever the index used the same params and no bucket capped."""
+    docs = read_table(spark, sf_dir, "documents")
+    seen = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    idx = dedup.minhash_index(seen, shingle_n=3)
+    inc = {
+        (r.doc_id_new, r.doc_id_seen): r.n_bands
+        for r in dedup.minhash_match_incremental(new, idx, shingle_n=3).collect()
+    }
+    batch = {}
+    for r in dedup.minhash_lsh_candidates(docs, shingle_n=3).collect():
+        if (r.doc_id_a % 2) != (r.doc_id_b % 2):
+            n, s = (r.doc_id_a, r.doc_id_b) if r.doc_id_a % 2 else (r.doc_id_b, r.doc_id_a)
+            batch[(n, s)] = r.n_bands
+    assert inc == batch and inc
+
+
+def test_minhash_index_parquet_roundtrip(spark, tmp_path, planted):
+    """The artifact story: write the index, reload it cold, match —
+    identical output to matching against the in-memory build."""
+    seen = planted.filter("doc_id <= 3")
+    new = planted.filter("doc_id > 3")
+    idx = dedup.minhash_index(seen, shingle_n=1)
+    direct = sorted(map(tuple, dedup.minhash_match_incremental(new, idx, shingle_n=1).collect()))
+    path = str(tmp_path / "lsh_index")
+    dedup.minhash_index_write(idx, path)
+    reloaded = dedup.minhash_index_read(spark, path)
+    from_disk = sorted(map(tuple, dedup.minhash_match_incremental(new, reloaded, shingle_n=1).collect()))
+    assert direct == from_disk
