@@ -1242,3 +1242,121 @@ def simhash_near_dups(
     out = cross.unionByName(same)
     out._release_pin = _release_pin  # deterministic release handle
     return out
+
+
+def simhash_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 2000,
+    bits: int = 64,
+    hash_fn: str = "crc32",
+) -> dict[str, DataFrame]:
+    """SimHash twin of ``minhash_index``: the stored incremental state —
+
+    * ``fingerprints`` (doc_id, sh) — doc → fingerprint;
+    * ``chunks`` (sh, chunk_idx, chunk_val) — DISTINCT fingerprints'
+      pigeonhole chunks, with overfull buckets (> ``max_bucket``
+      distinct fingerprints) dropped once at build time.
+
+    Integer-only parquet-able artifacts; matching a new batch never
+    re-reads the seen corpus."""
+    n_chunks = max_hamming + 1
+    if bits % n_chunks != 0:
+        raise ValueError("max_hamming+1 must divide bits so chunks tile the fingerprint")
+    chunk_bits = bits // n_chunks
+    fp = simhash_fingerprints(docs, id_col, text_col, bits, hash_fn).select(
+        F.col(id_col).alias("doc_id"), "sh"
+    )
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk_idx"),
+            F.shiftright(F.col("sh"), i * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            .alias("chunk_val"),
+        )
+        for i in range(n_chunks)
+    ]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chunk_idx", "chunk_val")
+    chunks = (
+        fp.select("sh").distinct()
+        .select("sh", F.explode(F.array(*chunk_structs)).alias("c"))
+        .select("sh", "c.chunk_idx", "c.chunk_val")
+        .withColumn("__bc", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bc") <= max_bucket)
+        .drop("__bc")
+    )
+    return {"fingerprints": fp, "chunks": chunks}
+
+
+def simhash_index_write(index: dict[str, DataFrame], path: str) -> None:
+    index["fingerprints"].write.mode("overwrite").parquet(f"{path}/fingerprints")
+    index["chunks"].write.mode("overwrite").parquet(f"{path}/chunks")
+
+
+def simhash_index_read(spark, path: str) -> dict[str, DataFrame]:
+    return {
+        "fingerprints": spark.read.parquet(f"{path}/fingerprints"),
+        "chunks": spark.read.parquet(f"{path}/chunks"),
+    }
+
+
+def simhash_match_incremental(
+    new_docs: DataFrame,
+    index: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+    hash_fn: str = "crc32",
+) -> DataFrame:
+    """(doc_id_new, doc_id_seen, hamming) — today's batch against the
+    stored simhash index. Same-fingerprint matches (hamming 0) join the
+    fingerprint table directly (immune to the bucket cap); near matches
+    probe the stored chunk table with the new batch's chunks and verify
+    Hamming ≤ k with one XOR/bit_count — the seen text is never read."""
+    n_chunks = max_hamming + 1
+    if bits % n_chunks != 0:
+        raise ValueError("max_hamming+1 must divide bits so chunks tile the fingerprint")
+    chunk_bits = bits // n_chunks
+    new_fp = simhash_fingerprints(new_docs, id_col, text_col, bits, hash_fn).select(
+        F.col(id_col).alias("doc_id_new"), F.col("sh").alias("nsh")
+    )
+    seen_fp = index["fingerprints"].withColumnsRenamed({"doc_id": "doc_id_seen", "sh": "ssh"})
+    same = new_fp.join(seen_fp, F.col("nsh") == F.col("ssh")).select(
+        "doc_id_new", "doc_id_seen", F.lit(0).cast("integer").alias("hamming")
+    )
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk_idx"),
+            F.shiftright(F.col("nsh"), i * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            .alias("chunk_val"),
+        )
+        for i in range(n_chunks)
+    ]
+    new_chunks = (
+        new_fp.select("nsh").distinct()
+        .select("nsh", F.explode(F.array(*chunk_structs)).alias("c"))
+        .select("nsh", "c.chunk_idx", "c.chunk_val")
+    )
+    hamming = F.bit_count(F.col("nsh").bitwiseXOR(F.col("ssh")))
+    fp_pairs = (
+        new_chunks.join(
+            index["chunks"].withColumnRenamed("sh", "ssh"), ["chunk_idx", "chunk_val"]
+        )
+        .filter(F.col("nsh") != F.col("ssh"))
+        .select("nsh", "ssh")
+        .distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    cross = (
+        fp_pairs.join(new_fp, "nsh")
+        .join(seen_fp, "ssh")
+        .select("doc_id_new", "doc_id_seen", F.col("hamming").cast("integer"))
+    )
+    return cross.unionByName(same)

@@ -341,3 +341,36 @@ def test_minhash_index_parquet_roundtrip(spark, tmp_path, planted):
     reloaded = dedup.minhash_index_read(spark, path)
     from_disk = sorted(map(tuple, dedup.minhash_match_incremental(new, reloaded, shingle_n=1).collect()))
     assert direct == from_disk
+
+
+def test_simhash_incremental_equals_batch_cross_pairs(spark, sf_dir):
+    """simhash_match_incremental against a stored index reproduces the
+    batch operator's (new x seen) pairs — pairs and hamming equal —
+    when no bucket caps."""
+    docs = read_table(spark, sf_dir, "documents")
+    seen = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    idx = dedup.simhash_index(seen)
+    inc = {
+        (r.doc_id_new, r.doc_id_seen): r.hamming
+        for r in dedup.simhash_match_incremental(new, idx).collect()
+    }
+    batch = {}
+    for r in dedup.simhash_near_dups(docs).collect():
+        if (r.doc_id_a % 2) != (r.doc_id_b % 2):
+            n, s = (r.doc_id_a, r.doc_id_b) if r.doc_id_a % 2 else (r.doc_id_b, r.doc_id_a)
+            batch[(n, s)] = r.hamming
+    assert inc == batch and inc
+
+
+def test_simhash_index_parquet_roundtrip(spark, tmp_path, planted):
+    seen = planted.filter("doc_id <= 3")
+    new = planted.filter("doc_id > 3")
+    idx = dedup.simhash_index(seen)
+    direct = sorted(map(tuple, dedup.simhash_match_incremental(new, idx).collect()))
+    path = str(tmp_path / "sh_index")
+    dedup.simhash_index_write(idx, path)
+    from_disk = sorted(
+        map(tuple, dedup.simhash_match_incremental(new, dedup.simhash_index_read(spark, path)).collect())
+    )
+    assert direct == from_disk
