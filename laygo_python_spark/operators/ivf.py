@@ -105,3 +105,64 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist the IVF index the way the module docstring promises a
+    100 TB deployment stores it: the corpus CELL-PARTITIONED on disk
+    (``cells/cell=<i>/…`` — a probe later reads only its ``n_probe``
+    directories via partition pruning) plus the trained centroids as a
+    tiny parquet. Train once, search many — queries never pay the
+    k-means job again and never scan unprobed cells."""
+    centroids = train_centroids(corpus, n_centroids, vec_col, seed)
+    assigned = _assign_cells(corpus, centroids, "neighbor_id", "cv", id_col, vec_col, n_probe=1)
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/cells")
+    spark = corpus.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def ivf_search_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a stored IVF index. The probed cell ids are a
+    bounded driver list (≤ n_centroids ints), turned into an ``isin``
+    literal so Catalyst prunes unprobed ``cell=`` directories at the
+    file-listing level — the corpus bytes of unprobed cells are never
+    opened (plan-asserted in tests). Results match ``ivf_topk`` run
+    with the same training params (pytest-pinned)."""
+    import numpy as np
+
+    from laygo_python_spark.operators.similarity import cosine
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = np.array(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])], dtype=np.float64
+    )
+    q = _assign_cells(queries, centroids, "query_id", "qv", id_col, vec_col, n_probe=n_probe)
+    q = q.localCheckpoint(eager=True)  # probed twice: cell list + the join
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    c = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(probed))
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -48,3 +48,24 @@ def test_ivf_scores_match_brute_force_sims(emb):
     for r in ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=2).collect():
         if (r.query_id, r.neighbor_id) in bf:
             assert r.sim == pytest.approx(bf[(r.query_id, r.neighbor_id)], rel=1e-12)
+
+
+def test_ivf_indexed_search_matches_direct_and_prunes_partitions(emb, tmp_path):
+    """The stored-index search must (a) return exactly what ivf_topk
+    computes with the same training params, and (b) read ONLY the
+    probed cell= directories — partition pruning visible in the scan's
+    PartitionFilters."""
+    from laygo_python_spark.operators.ivf import ivf_index_write, ivf_search_indexed
+    from laygo_python_spark.plans import formatted_plan
+
+    path = str(tmp_path / "ivf_index")
+    ivf_index_write(emb, path, n_centroids=8)
+    queries = emb.filter("vec_id < 10")
+    spark = emb.sparkSession
+    indexed = ivf_search_indexed(spark, path, queries, k=10, n_probe=2)
+    direct = ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=2)
+    got = sorted((r.query_id, r.neighbor_id, r.rank) for r in indexed.collect())
+    want = sorted((r.query_id, r.neighbor_id, r.rank) for r in direct.collect())
+    assert got == want and got
+    plan = formatted_plan(indexed)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
