@@ -225,3 +225,52 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
     )
+
+
+from laygo_python_spark.queries.dedup_ops import _incremental_lsh_oracle
+
+
+@query("stream_incremental_dedup", oracle=_incremental_lsh_oracle())
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest deduped against the STORED LSH index — the
+    production crawl shape end-to-end: yesterday's corpus (even
+    doc_ids) lives as the integer index tables (checkpoint-pinned here,
+    parquet in production), today's documents arrive as a file stream,
+    and every micro-batch is matched via ``minhash_match_incremental``
+    inside ``foreachBatch`` — per batch, only the batch's text is
+    shingled; the index never changes and the seen corpus is never
+    read. Each doc matches independently against the fixed index, so
+    the union over micro-batches equals the one-shot incremental match:
+    the SAME generated DuckDB oracle gates both (dedup_incremental_lsh
+    is the batch twin). The per-batch result is parquet-appendable in
+    production; here the tiny candidate set routes through collect for
+    the memory-backed return."""
+    from laygo_python_spark.operators import dedup
+    from laygo_python_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    idx = dedup.minhash_index(seen, hash_fn="md5")
+    idx = {k: v.localCheckpoint(eager=True) for k, v in idx.items()}
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    rows: list = []
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        new = batch_df.filter(F.col("doc_id") % 2 == 1)
+        rows.extend(
+            dedup.minhash_match_incremental(new, idx, hash_fn="md5").collect()
+        )
+
+    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.createDataFrame(rows, "doc_id_new long, doc_id_seen long, n_bands long")

@@ -21,6 +21,7 @@ load_all()
 _EXECUTING = {
     "stream_hourly_counts",
     "stream_session_windows",
+    "stream_incremental_dedup",
     "loop_double",
     "dedup_cluster_representatives",
     "ann_ivf_topk",
