@@ -263,3 +263,43 @@ def ivfpq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_index_write(
+    corpus: DataFrame,
+    path: str,
+    m: int = 8,
+    ksub: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist the PQ index: the encoded corpus (``codes/`` — m small
+    ints per vector, the write-once-scan-codes-forever form) plus the
+    codebooks flattened to a tiny parquet (``codebooks/``: one row per
+    (subspace, code) centroid). Completes the stored-artifact ANN family
+    next to the cell-partitioned IVF index and the LSH/SimHash tables:
+    floats are read once at build; every later search scans codes."""
+    codebooks = train_codebooks(corpus, m, ksub, vec_col, seed)
+    pq_encode(corpus, codebooks, id_col, vec_col).write.mode("overwrite").parquet(f"{path}/codes")
+    spark = corpus.sparkSession
+    rows = [
+        (s, c, [float(x) for x in codebooks[s, c]])
+        for s in range(codebooks.shape[0])
+        for c in range(codebooks.shape[1])
+    ]
+    spark.createDataFrame(rows, "subspace int, code int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def pq_index_read(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """(corpus codes DataFrame, codebooks ndarray) from a stored index."""
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["subspace"] for r in rows)
+    ksub = 1 + max(r["code"] for r in rows)
+    dsub = len(rows[0]["centroid"])
+    codebooks = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for r in rows:
+        codebooks[r["subspace"], r["code"]] = r["centroid"]
+    return spark.read.parquet(f"{path}/codes"), codebooks

@@ -107,3 +107,31 @@ def test_ivfpq_recall_and_pruning(spark, sf_dir):
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_pq_index_parquet_roundtrip_matches_direct(spark, sf_dir, tmp_path):
+    """Stored-index search: write codes + codebooks, reload cold, run
+    pq_topk — identical ranking to the in-memory path (ADC is
+    deterministic given codes and codebooks)."""
+    import numpy as np
+
+    from laygo_python_spark.operators.pq import (
+        pq_encode,
+        pq_index_read,
+        pq_index_write,
+        pq_topk,
+        train_codebooks,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter("vec_id < 5")
+    path = str(tmp_path / "pq_index")
+    pq_index_write(emb, path, m=8, ksub=16)
+    codes_disk, cb_disk = pq_index_read(spark, path)
+    direct_cb = train_codebooks(emb, 8, 16)
+    assert np.allclose(cb_disk, direct_cb)
+    direct = pq_topk(pq_encode(emb, direct_cb), queries, direct_cb, k=10)
+    from_disk = pq_topk(codes_disk, queries, cb_disk, k=10)
+    got = sorted((r.query_id, r.neighbor_id, r.rank) for r in from_disk.collect())
+    want = sorted((r.query_id, r.neighbor_id, r.rank) for r in direct.collect())
+    assert got == want and got
