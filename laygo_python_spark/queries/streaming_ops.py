@@ -242,9 +242,11 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     read. Each doc matches independently against the fixed index, so
     the union over micro-batches equals the one-shot incremental match:
     the SAME generated DuckDB oracle gates both (dedup_incremental_lsh
-    is the batch twin). The per-batch result is parquet-appendable in
-    production; here the tiny candidate set routes through collect for
-    the memory-backed return."""
+    is the batch twin). Each batch's matches APPEND to a parquet sink —
+    the distributed production path, no driver membrane — and the
+    returned frame reads that sink."""
+    import tempfile
+
     from laygo_python_spark.operators import dedup
     from laygo_python_spark.session import read_table
 
@@ -260,17 +262,17 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(sf_dir)
     )
-    rows: list = []
+    out_dir = tempfile.mkdtemp(prefix="stream_incdedup_")
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
         new = batch_df.filter(F.col("doc_id") % 2 == 1)
-        rows.extend(
-            dedup.minhash_match_incremental(new, idx, hash_fn="md5").collect()
-        )
+        dedup.minhash_match_incremental(new, idx, hash_fn="md5").write.mode(
+            "append"
+        ).parquet(out_dir)
 
     q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
     try:
         q.awaitTermination()
     finally:
         q.stop()
-    return spark.createDataFrame(rows, "doc_id_new long, doc_id_seen long, n_bands long")
+    return spark.read.parquet(out_dir).select("doc_id_new", "doc_id_seen", "n_bands")
