@@ -522,6 +522,7 @@ def minhash_index(
     rows — hashes and ids only, no text."""
     sig = _minhash_sig_keys(docs, id_col, text_col, shingle_n, num_hashes, bands, seed, hash_fn)
     membership = sig.select(F.col(id_col).alias("doc_id"), "sig_key")
+    reps = membership.groupBy("sig_key").agg(F.min("doc_id").alias("rep"))
     band_tbl = (
         sig.select("sig_key", F.explode("band_keys").alias("band_key"))
         .distinct()
@@ -534,18 +535,20 @@ def minhash_index(
         .filter(F.col("__bc") <= max_bucket)
         .drop("__bc")
     )
-    return {"membership": membership, "bands": band_tbl}
+    return {"membership": membership, "reps": reps, "bands": band_tbl}
 
 
 def minhash_index_write(index: dict[str, DataFrame], path: str) -> None:
-    """Persist an index as two parquet subdirectories."""
+    """Persist an index as three parquet subdirectories."""
     index["membership"].write.mode("overwrite").parquet(f"{path}/membership")
+    index["reps"].write.mode("overwrite").parquet(f"{path}/reps")
     index["bands"].write.mode("overwrite").parquet(f"{path}/bands")
 
 
 def minhash_index_read(spark, path: str) -> dict[str, DataFrame]:
     return {
         "membership": spark.read.parquet(f"{path}/membership"),
+        "reps": spark.read.parquet(f"{path}/reps"),
         "bands": spark.read.parquet(f"{path}/bands"),
     }
 
@@ -560,30 +563,51 @@ def minhash_match_incremental(
     bands: int = 32,
     seed: int = 42,
     hash_fn: str = "crc32",
+    mode: str = "pairs",
 ) -> DataFrame:
     """Cross-snapshot LSH candidates: today's batch against a stored
     index — (doc_id_new, doc_id_seen, n_bands), where n_bands counts
     shared band keys (same-signature matches report the full ``bands``
     count, exactly as the batch operator's signature-dedup path does).
 
+    ``mode`` controls the output SIZE contract, mirroring the batch
+    operator's ``clique_mode``:
+
+    * ``"pairs"``: every (new, seen) pair explicitly — what pairwise
+      verification needs. A boilerplate signature shared by n new and
+      m seen docs emits n×m rows: inherent to that answer.
+    * ``"rep"``: the 100 TB routing mode — each new doc emits ONE row
+      per matched seen SIGNATURE, with ``doc_id_seen`` = that group's
+      stored representative (min doc id). LINEAR in new docs × matched
+      signatures, so a million-doc boilerplate flood in the index costs
+      each matching new doc exactly one row. This is the decision a
+      dedup pipeline actually consumes ("drop the new doc / link it to
+      the canonical seen doc").
+
     Only the NEW docs are shingled/hashed (one map-only Python pass);
-    the seen side contributes two integer-table joins. Matches the
-    batch ``minhash_lsh_candidates(clique_mode="pairs")`` restricted to
-    (new × seen) pairs whenever the index was built with the same
-    params and no bucket was capped (pytest-pinned equivalence); with
-    capping, the index's build-time bucket drop replaces the batch
-    operator's combined-bucket cap — the documented incremental
-    semantics (seen-side skew is guarded once, at build)."""
+    the seen side contributes integer-table joins. ``mode="pairs"``
+    matches the batch ``minhash_lsh_candidates(clique_mode="pairs")``
+    restricted to (new × seen) pairs whenever the index was built with
+    the same params and no bucket was capped (pytest-pinned
+    equivalence); with capping, the index's build-time bucket drop
+    replaces the batch operator's combined-bucket cap — the documented
+    incremental semantics (seen-side skew is guarded once, at build)."""
+    if mode not in ("pairs", "rep"):
+        raise ValueError(f"unknown mode {mode!r}")
     sig = _minhash_sig_keys(
         new_docs, id_col, text_col, shingle_n, num_hashes, bands, seed, hash_fn
     )
-    membership = index["membership"]
+    seen_side = index["membership"] if mode == "pairs" else index["reps"]
+    seen_cols = {"sig_key": "nsig", "doc_id": "doc_id_seen"} if mode == "pairs" else {
+        "sig_key": "nsig",
+        "rep": "doc_id_seen",
+    }
     band_tbl = index["bands"]
 
     new_members = sig.select(F.col(id_col).alias("doc_id_new"), F.col("sig_key").alias("nsig"))
     # Same-signature: the new doc's sig_key already exists in the index.
     same = (
-        new_members.join(membership.withColumnsRenamed({"doc_id": "doc_id_seen", "sig_key": "nsig"}), "nsig")
+        new_members.join(seen_side.withColumnsRenamed(seen_cols), "nsig")
         .select("doc_id_new", "doc_id_seen", F.lit(bands).cast("long").alias("n_bands"))
     )
     # Cross-signature: new band keys probe the stored band table.
@@ -597,12 +621,13 @@ def minhash_match_incremental(
         .groupBy("nsig", "ssig")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
+    seen_cols_cross = {"sig_key": "ssig", "doc_id": "doc_id_seen"} if mode == "pairs" else {
+        "sig_key": "ssig",
+        "rep": "doc_id_seen",
+    }
     cross = (
         sig_pairs.join(new_members, "nsig")
-        .join(
-            membership.withColumnsRenamed({"doc_id": "doc_id_seen", "sig_key": "ssig"}),
-            "ssig",
-        )
+        .join(seen_side.withColumnsRenamed(seen_cols_cross), "ssig")
         .select("doc_id_new", "doc_id_seen", "n_bands")
     )
     return cross.unionByName(same)
