@@ -1281,6 +1281,8 @@ def simhash_index(
     """SimHash twin of ``minhash_index``: the stored incremental state —
 
     * ``fingerprints`` (doc_id, sh) — doc → fingerprint;
+    * ``reps`` (sh, rep) — each fingerprint group's min doc id, for the
+      linear ``mode="rep"`` match;
     * ``chunks`` (sh, chunk_idx, chunk_val) — DISTINCT fingerprints'
       pigeonhole chunks, with overfull buckets (> ``max_bucket``
       distinct fingerprints) dropped once at build time.
@@ -1314,17 +1316,20 @@ def simhash_index(
         .filter(F.col("__bc") <= max_bucket)
         .drop("__bc")
     )
-    return {"fingerprints": fp, "chunks": chunks}
+    reps = fp.groupBy("sh").agg(F.min("doc_id").alias("rep"))
+    return {"fingerprints": fp, "reps": reps, "chunks": chunks}
 
 
 def simhash_index_write(index: dict[str, DataFrame], path: str) -> None:
     index["fingerprints"].write.mode("overwrite").parquet(f"{path}/fingerprints")
+    index["reps"].write.mode("overwrite").parquet(f"{path}/reps")
     index["chunks"].write.mode("overwrite").parquet(f"{path}/chunks")
 
 
 def simhash_index_read(spark, path: str) -> dict[str, DataFrame]:
     return {
         "fingerprints": spark.read.parquet(f"{path}/fingerprints"),
+        "reps": spark.read.parquet(f"{path}/reps"),
         "chunks": spark.read.parquet(f"{path}/chunks"),
     }
 
@@ -1337,12 +1342,20 @@ def simhash_match_incremental(
     max_hamming: int = 3,
     bits: int = 64,
     hash_fn: str = "crc32",
+    mode: str = "pairs",
 ) -> DataFrame:
     """(doc_id_new, doc_id_seen, hamming) — today's batch against the
     stored simhash index. Same-fingerprint matches (hamming 0) join the
     fingerprint table directly (immune to the bucket cap); near matches
     probe the stored chunk table with the new batch's chunks and verify
-    Hamming ≤ k with one XOR/bit_count — the seen text is never read."""
+    Hamming ≤ k with one XOR/bit_count — the seen text is never read.
+
+    ``mode`` as in ``minhash_match_incremental``: ``"pairs"`` expands
+    every (new, seen) doc pair; ``"rep"`` emits one row per matched
+    seen FINGERPRINT with the group's stored representative — linear
+    under identical-doc floods."""
+    if mode not in ("pairs", "rep"):
+        raise ValueError(f"unknown mode {mode!r}")
     n_chunks = max_hamming + 1
     if bits % n_chunks != 0:
         raise ValueError("max_hamming+1 must divide bits so chunks tile the fingerprint")
@@ -1350,7 +1363,10 @@ def simhash_match_incremental(
     new_fp = simhash_fingerprints(new_docs, id_col, text_col, bits, hash_fn).select(
         F.col(id_col).alias("doc_id_new"), F.col("sh").alias("nsh")
     )
-    seen_fp = index["fingerprints"].withColumnsRenamed({"doc_id": "doc_id_seen", "sh": "ssh"})
+    if mode == "pairs":
+        seen_fp = index["fingerprints"].withColumnsRenamed({"doc_id": "doc_id_seen", "sh": "ssh"})
+    else:
+        seen_fp = index["reps"].withColumnsRenamed({"rep": "doc_id_seen", "sh": "ssh"})
     same = new_fp.join(seen_fp, F.col("nsh") == F.col("ssh")).select(
         "doc_id_new", "doc_id_seen", F.lit(0).cast("integer").alias("hamming")
     )

@@ -374,3 +374,29 @@ def test_simhash_index_parquet_roundtrip(spark, tmp_path, planted):
         map(tuple, dedup.simhash_match_incremental(new, dedup.simhash_index_read(spark, path)).collect())
     )
     assert direct == from_disk
+
+
+def test_simhash_incremental_rep_mode_linear_under_flood(spark):
+    """mode='rep' routes each new flood doc to the seen group's ONE
+    stored representative — linear rows, not n_new x n_seen pairs."""
+    boiler = "terms of service apply all rights reserved click here now"
+    seen = spark.createDataFrame([Row(doc_id=i, text=boiler) for i in range(50)])
+    new = spark.createDataFrame([Row(doc_id=100 + i, text=boiler) for i in range(20)])
+    idx = dedup.simhash_index(seen)
+    rep_rows = dedup.simhash_match_incremental(new, idx, mode="rep").collect()
+    assert len(rep_rows) == 20  # one row per new doc
+    assert {r.doc_id_seen for r in rep_rows} == {0}  # all route to the rep
+    pair_rows = dedup.simhash_match_incremental(new, idx, mode="pairs").count()
+    assert pair_rows == 20 * 50
+
+
+def test_minhash_incremental_rep_mode_linear_under_flood(spark):
+    boiler = "terms of service apply all rights reserved click here to unsubscribe now"
+    seen = spark.createDataFrame([Row(doc_id=i, text=boiler) for i in range(50)])
+    new = spark.createDataFrame([Row(doc_id=100 + i, text=boiler) for i in range(20)])
+    idx = dedup.minhash_index(seen)
+    rep_rows = dedup.minhash_match_incremental(new, idx, mode="rep").collect()
+    assert len(rep_rows) == 20
+    assert {r.doc_id_seen for r in rep_rows} == {0}
+    assert all(r.n_bands == 32 for r in rep_rows)
+    assert dedup.minhash_match_incremental(new, idx, mode="pairs").count() == 20 * 50
