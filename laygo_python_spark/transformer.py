@@ -240,6 +240,33 @@ class Transformer:
         step._batch_schema = schema  # type: ignore[attr-defined]
         return self._with(step)
 
+    def map_batches_http(
+        self,
+        url: str,
+        schema: Any | None = None,
+        timeout: float = 30.0,
+        retries: int = 2,
+        headers: dict[str, str] | None = None,
+    ) -> "Transformer":
+        """POST each Arrow batch to a remote HTTP worker and continue
+        with its response rows — the Spark-idiomatic form of the
+        reference's HTTPTransformer (laygo/transformers/http.py:97-295):
+        ship DATA to a stateless service from every executor in
+        parallel, instead of shipping code to a worker server. See
+        operators/http.py for the JSON envelope, the server-side
+        ``http_batch_handler`` twin, and the retry contract; compose
+        with ``.catch`` for drop-failed-batch semantics. Fan-out =
+        partition count (``repartition(n)`` = n in-flight requests)."""
+        from laygo_python_spark.operators.http import post_batches
+
+        def step(df: DataFrame, context: Context | None) -> DataFrame:
+            out_schema = schema if schema is not None else df.schema
+            return post_batches(
+                df, url, out_schema, timeout=timeout, retries=retries, headers=headers
+            )
+
+        return self._with(step)
+
     def map_batches_arrow(self, fn: Callable, schema: Any | None = None) -> "Transformer":
         """``map_batches`` on the pyarrow transport: ``fn(pa.RecordBatch)
         -> pa.RecordBatch`` with no pandas materialization (mapInArrow).
