@@ -24,7 +24,7 @@ fan-out are kept; single-use iterators become re-usable DataFrames; the
 thread/process/HTTP strategy choice becomes partitioning/cluster config.
 """
 
-from laygo_python_spark.context import Context
+from laygo_python_spark.context import Context, PipelineContext
 from laygo_python_spark.errors import ErrorHandler, raise_error
 from laygo_python_spark.pipeline import Pipeline
 from laygo_python_spark.session import get_spark, read_table, read_tables
@@ -40,6 +40,7 @@ __all__ = [
     "raise_error",
     "read_table",
     "read_tables",
+    "PipelineContext",
 ]
 
 __version__ = "0.1.0"

@@ -146,3 +146,22 @@ class Context(MutableMapping):
                 continue
             out.update({f"{name}.{k}": v for k, v in obs.get.items()})
         return out
+
+
+class PipelineContext(dict):
+    """DEPRECATED migration shim — parity with the reference's deprecated
+    ``PipelineContext`` (reference laygo/helpers.py:9-20, itself marked
+    deprecated there in favor of context managers). Exists so reference
+    code constructing a ``PipelineContext({...})`` runs unchanged; new
+    code should pass a ``Context`` (accumulator-backed, worker-safe).
+    ``Pipeline.context(...)`` accepts either."""
+
+    def __init__(self, *args, **kwargs):
+        import warnings
+
+        warnings.warn(
+            "PipelineContext is deprecated (as in the reference); use Context",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        super().__init__(*args, **kwargs)

@@ -480,3 +480,23 @@ def test_mixed_map_can_emit_containers(spark):
         {"doubled": 2, "as_list": [1, 1]},
         {"doubled": 4, "as_list": [2, 2]},
     ]
+
+
+def test_pipeline_context_deprecated_shim(spark):
+    """Reference migration parity: deprecated PipelineContext (reference
+    laygo/helpers.py:9-20) constructs with a DeprecationWarning and
+    feeds Pipeline.context unchanged."""
+    import warnings
+
+    from laygo_python_spark import Pipeline, PipelineContext
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ctx = PipelineContext({"threshold": 10})
+        assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    df = spark.range(0, 5).selectExpr("id AS value")
+    rows, out_ctx = (
+        Pipeline(df).context(ctx).transform(lambda t: t.filter("value >= 2")).to_list()
+    )
+    assert len(rows) == 3
+    assert out_ctx["threshold"] == 10
