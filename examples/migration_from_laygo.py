@@ -107,6 +107,36 @@ def branch_router(spark):
     }  # {"high_value": [1, 3], "standard": [2, 4]}
 
 
+def http_worker(spark):
+    """laygo:
+        http_transformer, get_route = create_http_transformer(int, endpoint=...)
+        http_transformer.map(lambda x: x * 2)
+        path, worker = get_route()            # server half
+        Pipeline(data).apply(http_transformer)  # client half
+
+    here (Spark-first: ship DATA to a stateless service, not code to a
+    worker — operators/http.py documents the mapping):
+        server: http_batch_handler(fn) on any stdlib/WSGI server
+        client: Transformer().map_batches_http(url)
+    """
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from laygo_python_spark.operators.http import http_batch_handler
+
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), http_batch_handler(lambda pdf: pdf.assign(value=pdf["value"] * 2))
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/"
+        df = spark.range(1, 6).selectExpr("id AS value")
+        rows, _ = Pipeline(df).apply(Transformer().map_batches_http(url)).to_list()
+        return sorted(rows)  # single-column to_list yields scalars: [2, 4, 6, 8, 10]
+    finally:
+        srv.shutdown()
+
+
 def main() -> None:
     spark = get_spark("migration_examples")
     print("basic_pipeline:", basic_pipeline(spark))
@@ -115,6 +145,7 @@ def main() -> None:
     print("etl_pipeline:", etl_pipeline(spark))
     print("reusable_transformer:", reusable_transformer(spark))
     print("branch_router:", branch_router(spark))
+    print("http_worker:", http_worker(spark))
 
 
 if __name__ == "__main__":

@@ -90,3 +90,7 @@ def test_incremental_analytics(spark):
     # true per-user count (~120), certifying no heavy user exists.
     assert len(mg_top) <= 5
     assert all(0 < est <= 150 for _, est in mg_top)
+
+
+def test_migration_http_worker(spark):
+    assert ex.http_worker(spark) == [2, 4, 6, 8, 10]
