@@ -60,6 +60,7 @@ def post_batches(
     retries: int = 2,
     backoff: float = 0.5,
     headers: dict[str, str] | None = None,
+    concurrency: int = 1,
 ) -> DataFrame:
     """POST each Arrow batch of ``df`` to ``url``; emit the response
     rows under ``schema``.
@@ -68,42 +69,72 @@ def post_batches(
     ``retries`` times with exponential backoff; 4xx responses raise
     immediately (a malformed request never heals by retrying). All I/O
     is executor-side stdlib urllib — no driver round-trips, no extra
-    dependencies."""
+    dependencies.
+
+    ``concurrency`` pipelines up to that many in-flight requests PER
+    PARTITION through a thread pool (the reference ``HTTPStrategy``'s
+    ``max_workers`` analog — a remote service is latency-bound, not
+    CPU-bound, so serial per-partition POSTs would idle the wire).
+    Total in-flight across the cluster = partitions × concurrency; the
+    sliding window keeps at most ``concurrency`` encoded payloads and
+    responses in memory per task."""
+    if concurrency < 1:
+        raise ValueError(f"concurrency must be >= 1, got {concurrency}")
     req_fn = request_fn or _default_request
     resp_fn = response_fn or _default_response
     extra = dict(headers or {})
 
-    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def call(payload: bytes) -> pd.DataFrame:
         import urllib.error
         import urllib.request
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            payload = req_fn(pdf)
-            attempt = 0
-            while True:
-                req = urllib.request.Request(
-                    url,
-                    data=payload,
-                    headers={"Content-Type": "application/json", **extra},
-                    method="POST",
-                )
-                try:
-                    with urllib.request.urlopen(req, timeout=timeout) as resp:
-                        out = resp_fn(resp.read())
-                    break
-                except urllib.error.HTTPError as exc:
-                    retryable = exc.code >= 500 or exc.code == 429
-                    if not retryable or attempt >= retries:
-                        raise
-                except (urllib.error.URLError, TimeoutError, ConnectionError):
-                    if attempt >= retries:
-                        raise
-                time.sleep(backoff * (2**attempt))
-                attempt += 1
-            if out is not None and len(out):
-                yield out
+        attempt = 0
+        while True:
+            req = urllib.request.Request(
+                url,
+                data=payload,
+                headers={"Content-Type": "application/json", **extra},
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    return resp_fn(resp.read())
+            except urllib.error.HTTPError as exc:
+                retryable = exc.code >= 500 or exc.code == 429
+                if not retryable or attempt >= retries:
+                    raise
+            except (urllib.error.URLError, TimeoutError, ConnectionError):
+                if attempt >= retries:
+                    raise
+            time.sleep(backoff * (2**attempt))
+            attempt += 1
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if concurrency == 1:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out = call(req_fn(pdf))
+                if out is not None and len(out):
+                    yield out
+            return
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            window: deque = deque()
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                window.append(pool.submit(call, req_fn(pdf)))
+                if len(window) >= concurrency:
+                    out = window.popleft().result()
+                    if out is not None and len(out):
+                        yield out
+            while window:
+                out = window.popleft().result()
+                if out is not None and len(out):
+                    yield out
 
     return df.mapInPandas(run, schema=schema)
 

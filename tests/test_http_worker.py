@@ -115,3 +115,36 @@ def test_server_handler_envelope_is_json_not_pickle():
     h.do_POST()
     assert captured["cols"] == ["v"]
     assert json.loads(out.getvalue())["records"] == [{"v": 1}, {"v": 2}]
+
+
+def test_post_batches_concurrency_pipelines_requests(spark):
+    """concurrency=8 pipelines in-flight requests per partition (the
+    reference HTTPStrategy max_workers analog): against a 0.15 s-latency
+    worker, 8 batches in ONE partition finish in ~1 round-trip instead
+    of 8 serial ones. Results identical either way."""
+    import time as _t
+
+    def slow_double(pdf):
+        _t.sleep(0.15)
+        return pdf.assign(v=pdf["v"] * 2)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), http_batch_handler(slow_double))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/"
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+        try:
+            df = spark.range(0, 80).select(F.col("id").alias("v")).coalesce(1)
+            t0 = _t.time()
+            serial = sorted(r.v for r in post_batches(df, url, "v long").collect())
+            serial_sec = _t.time() - t0
+            t0 = _t.time()
+            conc = sorted(r.v for r in post_batches(df, url, "v long", concurrency=8).collect())
+            conc_sec = _t.time() - t0
+        finally:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        assert conc == serial == [2 * v for v in range(80)]
+        # 8 x 0.15s serial ≈ 1.2s vs ~0.15-0.3s pipelined; generous margin
+        assert conc_sec < serial_sec * 0.6, (serial_sec, conc_sec)
+    finally:
+        srv.shutdown()
