@@ -247,6 +247,7 @@ class Transformer:
         timeout: float = 30.0,
         retries: int = 2,
         headers: dict[str, str] | None = None,
+        concurrency: int = 1,
     ) -> "Transformer":
         """POST each Arrow batch to a remote HTTP worker and continue
         with its response rows — the Spark-idiomatic form of the
@@ -262,7 +263,13 @@ class Transformer:
         def step(df: DataFrame, context: Context | None) -> DataFrame:
             out_schema = schema if schema is not None else df.schema
             return post_batches(
-                df, url, out_schema, timeout=timeout, retries=retries, headers=headers
+                df,
+                url,
+                out_schema,
+                timeout=timeout,
+                retries=retries,
+                headers=headers,
+                concurrency=concurrency,
             )
 
         return self._with(step)
