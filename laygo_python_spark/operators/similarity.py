@@ -305,3 +305,59 @@ def embedding_near_dups(
         .select("vec_id_a", "vec_id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def srp_index_write(
+    corpus: DataFrame,
+    path: str,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist the SRP-LSH index: the bucket-keyed corpus partitioned by
+    ``bkey`` (``buckets/bkey=<t:hash>/…`` — n_tables × 2^n_planes
+    directories, so a search reads only its query buckets via partition
+    pruning, the IVF-cells discipline) plus the keying params as a tiny
+    parquet. The hyperplanes are seed-derived — no trained state to
+    store; the params row is sufficient to key queries identically."""
+    c = _with_bucket_keys(
+        corpus, "neighbor_id", "cv", dim, n_planes, n_tables, seed, id_col, vec_col
+    )
+    c.write.partitionBy("bkey").mode("overwrite").parquet(f"{path}/buckets")
+    corpus.sparkSession.createDataFrame(
+        [(n_planes, n_tables, dim, seed)], "n_planes int, n_tables int, dim int, seed int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def srp_search_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a stored SRP index: key the queries with the
+    STORED params, prune the bucket directories to the queries' bucket
+    set (a bounded driver list), score bucket-locally. Matches
+    ``lsh_bucketed_topk`` with the same params (pytest-pinned)."""
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    q = _with_bucket_keys(
+        queries, "query_id", "qv", p["dim"], p["n_planes"], p["n_tables"], p["seed"], id_col, vec_col
+    ).localCheckpoint(eager=True)  # read twice: bucket list + join
+    probed = [r["bkey"] for r in q.select("bkey").distinct().collect()]
+    c = spark.read.parquet(f"{path}/buckets").filter(F.col("bkey").isin(probed))
+    candidates = (
+        c.join(F.broadcast(q), "bkey")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

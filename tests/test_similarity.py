@@ -370,3 +370,26 @@ def test_png_decode_rejects_decompression_bomb():
         b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", bomb_idat) + _chunk(b"IEND", b"")
     )
     assert multimodal.png_decode_pixels(blob) is None
+
+
+def test_srp_indexed_search_matches_direct_and_prunes(spark, sf_dir, tmp_path):
+    """Stored SRP index: identical results to lsh_bucketed_topk with the
+    same params, and the scan prunes to the queries' bucket directories."""
+    from laygo_python_spark.operators.similarity import (
+        lsh_bucketed_topk,
+        srp_index_write,
+        srp_search_indexed,
+    )
+    from laygo_python_spark.plans import formatted_plan
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "srp_index")
+    srp_index_write(emb, path, n_planes=4, n_tables=8)
+    queries = emb.filter("vec_id < 10")
+    indexed = srp_search_indexed(spark, path, queries, k=10)
+    direct = lsh_bucketed_topk(emb, queries, k=10, n_planes=4, n_tables=8)
+    got = sorted((r.query_id, r.neighbor_id, r.rank) for r in indexed.collect())
+    want = sorted((r.query_id, r.neighbor_id, r.rank) for r in direct.collect())
+    assert got == want and got
+    plan = formatted_plan(indexed)
+    assert "PartitionFilters" in plan and "bkey" in plan.split("PartitionFilters", 1)[1][:300]
