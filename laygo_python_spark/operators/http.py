@@ -61,6 +61,7 @@ def post_batches(
     backoff: float = 0.5,
     headers: dict[str, str] | None = None,
     concurrency: int = 1,
+    chunker: Callable[[Iterable[pd.DataFrame]], Iterator[pd.DataFrame]] | None = None,
 ) -> DataFrame:
     """POST each Arrow batch of ``df`` to ``url``; emit the response
     rows under ``schema``.
@@ -109,7 +110,10 @@ def post_batches(
             time.sleep(backoff * (2**attempt))
             attempt += 1
 
-    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(raw_batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # A chunker controls REQUEST size — one custom chunk = one POST
+        # (Transformer.set_chunker flows through map_batches_http).
+        batches = chunker(raw_batches) if chunker is not None else raw_batches
         if concurrency == 1:
             for pdf in batches:
                 if not len(pdf):

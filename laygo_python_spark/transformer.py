@@ -257,8 +257,11 @@ class Transformer:
         operators/http.py for the JSON envelope, the server-side
         ``http_batch_handler`` twin, and the retry contract; compose
         with ``.catch`` for drop-failed-batch semantics. Fan-out =
-        partition count (``repartition(n)`` = n in-flight requests)."""
+        partition count × ``concurrency``; an upstream ``set_chunker``
+        controls REQUEST size (one custom chunk = one POST)."""
         from laygo_python_spark.operators.http import post_batches
+
+        chunker = self._chunker
 
         def step(df: DataFrame, context: Context | None) -> DataFrame:
             out_schema = schema if schema is not None else df.schema
@@ -270,6 +273,7 @@ class Transformer:
                 retries=retries,
                 headers=headers,
                 concurrency=concurrency,
+                chunker=chunker,
             )
 
         return self._with(step)

@@ -148,3 +148,32 @@ def test_post_batches_concurrency_pipelines_requests(spark):
         assert conc_sec < serial_sec * 0.6, (serial_sec, conc_sec)
     finally:
         srv.shutdown()
+
+
+def test_set_chunker_controls_request_size(spark):
+    """An upstream set_chunker flows through map_batches_http: one
+    custom chunk = one POST, so the worker sees exactly-N-row bodies."""
+    sizes = []
+    lock = threading.Lock()
+
+    def record(pdf):
+        with lock:
+            sizes.append(len(pdf))
+        return pdf
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), http_batch_handler(record))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/"
+        df = spark.range(0, 60).select(F.col("id").alias("v")).coalesce(1)
+        got = sorted(
+            r.v
+            for r in Transformer()
+            .set_chunker(12)
+            .map_batches_http(url, schema="v long")(df)
+            .collect()
+        )
+        assert got == list(range(60))
+        assert sorted(sizes) == [12] * 5
+    finally:
+        srv.shutdown()
