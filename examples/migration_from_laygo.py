@@ -135,6 +135,7 @@ def http_worker(spark):
         return sorted(rows)  # single-column to_list yields scalars: [2, 4, 6, 8, 10]
     finally:
         srv.shutdown()
+        srv.server_close()
 
 
 def main() -> None:

@@ -520,7 +520,16 @@ def minhash_index(
 
     Index size: |docs| membership rows + ≤ bands × |distinct sigs| band
     rows — hashes and ids only, no text."""
-    sig = _minhash_sig_keys(docs, id_col, text_col, shingle_n, num_hashes, bands, seed, hash_fn)
+    # Pin the signature pass ONCE: membership/reps/bands are three
+    # derived frames, and exchange reuse never fires across mapInPandas
+    # subtrees (module-established, measured) — unpinned, every derived
+    # table's action (three writes in minhash_index_write, three
+    # caller-side checkpoints in the queries) would re-shingle the whole
+    # seen corpus. Blocks release via ContextCleaner once the returned
+    # frames are dereferenced.
+    sig = _minhash_sig_keys(
+        docs, id_col, text_col, shingle_n, num_hashes, bands, seed, hash_fn
+    ).localCheckpoint(eager=True)
     membership = sig.select(F.col(id_col).alias("doc_id"), "sig_key")
     reps = membership.groupBy("sig_key").agg(F.min("doc_id").alias("rep"))
     band_tbl = (
@@ -535,22 +544,67 @@ def minhash_index(
         .filter(F.col("__bc") <= max_bucket)
         .drop("__bc")
     )
-    return {"membership": membership, "reps": reps, "bands": band_tbl}
+    params = {
+        "shingle_n": shingle_n,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "seed": seed,
+        "hash_fn": hash_fn,
+    }
+    return {"membership": membership, "reps": reps, "bands": band_tbl, "params": params}
+
+
+_MINHASH_PARAM_SCHEMA = "shingle_n int, num_hashes int, bands int, seed int, hash_fn string"
 
 
 def minhash_index_write(index: dict[str, DataFrame], path: str) -> None:
-    """Persist an index as three parquet subdirectories."""
+    """Persist an index as parquet subdirectories INCLUDING its build
+    params — a matcher keyed with different params would silently find
+    nothing (the keys never collide), so the params ride with the
+    artifact and ``minhash_match_incremental`` resolves them from
+    there."""
     index["membership"].write.mode("overwrite").parquet(f"{path}/membership")
     index["reps"].write.mode("overwrite").parquet(f"{path}/reps")
     index["bands"].write.mode("overwrite").parquet(f"{path}/bands")
+    p = index["params"]
+    spark = index["membership"].sparkSession
+    spark.createDataFrame(
+        [(p["shingle_n"], p["num_hashes"], p["bands"], p["seed"], p["hash_fn"])],
+        _MINHASH_PARAM_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def minhash_index_read(spark, path: str) -> dict[str, DataFrame]:
+    row = spark.read.parquet(f"{path}/params").collect()[0]
     return {
         "membership": spark.read.parquet(f"{path}/membership"),
         "reps": spark.read.parquet(f"{path}/reps"),
         "bands": spark.read.parquet(f"{path}/bands"),
+        "params": {k: row[k] for k in ("shingle_n", "num_hashes", "bands", "seed", "hash_fn")},
     }
+
+
+def _resolve_index_params(index: dict, overrides: dict, fallbacks: dict) -> dict:
+    """Keying params for a match call: the index's stored params win
+    (keys derived with ANYTHING else can never collide — a divergence
+    is silent total recall loss, not an error); an explicit caller
+    override that CONTRADICTS the stored params raises instead of
+    producing that silent miss. Indexes from older artifacts without a
+    params entry fall back to the call/function defaults."""
+    stored = index.get("params")
+    resolved = dict(fallbacks)
+    if stored:
+        resolved.update(stored)
+    for k, v in overrides.items():
+        if v is None:
+            continue
+        if stored and k in stored and stored[k] != v:
+            raise ValueError(
+                f"index was built with {k}={stored[k]!r}, match called with {v!r} — "
+                "keys would never collide; drop the override or rebuild the index"
+            )
+        resolved[k] = v
+    return resolved
 
 
 def minhash_match_incremental(
@@ -558,11 +612,11 @@ def minhash_match_incremental(
     index: dict[str, DataFrame],
     id_col: str = "doc_id",
     text_col: str = "text",
-    shingle_n: int = 3,
-    num_hashes: int = 128,
-    bands: int = 32,
-    seed: int = 42,
-    hash_fn: str = "crc32",
+    shingle_n: int | None = None,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    seed: int | None = None,
+    hash_fn: str | None = None,
     mode: str = "pairs",
 ) -> DataFrame:
     """Cross-snapshot LSH candidates: today's batch against a stored
@@ -594,9 +648,32 @@ def minhash_match_incremental(
     incremental semantics (seen-side skew is guarded once, at build)."""
     if mode not in ("pairs", "rep"):
         raise ValueError(f"unknown mode {mode!r}")
+    p = _resolve_index_params(
+        index,
+        {
+            "shingle_n": shingle_n,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "seed": seed,
+            "hash_fn": hash_fn,
+        },
+        {"shingle_n": 3, "num_hashes": 128, "bands": 32, "seed": 42, "hash_fn": "crc32"},
+    )
+    shingle_n, num_hashes, bands, seed, hash_fn = (
+        p["shingle_n"],
+        p["num_hashes"],
+        p["bands"],
+        p["seed"],
+        p["hash_fn"],
+    )
+    # Pin the new batch's signature pass ONCE: it feeds the same-sig
+    # join, the cross-sig join, and the band explode — three subtrees
+    # that would each re-run the Python pass (exchange reuse never
+    # fires across mapInPandas subtrees; plan-verified 3x without the
+    # pin).
     sig = _minhash_sig_keys(
         new_docs, id_col, text_col, shingle_n, num_hashes, bands, seed, hash_fn
-    )
+    ).localCheckpoint(eager=True)
     seen_side = index["membership"] if mode == "pairs" else index["reps"]
     seen_cols = {"sig_key": "nsig", "doc_id": "doc_id_seen"} if mode == "pairs" else {
         "sig_key": "nsig",
@@ -1192,20 +1269,11 @@ def simhash_near_dups(
             )
         )
 
-    chunk_structs = [
-        F.struct(
-            F.lit(i).alias("chunk_idx"),
-            F.shiftright(F.col("sh"), i * chunk_bits)
-            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-            .alias("chunk_val"),
-        )
-        for i in range(n_chunks)
-    ]
     from pyspark.sql import Window
 
     w = Window.partitionBy("chunk_idx", "chunk_val")
     chunks = (
-        fp.select("sh", F.explode(F.array(*chunk_structs)).alias("c"))
+        fp.select("sh", F.explode(F.array(*_simhash_chunk_structs("sh", n_chunks, chunk_bits))).alias("c"))
         .select("sh", "c.chunk_idx", "c.chunk_val")
         .withColumn("__bc", F.count(F.lit(1)).over(w))
         .filter(F.col("__bc") <= max_bucket)
@@ -1269,6 +1337,22 @@ def simhash_near_dups(
     return out
 
 
+def _simhash_chunk_structs(col: str, n_chunks: int, chunk_bits: int) -> list:
+    """The pigeonhole chunk decomposition of a fingerprint column — ONE
+    definition shared by the batch near-dup join, the index builder and
+    the incremental matcher: build- and match-side keys must stay
+    bit-for-bit identical or index lookups silently miss."""
+    return [
+        F.struct(
+            F.lit(i).alias("chunk_idx"),
+            F.shiftright(F.col(col), i * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            .alias("chunk_val"),
+        )
+        for i in range(n_chunks)
+    ]
+
+
 def simhash_index(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1293,44 +1377,50 @@ def simhash_index(
     if bits % n_chunks != 0:
         raise ValueError("max_hamming+1 must divide bits so chunks tile the fingerprint")
     chunk_bits = bits // n_chunks
-    fp = simhash_fingerprints(docs, id_col, text_col, bits, hash_fn).select(
-        F.col(id_col).alias("doc_id"), "sh"
+    # Pinned once: fingerprints/reps/chunks are three derived frames
+    # (same rationale as minhash_index — unpinned, each derived table's
+    # action re-fingerprints the whole seen corpus).
+    fp = (
+        simhash_fingerprints(docs, id_col, text_col, bits, hash_fn)
+        .select(F.col(id_col).alias("doc_id"), "sh")
+        .localCheckpoint(eager=True)
     )
-    chunk_structs = [
-        F.struct(
-            F.lit(i).alias("chunk_idx"),
-            F.shiftright(F.col("sh"), i * chunk_bits)
-            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-            .alias("chunk_val"),
-        )
-        for i in range(n_chunks)
-    ]
     from pyspark.sql import Window
 
     w = Window.partitionBy("chunk_idx", "chunk_val")
     chunks = (
         fp.select("sh").distinct()
-        .select("sh", F.explode(F.array(*chunk_structs)).alias("c"))
+        .select("sh", F.explode(F.array(*_simhash_chunk_structs("sh", n_chunks, chunk_bits))).alias("c"))
         .select("sh", "c.chunk_idx", "c.chunk_val")
         .withColumn("__bc", F.count(F.lit(1)).over(w))
         .filter(F.col("__bc") <= max_bucket)
         .drop("__bc")
     )
     reps = fp.groupBy("sh").agg(F.min("doc_id").alias("rep"))
-    return {"fingerprints": fp, "reps": reps, "chunks": chunks}
+    params = {"max_hamming": max_hamming, "bits": bits, "hash_fn": hash_fn}
+    return {"fingerprints": fp, "reps": reps, "chunks": chunks, "params": params}
+
+
+_SIMHASH_PARAM_SCHEMA = "max_hamming int, bits int, hash_fn string"
 
 
 def simhash_index_write(index: dict[str, DataFrame], path: str) -> None:
     index["fingerprints"].write.mode("overwrite").parquet(f"{path}/fingerprints")
     index["reps"].write.mode("overwrite").parquet(f"{path}/reps")
     index["chunks"].write.mode("overwrite").parquet(f"{path}/chunks")
+    p = index["params"]
+    index["fingerprints"].sparkSession.createDataFrame(
+        [(p["max_hamming"], p["bits"], p["hash_fn"])], _SIMHASH_PARAM_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def simhash_index_read(spark, path: str) -> dict[str, DataFrame]:
+    row = spark.read.parquet(f"{path}/params").collect()[0]
     return {
         "fingerprints": spark.read.parquet(f"{path}/fingerprints"),
         "reps": spark.read.parquet(f"{path}/reps"),
         "chunks": spark.read.parquet(f"{path}/chunks"),
+        "params": {k: row[k] for k in ("max_hamming", "bits", "hash_fn")},
     }
 
 
@@ -1339,9 +1429,9 @@ def simhash_match_incremental(
     index: dict[str, DataFrame],
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 3,
-    bits: int = 64,
-    hash_fn: str = "crc32",
+    max_hamming: int | None = None,
+    bits: int | None = None,
+    hash_fn: str | None = None,
     mode: str = "pairs",
 ) -> DataFrame:
     """(doc_id_new, doc_id_seen, hamming) — today's batch against the
@@ -1356,12 +1446,22 @@ def simhash_match_incremental(
     under identical-doc floods."""
     if mode not in ("pairs", "rep"):
         raise ValueError(f"unknown mode {mode!r}")
+    p = _resolve_index_params(
+        index,
+        {"max_hamming": max_hamming, "bits": bits, "hash_fn": hash_fn},
+        {"max_hamming": 3, "bits": 64, "hash_fn": "crc32"},
+    )
+    max_hamming, bits, hash_fn = p["max_hamming"], p["bits"], p["hash_fn"]
     n_chunks = max_hamming + 1
     if bits % n_chunks != 0:
         raise ValueError("max_hamming+1 must divide bits so chunks tile the fingerprint")
     chunk_bits = bits // n_chunks
-    new_fp = simhash_fingerprints(new_docs, id_col, text_col, bits, hash_fn).select(
-        F.col(id_col).alias("doc_id_new"), F.col("sh").alias("nsh")
+    # Pinned once — feeds the same-fp join, chunk explode, and cross
+    # join (3x Python fingerprint pass otherwise; see minhash twin).
+    new_fp = (
+        simhash_fingerprints(new_docs, id_col, text_col, bits, hash_fn)
+        .select(F.col(id_col).alias("doc_id_new"), F.col("sh").alias("nsh"))
+        .localCheckpoint(eager=True)
     )
     if mode == "pairs":
         seen_fp = index["fingerprints"].withColumnsRenamed({"doc_id": "doc_id_seen", "sh": "ssh"})
@@ -1370,18 +1470,9 @@ def simhash_match_incremental(
     same = new_fp.join(seen_fp, F.col("nsh") == F.col("ssh")).select(
         "doc_id_new", "doc_id_seen", F.lit(0).cast("integer").alias("hamming")
     )
-    chunk_structs = [
-        F.struct(
-            F.lit(i).alias("chunk_idx"),
-            F.shiftright(F.col("nsh"), i * chunk_bits)
-            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-            .alias("chunk_val"),
-        )
-        for i in range(n_chunks)
-    ]
     new_chunks = (
         new_fp.select("nsh").distinct()
-        .select("nsh", F.explode(F.array(*chunk_structs)).alias("c"))
+        .select("nsh", F.explode(F.array(*_simhash_chunk_structs("nsh", n_chunks, chunk_bits))).alias("c"))
         .select("nsh", "c.chunk_idx", "c.chunk_val")
     )
     hamming = F.bit_count(F.col("nsh").bitwiseXOR(F.col("ssh")))

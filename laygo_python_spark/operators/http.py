@@ -62,6 +62,7 @@ def post_batches(
     headers: dict[str, str] | None = None,
     concurrency: int = 1,
     chunker: Callable[[Iterable[pd.DataFrame]], Iterator[pd.DataFrame]] | None = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """POST each Arrow batch of ``df`` to ``url``; emit the response
     rows under ``schema``.
@@ -78,9 +79,19 @@ def post_batches(
     CPU-bound, so serial per-partition POSTs would idle the wire).
     Total in-flight across the cluster = partitions × concurrency; the
     sliding window keeps at most ``concurrency`` encoded payloads and
-    responses in memory per task."""
+    responses in memory per task.
+
+    ``on_error``: ``"raise"`` (default) fails the task once a batch
+    exhausts its retries; ``"drop"`` skips that batch and continues —
+    the reference ``HTTPStrategy``'s drop-the-chunk behavior
+    (strategies/http.py:69-73), but OPT-IN and loud here rather than a
+    silent swallow. (Note ``.catch(fn)`` guards its OWN fn, not
+    upstream plan stages — drop semantics for HTTP failures must live
+    in this operator, which is why the flag exists.)"""
     if concurrency < 1:
         raise ValueError(f"concurrency must be >= 1, got {concurrency}")
+    if on_error not in ("raise", "drop"):
+        raise ValueError(f"on_error must be 'raise' or 'drop', got {on_error!r}")
     req_fn = request_fn or _default_request
     resp_fn = response_fn or _default_response
     extra = dict(headers or {})
@@ -114,11 +125,22 @@ def post_batches(
         # A chunker controls REQUEST size — one custom chunk = one POST
         # (Transformer.set_chunker flows through map_batches_http).
         batches = chunker(raw_batches) if chunker is not None else raw_batches
+
+        def settle(result_fn):
+            """Resolve one request under the on_error policy."""
+            try:
+                return result_fn()
+            except Exception:  # noqa: BLE001 — policy-gated
+                if on_error == "drop":
+                    return None
+                raise
+
         if concurrency == 1:
             for pdf in batches:
                 if not len(pdf):
                     continue
-                out = call(req_fn(pdf))
+                payload = req_fn(pdf)
+                out = settle(lambda: call(payload))
                 if out is not None and len(out):
                     yield out
             return
@@ -132,11 +154,13 @@ def post_batches(
                     continue
                 window.append(pool.submit(call, req_fn(pdf)))
                 if len(window) >= concurrency:
-                    out = window.popleft().result()
+                    fut = window.popleft()
+                    out = settle(fut.result)
                     if out is not None and len(out):
                         yield out
             while window:
-                out = window.popleft().result()
+                fut = window.popleft()
+                out = settle(fut.result)
                 if out is not None and len(out):
                     yield out
 

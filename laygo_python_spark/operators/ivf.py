@@ -97,14 +97,15 @@ def ivf_topk(
     centroids = train_centroids(corpus, n_centroids, vec_col, seed)
     c = _assign_cells(corpus, centroids, "neighbor_id", "cv", id_col, vec_col, n_probe=1)
     q = _assign_cells(queries, centroids, "query_id", "qv", id_col, vec_col, n_probe=n_probe)
-    scored = (
+    from laygo_python_spark.operators.similarity import _score_topk
+
+    candidates = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select("query_id", "neighbor_id", "qv", "cv")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _score_topk(candidates, k)
 
 
 def ivf_index_write(
@@ -158,11 +159,12 @@ def ivf_search_indexed(
     q = q.localCheckpoint(eager=True)  # probed twice: cell list + the join
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     c = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(probed))
-    scored = (
+    from laygo_python_spark.operators.similarity import _score_topk
+
+    candidates = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select("query_id", "neighbor_id", "qv", "cv")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _score_topk(candidates, k)

@@ -235,6 +235,18 @@ def _with_bucket_keys(
     )
 
 
+def _score_topk(candidates, k: int):
+    """Shared scoring tail for every bucketed ANN path — cosine over the
+    (query, candidate) frame, per-query rank, top-k. ONE definition so
+    the pytest-pinned equivalence between direct and stored-index
+    searches (and their tie-breaks) cannot drift apart."""
+    scored = candidates.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -261,11 +273,7 @@ def lsh_bucketed_topk(
         .select("query_id", "neighbor_id", "qv", "cv")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = candidates.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _score_topk(candidates, k)
 
 
 def embedding_near_dups(
@@ -356,8 +364,4 @@ def srp_search_indexed(
         .select("query_id", "neighbor_id", "qv", "cv")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = candidates.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _score_topk(candidates, k)

@@ -362,7 +362,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
     idx = dedup.minhash_index(seen, hash_fn="md5")
-    idx = {k: v.localCheckpoint(eager=True) for k, v in idx.items()}
+    idx = {k: (v.localCheckpoint(eager=True) if hasattr(v, "localCheckpoint") else v) for k, v in idx.items()}
     return dedup.minhash_match_incremental(new, idx, hash_fn="md5")
 
 

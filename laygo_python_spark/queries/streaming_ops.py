@@ -253,7 +253,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     seen = docs.filter(F.col("doc_id") % 2 == 0)
     idx = dedup.minhash_index(seen, hash_fn="md5")
-    idx = {k: v.localCheckpoint(eager=True) for k, v in idx.items()}
+    idx = {k: (v.localCheckpoint(eager=True) if hasattr(v, "localCheckpoint") else v) for k, v in idx.items()}
 
     raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
@@ -275,4 +275,14 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         q.stop()
-    return spark.read.parquet(out_dir).select("doc_id_new", "doc_id_seen", "n_bands")
+    # Pin the result, then remove the scratch sink — repeated invocations
+    # (bench runs, the driver gate) must not accumulate /tmp parquet.
+    out = (
+        spark.read.parquet(out_dir)
+        .select("doc_id_new", "doc_id_seen", "n_bands")
+        .localCheckpoint(eager=True)
+    )
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out

@@ -248,6 +248,7 @@ class Transformer:
         retries: int = 2,
         headers: dict[str, str] | None = None,
         concurrency: int = 1,
+        on_error: str = "raise",
     ) -> "Transformer":
         """POST each Arrow batch to a remote HTTP worker and continue
         with its response rows — the Spark-idiomatic form of the
@@ -255,8 +256,10 @@ class Transformer:
         ship DATA to a stateless service from every executor in
         parallel, instead of shipping code to a worker server. See
         operators/http.py for the JSON envelope, the server-side
-        ``http_batch_handler`` twin, and the retry contract; compose
-        with ``.catch`` for drop-failed-batch semantics. Fan-out =
+        ``http_batch_handler`` twin, and the retry contract;
+        ``on_error="drop"`` skips a batch whose retries are exhausted
+        (the drop-the-chunk policy — note ``.catch`` guards its own fn,
+        not upstream stages, so drop semantics live here). Fan-out =
         partition count × ``concurrency``; an upstream ``set_chunker``
         controls REQUEST size (one custom chunk = one POST)."""
         from laygo_python_spark.operators.http import post_batches
@@ -274,6 +277,7 @@ class Transformer:
                 headers=headers,
                 concurrency=concurrency,
                 chunker=chunker,
+                on_error=on_error,
             )
 
         return self._with(step)

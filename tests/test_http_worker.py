@@ -32,6 +32,7 @@ def worker():
     t.start()
     yield f"http://127.0.0.1:{srv.server_address[1]}/"
     srv.shutdown()
+    srv.server_close()
 
 
 def test_map_batches_http_round_trip(spark, worker):
@@ -65,11 +66,12 @@ def test_post_batches_retries_transient_failures(spark):
         assert got == [v + 1 for v in range(50)]
     finally:
         srv.shutdown()
+        srv.server_close()
 
 
-def test_post_batches_gives_up_after_retries_and_catch_salvages(spark):
+def test_post_batches_gives_up_after_retries_and_drop_policy(spark):
     """A permanently failing worker raises through the normal error
-    path; .catch isolates it to the failing batch."""
+    path by default; on_error="drop" skips the failing batch."""
 
     def always_fail(pdf):
         raise RuntimeError("permanent")
@@ -81,8 +83,18 @@ def test_post_batches_gives_up_after_retries_and_catch_salvages(spark):
         df = spark.range(0, 10).select(F.col("id").alias("v")).coalesce(1)
         with pytest.raises(Exception, match="500|HTTP"):
             post_batches(df, url, "v long", retries=1, backoff=0.05).collect()
+        # and the drop policy: on_error="drop" skips the failing batch
+        # (.catch guards its own fn, not upstream stages — the operator
+        # owns drop semantics, documented in operators/http.py)
+        salvaged = (
+            Transformer()
+            .map_batches_http(url, schema="v long", retries=0, on_error="drop")(df)
+            .collect()
+        )
+        assert salvaged == []  # every batch failed and was dropped, no raise
     finally:
         srv.shutdown()
+        srv.server_close()
 
 
 def test_server_handler_envelope_is_json_not_pickle():
@@ -148,6 +160,7 @@ def test_post_batches_concurrency_pipelines_requests(spark):
         assert conc_sec < serial_sec * 0.6, (serial_sec, conc_sec)
     finally:
         srv.shutdown()
+        srv.server_close()
 
 
 def test_set_chunker_controls_request_size(spark):
@@ -177,3 +190,4 @@ def test_set_chunker_controls_request_size(spark):
         assert sorted(sizes) == [12] * 5
     finally:
         srv.shutdown()
+        srv.server_close()

@@ -90,9 +90,9 @@ def main() -> None:
 
     t0 = time.time()
     idx = minhash_index(seen, shingle_n=3)
-    idx = {k: v.localCheckpoint(eager=True) for k, v in idx.items()}
+    idx = {k: (v.localCheckpoint(eager=True) if hasattr(v, "localCheckpoint") else v) for k, v in idx.items()}
     build_sec = time.time() - t0
-    index_rows = {k: v.count() for k, v in idx.items()}
+    index_rows = {k: v.count() for k, v in idx.items() if hasattr(v, "count")}
 
     # mode="rep": each new doc emits ONE row per matched seen signature
     # — without it the boilerplate flood would expand n_deg_new ×
