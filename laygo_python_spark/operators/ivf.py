@@ -92,8 +92,6 @@ def ivf_topk(
     """Approximate top-k: each query is scored only against corpus
     vectors in its ``n_probe`` nearest cells. Returns
     (query_id, neighbor_id, sim, rank) like brute_force_topk."""
-    from laygo_python_spark.operators.similarity import cosine
-
     centroids = train_centroids(corpus, n_centroids, vec_col, seed)
     c = _assign_cells(corpus, centroids, "neighbor_id", "cv", id_col, vec_col, n_probe=1)
     q = _assign_cells(queries, centroids, "query_id", "qv", id_col, vec_col, n_probe=n_probe)
@@ -148,8 +146,6 @@ def ivf_search_indexed(
     opened (plan-asserted in tests). Results match ``ivf_topk`` run
     with the same training params (pytest-pinned)."""
     import numpy as np
-
-    from laygo_python_spark.operators.similarity import cosine
 
     cent_rows = spark.read.parquet(f"{path}/centroids").collect()
     centroids = np.array(
