@@ -130,7 +130,21 @@ def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.select("media_id", "n_bytes")
 
 
-@query("multimodal_decode_features")  # rows-only: feature floats are impl-defined
+_DECODE_FEATURES_ORACLE = """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+           {feats}
+    FROM documents
+    """.format(
+    feats=",\n           ".join(
+        f"CAST((octet_length(encode(text)) + ascii(substr(text,1,1))*{i + 1}) % 251 AS DOUBLE) AS f{i}"
+        for i in range(8)
+    )
+)
+
+
+@query("multimodal_decode_features", oracle=_DECODE_FEATURES_ORACLE)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract through mapInPandas: REAL PNG-IHDR/JPEG-SOF
     header parsing for dimensions (zero-dep struct unpacking) AND real
@@ -138,9 +152,24 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     unfilter, operators/multimodal.py::png_decode_pixels) feeding an
     8-wide pixel-stat feature; deterministic byte-stat fallback for
     payloads needing a codec (JPEG entropy, palette/16-bit PNGs —
-    the remaining honest stub)."""
+    the remaining honest stub).
+
+    ORACLE-gated as of r4 over the text fixture (opaque utf-8
+    payloads take the byte-stat path): features exploded to SCALAR
+    columns f0..f7 — the driver canonicalizer can't hash array
+    columns — and DuckDB recomputes dims and every slot from
+    octet_length + the first byte (``ascii(substr(text,1,1))`` ==
+    first utf-8 byte; the fixture's first chars are ASCII, verified
+    a-z). The real-PNG pixel path stays pinned by its own
+    byte-identical round-trip pytest."""
     mm = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
-    return multimodal.decode_features(mm)
+    feat = multimodal.decode_features(mm)
+    return feat.select(
+        "media_id",
+        "width",
+        "height",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(8)],
+    )
 
 
 @query(

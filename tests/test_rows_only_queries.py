@@ -57,7 +57,8 @@ def test_multimodal_decode_features_contract(spark, sf_dir):
     rows = QUERIES["multimodal_decode_features"](spark, sf_dir).collect()
     assert len(rows) > 0
     cols = set(rows[0].asDict())
-    assert {"media_id", "width", "height", "feature"} <= cols
+    assert {"media_id", "width", "height"} <= cols
+    assert {f"f{i}" for i in range(8)} <= cols  # scalar slots (oracle-hashable)
     # Deterministic stub: same input → identical output.
     again = QUERIES["multimodal_decode_features"](spark, sf_dir).collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
