@@ -44,17 +44,39 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
 
 
-@query("embedding_cosine_topk_fast")  # rows-only: numpy summation order
+@query(
+    "embedding_cosine_topk_fast",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(sim, 9) AS sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
 def embedding_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10, vectorized path: one numpy matmul per Arrow
     batch with per-batch partial top-k (similarity.py:92-132) — ~10×
     the fold path and the variant to run at scale. Exactness vs the fold
     path is asserted in tests/test_similarity.py (identical rankings;
-    sims equal to 1e-12 rel — only the float SUMMATION ORDER differs,
-    which is why this registers rows-only instead of hash-compared)."""
+    sims differ only in float SUMMATION ORDER, ~1e-15 rel). ORACLE-gated
+    as of r4: sim rounded to 9 decimals absorbs the reduction-order ulps
+    while ranks come from each engine's own raw ordering — a hash match
+    therefore ALSO certifies that no ranking flip occurred, the stronger
+    claim."""
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, vectorized=True)
-    return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
+    return out.select(
+        "query_id", "neighbor_id", F.round("sim", 9).alias("sim"), F.col("rank").cast("int").alias("rank")
+    )
 
 
 @query("ann_lsh_topk")  # rows-only: approximate by design
