@@ -79,11 +79,61 @@ def embedding_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk")  # rows-only: approximate by design
+def _srp_bucket_union(n_planes, n_tables, dim, seed):
+    """The SRP bucket table as a UNION ALL over tables — hyperplane
+    floats embedded as literals (deterministic Box-Muller-over-LCG,
+    similarity._srp_planes). Shared by the near-dup and top-k oracles."""
+    from laygo_python_spark.operators.similarity import _srp_planes
+
+    tables = []
+    for t in range(n_tables):
+        planes = _srp_planes(dim, n_planes, seed + 1000 * t)
+        bucket = " + ".join(
+            "(CASE WHEN list_inner_product(v, [{lits}]) > 0 THEN {w} ELSE 0 END)".format(
+                lits=", ".join(repr(x) for x in p), w=1 << i
+            )
+            for i, p in enumerate(planes)
+        )
+        tables.append(f"SELECT vec_id, v, {t} AS tbl, ({bucket}) AS bucket FROM e")
+    return "\n      UNION ALL ".join(tables)
+
+
+
+def _ann_lsh_oracle(k=10, n_planes=4, n_tables=8, dim=64, seed=42):
+    union = _srp_bucket_union(n_planes, n_tables, dim, seed)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bk AS (
+      {union}),
+    q AS (SELECT * FROM bk WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bk c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       AND c.vec_id <> q.vec_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_cosine_similarity(x.v, y.v) AS sim
+      FROM cand JOIN e x ON x.vec_id = cand.query_id
+                JOIN e y ON y.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("ann_lsh_topk", oracle=_ann_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed approximate top-k for the same query set — the
     scale path (candidates limited to the query's bucket). Recall vs the
-    brute-force baseline is asserted in tests/test_similarity.py."""
+    brute-force baseline is asserted in tests/test_similarity.py.
+    ORACLE-gated as of r4: "approximate" means approximate RELATIVE TO
+    brute force, but the algorithm itself is deterministic — the
+    generated SQL replays the seed-derived hyperplanes, bucketing,
+    candidate set, scoring and ranking exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
     return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
@@ -129,11 +179,38 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
 
 
-@query("embedding_near_dups")  # rows-only: approximate by design
+def _near_dups_oracle(threshold=0.35, n_planes=8, n_tables=4, dim=64, seed=42):
+    """Generated oracle replaying the SRP bucketing EXACTLY: the
+    hyperplanes are deterministic Box-Muller-over-LCG floats
+    (similarity._srp_planes — pure Python, engine-neutral), shipped
+    into the SQL as literals; DuckDB recomputes every projection sign,
+    every table's bucket, the bucket-local pair set, and the cosine
+    scores (bit-identical to Spark's fold, per the exact-topk gate).
+    The one cross-engine risk is a projection within ~1 ulp of zero
+    flipping a bucket bit — probability ~1e-8 on this corpus, and the
+    hash match demonstrates it doesn't occur."""
+    union = _srp_bucket_union(n_planes, n_tables, dim, seed)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bk AS (
+      {union}),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+      FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    sims AS (
+      SELECT p.vec_id_a, p.vec_id_b, list_cosine_similarity(x.v, y.v) AS sim
+      FROM pairs p JOIN e x ON x.vec_id = p.vec_id_a JOIN e y ON y.vec_id = p.vec_id_b)
+    SELECT vec_id_a, vec_id_b, sim FROM sims WHERE sim >= {threshold}
+    """
+
+
+@query("embedding_near_dups", oracle=_near_dups_oracle())
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim >= 0.35) discovered
     within SRP buckets. The fixture embeddings are near-orthogonal
-    (max pairwise sim ≈ 0.51) so the threshold is set where pairs exist."""
+    (max pairwise sim ≈ 0.51) so the threshold is set where pairs exist.
+    ORACLE-gated as of r4 — the generated SQL replays the deterministic
+    hyperplanes, bucketing, and scoring (see _near_dups_oracle)."""
     return similarity.embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
