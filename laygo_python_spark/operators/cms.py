@@ -90,7 +90,7 @@ def cms_build(df: DataFrame, key: str, d: int = 4, w: int = 8192, weight: str | 
         .select(F.explode(_probes(F.col(key), d, w, hash_fn)).alias("p"), wcol.alias("wt"))
         .groupBy(F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket"))
         .agg(F.sum("wt").alias("cnt"))
-        .withColumns({"d": F.lit(d), "w": F.lit(w)})
+        .withColumns({"d": F.lit(d), "w": F.lit(w), "hash_fn": F.lit(hash_fn)})
     )
 
 
@@ -115,49 +115,64 @@ def cms_build_sharded(df: DataFrame, key: str, shard, d: int = 4, w: int = 8192,
         )
         .groupBy("shard", F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket"))
         .agg(F.sum("wt").alias("cnt"))
-        .withColumns({"d": F.lit(d), "w": F.lit(w)})
+        .withColumns({"d": F.lit(d), "w": F.lit(w), "hash_fn": F.lit(hash_fn)})
     )
 
 
-def _geometry(sketch: DataFrame, what: str) -> tuple[int, int]:
-    """Read the (d, w) constants a sketch carries; one tiny driver action
-    (the sketch is ≤ d×w rows). Loud failure beats a silent undercount:
-    mixing sketch geometries is the one misuse that breaks the CMS
-    never-undercount guarantee without any visible error."""
-    rows = sketch.select("d", "w").distinct().collect()
+def _geometry(sketch: DataFrame, what: str) -> tuple[int, int, str]:
+    """Read the (d, w, hash_fn) constants a sketch carries; one tiny
+    driver action (the sketch is ≤ d×w rows). Loud failure beats a
+    silent undercount: mixing geometries OR hash families is the misuse
+    that breaks the CMS never-undercount guarantee without any visible
+    error — probing an md5-built sketch with xxhash64 probes finds no
+    matching counters and estimates near-zero. Sketches persisted
+    before hash_fn rode along are read as the then-default xxhash64."""
+    has_hf = "hash_fn" in sketch.columns
+    cols = ["d", "w"] + (["hash_fn"] if has_hf else [])
+    rows = sketch.select(*cols).distinct().collect()
     if len(rows) != 1:
-        raise ValueError(f"{what}: mixed sketch geometries {sorted((r['d'], r['w']) for r in rows)}")
-    return rows[0]["d"], rows[0]["w"]
+        raise ValueError(f"{what}: mixed sketch geometries {sorted(tuple(r) for r in rows)}")
+    return rows[0]["d"], rows[0]["w"], (rows[0]["hash_fn"] if has_hf else "xxhash64")
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
-    """Union counter tables built with the SAME (d, w) — linearity of
-    counters makes merge a sum, which is what lets per-day/per-shard
-    sketches roll up without touching raw data. Raises on geometry
-    mismatch rather than summing misaligned counters."""
+    """Union counter tables built with the SAME (d, w, hash_fn) —
+    linearity of counters makes merge a sum, which is what lets
+    per-day/per-shard sketches roll up without touching raw data.
+    Raises on geometry or hash-family mismatch rather than summing
+    misaligned counters."""
     out = sketches[0]
     for s in sketches[1:]:
-        out = out.unionByName(s)
+        out = out.unionByName(s, allowMissingColumns=True)
     _geometry(out, "cms_merge")
-    return out.groupBy("i", "bucket", "d", "w").agg(F.sum("cnt").alias("cnt")).select(
-        "i", "bucket", "cnt", "d", "w"
+    keys = ["i", "bucket", "d", "w"] + (["hash_fn"] if "hash_fn" in out.columns else [])
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt")).select(
+        "i", "bucket", "cnt", *keys[2:]
     )
 
 
-def cms_estimate(sketch: DataFrame, keys: DataFrame, key: str, d: int | None = None, w: int | None = None, hash_fn: str = "xxhash64") -> DataFrame:
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key: str, d: int | None = None, w: int | None = None, hash_fn: str | None = None) -> DataFrame:
     """Point-frequency estimates for each distinct key in ``keys[key]``.
 
     min over the d probed counters; a probe absent from the sparse table
-    is 0 (only possible for keys never inserted). The probe geometry is
-    read from the sketch itself (pass d/w only to assert expectations —
-    a mismatch raises instead of silently estimating 0). The sketch side
-    is ≤ d×w rows, so it broadcasts — estimation is a map-side join
-    however many query keys stream through."""
-    sd, sw = _geometry(sketch, "cms_estimate")
+    is 0 (only possible for keys never inserted). The probe geometry AND
+    hash family are read from the sketch itself (pass d/w/hash_fn only
+    to assert expectations — a mismatch raises instead of silently
+    estimating near-zero from never-colliding probes, the same
+    stored-params-win contract as dedup._resolve_index_params). The
+    sketch side is ≤ d×w rows, so it broadcasts — estimation is a
+    map-side join however many query keys stream through."""
+    sd, sw, shf = _geometry(sketch, "cms_estimate")
     if (d is not None and d != sd) or (w is not None and w != sw):
         raise ValueError(f"cms_estimate: sketch was built with (d={sd}, w={sw}), caller expected (d={d}, w={w})")
+    if hash_fn is not None and hash_fn != shf:
+        raise ValueError(
+            f"cms_estimate: sketch was built with hash_fn={shf!r}, caller probed with "
+            f"{hash_fn!r} — probes would never hit the stored counters; drop the "
+            "override or rebuild the sketch"
+        )
     probes = keys.select(
-        F.col(key), F.explode(_probes(F.col(key), sd, sw, hash_fn)).alias("p")
+        F.col(key), F.explode(_probes(F.col(key), sd, sw, shf)).alias("p")
     ).select(key, F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket"))
     return (
         probes.join(F.broadcast(sketch.select("i", "bucket", "cnt")), ["i", "bucket"], "left")

@@ -93,7 +93,7 @@ def hll_build(df: DataFrame, key: str, p: int = 12, hash_fn: str = "xxhash64") -
     return (
         reg.groupBy("idx")
         .agg(F.max("rho").alias("rho"))
-        .withColumn("p", F.lit(p))
+        .withColumns({"p": F.lit(p), "hash_fn": F.lit(hash_fn)})
     )
 
 
@@ -101,10 +101,21 @@ def _p_of(sketch: DataFrame, what: str) -> int | None:
     """The sketch's precision, or None for an EMPTY register table — a
     sketch over zero (or all-NULL) keys has no registers to carry its p
     (a legitimate shard state, mirroring bloom._geometry's None path):
-    estimate 0, merge identity."""
-    rows = sketch.select("p").distinct().collect()
-    if len(rows) > 1:
+    estimate 0, merge identity. Also rejects mixed HASH FAMILIES —
+    xxhash64 and md5-60 register tables overlap enough in rho range to
+    merge undetected into a meaningless combined estimate, so the
+    family rides in the table like p does (register tables persisted
+    before hash_fn rode along are read as the then-default
+    xxhash64)."""
+    has_hf = "hash_fn" in sketch.columns
+    rows = sketch.select("p", *(["hash_fn"] if has_hf else [])).distinct().collect()
+    if len({r["p"] for r in rows}) > 1:
         raise ValueError(f"{what}: mixed HLL precisions {sorted(r['p'] for r in rows)}")
+    if has_hf and len({r["hash_fn"] for r in rows}) > 1:
+        raise ValueError(
+            f"{what}: mixed HLL hash families {sorted({r['hash_fn'] for r in rows})} — "
+            "their rho ranges differ (64-p vs 60-p); rebuild one side"
+        )
     if not rows:
         return None
     return rows[0]["p"]
@@ -118,9 +129,10 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
     the merge identity (they contribute no register rows)."""
     out = sketches[0]
     for s in sketches[1:]:
-        out = out.unionByName(s)
+        out = out.unionByName(s, allowMissingColumns=True)
     _p_of(out, "hll_merge")
-    return out.groupBy("idx", "p").agg(F.max("rho").alias("rho")).select("idx", "rho", "p")
+    keys = ["idx", "p"] + (["hash_fn"] if "hash_fn" in out.columns else [])
+    return out.groupBy(*keys).agg(F.max("rho").alias("rho")).select("idx", "rho", *keys[1:])
 
 
 def hll_estimate(sketch: DataFrame) -> float:
@@ -177,7 +189,7 @@ def hll_build_sharded(df: DataFrame, key: str, shard, p: int = 12, hash_fn: str 
     return (
         reg.groupBy("shard", "idx")
         .agg(F.max("rho").alias("rho"))
-        .withColumn("p", F.lit(p))
+        .withColumns({"p": F.lit(p), "hash_fn": F.lit(hash_fn)})
     )
 
 

@@ -73,6 +73,16 @@ def post_batches(
     is executor-side stdlib urllib — no driver round-trips, no extra
     dependencies.
 
+    **Delivery is at-least-once**: a client-side timeout or dropped
+    connection is retried even though the server may have already
+    processed the request — and Spark itself re-runs failed/speculated
+    tasks, replaying every batch in the partition. A non-idempotent
+    endpoint WILL observe duplicate batches under either mechanism;
+    endpoint authors should key side effects on a request-content hash
+    (send one via ``headers``/``request_fn`` as an idempotency key) or
+    make the handler naturally idempotent. Exactly-once at the protocol
+    level is not possible from a stateless client.
+
     ``concurrency`` pipelines up to that many in-flight requests PER
     PARTITION through a thread pool (the reference ``HTTPStrategy``'s
     ``max_workers`` analog — a remote service is latency-bound, not

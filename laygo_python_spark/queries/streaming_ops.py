@@ -270,19 +270,23 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append"
         ).parquet(out_dir)
 
-    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    # Pin the result, then remove the scratch sink — repeated invocations
-    # (bench runs, the driver gate) must not accumulate /tmp parquet.
-    out = (
-        spark.read.parquet(out_dir)
-        .select("doc_id_new", "doc_id_seen", "n_bands")
-        .localCheckpoint(eager=True)
-    )
+    # try/finally around the WHOLE sink lifecycle — repeated invocations
+    # (bench runs, the driver gate, a failing stream mid-retry) must not
+    # accumulate /tmp parquet, so the rmtree runs on the failure paths
+    # too, not just after a clean read-back.
     import shutil
 
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return out
+    try:
+        q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        # Pin the result, then remove the scratch sink.
+        return (
+            spark.read.parquet(out_dir)
+            .select("doc_id_new", "doc_id_seen", "n_bands")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

@@ -288,13 +288,49 @@ class Transformer:
         Prefer it when the batch logic is arrow/numpy-native — the pandas
         round-trip is pure overhead there (same lesson as
         cogroup_apply_arrow / group_apply_arrow). Not fused by
-        catch/tap/loop_chunks, which compile the pandas chunk contract."""
+        catch/tap/loop_chunks, which compile the pandas chunk contract.
+
+        An upstream ``set_chunker(n)`` (int form) IS honored here — the
+        record-batch stream is re-sliced to exactly n rows zero-copy
+        before ``fn`` sees it. A CALLABLE chunker is a pandas-contract
+        function (``Iterable[pd.DataFrame] -> Iterator``) and cannot
+        govern an arrow stage; that combination raises at build time
+        rather than silently ignoring the chunker (which would hand
+        ``fn`` engine-default batches the pipeline explicitly opted out
+        of) — use ``map_batches`` for that stage, or the int form."""
+        chunker = self._chunker
+        size = getattr(chunker, "_chunk_size", None)
+        if chunker is not None and size is None:
+            raise TypeError(
+                "map_batches_arrow: a callable set_chunker has the pandas chunk "
+                "contract and cannot re-chunk an arrow stage — use set_chunker(n) "
+                "(int) or a pandas map_batches stage"
+            )
 
         def step(df: DataFrame, context: Context | None) -> DataFrame:
             out_schema = schema if schema is not None else df.schema
 
-            def run(batches):
+            def rechunk(batches):
+                import pyarrow as pa
+
+                buf, have = [], 0
                 for rb in batches:
+                    buf.append(rb)
+                    have += rb.num_rows
+                    while have >= size:
+                        tbl = pa.Table.from_batches(buf)
+                        head = tbl.slice(0, size).combine_chunks()
+                        rest = tbl.slice(size)
+                        yield from head.to_batches(max_chunksize=size)
+                        buf = rest.to_batches()
+                        have = rest.num_rows
+                if have:
+                    tail = pa.Table.from_batches(buf).combine_chunks()
+                    yield from tail.to_batches(max_chunksize=size)
+
+            def run(batches):
+                stream = rechunk(batches) if size is not None else batches
+                for rb in stream:
                     out = fn(rb)
                     if out is not None and out.num_rows:
                         yield out
@@ -847,6 +883,10 @@ class Transformer:
                 if have:
                     yield pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
 
+            # Arrow stages can't run a pandas-contract chunker, but the
+            # int form has an exact arrow-level equivalent — carry the
+            # size so map_batches_arrow re-slices record batches to it.
+            fixed._chunk_size = size  # type: ignore[attr-defined]
             return Transformer(self._steps, fixed)
         return Transformer(self._steps, chunker)
 

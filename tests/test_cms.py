@@ -5,6 +5,8 @@ footprint independent of key cardinality.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from laygo_python_spark.operators.cms import cms_build, cms_estimate, cms_merge
@@ -121,3 +123,21 @@ def test_cms_parquet_roundtrip(spark, tmp_path):
     est = cms_estimate(cms_merge(back, sk), df.select("k").distinct(), "k")
     exact = df.groupBy("k").agg((2 * F.count(F.lit(1))).alias("doubled"))
     assert all(r["est"] == r["doubled"] for r in est.join(exact, "k").collect())
+
+
+def test_cms_hash_family_rides_in_sketch(spark):
+    """ADVICE r4: an md5-built sketch probed with the xxhash64 default
+    used to silently estimate near-zero. Now the family rides in the
+    sketch: estimate with no hash_fn resolves the stored family, an
+    explicit contradiction raises, and mixed-family merges raise."""
+    df = _freq_table(spark, [f"u{i % 10}" for i in range(200)])
+    sk_md5 = cms_build(df, "k", d=3, w=1024, hash_fn="md5")
+    # default resolves to the stored md5 — never-undercount holds
+    est = cms_estimate(sk_md5, df.select("k").distinct(), "k")
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(r["est"] >= exact[r["k"]] for r in est.collect())
+    with pytest.raises(ValueError, match="hash_fn"):
+        cms_estimate(sk_md5, df.select("k").distinct(), "k", hash_fn="xxhash64")
+    sk_xx = cms_build(df, "k", d=3, w=1024, hash_fn="xxhash64")
+    with pytest.raises(ValueError, match="mixed"):
+        cms_merge(sk_md5, sk_xx)

@@ -129,3 +129,18 @@ def test_empty_sketch_estimates_zero_and_merges_as_identity(spark):
     assert hll_estimate(merged) == hll_estimate(real)  # identity: same registers
     both_empty = hll_merge(empty, all_null)
     assert hll_estimate(both_empty) == 0.0
+
+
+def test_hll_hash_family_rides_in_register_table(spark):
+    """ADVICE r4: xxhash64 and md5-60 register tables overlap enough in
+    rho range to merge undetected; the family now rides in the table and
+    mixed-family merges raise."""
+    a = hll_build(_keys(spark, 0, 1000), "k", p=10, hash_fn="xxhash64")
+    b = hll_build(_keys(spark, 500, 1500), "k", p=10, hash_fn="md5")
+    with pytest.raises(ValueError, match="hash famil"):
+        hll_merge(a, b)
+    # same-family merge still bit-identical to whole-build
+    c = hll_build(_keys(spark, 500, 1500), "k", p=10, hash_fn="xxhash64")
+    merged = hll_merge(a, c)
+    whole = hll_build(_keys(spark, 0, 1500), "k", p=10, hash_fn="xxhash64")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))

@@ -624,3 +624,42 @@ def test_set_chunker_governs_catch_error_domains(spark):
     rows = Transformer().set_chunker(5).catch(fragile)(df).collect()
     got = sorted(r.v for r in rows)
     assert got == [v for v in range(100) if not (40 <= v < 45)]
+
+
+def test_set_chunker_int_governs_arrow_stage(spark):
+    """ADVICE r4: set_chunker(n) was silently ignored by
+    map_batches_arrow. The int form now re-slices the record-batch
+    stream zero-copy, so arrow stages honor the declared chunk size."""
+    import pyarrow as pa
+
+    from laygo_python_spark import Transformer
+
+    df = spark.range(0, 101).select(F.col("id").alias("v")).coalesce(1)
+    t = (
+        Transformer()
+        .set_chunker(10)
+        .map_batches_arrow(
+            lambda rb: pa.RecordBatch.from_pydict(
+                {"v": rb.column("v"), "chunk_n": pa.array([rb.num_rows] * rb.num_rows, pa.int32())}
+            ),
+            schema="v long, chunk_n int",
+        )
+    )
+    rows = t(df).collect()
+    assert sorted({r.chunk_n for r in rows}) == [1, 10]
+    assert sorted(r.v for r in rows) == list(range(101))
+
+
+def test_set_chunker_callable_raises_on_arrow_stage(spark):
+    """A pandas-contract callable chunker cannot govern an arrow stage —
+    that combination raises at build time instead of silently handing
+    the stage engine-default batches."""
+    import pytest
+
+    from laygo_python_spark import Transformer
+
+    def pair_up(batches):
+        yield from batches
+
+    with pytest.raises(TypeError, match="arrow"):
+        Transformer().set_chunker(pair_up).map_batches_arrow(lambda rb: rb)
