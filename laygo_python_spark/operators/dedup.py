@@ -516,7 +516,12 @@ def minhash_index(
       keys, with the ``max_bucket`` skew guard applied AT BUILD TIME:
       band buckets holding more than ``max_bucket`` distinct signatures
       are dropped once, here, so every future match pays nothing for
-      them (same-signature matches are immune via ``membership``).
+      them (same-signature matches are immune via ``membership``);
+    * ``dropped`` (band_key) — the band keys that tripped the cap. This
+      is what makes the index APPENDABLE: an absent bucket would be
+      indistinguishable from a never-seen one, so without this table
+      ``minhash_index_append`` could not keep capped buckets capped
+      (bucket populations only grow — once over the cap, forever over).
 
     Index size: |docs| membership rows + ≤ bands × |distinct sigs| band
     rows — hashes and ids only, no text."""
@@ -532,29 +537,47 @@ def minhash_index(
     ).localCheckpoint(eager=True)
     membership = sig.select(F.col(id_col).alias("doc_id"), "sig_key")
     reps = membership.groupBy("sig_key").agg(F.min("doc_id").alias("rep"))
-    band_tbl = (
+    band_all = (
         sig.select("sig_key", F.explode("band_keys").alias("band_key"))
         .distinct()
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy("band_key")
-    band_tbl = (
-        band_tbl.withColumn("__bc", F.count(F.lit(1)).over(w))
-        .filter(F.col("__bc") <= max_bucket)
-        .drop("__bc")
-    )
+    counted = band_all.withColumn("__bc", F.count(F.lit(1)).over(w))
+    band_tbl = counted.filter(F.col("__bc") <= max_bucket).drop("__bc")
+    dropped = counted.filter(F.col("__bc") > max_bucket).select("band_key").distinct()
     params = {
         "shingle_n": shingle_n,
         "num_hashes": num_hashes,
         "bands": bands,
         "seed": seed,
         "hash_fn": hash_fn,
+        "max_bucket": max_bucket,
     }
-    return {"membership": membership, "reps": reps, "bands": band_tbl, "params": params}
+    return {
+        "membership": membership,
+        "reps": reps,
+        "bands": band_tbl,
+        "dropped": dropped,
+        "params": params,
+    }
 
 
-_MINHASH_PARAM_SCHEMA = "shingle_n int, num_hashes int, bands int, seed int, hash_fn string"
+_MINHASH_PARAM_SCHEMA = (
+    "shingle_n int, num_hashes int, bands int, seed int, hash_fn string, max_bucket int"
+)
+
+
+def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
+    """A parquet subdir that an older artifact version never wrote reads
+    as an empty frame of the expected schema (not an error) — the
+    append/read paths treat 'no dropped table' as 'no dropped
+    buckets'."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — PATH_NOT_FOUND on pre-r5 artifacts
+        return spark.createDataFrame([], schema)
 
 
 def minhash_index_write(index: dict[str, DataFrame], path: str) -> None:
@@ -566,21 +589,155 @@ def minhash_index_write(index: dict[str, DataFrame], path: str) -> None:
     index["membership"].write.mode("overwrite").parquet(f"{path}/membership")
     index["reps"].write.mode("overwrite").parquet(f"{path}/reps")
     index["bands"].write.mode("overwrite").parquet(f"{path}/bands")
-    p = index["params"]
     spark = index["membership"].sparkSession
+    index.get(
+        "dropped", spark.createDataFrame([], "band_key long")
+    ).write.mode("overwrite").parquet(f"{path}/dropped")
+    p = index["params"]
     spark.createDataFrame(
-        [(p["shingle_n"], p["num_hashes"], p["bands"], p["seed"], p["hash_fn"])],
+        [
+            (
+                p["shingle_n"],
+                p["num_hashes"],
+                p["bands"],
+                p["seed"],
+                p["hash_fn"],
+                p.get("max_bucket", 1000),
+            )
+        ],
         _MINHASH_PARAM_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def minhash_index_read(spark, path: str) -> dict[str, DataFrame]:
-    row = spark.read.parquet(f"{path}/params").collect()[0]
+    """Open a stored index. The on-disk layout is APPEND-ONLY
+    (``minhash_index_append`` never rewrites a file), so the logical
+    tables are derived here: ``reps`` min-reduces the appended per-batch
+    rep rows, and ``bands`` anti-joins the ``dropped`` bucket list —
+    rows of a bucket that tripped the cap in a LATER append stay in the
+    parquet but never reach a matcher."""
+    row = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    params = {k: row[k] for k in ("shingle_n", "num_hashes", "bands", "seed", "hash_fn")}
+    params["max_bucket"] = row.get("max_bucket", 1000)
+    dropped = _read_or_empty(spark, f"{path}/dropped", "band_key long")
     return {
         "membership": spark.read.parquet(f"{path}/membership"),
-        "reps": spark.read.parquet(f"{path}/reps"),
-        "bands": spark.read.parquet(f"{path}/bands"),
-        "params": {k: row[k] for k in ("shingle_n", "num_hashes", "bands", "seed", "hash_fn")},
+        "reps": spark.read.parquet(f"{path}/reps")
+        .groupBy("sig_key")
+        .agg(F.min("rep").alias("rep")),
+        "bands": spark.read.parquet(f"{path}/bands")
+        .join(dropped, "band_key", "left_anti")
+        .select("sig_key", "band_key"),
+        "dropped": dropped,
+        "params": params,
+    }
+
+
+def minhash_index_append(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: int | None = None,
+) -> dict[str, int | bool]:
+    """Fold an accepted batch INTO the stored index — the missing half of
+    the incremental story: without it a daily pipeline re-builds the
+    index from the full corpus every snapshot, paying exactly the
+    re-shingling cost the index exists to avoid. Only the BATCH is
+    shingled (one map-only pass); the seen corpus is never read.
+
+    Append ≡ rebuild, exactly: after ``append(day2)`` on a day-1 index,
+    ``minhash_index_read`` yields the same three logical tables as
+    ``minhash_index(day1 ∪ day2)`` (pytest-pinned sorted-collect
+    equality; the differential idiom of reference
+    performance_test.py:516-539 applied to index state, and oracle-gated
+    end-to-end via ``dedup_index_append``). The cap re-check touches
+    ONLY buckets the batch lands in:
+
+    * band rows are added only for signatures NOT already in the index
+      (bucket populations count distinct signatures);
+    * buckets already in ``dropped`` stay dropped — populations only
+      grow, so over-the-cap is permanent;
+    * a touched bucket whose kept-rows + new-rows exceed the cap is
+      dropped NOW: its new rows are withheld and its key appended to
+      ``dropped`` (read-time anti-join retires the old rows without a
+      rewrite — every table stays append-only).
+
+    ``batch_id`` (optional) makes re-delivery a no-op: an id already in
+    ``applied_batches`` returns ``{"applied": False}`` without touching
+    the index — the exactly-once discipline a ``foreachBatch`` caller
+    needs under Structured Streaming's replay contract. The marker is
+    written LAST, so a crash mid-append can leave a partial batch that a
+    retry re-appends (duplicate membership rows; candidate pairs repeat
+    but verification dedups) — true write atomicity needs a
+    transactional table format underneath, which parquet alone is not.
+
+    Returns appended row counts per table."""
+    row = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    max_bucket = row.get("max_bucket", 1000)
+    if batch_id is not None:
+        applied = _read_or_empty(spark, f"{path}/applied_batches", "batch_id long")
+        if applied.filter(F.col("batch_id") == int(batch_id)).limit(1).count():
+            return {"applied": False, "membership": 0, "reps": 0, "bands": 0, "dropped": 0}
+    # Pinned once: the signature pass feeds membership, reps and the
+    # band derivation (see minhash_index) — and every derived frame
+    # below is pinned BEFORE any write, because the writes append into
+    # the very directories those frames read (lazy evaluation would
+    # otherwise re-scan mid-append state).
+    sig = _minhash_sig_keys(
+        new_docs,
+        id_col,
+        text_col,
+        row["shingle_n"],
+        row["num_hashes"],
+        row["bands"],
+        row["seed"],
+        row["hash_fn"],
+    ).localCheckpoint(eager=True)
+    new_membership = sig.select(F.col(id_col).alias("doc_id"), "sig_key")
+    reps_add = new_membership.groupBy("sig_key").agg(F.min("doc_id").alias("rep"))
+    existing_sigs = spark.read.parquet(f"{path}/reps").select("sig_key")
+    dropped_cur = _read_or_empty(spark, f"{path}/dropped", "band_key long")
+    new_band_rows = (
+        sig.dropDuplicates(["sig_key"])
+        .join(existing_sigs, "sig_key", "left_anti")
+        .select("sig_key", F.explode("band_keys").alias("band_key"))
+        .distinct()
+        .join(dropped_cur, "band_key", "left_anti")
+        .select("sig_key", "band_key")  # USING-join reordered; parquet appends by name
+        .localCheckpoint(eager=True)
+    )
+    new_counts = new_band_rows.groupBy("band_key").agg(F.count(F.lit(1)).alias("add"))
+    cur_counts = (
+        spark.read.parquet(f"{path}/bands")
+        .join(new_counts.select("band_key"), "band_key", "left_semi")
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("cur"))
+    )
+    newly_dropped = (
+        new_counts.join(cur_counts, "band_key", "left")
+        .filter(F.coalesce(F.col("cur"), F.lit(0)) + F.col("add") > max_bucket)
+        .select("band_key")
+        .localCheckpoint(eager=True)
+    )
+    band_append = new_band_rows.join(newly_dropped, "band_key", "left_anti").select(
+        "sig_key", "band_key"
+    )
+    new_membership.write.mode("append").parquet(f"{path}/membership")
+    reps_add.write.mode("append").parquet(f"{path}/reps")
+    band_append.write.mode("append").parquet(f"{path}/bands")
+    newly_dropped.write.mode("append").parquet(f"{path}/dropped")
+    if batch_id is not None:
+        spark.createDataFrame([(int(batch_id),)], "batch_id long").coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{path}/applied_batches")
+    return {
+        "applied": True,
+        "membership": new_membership.count(),
+        "reps": reps_add.count(),
+        "bands": band_append.count(),
+        "dropped": newly_dropped.count(),
     }
 
 
@@ -1369,7 +1526,10 @@ def simhash_index(
       linear ``mode="rep"`` match;
     * ``chunks`` (sh, chunk_idx, chunk_val) — DISTINCT fingerprints'
       pigeonhole chunks, with overfull buckets (> ``max_bucket``
-      distinct fingerprints) dropped once at build time.
+      distinct fingerprints) dropped once at build time;
+    * ``dropped`` (chunk_idx, chunk_val) — the capped-out buckets, kept
+      so ``simhash_index_append`` can keep them capped (populations
+      only grow; see the minhash twin).
 
     Integer-only parquet-able artifacts; matching a new batch never
     re-reads the seen corpus."""
@@ -1388,39 +1548,145 @@ def simhash_index(
     from pyspark.sql import Window
 
     w = Window.partitionBy("chunk_idx", "chunk_val")
-    chunks = (
+    counted = (
         fp.select("sh").distinct()
         .select("sh", F.explode(F.array(*_simhash_chunk_structs("sh", n_chunks, chunk_bits))).alias("c"))
         .select("sh", "c.chunk_idx", "c.chunk_val")
         .withColumn("__bc", F.count(F.lit(1)).over(w))
-        .filter(F.col("__bc") <= max_bucket)
-        .drop("__bc")
+    )
+    chunks = counted.filter(F.col("__bc") <= max_bucket).drop("__bc")
+    dropped = (
+        counted.filter(F.col("__bc") > max_bucket).select("chunk_idx", "chunk_val").distinct()
     )
     reps = fp.groupBy("sh").agg(F.min("doc_id").alias("rep"))
-    params = {"max_hamming": max_hamming, "bits": bits, "hash_fn": hash_fn}
-    return {"fingerprints": fp, "reps": reps, "chunks": chunks, "params": params}
+    params = {
+        "max_hamming": max_hamming,
+        "bits": bits,
+        "hash_fn": hash_fn,
+        "max_bucket": max_bucket,
+    }
+    return {
+        "fingerprints": fp,
+        "reps": reps,
+        "chunks": chunks,
+        "dropped": dropped,
+        "params": params,
+    }
 
 
-_SIMHASH_PARAM_SCHEMA = "max_hamming int, bits int, hash_fn string"
+_SIMHASH_PARAM_SCHEMA = "max_hamming int, bits int, hash_fn string, max_bucket int"
+_SIMHASH_DROPPED_SCHEMA = "chunk_idx int, chunk_val long"
 
 
 def simhash_index_write(index: dict[str, DataFrame], path: str) -> None:
     index["fingerprints"].write.mode("overwrite").parquet(f"{path}/fingerprints")
     index["reps"].write.mode("overwrite").parquet(f"{path}/reps")
     index["chunks"].write.mode("overwrite").parquet(f"{path}/chunks")
+    spark = index["fingerprints"].sparkSession
+    index.get(
+        "dropped", spark.createDataFrame([], _SIMHASH_DROPPED_SCHEMA)
+    ).write.mode("overwrite").parquet(f"{path}/dropped")
     p = index["params"]
-    index["fingerprints"].sparkSession.createDataFrame(
-        [(p["max_hamming"], p["bits"], p["hash_fn"])], _SIMHASH_PARAM_SCHEMA
+    spark.createDataFrame(
+        [(p["max_hamming"], p["bits"], p["hash_fn"], p.get("max_bucket", 2000))],
+        _SIMHASH_PARAM_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def simhash_index_read(spark, path: str) -> dict[str, DataFrame]:
-    row = spark.read.parquet(f"{path}/params").collect()[0]
+    """Open a stored simhash index — append-only layout, logical tables
+    derived at read time exactly as ``minhash_index_read`` does: reps
+    min-reduce, chunk rows anti-join the dropped-bucket list."""
+    row = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    params = {k: row[k] for k in ("max_hamming", "bits", "hash_fn")}
+    params["max_bucket"] = row.get("max_bucket", 2000)
+    dropped = _read_or_empty(spark, f"{path}/dropped", _SIMHASH_DROPPED_SCHEMA)
     return {
         "fingerprints": spark.read.parquet(f"{path}/fingerprints"),
-        "reps": spark.read.parquet(f"{path}/reps"),
-        "chunks": spark.read.parquet(f"{path}/chunks"),
-        "params": {k: row[k] for k in ("max_hamming", "bits", "hash_fn")},
+        "reps": spark.read.parquet(f"{path}/reps").groupBy("sh").agg(F.min("rep").alias("rep")),
+        "chunks": spark.read.parquet(f"{path}/chunks")
+        .join(dropped, ["chunk_idx", "chunk_val"], "left_anti")
+        .select("sh", "chunk_idx", "chunk_val"),
+        "dropped": dropped,
+        "params": params,
+    }
+
+
+def simhash_index_append(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: int | None = None,
+) -> dict[str, int | bool]:
+    """SimHash twin of ``minhash_index_append`` — fold an accepted batch
+    into the stored index, re-checking the pigeonhole-bucket cap only on
+    the (chunk_idx, chunk_val) buckets the batch touches. Same
+    append-≡-rebuild contract (pytest-pinned table equality, oracle-gated
+    via ``dedup_simhash_index_append``), same append-only layout, same
+    ``batch_id`` replay no-op, same written-last-marker atomicity
+    caveat."""
+    row = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    max_bucket = row.get("max_bucket", 2000)
+    max_hamming, bits, hash_fn = row["max_hamming"], row["bits"], row["hash_fn"]
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    if batch_id is not None:
+        applied = _read_or_empty(spark, f"{path}/applied_batches", "batch_id long")
+        if applied.filter(F.col("batch_id") == int(batch_id)).limit(1).count():
+            return {"applied": False, "fingerprints": 0, "reps": 0, "chunks": 0, "dropped": 0}
+    fp = (
+        simhash_fingerprints(new_docs, id_col, text_col, bits, hash_fn)
+        .select(F.col(id_col).alias("doc_id"), "sh")
+        .localCheckpoint(eager=True)
+    )
+    reps_add = fp.groupBy("sh").agg(F.min("doc_id").alias("rep"))
+    existing = spark.read.parquet(f"{path}/reps").select("sh")
+    dropped_cur = _read_or_empty(spark, f"{path}/dropped", _SIMHASH_DROPPED_SCHEMA)
+    new_chunk_rows = (
+        fp.select("sh").distinct()
+        .join(existing, "sh", "left_anti")
+        .select(
+            "sh", F.explode(F.array(*_simhash_chunk_structs("sh", n_chunks, chunk_bits))).alias("c")
+        )
+        .select("sh", "c.chunk_idx", "c.chunk_val")
+        .join(dropped_cur, ["chunk_idx", "chunk_val"], "left_anti")
+        .select("sh", "chunk_idx", "chunk_val")  # USING-join reordered
+        .localCheckpoint(eager=True)
+    )
+    new_counts = new_chunk_rows.groupBy("chunk_idx", "chunk_val").agg(
+        F.count(F.lit(1)).alias("add")
+    )
+    cur_counts = (
+        spark.read.parquet(f"{path}/chunks")
+        .join(new_counts.select("chunk_idx", "chunk_val"), ["chunk_idx", "chunk_val"], "left_semi")
+        .groupBy("chunk_idx", "chunk_val")
+        .agg(F.count(F.lit(1)).alias("cur"))
+    )
+    newly_dropped = (
+        new_counts.join(cur_counts, ["chunk_idx", "chunk_val"], "left")
+        .filter(F.coalesce(F.col("cur"), F.lit(0)) + F.col("add") > max_bucket)
+        .select("chunk_idx", "chunk_val")
+        .localCheckpoint(eager=True)
+    )
+    chunk_append = new_chunk_rows.join(
+        newly_dropped, ["chunk_idx", "chunk_val"], "left_anti"
+    ).select("sh", "chunk_idx", "chunk_val")
+    fp.write.mode("append").parquet(f"{path}/fingerprints")
+    reps_add.write.mode("append").parquet(f"{path}/reps")
+    chunk_append.write.mode("append").parquet(f"{path}/chunks")
+    newly_dropped.write.mode("append").parquet(f"{path}/dropped")
+    if batch_id is not None:
+        spark.createDataFrame([(int(batch_id),)], "batch_id long").coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{path}/applied_batches")
+    return {
+        "applied": True,
+        "fingerprints": fp.count(),
+        "reps": reps_add.count(),
+        "chunks": chunk_append.count(),
+        "dropped": newly_dropped.count(),
     }
 
 

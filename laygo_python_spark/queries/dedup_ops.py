@@ -304,10 +304,22 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _incremental_lsh_oracle(num_hashes: int = 128, bands: int = 32, max_bucket: int = 1000) -> str:
-    """Oracle for the incremental index-match path: seen = even doc_ids
-    (the stored index), new = odd. The build-time bucket cap applies to
-    the SEEN side only — exactly ``minhash_index``'s semantics."""
+def _incremental_lsh_oracle(
+    num_hashes: int = 128,
+    bands: int = 32,
+    max_bucket: int = 1000,
+    seen: str = "% 2 = 0",
+    new: str = "% 2 = 1",
+) -> str:
+    """Oracle for the incremental index-match path: ``seen``/``new`` are
+    predicate suffixes on doc_id splitting the corpus into the stored
+    index side and the probe batch (defaults: even = seen, odd = new).
+    The build-time bucket cap applies to the SEEN side only — exactly
+    ``minhash_index``'s semantics. ``dedup_index_append`` reuses this
+    with a three-way split (seen = the index REBUILT over day-1 ∪
+    day-2), which is what makes it an append-≡-rebuild gate: the Spark
+    side matches against build(day1)+append(day2) while the oracle
+    recomputes a from-scratch index over the union."""
     r = num_hashes // bands
     band_sel = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS b, concat_ws(',', {slots}) AS k FROM sig".format(
@@ -321,10 +333,10 @@ def _incremental_lsh_oracle(num_hashes: int = 128, bands: int = 32, max_bucket: 
     band_docs AS (
       {band_sel}),
     seen_sig AS (SELECT DISTINCT g.fsig, bd.b, bd.k
-                 FROM band_docs bd JOIN sg g USING (doc_id) WHERE bd.doc_id % 2 = 0),
+                 FROM band_docs bd JOIN sg g USING (doc_id) WHERE bd.doc_id {seen}),
     kept AS (SELECT b, k FROM seen_sig GROUP BY b, k HAVING count(*) <= {max_bucket}),
     new_sig AS (SELECT DISTINCT g.fsig, bd.b, bd.k
-                FROM band_docs bd JOIN sg g USING (doc_id) WHERE bd.doc_id % 2 = 1),
+                FROM band_docs bd JOIN sg g USING (doc_id) WHERE bd.doc_id {new}),
     spn AS (SELECT n.fsig AS nf, s.fsig AS sf, count(*) AS n_bands
             FROM new_sig n
             JOIN seen_sig s ON n.b = s.b AND n.k = s.k AND n.fsig <> s.fsig
@@ -333,13 +345,13 @@ def _incremental_lsh_oracle(num_hashes: int = 128, bands: int = 32, max_bucket: 
     cross_pairs AS (
       SELECT x.doc_id AS doc_id_new, y.doc_id AS doc_id_seen, p.n_bands
       FROM spn p
-      JOIN sg x ON x.fsig = p.nf AND x.doc_id % 2 = 1
-      JOIN sg y ON y.fsig = p.sf AND y.doc_id % 2 = 0),
+      JOIN sg x ON x.fsig = p.nf AND x.doc_id {new}
+      JOIN sg y ON y.fsig = p.sf AND y.doc_id {seen}),
     same_pairs AS (
       SELECT x.doc_id AS doc_id_new, y.doc_id AS doc_id_seen,
              CAST({bands} AS BIGINT) AS n_bands
       FROM sg x JOIN sg y ON x.fsig = y.fsig
-      WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0)
+      WHERE x.doc_id {new} AND y.doc_id {seen})
     SELECT doc_id_new, doc_id_seen, n_bands FROM cross_pairs
     UNION ALL SELECT doc_id_new, doc_id_seen, n_bands FROM same_pairs"""
 
@@ -400,3 +412,119 @@ def dedup_new_vs_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-shingled — its text is not even read."""
     pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=1, threshold=0.95)
     return pairs.filter((F.col("doc_id_a") % 2) != (F.col("doc_id_b") % 2))
+
+
+def _incremental_simhash_oracle(
+    bits: int = 60,
+    max_hamming: int = 3,
+    max_bucket: int = 2000,
+    seen: str = "% 3 < 2",
+    new: str = "% 3 = 2",
+) -> str:
+    """Incremental twin of ``_simhash_oracle``: (doc_id_new,
+    doc_id_seen, hamming) for a probe batch against a stored index.
+    Same-fingerprint matches are cap-immune; cross matches require a
+    shared pigeonhole bucket holding ≤ ``max_bucket`` distinct SEEN
+    fingerprints — the build-time cap applies to the index side only,
+    exactly ``simhash_index``'s semantics. With ``seen`` spanning two
+    snapshot days this doubles as the append-≡-rebuild gate for
+    ``simhash_index_append``."""
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_idx = ", ".join(str(i) for i in range(n_chunks))
+    tallies = ",\n           ".join(
+        f"sum(CASE WHEN (hv>>{j})&1=1 THEN 1 ELSE -1 END) AS t{j}" for j in range(bits)
+    )
+    fp_bits = " + ".join(
+        f"(CASE WHEN t{j}>0 THEN (1::BIGINT<<{j}) ELSE 0 END)" for j in range(bits)
+    )
+    return f"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+             FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+    th AS (SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT AS hv FROM tok),
+    tally AS (SELECT doc_id,
+           {tallies}
+        FROM th GROUP BY doc_id),
+    fp AS MATERIALIZED (SELECT doc_id, {fp_bits} AS sh FROM tally),
+    seen_fps AS (SELECT DISTINCT sh FROM fp WHERE doc_id {seen}),
+    new_fps AS (SELECT DISTINCT sh FROM fp WHERE doc_id {new}),
+    seen_chunks AS (SELECT sh, i, (sh >> ({chunk_bits} * i)) & {mask} AS cv
+                    FROM seen_fps, unnest([{chunk_idx}]) AS u(i)),
+    kept AS (SELECT i, cv FROM seen_chunks GROUP BY i, cv HAVING count(*) <= {max_bucket}),
+    new_chunks AS (SELECT sh, i, (sh >> ({chunk_bits} * i)) & {mask} AS cv
+                   FROM new_fps, unnest([{chunk_idx}]) AS u(i)),
+    fpp AS (SELECT DISTINCT n.sh AS ns, s.sh AS ss
+            FROM new_chunks n
+            JOIN seen_chunks s ON n.i = s.i AND n.cv = s.cv AND n.sh <> s.sh
+            JOIN kept ON kept.i = s.i AND kept.cv = s.cv
+            WHERE bit_count(xor(n.sh, s.sh)) <= {max_hamming}),
+    cross_pairs AS (
+      SELECT x.doc_id AS doc_id_new, y.doc_id AS doc_id_seen,
+             CAST(bit_count(xor(p.ns, p.ss)) AS INT) AS hamming
+      FROM fpp p
+      JOIN fp x ON x.sh = p.ns AND x.doc_id {new}
+      JOIN fp y ON y.sh = p.ss AND y.doc_id {seen}),
+    same_pairs AS (
+      SELECT x.doc_id AS doc_id_new, y.doc_id AS doc_id_seen, CAST(0 AS INT) AS hamming
+      FROM fp x JOIN fp y ON x.sh = y.sh
+      WHERE x.doc_id {new} AND y.doc_id {seen})
+    SELECT doc_id_new, doc_id_seen, hamming FROM cross_pairs
+    UNION ALL SELECT doc_id_new, doc_id_seen, hamming FROM same_pairs"""
+
+
+@query("dedup_index_append", oracle=_incremental_lsh_oracle(seen="% 3 < 2", new="% 3 = 2"))
+def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAILY-INGEST shape end-to-end, with the index GROWING between
+    snapshots: day-1 (doc_id%3=0) is built into a stored parquet index,
+    day-2 (doc_id%3=1) is folded in via ``minhash_index_append`` — only
+    day-2's text is shingled; day-1 is never re-read — and day-3's
+    probe batch (doc_id%3=2) is matched against the appended artifact.
+    The oracle rebuilds the index FROM SCRATCH over day-1 ∪ day-2 in
+    SQL (signatures, banding, bucket cap) and matches day-3 against
+    that, so a hash match certifies append ≡ rebuild through the full
+    match path — the reference's differential idiom
+    (performance_test.py:516-539) applied to persisted index state."""
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="mh_idx_append_")
+    try:
+        day1 = docs.filter(F.col("doc_id") % 3 == 0)
+        day2 = docs.filter(F.col("doc_id") % 3 == 1)
+        probe = docs.filter(F.col("doc_id") % 3 == 2)
+        dedup.minhash_index_write(dedup.minhash_index(day1, hash_fn="md5"), path)
+        dedup.minhash_index_append(spark, path, day2, batch_id=1)
+        stored = dedup.minhash_index_read(spark, path)
+        return dedup.minhash_match_incremental(probe, stored).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "dedup_simhash_index_append",
+    oracle=_incremental_simhash_oracle(seen="% 3 < 2", new="% 3 = 2"),
+)
+def dedup_simhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash twin of ``dedup_index_append``: build day-1, append day-2
+    (``simhash_index_append`` re-checks the pigeonhole-bucket cap on
+    touched buckets only), probe day-3 against the stored artifact. The
+    md5-60 fingerprint family keeps the whole path SQL-replayable: the
+    oracle re-tallies both days' fingerprints, re-applies the cap over
+    the UNION (rebuild semantics) and brute-force verifies Hamming ≤ 3,
+    gating append ≡ rebuild through the match output."""
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sh_idx_append_")
+    try:
+        day1 = docs.filter(F.col("doc_id") % 3 == 0)
+        day2 = docs.filter(F.col("doc_id") % 3 == 1)
+        probe = docs.filter(F.col("doc_id") % 3 == 2)
+        dedup.simhash_index_write(dedup.simhash_index(day1, bits=60, hash_fn="md5"), path)
+        dedup.simhash_index_append(spark, path, day2, batch_id=1)
+        stored = dedup.simhash_index_read(spark, path)
+        return dedup.simhash_match_incremental(probe, stored).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

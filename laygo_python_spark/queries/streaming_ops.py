@@ -232,28 +232,36 @@ from laygo_python_spark.queries.dedup_ops import _incremental_lsh_oracle
 
 @query("stream_incremental_dedup", oracle=_incremental_lsh_oracle())
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming ingest deduped against the STORED LSH index — the
-    production crawl shape end-to-end: yesterday's corpus (even
-    doc_ids) lives as the integer index tables (checkpoint-pinned here,
-    parquet in production), today's documents arrive as a file stream,
-    and every micro-batch is matched via ``minhash_match_incremental``
-    inside ``foreachBatch`` — per batch, only the batch's text is
-    shingled; the index never changes and the seen corpus is never
-    read. Each doc matches independently against the fixed index, so
-    the union over micro-batches equals the one-shot incremental match:
-    the SAME generated DuckDB oracle gates both (dedup_incremental_lsh
-    is the batch twin). Each batch's matches APPEND to a parquet sink —
-    the distributed production path, no driver membrane — and the
-    returned frame reads that sink."""
+    """Streaming ingest deduped against the STORED LSH index, with the
+    loop CLOSED — the production crawl shape end-to-end: yesterday's
+    corpus (even doc_ids) lives as the parquet index artifact, today's
+    documents arrive as a file stream, and every micro-batch runs
+    ``incremental_dedup_processor``: match via
+    ``minhash_match_incremental`` (only the batch's text is shingled;
+    the seen corpus is never read), write the matches to a per-batch
+    sink partition, then ``minhash_index_append`` the batch's ACCEPTED
+    docs into the stored index — so later batches dedup against
+    everything accepted so far. Both effects are keyed by batch_id
+    (partition overwrite / applied_batches no-op), matching the
+    exactly-once discipline the rest of the streaming suite tests.
+
+    The fixture's single file makes one micro-batch, whose matches are
+    computed before its own append lands — so the output equals the
+    one-shot incremental match and the SAME generated DuckDB oracle
+    gates both (dedup_incremental_lsh is the batch twin). The
+    multi-batch index-growth semantics are pinned by
+    tests/test_index_append.py::test_stream_ingest_appends_accepted
+    (after N micro-batches the stored index ≡ a batch-built index over
+    seen ∪ all accepted docs)."""
+    import shutil
     import tempfile
 
     from laygo_python_spark.operators import dedup
     from laygo_python_spark.session import read_table
+    from laygo_python_spark.streaming import incremental_dedup_processor
 
     docs = read_table(spark, sf_dir, "documents")
     seen = docs.filter(F.col("doc_id") % 2 == 0)
-    idx = dedup.minhash_index(seen, hash_fn="md5")
-    idx = {k: (v.localCheckpoint(eager=True) if hasattr(v, "localCheckpoint") else v) for k, v in idx.items()}
 
     raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
@@ -262,31 +270,28 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(sf_dir)
     )
-    out_dir = tempfile.mkdtemp(prefix="stream_incdedup_")
+    scratch = tempfile.mkdtemp(prefix="stream_incdedup_")
+    idx_dir, out_dir = f"{scratch}/index", f"{scratch}/matches"
 
-    def process(batch_df: DataFrame, _batch_id: int) -> None:
-        new = batch_df.filter(F.col("doc_id") % 2 == 1)
-        dedup.minhash_match_incremental(new, idx, hash_fn="md5").write.mode(
-            "append"
-        ).parquet(out_dir)
-
-    # try/finally around the WHOLE sink lifecycle — repeated invocations
-    # (bench runs, the driver gate, a failing stream mid-retry) must not
-    # accumulate /tmp parquet, so the rmtree runs on the failure paths
-    # too, not just after a clean read-back.
-    import shutil
-
+    # try/finally around the WHOLE scratch lifecycle — repeated
+    # invocations (bench runs, the driver gate, a failing stream
+    # mid-retry) must not accumulate /tmp parquet, so the rmtree runs
+    # on the failure paths too, not just after a clean read-back.
     try:
+        dedup.minhash_index_write(dedup.minhash_index(seen, hash_fn="md5"), idx_dir)
+        process = incremental_dedup_processor(
+            spark, idx_dir, out_dir, new_filter=F.col("doc_id") % 2 == 1
+        )
         q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
         try:
             q.awaitTermination()
         finally:
             q.stop()
-        # Pin the result, then remove the scratch sink.
+        # Pin the result, then remove the scratch dirs.
         return (
             spark.read.parquet(out_dir)
             .select("doc_id_new", "doc_id_seen", "n_bands")
             .localCheckpoint(eager=True)
         )
     finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -116,3 +116,45 @@ def dedup_stream(
     if watermark is None:
         return events.dropDuplicates(keys)
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def incremental_dedup_processor(
+    spark: SparkSession,
+    index_path: str,
+    matches_path: str,
+    new_filter: Column | None = None,
+):
+    """``foreachBatch`` body for the full streaming-ingest dedup loop:
+    per micro-batch, (1) match the batch against the STORED MinHash-LSH
+    index (only the batch's text is shingled), (2) write the matches to
+    a per-batch sink partition, (3) fold the batch's ACCEPTED docs —
+    those with no match — back into the stored index via
+    ``minhash_index_append``, so later batches dedup against everything
+    accepted so far, not just the initial corpus. This closes the loop
+    ``stream_incremental_dedup`` previously left open (the index never
+    grew).
+
+    Exactly-once under Structured Streaming's replay contract, keyed by
+    batch_id on BOTH effects: the match sink is an overwrite of
+    ``{matches_path}/batch_id=N`` (replay rewrites the same partition),
+    and the index append is a no-op for an already-applied batch_id
+    (``applied_batches`` marker). ``new_filter`` optionally restricts
+    which batch rows are ingest candidates (the registered query uses
+    odd doc_ids, the fixture's stand-in for 'today's docs').
+    """
+    from laygo_python_spark.operators import dedup
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.filter(new_filter) if new_filter is not None else batch_df
+        new = new.localCheckpoint(eager=True)
+        stored = dedup.minhash_index_read(spark, index_path)
+        matches = dedup.minhash_match_incremental(new, stored).localCheckpoint(eager=True)
+        matches.write.mode("overwrite").parquet(f"{matches_path}/batch_id={batch_id}")
+        accepted = new.join(
+            matches.select(F.col("doc_id_new").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        dedup.minhash_index_append(spark, index_path, accepted, batch_id=batch_id)
+
+    return process
