@@ -113,14 +113,19 @@ def ivf_index_write(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> None:
     """Persist the IVF index the way the module docstring promises a
     100 TB deployment stores it: the corpus CELL-PARTITIONED on disk
     (``cells/cell=<i>/…`` — a probe later reads only its ``n_probe``
     directories via partition pruning) plus the trained centroids as a
     tiny parquet. Train once, search many — queries never pay the
-    k-means job again and never scan unprobed cells."""
-    centroids = train_centroids(corpus, n_centroids, vec_col, seed)
+    k-means job again and never scan unprobed cells. Pass ``centroids``
+    to build at FIXED pre-trained centroids instead of training (the
+    rebuild-for-comparison path of ``ivf_index_add``'s differential
+    test, and the re-shard-without-retrain maintenance op)."""
+    if centroids is None:
+        centroids = train_centroids(corpus, n_centroids, vec_col, seed)
     assigned = _assign_cells(corpus, centroids, "neighbor_id", "cv", id_col, vec_col, n_probe=1)
     assigned.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/cells")
     spark = corpus.sparkSession
@@ -164,3 +169,57 @@ def ivf_search_indexed(
         .select("query_id", "neighbor_id", "qv", "cv")
     )
     return _score_topk(candidates, k)
+
+
+def ivf_index_add(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Grow a stored IVF index WITHOUT retraining: assign the new
+    vectors to the FIXED stored centroids (one map-only matmul pass over
+    the batch — the seen corpus is never read) and append them into the
+    ``cells/cell=<i>/`` directories. Add-then-search ≡
+    rebuild-at-fixed-centroids-then-search (pytest-pinned), because cell
+    assignment depends only on (vector, centroids).
+
+    **Retrain trigger**: fixed centroids drift from the data as the
+    corpus grows — the observable symptom is CELL-SIZE SKEW
+    (``ivf_index_stats``). Rule of thumb: retrain (full
+    ``ivf_index_write``) when ``max_cell / mean_cell`` exceeds ~4 — a
+    probe into a bloated cell scans that many times more candidates
+    than the n_probe/n_centroids cost model assumes, and recall decays
+    for queries near the drifted region. Appends themselves never
+    degrade correctness of the ≡-fixed-centroid contract; skew only
+    erodes the pruning economics.
+
+    Returns the number of vectors appended."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = np.array(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])], dtype=np.float64
+    )
+    assigned = _assign_cells(
+        new_corpus, centroids, "neighbor_id", "cv", id_col, vec_col, n_probe=1
+    ).localCheckpoint(eager=True)  # pin before writing into the dirs a later read scans
+    assigned.write.partitionBy("cell").mode("append").parquet(f"{path}/cells")
+    return assigned.count()
+
+
+def ivf_index_stats(spark, path: str) -> DataFrame:
+    """(cell, n, skew) — per-cell population plus the index-wide
+    ``max_cell / mean_cell`` ratio repeated on every row (one small
+    aggregate; the frame is ≤ n_centroids rows). The maintenance
+    dashboard for ``ivf_index_add``'s retrain trigger: alert when skew
+    exceeds ~4 and schedule a retraining ``ivf_index_write``."""
+    counts = (
+        spark.read.parquet(f"{path}/cells")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.withColumn(
+        "skew",
+        F.max("n").over(Window.partitionBy(F.lit(1)))
+        / F.avg("n").over(Window.partitionBy(F.lit(1))),
+    )

@@ -303,3 +303,35 @@ def pq_index_read(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     for r in rows:
         codebooks[r["subspace"], r["code"]] = r["centroid"]
     return spark.read.parquet(f"{path}/codes"), codebooks
+
+
+def pq_encode_append(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Grow a stored PQ index WITHOUT retraining: encode the new vectors
+    with the FIXED stored codebooks (one map-only pass — the seen codes
+    are never read) and append them into ``codes/``. Encode-then-append ≡
+    rebuild-encoding-at-fixed-codebooks (pytest-pinned): a code depends
+    only on (vector, codebooks), so ADC search over the appended index
+    equals search over a from-scratch encode of the union.
+
+    **Retrain trigger** (same drift economics as ``ivf_index_add``):
+    codebooks quantize well only near the distribution they were trained
+    on — the observable symptom is rising quantization error on new
+    batches. Monitor ``mean ||x - decode(encode(x))||²`` per appended
+    batch (a by-product of the encode matmul); retrain
+    (``pq_index_write``) when it sustains above ~1.5× the build-time
+    error. Appends never break the ≡-fixed-codebook contract; drift only
+    erodes ADC score fidelity.
+
+    Returns the number of codes appended."""
+    _, codebooks = pq_index_read(spark, path)
+    codes = pq_encode(new_corpus, codebooks, id_col=id_col, vec_col=vec_col).localCheckpoint(
+        eager=True  # pin before appending into the dir a later read scans
+    )
+    codes.write.mode("append").parquet(f"{path}/codes")
+    return codes.count()

@@ -69,3 +69,40 @@ def test_ivf_indexed_search_matches_direct_and_prunes_partitions(emb, tmp_path):
     assert got == want and got
     plan = formatted_plan(indexed)
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ivf_index_add_matches_fixed_centroid_rebuild(spark, emb, tmp_path):
+    """Verdict r4 ask #3: growing a stored IVF index by assigning new
+    vectors to the FIXED stored centroids must search identically to an
+    index rebuilt from scratch over the union at those same centroids —
+    cell assignment depends only on (vector, centroids)."""
+    import numpy as np
+
+    from laygo_python_spark.operators.ivf import (
+        ivf_index_add,
+        ivf_index_stats,
+        ivf_index_write,
+        ivf_search_indexed,
+    )
+
+    day1 = emb.filter("vec_id % 2 = 0")
+    day2 = emb.filter("vec_id % 2 = 1")
+    grown, rebuilt = str(tmp_path / "grown"), str(tmp_path / "rebuilt")
+    ivf_index_write(day1, grown, n_centroids=8)
+    n = ivf_index_add(spark, grown, day2)
+    assert n == day2.count()
+
+    cent_rows = spark.read.parquet(f"{grown}/centroids").collect()
+    centroids = np.array(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])], dtype=np.float64
+    )
+    ivf_index_write(day1.unionByName(day2), rebuilt, centroids=centroids)
+
+    queries = emb.filter("vec_id < 10")
+    got = ivf_search_indexed(spark, grown, queries, k=5, n_probe=2).collect()
+    want = ivf_search_indexed(spark, rebuilt, queries, k=5, n_probe=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    stats = ivf_index_stats(spark, grown).collect()
+    assert sum(r["n"] for r in stats) == day1.count() + day2.count()
+    assert all(r["skew"] >= 1.0 for r in stats)

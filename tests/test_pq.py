@@ -135,3 +135,36 @@ def test_pq_index_parquet_roundtrip_matches_direct(spark, sf_dir, tmp_path):
     got = sorted((r.query_id, r.neighbor_id, r.rank) for r in from_disk.collect())
     want = sorted((r.query_id, r.neighbor_id, r.rank) for r in direct.collect())
     assert got == want and got
+
+
+def test_pq_encode_append_matches_rebuild(spark, sf_dir, tmp_path):
+    """Verdict r4 ask #3: appending codes encoded with the FIXED stored
+    codebooks must equal a from-scratch encode of the union — and ADC
+    search over the appended index must match search over that
+    rebuild."""
+    from laygo_python_spark.operators.pq import (
+        pq_encode,
+        pq_encode_append,
+        pq_index_read,
+        pq_index_write,
+        pq_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    day1 = emb.filter("vec_id % 2 = 0")
+    day2 = emb.filter("vec_id % 2 = 1")
+    path = str(tmp_path / "pq")
+    pq_index_write(day1, path, m=8, ksub=16)
+    n = pq_encode_append(spark, path, day2)
+    assert n == day2.count()
+
+    codes, codebooks = pq_index_read(spark, path)
+    fresh = pq_encode(day1.unionByName(day2), codebooks)
+    assert sorted((r["vec_id"], tuple(r["codes"])) for r in codes.collect()) == sorted(
+        (r["vec_id"], tuple(r["codes"])) for r in fresh.collect()
+    )
+
+    queries = emb.filter("vec_id < 5")
+    got = pq_topk(codes, queries, codebooks, k=5).collect()
+    want = pq_topk(fresh, queries, codebooks, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
