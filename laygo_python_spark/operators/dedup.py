@@ -128,11 +128,15 @@ def shingles(text_col: str = "text", n: int = 3) -> Column:
 def _shingle_hasher(hash_fn: str, seed: int):
     """Per-shingle 31-bit hash, chosen for the trade the caller needs:
 
-    * ``"crc32"`` (production default): ``(crc32(s) ^ seed) & 0x7FFFFFFF``
-      — ~4× faster per call than md5 on short strings, but NOT
-      expressible in DuckDB SQL (no crc32), so crc32-hashed outputs are
-      rows-only in the oracle gate.
-    * ``"md5"`` (oracle twin): first 4 md5 bytes folded to 31 bits —
+    * ``"md5"`` (DEFAULT since r5): the oracle-proven family — the
+      shipped default is the path the DuckDB gate hash-checks, so a
+      user inherits the verified behavior; measured ~1.05× crc32 at
+      sf0.1 (one md5 per shingle, not per probe).
+    * ``"crc32"`` (opt-in fast path): ``(crc32(s) ^ seed) & 0x7FFFFFFF``
+      — ~4× faster per hash call on short strings, but NOT expressible
+      in DuckDB SQL (no crc32), so crc32-hashed outputs are covered by
+      planted-dup structure-equivalence pytest, not the hash oracle.
+    * ``"md5"`` mechanics: first 4 md5 bytes folded to 31 bits —
       ``int(md5(s).hexdigest()[:8], 16) & 0x7FFFFFFF``, which BOTH
       engines can compute (``conv(substr(md5(s),1,8),16,10) % 2^31`` in
       Spark SQL, ``('0x'||substr(md5(s),1,8))::BIGINT % 2^31`` in
@@ -157,7 +161,7 @@ def minhash_signatures(
     shingle_n: int = 3,
     num_hashes: int = 128,
     seed: int = 42,
-    hash_fn: str = "crc32",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, sig array<long>) — one minhash signature per document.
 
@@ -302,7 +306,7 @@ def minhash_lsh_candidates(
     seed: int = 42,
     max_bucket: int = 1000,
     clique_mode: str = "pairs",
-    hash_fn: str = "crc32",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -499,7 +503,7 @@ def minhash_index(
     num_hashes: int = 128,
     bands: int = 32,
     seed: int = 42,
-    hash_fn: str = "crc32",
+    hash_fn: str = "md5",
     max_bucket: int = 1000,
 ) -> dict[str, DataFrame]:
     """Build the PERSISTENT form of the LSH state: the incremental-dedup
@@ -814,7 +818,7 @@ def minhash_match_incremental(
             "seed": seed,
             "hash_fn": hash_fn,
         },
-        {"shingle_n": 3, "num_hashes": 128, "bands": 32, "seed": 42, "hash_fn": "crc32"},
+        {"shingle_n": 3, "num_hashes": 128, "bands": 32, "seed": 42, "hash_fn": "md5"},
     )
     shingle_n, num_hashes, bands, seed, hash_fn = (
         p["shingle_n"],
@@ -1239,20 +1243,21 @@ def simhash_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 64,
-    hash_fn: str = "crc32",
+    bits: int = 60,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, sh bigint) — ``bits``-wide SimHash per document: hash each
     token to ``bits`` bits, sum +1/-1 per bit position across tokens,
     set bits where the tally is positive.
 
-    ``hash_fn``: ``"crc32"`` (production default, 64-bit via two salted
-    crc32s — fastest) or ``"md5"`` (60-bit from the first 15 md5 hex
-    chars; forces ``bits=60``). The md5 form exists because BOTH
-    engines can compute it — ``('0x'||substr(md5(t),1,15))::BIGINT`` in
-    DuckDB — so the whole simhash pipeline becomes hash-matchable
-    against a SQL oracle (60 bits keeps the value inside a signed
-    int64 in both engines; 4 pigeonhole chunks tile it as 4×15 bits).
+    ``hash_fn``: ``"md5"`` (DEFAULT since r5 — 60-bit from the first 15
+    md5 hex chars, requires ``bits=60``): the oracle-proven family, so
+    the shipped default is the path the DuckDB gate hash-checks — BOTH
+    engines compute it (``('0x'||substr(md5(t),1,15))::BIGINT`` in
+    DuckDB), 60 bits keeps the value inside a signed int64 in both, and
+    4 pigeonhole chunks tile it as 4×15 bits. ``"crc32"`` (opt-in fast
+    path, 64-bit via two salted crc32s — pair with ``bits=64``) stays
+    pytest-covered via planted-dup structure equivalence.
 
     MAP-ONLY like minhash_signatures (and for the same measured reason:
     64 interpreted sum() aggregates + explode were ~10 s at sf0.1, this
@@ -1308,14 +1313,15 @@ def simhash_near_dups(
     max_bucket: int = 2000,
     expand_threshold: int = 200_000,
     clique_mode: str = "pairs",
-    bits: int = 64,
-    hash_fn: str = "crc32",
+    bits: int = 60,
+    hash_fn: str = "md5",
     n_fingerprints: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance, via pigeonhole
-    banding: split the 64-bit fingerprint into 4 chunks of 16 bits —
-    any pair within Hamming distance 3 must agree on >= 1 chunk, so the
-    candidate join is equi on (chunk_index, chunk_value), never O(n²).
+    banding: split the ``bits``-wide fingerprint into max_hamming+1
+    equal chunks (default: 60-bit md5 → 4×15 bits) — any pair within
+    Hamming distance 3 must agree on >= 1 chunk, so the candidate join
+    is equi on (chunk_index, chunk_value), never O(n²).
     Returns (doc_id_a, doc_id_b, hamming).
 
     FINGERPRINT DEDUP first (mirrors ``minhash_lsh_candidates``): docs
@@ -1516,8 +1522,8 @@ def simhash_index(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int = 2000,
-    bits: int = 64,
-    hash_fn: str = "crc32",
+    bits: int = 60,
+    hash_fn: str = "md5",
 ) -> dict[str, DataFrame]:
     """SimHash twin of ``minhash_index``: the stored incremental state —
 
@@ -1715,7 +1721,7 @@ def simhash_match_incremental(
     p = _resolve_index_params(
         index,
         {"max_hamming": max_hamming, "bits": bits, "hash_fn": hash_fn},
-        {"max_hamming": 3, "bits": 64, "hash_fn": "crc32"},
+        {"max_hamming": 3, "bits": 60, "hash_fn": "md5"},
     )
     max_hamming, bits, hash_fn = p["max_hamming"], p["bits"], p["hash_fn"]
     n_chunks = max_hamming + 1

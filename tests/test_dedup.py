@@ -131,8 +131,11 @@ def test_minhash_partitioning_invariance(planted):
 
 
 def test_simhash_rejects_untileable_hamming(planted):
+    # 7 chunks don't tile 60 bits (default) — and 5 don't tile 64
     with pytest.raises(ValueError):
-        dedup.simhash_near_dups(planted, max_hamming=4)
+        dedup.simhash_near_dups(planted, max_hamming=6)
+    with pytest.raises(ValueError):
+        dedup.simhash_near_dups(planted, max_hamming=4, bits=64, hash_fn="crc32")
 
 
 def test_shingles_short_doc(spark):
@@ -249,19 +252,21 @@ def test_simhash_compose_zero_jobs_with_hint(spark, planted):
     assert pairs.get((1, 2)) == 0
 
 
-def test_md5_hash_paths_match_crc32_structure(spark, planted):
-    """The md5 oracle-twin hashes must find the same planted structure
-    as the crc32 production default: exact dups at full band agreement
-    / hamming 0, unrelated docs unpaired."""
+def test_crc32_hash_paths_match_md5_structure(spark, planted):
+    """Defaults flipped in r5: md5 (the oracle-proven family) is now
+    what a no-args caller gets, and crc32 is the opt-in fast path —
+    this test keeps the crc32 VARIANT honest by pinning the same
+    planted structure the md5 default finds: exact dups at full band
+    agreement / hamming 0, unrelated docs unpaired."""
     lsh = {
         (r.doc_id_a, r.doc_id_b): r.n_bands
-        for r in dedup.minhash_lsh_candidates(planted, shingle_n=3, hash_fn="md5").collect()
+        for r in dedup.minhash_lsh_candidates(planted, shingle_n=3, hash_fn="crc32").collect()
     }
     assert lsh.get((1, 2)) == 32
     assert (4, 5) not in lsh
     sim = {
         (r.doc_id_a, r.doc_id_b): r.hamming
-        for r in dedup.simhash_near_dups(planted, bits=60, hash_fn="md5").collect()
+        for r in dedup.simhash_near_dups(planted, bits=64, hash_fn="crc32").collect()
     }
     assert sim.get((1, 2)) == 0
     assert (4, 5) not in sim

@@ -141,9 +141,9 @@ def test_simhash_append_cap_and_match_equal_rebuild(spark, tmp_path):
     day1 = _docs(spark, _uniq(12))
     day2 = _docs(spark, _uniq(12, start=50))
     path = str(tmp_path / "sidx")
-    dedup.simhash_index_write(dedup.simhash_index(day1, max_bucket=2), path)
+    dedup.simhash_index_write(dedup.simhash_index(day1, max_bucket=1), path)
     dedup.simhash_index_append(spark, path, day2)
-    rebuilt = dedup.simhash_index(day1.unionByName(day2), max_bucket=2)
+    rebuilt = dedup.simhash_index(day1.unionByName(day2), max_bucket=1)
     stored = dedup.simhash_index_read(spark, path)
     assert rebuilt["dropped"].count() > 0
     _assert_simhash_index_equal(stored, rebuilt)
