@@ -83,6 +83,43 @@ HEADLINE = [
     "stream_hourly_counts",
     "minhash_signature_sample",
     "dedup_incremental_lsh",
+    # r5 additions: the families r4's bench left invisible (multimodal,
+    # zorder, python datasource, stateful streaming) plus the new
+    # stored-index append path and the closed-loop streaming ingest.
+    "multimodal_decode_features",
+    "zorder_morton_keys",
+    "python_datasource_events",
+    "stream_stateful_user_counts",
+    "dedup_index_append",
+    "stream_incremental_dedup",
+]
+
+# All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite
+# `tpch_sweep_total` row — a regression in any relational shape moves
+# the number, without 22 rows crowding the per-query table.
+TPCH_SWEEP = [
+    "q1_pricing_summary",
+    "q2_top_supplier_per_nation",
+    "q3_shipping_priority",
+    "order_priority_check",  # Q4
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "region_market_share",  # Q8
+    "q9_product_profit",
+    "top_returning_customers",  # Q10
+    "q11_important_part_revenue",
+    "q12_late_shipment_priorities",
+    "customer_order_distribution",  # Q13
+    "promo_revenue_share",  # Q14
+    "q15_top_supplier",
+    "supplier_part_counts",  # Q16
+    "q17_small_quantity_revenue",
+    "large_quantity_orders",  # Q18
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "idle_customers",  # Q22
 ]
 
 
@@ -117,26 +154,77 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — cold numbers beat no numbers
         print(f"# bench warmup failed: {type(exc).__name__}: {exc}", file=sys.stderr)
 
-    # min of N timed runs per query — the reference baseline's own
-    # methodology (BASELINE.md: 20 runs + warm-up, reports min/avg;
-    # performance_test.py:452-479). N=5 so one JIT/GC hiccup cannot put
-    # a 2× outlier on the books (VERDICT r1: N=2 recorded 0.197 s for a
-    # query whose steady-state min is ~0.09 s).
-    runs = int(os.environ.get("BENCH_RUNS", "5"))
+    # Isolated re-pin of the one externally-anchored number (r4 verdict
+    # ask #9): reference_workload right after session warm-up, BEFORE
+    # the suite pollutes JIT/GC state — 10 runs, min — so BASELINE.md
+    # comparisons aren't confounded by suite ordering. Reported as its
+    # own row next to the in-suite figure; excluded from the total.
+    iso = -1.0
+    try:
+        iso_times = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            materialize(qs["reference_workload"](spark, sf_dir))
+            iso_times.append(time.perf_counter() - t0)
+        iso = round(min(iso_times), 3)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# isolated reference_workload failed: {type(exc).__name__}: {exc}", file=sys.stderr)
+
+    # Adaptive min-of-N per query — the reference baseline's own
+    # min-reporting methodology (BASELINE.md: 20 runs + warm-up;
+    # performance_test.py:452-479), but with a stabilization rule
+    # instead of a fixed N: at least 5 runs, then keep going (cap 10)
+    # while the min is still improving >2% per run. Fixed N=5
+    # under-warmed long-plan queries — whole-stage-codegen JIT for a
+    # 10-stage plan needs ~8 executions to reach steady state
+    # (measured r5: dedup_minhash_lsh 1.5 s at run 5 vs 1.14 s steady),
+    # which booked warm-up, not plan cost.
+    min_runs = int(os.environ.get("BENCH_RUNS", "5"))
+    max_runs = int(os.environ.get("BENCH_MAX_RUNS", "10"))
+
+    def timed_min(fn) -> float:
+        best = float("inf")
+        for i in range(max_runs):
+            t0 = time.perf_counter()
+            materialize(fn())
+            t = time.perf_counter() - t0
+            improving = t < best * 0.98
+            best = min(best, t)
+            if i + 1 >= min_runs and not improving:
+                break
+        return best
+
     per_query: dict[str, float] = {}
     for name in names:
-        times = []
         try:
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                materialize(qs[name](spark, sf_dir))
-                times.append(time.perf_counter() - t0)
-            per_query[name] = round(min(times), 3)
+            per_query[name] = round(timed_min(lambda: qs[name](spark, sf_dir)), 3)
         except Exception as exc:  # noqa: BLE001 — one bad query must not kill the run
             print(f"# bench query {name} failed: {type(exc).__name__}: {exc}", file=sys.stderr)
             per_query[name] = -1.0
 
-    total = round(sum(v for v in per_query.values() if v > 0), 3)
+    # Composite TPC-H sweep: one timed pass materializes all 22
+    # relational shapes back-to-back (min over 3 passes; the shapes are
+    # individually sub-second and share scans, so per-shape adaptive
+    # timing would triple bench wall for little signal).
+    sweep = [n for n in TPCH_SWEEP if n in qs]
+    if sweep:
+        try:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for n in sweep:
+                    materialize(qs[n](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            per_query["tpch_sweep_total"] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# tpch sweep failed: {type(exc).__name__}: {exc}", file=sys.stderr)
+            per_query["tpch_sweep_total"] = -1.0
+
+    if iso > 0:
+        per_query["reference_workload_isolated"] = iso
+    total = round(
+        sum(v for k, v in per_query.items() if v > 0 and k != "reference_workload_isolated"), 3
+    )
     print(
         json.dumps(
             {

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import local_rows_df
+
 # Universal-hash constants: h_i(x) = (a_i * x + b_i) mod P over
 # x = xxhash64(shingle) folded into [0, 2^31). P = 2^31 - 1 (prime);
 # a_i*x + b_i < 2^62 so the arithmetic never overflows a signed 64-bit
@@ -581,7 +583,7 @@ def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
     try:
         return spark.read.parquet(path)
     except Exception:  # noqa: BLE001 — PATH_NOT_FOUND on pre-r5 artifacts
-        return spark.createDataFrame([], schema)
+        return local_rows_df(spark, [], schema)
 
 
 def minhash_index_write(index: dict[str, DataFrame], path: str) -> None:
@@ -595,10 +597,11 @@ def minhash_index_write(index: dict[str, DataFrame], path: str) -> None:
     index["bands"].write.mode("overwrite").parquet(f"{path}/bands")
     spark = index["membership"].sparkSession
     index.get(
-        "dropped", spark.createDataFrame([], "band_key long")
-    ).write.mode("overwrite").parquet(f"{path}/dropped")
+        "dropped", local_rows_df(spark, [], "band_key long")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/dropped")
     p = index["params"]
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [
             (
                 p["shingle_n"],
@@ -733,7 +736,7 @@ def minhash_index_append(
     band_append.write.mode("append").parquet(f"{path}/bands")
     newly_dropped.write.mode("append").parquet(f"{path}/dropped")
     if batch_id is not None:
-        spark.createDataFrame([(int(batch_id),)], "batch_id long").coalesce(1).write.mode(
+        local_rows_df(spark, [(int(batch_id),)], "batch_id long").coalesce(1).write.mode(
             "append"
         ).parquet(f"{path}/applied_batches")
     return {
@@ -1590,10 +1593,11 @@ def simhash_index_write(index: dict[str, DataFrame], path: str) -> None:
     index["chunks"].write.mode("overwrite").parquet(f"{path}/chunks")
     spark = index["fingerprints"].sparkSession
     index.get(
-        "dropped", spark.createDataFrame([], _SIMHASH_DROPPED_SCHEMA)
-    ).write.mode("overwrite").parquet(f"{path}/dropped")
+        "dropped", local_rows_df(spark, [], _SIMHASH_DROPPED_SCHEMA)
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/dropped")
     p = index["params"]
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(p["max_hamming"], p["bits"], p["hash_fn"], p.get("max_bucket", 2000))],
         _SIMHASH_PARAM_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
@@ -1684,7 +1688,7 @@ def simhash_index_append(
     chunk_append.write.mode("append").parquet(f"{path}/chunks")
     newly_dropped.write.mode("append").parquet(f"{path}/dropped")
     if batch_id is not None:
-        spark.createDataFrame([(int(batch_id),)], "batch_id long").coalesce(1).write.mode(
+        local_rows_df(spark, [(int(batch_id),)], "batch_id long").coalesce(1).write.mode(
             "append"
         ).parquet(f"{path}/applied_batches")
     return {

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import local_rows_df
+
 
 def assign_sequential_ids(
     df: DataFrame,
@@ -71,8 +73,8 @@ def assign_sequential_ids(
     # plan-bloating literal map at high partition counts. (An earlier
     # mapInPandas implementation spent ~16 s Arrow-shuttling 10M rows;
     # this is ~0.5 s.)
-    offsets_df = ordered.sparkSession.createDataFrame(
-        [(p, o) for p, o in offsets.items()], "__pid int, __offset long"
+    offsets_df = local_rows_df(
+        ordered.sparkSession, [(p, o) for p, o in offsets.items()], "__pid int, __offset long"
     )
     local_idx = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
     return (

@@ -23,6 +23,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import local_rows_df
+
 
 def train_centroids(
     corpus: DataFrame,
@@ -130,7 +132,7 @@ def ivf_index_write(
     assigned.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/cells")
     spark = corpus.sparkSession
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(1).write.mode(
+    local_rows_df(spark, cent_rows, "cell int, centroid array<double>").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/centroids")
 

@@ -28,6 +28,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import local_rows_df
+
 _MAX_TRAIN = 200_000  # rows the driver may collect for codebook training
 
 
@@ -288,9 +290,7 @@ def pq_index_write(
         for s in range(codebooks.shape[0])
         for c in range(codebooks.shape[1])
     ]
-    spark.createDataFrame(rows, "subspace int, code int, centroid array<double>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    local_rows_df(spark, rows, "subspace int, code int, centroid array<double>").coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
 
 
 def pq_index_read(spark, path: str) -> tuple[DataFrame, np.ndarray]:

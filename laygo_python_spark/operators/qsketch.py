@@ -34,6 +34,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import local_rows_df
+
 
 def qsketch_build(df: DataFrame, col: str, gamma: float = 1.02) -> DataFrame:
     """Sketch the distribution of non-negative ``df[col]``.
@@ -125,7 +127,7 @@ def qsketch_quantiles(sketch: DataFrame, qs: list[float]) -> DataFrame:
             Window.orderBy(F.lit(1)).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         ).alias("total")
     )
-    qdf = sketch.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    qdf = local_rows_df(sketch.sparkSession, [(float(q),) for q in qs], "q double")
     picked = (
         qdf.crossJoin(cum)
         .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))

@@ -27,6 +27,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import local_rows_df
+
 
 def as_double_array(col: str | Column) -> Column:
     """Normalize array<float> → array<double> so score arithmetic is
@@ -335,8 +337,10 @@ def srp_index_write(
         corpus, "neighbor_id", "cv", dim, n_planes, n_tables, seed, id_col, vec_col
     )
     c.write.partitionBy("bkey").mode("overwrite").parquet(f"{path}/buckets")
-    corpus.sparkSession.createDataFrame(
-        [(n_planes, n_tables, dim, seed)], "n_planes int, n_tables int, dim int, seed int"
+    local_rows_df(
+        corpus.sparkSession,
+        [(n_planes, n_tables, dim, seed)],
+        "n_planes int, n_tables int, dim int, seed int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 

@@ -2,8 +2,8 @@
 the scale rationale). EVERY query here is oracle-gated as of round 4:
 the exact n-gram Jaccard family and ``dedup_minhash_verified`` carry
 hand-written DuckDB SQL, and the LSH/SimHash discovery queries run with
-``hash_fn="md5"`` (measured ~1.05× the crc32 production default at
-sf0.1 — both hash choices stay pytest-covered) so the signature,
+``hash_fn="md5"`` (the SHIPPED DEFAULT since r5 — measured ~1.05× the
+crc32 opt-in fast path at sf0.1; both hash choices stay pytest-covered) so the signature,
 banding and pigeonhole pipelines are reproducible in SQL: the oracles
 below are GENERATED — 128 universal-hash min() aggregates, 32 band
 keys, and a 60-bit simhash tally — from the same ``_hash_params`` LCG

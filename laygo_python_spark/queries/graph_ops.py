@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import local_rows_df
+
 from laygo_python_spark.operators.graph import bfs_hops, kcore, triangle_count
 from laygo_python_spark.operators.pagerank import pagerank
 from laygo_python_spark.queries import query
@@ -221,6 +223,6 @@ def ppr_similar_to_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     term; zero-rank nodes (untouched by 3 hops of mass) are filtered
     on BOTH sides since 'unreached' is the semantic answer there."""
     edges = _sp_edges(_t(spark, sf_dir, "lineitem"), "ppr_similar_to_suppliers")
-    sources = edges.sparkSession.createDataFrame([(1,), (2,), (3,)], "node long")
+    sources = local_rows_df(edges.sparkSession, [(1,), (2,), (3,)], "node long")
     out = pagerank(edges, iterations=3, checkpoint_every=0, sources=sources)
     return out.select("node", F.round("pr", 9).alias("pr")).filter(F.col("pr") > 0)

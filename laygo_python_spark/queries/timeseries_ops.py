@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import local_rows_df
+
 from laygo_python_spark.queries import query
 from laygo_python_spark.session import read_table as _t
 
@@ -266,7 +268,7 @@ def acf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbs it (the proven trend_per_event_type pattern)."""
     daily = _daily(spark, sf_dir)
     lags = F.broadcast(
-        daily.sparkSession.createDataFrame([(1,), (2,), (3,)], "lag int")
+        local_rows_df(daily.sparkSession, [(1,), (2,), (3,)], "lag int")
     )
     a, b = daily.alias("a"), daily.alias("b")
     return (

@@ -126,8 +126,43 @@ def ensure_session_defaults(spark: SparkSession) -> None:
         pass
 
 
+def local_rows_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Tiny literal DataFrame as a JVM LocalRelation (via Arrow).
+
+    A plain list-backed ``createDataFrame`` executes through the
+    Python-RDD path: EVERY job that evaluates the frame — a write, a
+    join — spins up Python workers, measured ~4.5 s for a ONE-ROW
+    parquet write at r5 (it dominated the stored-index append wall).
+    The pandas/Arrow route lands the same rows as a JVM LocalRelation
+    (~0.2 s) and downstream execution stays whole-stage-codegen. Use
+    for params rows, batch markers, probe/lag tables; NOT for
+    ``Pipeline(*data)`` ingestion, whose mixed-type inference the
+    pandas path does not reproduce."""
+    import pandas as pd
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(schema) if isinstance(schema, str) else schema
+    pdf = pd.DataFrame(list(rows), columns=st.fieldNames())
+    return spark.createDataFrame(pdf, schema=st)
+
+
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar parquet scan — Catalyst pushes filters/projections into it."""
+    """Columnar parquet scan — Catalyst pushes filters/projections into it.
+
+    Cached per (session, dir, table): the fixture tables are immutable
+    within a session, and an uncached call pays file listing + parquet
+    footer schema resolution + two plan analyses every time (~0.27 s at
+    sf0.1, measured — it was a third of ``dedup_minhash_lsh``'s benched
+    wall). A production catalog resolves a table once per session too;
+    per-query re-resolution was pure overhead. The returned DataFrame
+    is lazy and immutable, so sharing the object is safe."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     ensure_session_defaults(spark)
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
@@ -143,6 +178,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -182,3 +182,26 @@ def test_tfidf_shuffles_counts_not_text(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 4
     assert "BroadcastExchange" in plan
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_local_rows_df_is_jvm_local_relation(spark):
+    """Literal frames must execute JVM-side: a list-backed
+    createDataFrame runs through the Python-RDD path and pays a Python
+    worker spin-up on EVERY evaluating job (~4.5 s measured for a
+    one-row parquet write at r5) — local_rows_df lands a LocalRelation
+    instead, so index params / batch markers / probe tables never
+    schedule Python."""
+    from laygo_python_spark.plans import physical_plan
+    from laygo_python_spark.session import local_rows_df
+
+    df = local_rows_df(spark, [(1, "md5"), (2, "crc32")], "k int, fn string")
+    plan = physical_plan(df)
+    assert "Scan ExistingRDD" not in plan and "PythonRDD" not in plan
+    assert [(r.k, r.fn) for r in df.orderBy("k").collect()] == [(1, "md5"), (2, "crc32")]
+    # schema fidelity: DDL types win over pandas inference, arrays and
+    # empties included
+    arr = local_rows_df(spark, [(0, [0.5, 1.5])], "cell int, centroid array<double>")
+    assert arr.schema.simpleString() == "struct<cell:int,centroid:array<double>>"
+    empty = local_rows_df(spark, [], "band_key long")
+    assert empty.schema.simpleString() == "struct<band_key:bigint>"
+    assert empty.count() == 0
