@@ -579,7 +579,13 @@ def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
     """A parquet subdir that an older artifact version never wrote reads
     as an empty frame of the expected schema (not an error) — the
     append/read paths treat 'no dropped table' as 'no dropped
-    buckets'."""
+    buckets'. Scheme-less (local-fs) paths short-circuit on a directory
+    check instead of paying a JVM analysis round-trip + logged
+    exception per probe; object-store URIs keep the try/except."""
+    import os as _os
+
+    if "://" not in path and not _os.path.isdir(path):
+        return local_rows_df(spark, [], schema)
     try:
         return spark.read.parquet(path)
     except Exception:  # noqa: BLE001 — PATH_NOT_FOUND on pre-r5 artifacts
@@ -671,6 +677,13 @@ def minhash_index_append(
       ``dropped`` (read-time anti-join retires the old rows without a
       rewrite — every table stays append-only).
 
+    Cost shape: only the batch is shingled (O(batch) Python work); the
+    joins against ``reps``/``bands`` read stored INTEGER columns only
+    (column-pruned parquet scans — the text is never re-read), and the
+    cap re-check's semi-join is eligible for Spark's runtime bloom
+    filter above the 10 GB side threshold, so at cluster scale the
+    bands scan prunes row groups rather than streaming the full table.
+
     ``batch_id`` (optional) makes re-delivery a no-op: an id already in
     ``applied_batches`` returns ``{"applied": False}`` without touching
     the index — the exactly-once discipline a ``foreachBatch`` caller
@@ -739,13 +752,25 @@ def minhash_index_append(
         local_rows_df(spark, [(int(batch_id),)], "batch_id long").coalesce(1).write.mode(
             "append"
         ).parquet(f"{path}/applied_batches")
-    return {
-        "applied": True,
-        "membership": new_membership.count(),
-        "reps": reps_add.count(),
-        "bands": band_append.count(),
-        "dropped": newly_dropped.count(),
+    return {"applied": True, **_appended_counts(
+        membership=new_membership, reps=reps_add, bands=band_append, dropped=newly_dropped
+    )}
+
+
+def _appended_counts(**frames: DataFrame) -> dict[str, int]:
+    """Per-table appended-row counts as ONE job: four separate .count()
+    actions on already-checkpointed frames still pay four job
+    schedulings (~1 s of pure overhead per append, measured at r5); a
+    tagged union counts them all in a single pass."""
+    tagged = None
+    for tag, df in frames.items():
+        part = df.select(F.lit(tag).alias("__t"))
+        tagged = part if tagged is None else tagged.unionAll(part)
+    got = {
+        r["__t"]: r["n"]
+        for r in tagged.groupBy("__t").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    return {tag: int(got.get(tag, 0)) for tag in frames}
 
 
 def _resolve_index_params(index: dict, overrides: dict, fallbacks: dict) -> dict:
@@ -1691,13 +1716,9 @@ def simhash_index_append(
         local_rows_df(spark, [(int(batch_id),)], "batch_id long").coalesce(1).write.mode(
             "append"
         ).parquet(f"{path}/applied_batches")
-    return {
-        "applied": True,
-        "fingerprints": fp.count(),
-        "reps": reps_add.count(),
-        "chunks": chunk_append.count(),
-        "dropped": newly_dropped.count(),
-    }
+    return {"applied": True, **_appended_counts(
+        fingerprints=fp, reps=reps_add, chunks=chunk_append, dropped=newly_dropped
+    )}
 
 
 def simhash_match_incremental(
