@@ -67,7 +67,16 @@ def pagerank(
     otherwise unchanged.
     """
     wcol = F.col(weight) if weight else F.lit(1.0)
-    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), wcol.alias("w"))
+    # Pin the INPUT view first: deg, the partitioned edge table and the
+    # node set each consume `raw`, and they materialize in separate
+    # jobs — without this persist each one re-runs the caller's whole
+    # edge derivation (for the graph queries: a distinct over lineitem,
+    # ~1 s/scan at sf0.1, 3x = the bulk of setup; measured r5 via
+    # tools/pagerank_profile.py). Cross-job plan reuse only happens
+    # through a persist, never through ReusedExchange.
+    raw = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), wcol.alias("w")
+    ).persist()
     deg = raw.groupBy("src").agg(F.sum("w").alias("deg"))
     # Pre-join out-degree into the edge table and hash-partition on src
     # ONCE: the per-round work is then one shuffle of the rank vector to
@@ -85,6 +94,7 @@ def pagerank(
         # Empty edge list (e.g. an upstream filter matched nothing):
         # empty ranks, not a driver-side ZeroDivisionError.
         e.unpersist()
+        raw.unpersist()
         nodes_raw.unpersist()
         return nodes_raw.withColumn("pr", F.lit(0.0))
     nodes = nodes_raw
@@ -137,5 +147,6 @@ def pagerank(
                 ranks = ranks.localCheckpoint(eager=True)
     finally:
         e.unpersist()
+        raw.unpersist()
         nodes_raw.unpersist()
     return ranks
