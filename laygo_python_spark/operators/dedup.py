@@ -757,6 +757,37 @@ def minhash_index_append(
     )}
 
 
+def minhash_index_compact(spark, path: str) -> dict[str, int]:
+    """Rewrite the append-only artifact into its logical form — the
+    OPTIMIZE-style maintenance op a daily append pipeline schedules:
+    each append adds parquet files (small-file accumulation) and leaves
+    rows that read-time derivation retires (superseded per-batch rep
+    rows; band rows of buckets dropped by a LATER append, anti-joined
+    away on every read). Compaction materializes what
+    ``minhash_index_read`` derives — reps min-reduced to one row per
+    signature, retired band rows physically removed — and rewrites
+    membership for file coalescing. ``dropped`` and ``applied_batches``
+    are kept verbatim: future appends still need the permanent bucket
+    drops and the replay markers.
+
+    Matching before and after compaction is IDENTICAL (pytest-pinned;
+    oracle-gated end-to-end via ``dedup_index_compact``). Every logical
+    table is pinned eagerly BEFORE overwriting the directories it was
+    read from. Not crash-atomic — parquet has no directory swap; a
+    production deployment layers a transactional table format
+    (Delta/Iceberg) under the same logic.
+
+    Returns post-compaction row counts per rewritten table."""
+    idx = minhash_index_read(spark, path)
+    membership = idx["membership"].localCheckpoint(eager=True)
+    reps = idx["reps"].localCheckpoint(eager=True)
+    bands = idx["bands"].localCheckpoint(eager=True)
+    membership.write.mode("overwrite").parquet(f"{path}/membership")
+    reps.write.mode("overwrite").parquet(f"{path}/reps")
+    bands.write.mode("overwrite").parquet(f"{path}/bands")
+    return _appended_counts(membership=membership, reps=reps, bands=bands)
+
+
 def _appended_counts(**frames: DataFrame) -> dict[str, int]:
     """Per-table appended-row counts as ONE job: four separate .count()
     actions on already-checkpointed frames still pay four job
@@ -1645,6 +1676,22 @@ def simhash_index_read(spark, path: str) -> dict[str, DataFrame]:
         "dropped": dropped,
         "params": params,
     }
+
+
+def simhash_index_compact(spark, path: str) -> dict[str, int]:
+    """SimHash twin of ``minhash_index_compact``: materialize the
+    read-time derivation (reps min-reduced, retired pigeonhole-chunk
+    rows removed), rewrite fingerprints for file coalescing, keep
+    ``dropped``/``applied_batches`` verbatim. Same pinned-before-
+    overwrite discipline and the same non-atomicity caveat."""
+    idx = simhash_index_read(spark, path)
+    fingerprints = idx["fingerprints"].localCheckpoint(eager=True)
+    reps = idx["reps"].localCheckpoint(eager=True)
+    chunks = idx["chunks"].localCheckpoint(eager=True)
+    fingerprints.write.mode("overwrite").parquet(f"{path}/fingerprints")
+    reps.write.mode("overwrite").parquet(f"{path}/reps")
+    chunks.write.mode("overwrite").parquet(f"{path}/chunks")
+    return _appended_counts(fingerprints=fingerprints, reps=reps, chunks=chunks)
 
 
 def simhash_index_append(

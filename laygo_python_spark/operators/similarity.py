@@ -344,6 +344,33 @@ def srp_index_write(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
+def srp_index_add(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold new vectors into a stored SRP index — the hash-family twin
+    of ``ivf_index_add``/``pq_encode_append``: key the batch with the
+    STORED params (a query keyed with anything else can never collide,
+    so the params are never caller-supplied here) and append the rows
+    into their bucket directories. SRP needs no cap/retrain logic —
+    the hyperplanes are seed-derived and fixed, so add ≡ rebuild
+    EXACTLY (pytest-pinned; oracle-gated end-to-end via
+    ``ann_srp_index_add``, whose DuckDB oracle replays the planes over
+    the union corpus). Occupancy still degrades search as the corpus
+    grows past the n_planes design point — re-key with more planes
+    when ``buckets``' per-directory row counts exceed the occupancy
+    the docstring of ``embedding_near_dups`` sizes for."""
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    c = _with_bucket_keys(
+        new_vectors, "neighbor_id", "cv", p["dim"], p["n_planes"], p["n_tables"], p["seed"],
+        id_col, vec_col,
+    )
+    c.write.partitionBy("bkey").mode("append").parquet(f"{path}/buckets")
+
+
 def srp_search_indexed(
     spark,
     path: str,

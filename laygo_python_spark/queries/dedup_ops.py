@@ -501,6 +501,32 @@ def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+@query("dedup_index_compact", oracle=_incremental_lsh_oracle(seen="% 3 < 2", new="% 3 = 2"))
+def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance shape: build day-1, append day-2, COMPACT the
+    artifact (materialize the read-time derivation — reps min-reduced,
+    retired band rows removed, files coalesced), then match day-3. The
+    oracle is ``dedup_index_append``'s unchanged: compaction must be
+    invisible to every match — same DuckDB rebuild-from-scratch hash
+    gate, now certifying append + compact ≡ rebuild."""
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="mh_idx_compact_")
+    try:
+        day1 = docs.filter(F.col("doc_id") % 3 == 0)
+        day2 = docs.filter(F.col("doc_id") % 3 == 1)
+        probe = docs.filter(F.col("doc_id") % 3 == 2)
+        dedup.minhash_index_write(dedup.minhash_index(day1, hash_fn="md5"), path)
+        dedup.minhash_index_append(spark, path, day2, batch_id=1)
+        dedup.minhash_index_compact(spark, path)
+        stored = dedup.minhash_index_read(spark, path)
+        return dedup.minhash_match_incremental(probe, stored).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 @query(
     "dedup_simhash_index_append",
     oracle=_incremental_simhash_oracle(seen="% 3 < 2", new="% 3 = 2"),

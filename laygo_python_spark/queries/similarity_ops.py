@@ -139,6 +139,38 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
 
 
+@query("ann_srp_index_add", oracle=_ann_lsh_oracle())
+def ann_srp_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-SRP-index GROWTH end-to-end: build the bucket-partitioned
+    index from the even half of the corpus, ``srp_index_add`` the odd
+    half (keyed with the STORED params, appended into its bucket
+    directories — only the batch is hashed), then search against the
+    grown artifact. The oracle is ``ann_lsh_topk``'s unchanged: the
+    seed-derived hyperplanes make add ≡ rebuild exact, so the DuckDB
+    replay over the FULL corpus must hash-match the search output —
+    the differential-equivalence idiom applied to SRP index state."""
+    import shutil
+    import tempfile
+
+    from laygo_python_spark.operators.similarity import (
+        srp_index_add,
+        srp_index_write,
+        srp_search_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="srp_idx_add_")
+    try:
+        srp_index_write(emb.filter(F.col("vec_id") % 2 == 0), path, n_planes=4, n_tables=8)
+        srp_index_add(spark, path, emb.filter(F.col("vec_id") % 2 == 1))
+        out = srp_search_indexed(spark, path, emb.filter(F.col("vec_id") < 5), k=10)
+        return out.select(
+            "query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 @query("ann_ivf_topk")  # rows-only: approximate by design (k-means cells)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (operators/ivf.py): k-means cells + 2-probe

@@ -252,3 +252,106 @@ def test_stream_ingest_appends_accepted(spark, tmp_path):
         seen.unionByName(_docs(spark, accepted_rows)), num_hashes=16, bands=4, hash_fn="md5"
     )
     _assert_minhash_index_equal(dedup.minhash_index_read(spark, idx_dir), rebuilt)
+
+
+def _parquet_files(path):
+    import pathlib
+
+    return [p for p in pathlib.Path(path).rglob("*.parquet") if p.name.startswith("part-")]
+
+
+def test_minhash_compact_is_invisible_to_matching(spark, tmp_path):
+    """OPTIMIZE-style maintenance: compaction materializes the read-time
+    derivation (reps min-reduced, retired band rows removed, files
+    coalesced) without changing ANY logical table — match output before
+    and after must be identical, and the physical artifact must
+    actually shrink (fewer reps rows than the appended raw layout)."""
+    # day1 small enough that shared-token buckets stay under the cap;
+    # day2 floods them PAST it — so drops happen at APPEND time and the
+    # day-1 band rows are physically present but logically retired
+    # (probed: 3 build-time drops + 5 append-time drops, 8 retired rows)
+    day1 = _docs(spark, _uniq(3))
+    day2 = _docs(spark, _uniq(12, start=200))
+    path = str(tmp_path / "idx")
+    dedup.minhash_index_write(
+        dedup.minhash_index(day1, num_hashes=8, bands=8, shingle_n=1, max_bucket=2), path
+    )
+    dedup.minhash_index_append(spark, path, day2, batch_id=1)
+    raw_rep_rows = spark.read.parquet(f"{path}/reps").count()
+    raw_band_rows = spark.read.parquet(f"{path}/bands").count()
+    # pin BEFORE compaction overwrites the files these lazy scans point at
+    before = {
+        k: v.localCheckpoint(eager=True) if hasattr(v, "localCheckpoint") else v
+        for k, v in dedup.minhash_index_read(spark, path).items()
+    }
+    probe = _docs(spark, _uniq(6, start=1))
+    want = _sorted_rows(dedup.minhash_match_incremental(probe, before))
+    assert before["dropped"].count() > 0  # retired rows exist to remove
+    assert raw_band_rows > before["bands"].count()  # ...physically present
+
+    stats = dedup.minhash_index_compact(spark, path)
+    after = dedup.minhash_index_read(spark, path)
+    _assert_minhash_index_equal(after, before)
+    assert _sorted_rows(dedup.minhash_match_incremental(probe, after)) == want
+    # physical == logical now: every retired band row removed, retained
+    # reps min-reduced; the dropped list survives for future appends
+    assert spark.read.parquet(f"{path}/bands").count() == after["bands"].count() < raw_band_rows
+    assert spark.read.parquet(f"{path}/reps").count() <= raw_rep_rows
+    assert stats["bands"] == after["bands"].count()
+    assert spark.read.parquet(f"{path}/dropped").count() > 0
+    # and a later append still works against the compacted artifact
+    dedup.minhash_index_append(spark, path, _docs(spark, _uniq(5, start=500)), batch_id=2)
+    rebuilt = dedup.minhash_index(
+        day1.unionByName(day2).unionByName(_docs(spark, _uniq(5, start=500))),
+        num_hashes=8,
+        bands=8,
+        shingle_n=1,
+        max_bucket=2,
+    )
+    _assert_minhash_index_equal(dedup.minhash_index_read(spark, path), rebuilt)
+
+
+def test_simhash_compact_is_invisible_to_matching(spark, tmp_path):
+    day1 = _docs(spark, _uniq(12))
+    day2 = _docs(spark, _uniq(12, start=50))
+    path = str(tmp_path / "sidx")
+    dedup.simhash_index_write(dedup.simhash_index(day1, max_bucket=1), path)
+    dedup.simhash_index_append(spark, path, day2, batch_id=1)
+    before = {
+        k: v.localCheckpoint(eager=True) if hasattr(v, "localCheckpoint") else v
+        for k, v in dedup.simhash_index_read(spark, path).items()
+    }
+    raw_chunk_rows = spark.read.parquet(f"{path}/chunks").count()
+    probe = _docs(spark, _uniq(6, start=3))
+    want = _sorted_rows(dedup.simhash_match_incremental(probe, before))
+    assert before["dropped"].count() > 0
+
+    dedup.simhash_index_compact(spark, path)
+    after = dedup.simhash_index_read(spark, path)
+    _assert_simhash_index_equal(after, before)
+    assert _sorted_rows(dedup.simhash_match_incremental(probe, after)) == want
+    assert spark.read.parquet(f"{path}/chunks").count() < raw_chunk_rows
+    # replay markers survive compaction: batch 1 re-delivery is a no-op
+    assert dedup.simhash_index_append(spark, path, day2, batch_id=1)["applied"] is False
+
+
+def test_srp_index_add_equals_rebuild(spark, sf_dir, tmp_path):
+    """SRP growth: building on half the corpus then srp_index_add-ing
+    the rest must search identically to an index built on the union —
+    the planes are seed-derived and fixed, so add == rebuild exactly."""
+    from laygo_python_spark.operators.similarity import (
+        srp_index_add,
+        srp_index_write,
+        srp_search_indexed,
+    )
+    from laygo_python_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    grown, rebuilt = str(tmp_path / "grown"), str(tmp_path / "rebuilt")
+    srp_index_write(emb.filter("vec_id % 2 = 0"), grown, n_planes=4, n_tables=8)
+    srp_index_add(spark, grown, emb.filter("vec_id % 2 = 1"))
+    srp_index_write(emb, rebuilt, n_planes=4, n_tables=8)
+    queries = emb.filter("vec_id < 10")
+    got = _sorted_rows(srp_search_indexed(spark, grown, queries, k=10))
+    want = _sorted_rows(srp_search_indexed(spark, rebuilt, queries, k=10))
+    assert got == want and got
