@@ -209,6 +209,22 @@ def ivf_index_add(
     return assigned.count()
 
 
+def ivf_index_compact(spark, path: str) -> dict:
+    """Index maintenance after repeated ``ivf_index_add``: every append
+    writes new file(s) into the ``cells/cell=<i>/`` directories it
+    touches, so daily ingest accretes small files until probe-time
+    listing/footer costs erode the pruned-scan economics the layout
+    exists for. Rewrites each cell directory to ONE file (one hash
+    shuffle, temp-dir + checked-rename swap — crash-safe), preserving
+    the partition layout so ``ivf_search_indexed``'s pruning is
+    untouched. Logical content is IDENTICAL — search before ≡ after
+    (pytest-pinned). Centroids are not touched; this is the OPTIMIZE
+    half of maintenance, ``ivf_index_write`` (retrain) is the other."""
+    from ..sources.sinks import compact_partitioned
+
+    return compact_partitioned(spark, f"{path}/cells", "cell")
+
+
 def ivf_index_stats(spark, path: str) -> DataFrame:
     """(cell, n, skew) — per-cell population plus the index-wide
     ``max_cell / mean_cell`` ratio repeated on every row (one small

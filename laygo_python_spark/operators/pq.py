@@ -305,6 +305,18 @@ def pq_index_read(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     return spark.read.parquet(f"{path}/codes"), codebooks
 
 
+def pq_index_compact(spark, path: str, target_mb: int = 128) -> dict:
+    """Maintenance after repeated ``pq_encode_append``: ``codes/`` is a
+    flat directory, so appends accrete files linearly in batch count;
+    rewrite it to ⌈bytes/target_mb⌉ right-sized files via the generic
+    in-place compactor (``sources.sinks.compact_files`` — bytes from FS
+    metadata, one repartition, temp-dir + checked-rename swap). ADC
+    search before ≡ after (pytest-pinned); codebooks untouched."""
+    from ..sources.sinks import compact_files
+
+    return compact_files(spark, f"{path}/codes", target_mb=target_mb)
+
+
 def pq_encode_append(
     spark,
     path: str,

@@ -371,6 +371,18 @@ def srp_index_add(
     c.write.partitionBy("bkey").mode("append").parquet(f"{path}/buckets")
 
 
+def srp_index_compact(spark, path: str) -> dict:
+    """Maintenance after repeated ``srp_index_add``: appends accrete
+    files inside the ``buckets/bkey=<t:hash>/`` directories; rewrite
+    each bucket directory to ONE file (hash shuffle on ``bkey``,
+    temp-dir + checked-rename swap), preserving the partition layout
+    ``srp_search_indexed`` prunes on. Search before ≡ after
+    (pytest-pinned); the params row is untouched."""
+    from ..sources.sinks import compact_partitioned
+
+    return compact_partitioned(spark, f"{path}/buckets", "bkey")
+
+
 def srp_search_indexed(
     spark,
     path: str,

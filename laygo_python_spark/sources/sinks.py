@@ -148,3 +148,76 @@ def compact_files(
         raise RuntimeError(f"compaction aborted: could not move compacted data into {path}")
     fs.delete(backup, True)
     return {"files_before": len(before), "files_after": len(_parquet_files(fs_path)), "bytes": int(total_bytes)}
+
+
+def compact_partitioned(
+    spark,
+    path: str,
+    key: str,
+    compression: str = "zstd",
+) -> dict:
+    """``compact_files`` for a ``partitionBy(key)`` directory tree —
+    rewrite every ``key=<v>/`` subdirectory down to ONE file per value
+    while preserving the partition layout (so partition pruning on
+    ``key`` keeps working).
+
+    This is the maintenance half of the partition-pruned stored-index
+    family: every ``ivf_index_add`` / ``srp_index_add`` appends one or
+    more files into the cell/bucket directories it touches, so a daily
+    ingest pipeline accretes files until probe-time listing and
+    per-file footer costs dominate the pruned scan the layout exists to
+    provide. One hash shuffle on ``key`` (each value lands in exactly
+    one task, so each directory gets exactly one output file), written
+    to a temp dir and swapped with the same checked-rename discipline
+    as ``compact_files`` — a crash never leaves the index half-deleted.
+
+    At 100 TB scale, one file per value is right while per-value data
+    fits a single right-sized file (LSH buckets and IVF cells are
+    DESIGNED to stay small — an oversized cell is the retrain trigger
+    ``ivf_index_stats`` alerts on); a value that has outgrown one file
+    is a layout problem, not a compaction problem.
+
+    Returns {files_before, files_after, bytes}."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = fs_path.getFileSystem(conf)
+
+    def _count_files(p):
+        n, total = 0, 0
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.endswith(".parquet") and not name.startswith("_"):
+                n += 1
+                total += st.getLen()
+        return n, total
+
+    from pyspark.sql import functions as F
+
+    files_before, total_bytes = _count_files(fs_path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + "__compacting")
+    (
+        spark.read.parquet(path)
+        .repartition(F.col(key))
+        .write.mode("overwrite")
+        .partitionBy(key)
+        .option("compression", compression)
+        .parquet(str(tmp))
+    )
+    backup = jvm.org.apache.hadoop.fs.Path(path + "__precompact")
+    if fs.exists(backup):
+        raise RuntimeError(
+            f"{backup} exists — a previous compaction crashed mid-swap; "
+            "recover it (rename back or delete) before compacting again"
+        )
+    if not fs.rename(fs_path, backup):
+        fs.delete(tmp, True)
+        raise RuntimeError(f"compaction aborted: could not move {path} aside")
+    if not fs.rename(tmp, fs_path):
+        fs.rename(backup, fs_path)  # roll back — original data untouched
+        raise RuntimeError(f"compaction aborted: could not move compacted data into {path}")
+    fs.delete(backup, True)
+    files_after, _ = _count_files(fs_path)
+    return {"files_before": files_before, "files_after": files_after, "bytes": int(total_bytes)}

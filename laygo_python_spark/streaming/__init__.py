@@ -123,6 +123,7 @@ def incremental_dedup_processor(
     index_path: str,
     matches_path: str,
     new_filter: Column | None = None,
+    compact_every: int | None = None,
 ):
     """``foreachBatch`` body for the full streaming-ingest dedup loop:
     per micro-batch, (1) match the batch against the STORED MinHash-LSH
@@ -141,6 +142,14 @@ def incremental_dedup_processor(
     (``applied_batches`` marker). ``new_filter`` optionally restricts
     which batch rows are ingest candidates (the registered query uses
     odd doc_ids, the fixture's stand-in for 'today's docs').
+
+    ``compact_every=N`` schedules ``minhash_index_compact`` after every
+    N-th applied batch — the OPTIMIZE step a long-running ingest needs,
+    run inline so the artifact never accretes unboundedly between
+    external maintenance windows. Replay-safe by construction:
+    compaction only materializes the read-time derivation (matching is
+    pytest-pinned identical before/after), so a replayed batch that
+    re-triggers it is a semantic no-op.
     """
     from laygo_python_spark.operators import dedup
 
@@ -156,5 +165,7 @@ def incremental_dedup_processor(
             "left_anti",
         )
         dedup.minhash_index_append(spark, index_path, accepted, batch_id=batch_id)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            dedup.minhash_index_compact(spark, index_path)
 
     return process
