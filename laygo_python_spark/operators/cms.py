@@ -128,10 +128,20 @@ def _geometry(sketch: DataFrame, what: str) -> tuple[int, int, str]:
     matching counters and estimates near-zero. Sketches persisted
     before hash_fn rode along are read as the then-default xxhash64."""
     has_hf = "hash_fn" in sketch.columns
-    cols = ["d", "w"] + (["hash_fn"] if has_hf else [])
+    cols = [F.col("d"), F.col("w")] + (
+        # NULL hash_fn = a pre-hash_fn sketch row that arrived through
+        # unionByName(allowMissingColumns=True) — the documented
+        # backcompat reading is the then-default xxhash64, so coalesce
+        # BEFORE the distinct check (a literal NULL here rejected every
+        # legacy-merge despite the promise).
+        [F.coalesce(F.col("hash_fn"), F.lit("xxhash64")).alias("hash_fn")] if has_hf else []
+    )
     rows = sketch.select(*cols).distinct().collect()
     if len(rows) != 1:
-        raise ValueError(f"{what}: mixed sketch geometries {sorted(tuple(r) for r in rows)}")
+        raise ValueError(
+            f"{what}: mixed sketch geometries "
+            f"{sorted((tuple(r) for r in rows), key=lambda t: tuple(map(str, t)))}"
+        )
     return rows[0]["d"], rows[0]["w"], (rows[0]["hash_fn"] if has_hf else "xxhash64")
 
 
@@ -144,6 +154,12 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s, allowMissingColumns=True)
+    if "hash_fn" in out.columns:
+        # Pre-hash_fn rows union in as NULL — materialize the documented
+        # xxhash64 backcompat default so the groupBy below actually
+        # merges them with same-family counters instead of keeping a
+        # parallel NULL-keyed counter set.
+        out = out.withColumn("hash_fn", F.coalesce(F.col("hash_fn"), F.lit("xxhash64")))
     _geometry(out, "cms_merge")
     keys = ["i", "bucket", "d", "w"] + (["hash_fn"] if "hash_fn" in out.columns else [])
     return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt")).select(

@@ -575,21 +575,62 @@ _MINHASH_PARAM_SCHEMA = (
 )
 
 
+def _hadoop_fs(spark, path: str):
+    """(jvm, FileSystem, Path) for ``path``, resolved through Hadoop —
+    scheme-less paths go to ``fs.defaultFS`` (HDFS/object store on a
+    cluster, local FS in local mode), NOT the driver's local disk."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(conf), p
+
+
 def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
     """A parquet subdir that an older artifact version never wrote reads
     as an empty frame of the expected schema (not an error) — the
     append/read paths treat 'no dropped table' as 'no dropped
-    buckets'. Scheme-less (local-fs) paths short-circuit on a directory
-    check instead of paying a JVM analysis round-trip + logged
-    exception per probe; object-store URIs keep the try/except."""
-    import os as _os
+    buckets'. Existence is resolved through the Hadoop FileSystem (one
+    cheap metadata RPC), so scheme-less paths hit the CLUSTER's default
+    FS, not the driver's local disk (an os.path probe here read
+    'dropped'/'applied_batches' as empty on any non-local default FS —
+    capped buckets resurrected and replay idempotency silently
+    vanished). Past the existence check, read errors PROPAGATE: a
+    transient/permission failure must raise, not masquerade as an empty
+    table."""
+    _, fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return local_rows_df(spark, [], schema)
+    return spark.read.parquet(path)
 
-    if "://" not in path and not _os.path.isdir(path):
-        return local_rows_df(spark, [], schema)
-    try:
-        return spark.read.parquet(path)
-    except Exception:  # noqa: BLE001 — PATH_NOT_FOUND on pre-r5 artifacts
-        return local_rows_df(spark, [], schema)
+
+def _write_swap(df: DataFrame, path: str) -> None:
+    """Crash-safe table rewrite: write to a sibling temp dir, then
+    checked-rename swap with a backup (the ``sinks.compact_files``
+    discipline). A bare ``mode("overwrite")`` on the SAME directory the
+    data was read from deletes-then-writes — a crash in between
+    destroys the stored table, which is fatal for an index that a
+    long-running foreachBatch loop compacts inline. Every rename is
+    checked (Hadoop returns False instead of raising); the backup is
+    deleted only after the new data is in place, and a leftover backup
+    from a crashed prior run aborts up front."""
+    spark = df.sparkSession
+    jvm, fs, dest = _hadoop_fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + "__compacting")
+    backup = jvm.org.apache.hadoop.fs.Path(path + "__precompact")
+    if fs.exists(backup):
+        raise RuntimeError(
+            f"{backup} exists — a previous compaction crashed mid-swap; "
+            "recover it (rename back or delete) before compacting again"
+        )
+    df.write.mode("overwrite").parquet(str(tmp))
+    if fs.exists(dest) and not fs.rename(dest, backup):
+        fs.delete(tmp, True)
+        raise RuntimeError(f"compaction aborted: could not move {path} aside")
+    if not fs.rename(tmp, dest):
+        fs.rename(backup, dest)  # roll back — original data untouched
+        raise RuntimeError(f"compaction aborted: could not move compacted data into {path}")
+    if fs.exists(backup):
+        fs.delete(backup, True)
 
 
 def minhash_index_write(index: dict[str, DataFrame], path: str) -> None:
@@ -772,19 +813,23 @@ def minhash_index_compact(spark, path: str) -> dict[str, int]:
 
     Matching before and after compaction is IDENTICAL (pytest-pinned;
     oracle-gated end-to-end via ``dedup_index_compact``). Every logical
-    table is pinned eagerly BEFORE overwriting the directories it was
-    read from. Not crash-atomic — parquet has no directory swap; a
-    production deployment layers a transactional table format
-    (Delta/Iceberg) under the same logic.
+    table is pinned eagerly BEFORE being rewritten, and each rewrite is
+    a temp-dir + checked-rename swap (``_write_swap``) — a crash never
+    leaves a table half-deleted, so the op is safe to run inline from a
+    long-lived ``foreachBatch`` ingest loop. Per-TABLE atomicity is
+    sufficient for cross-table consistency because compaction only
+    materializes the read-time derivation: a crash BETWEEN table swaps
+    leaves a mix of compacted and raw tables that ``minhash_index_read``
+    still derives the identical logical index from.
 
     Returns post-compaction row counts per rewritten table."""
     idx = minhash_index_read(spark, path)
     membership = idx["membership"].localCheckpoint(eager=True)
     reps = idx["reps"].localCheckpoint(eager=True)
     bands = idx["bands"].localCheckpoint(eager=True)
-    membership.write.mode("overwrite").parquet(f"{path}/membership")
-    reps.write.mode("overwrite").parquet(f"{path}/reps")
-    bands.write.mode("overwrite").parquet(f"{path}/bands")
+    _write_swap(membership, f"{path}/membership")
+    _write_swap(reps, f"{path}/reps")
+    _write_swap(bands, f"{path}/bands")
     return _appended_counts(membership=membership, reps=reps, bands=bands)
 
 
@@ -1682,15 +1727,17 @@ def simhash_index_compact(spark, path: str) -> dict[str, int]:
     """SimHash twin of ``minhash_index_compact``: materialize the
     read-time derivation (reps min-reduced, retired pigeonhole-chunk
     rows removed), rewrite fingerprints for file coalescing, keep
-    ``dropped``/``applied_batches`` verbatim. Same pinned-before-
-    overwrite discipline and the same non-atomicity caveat."""
+    ``dropped``/``applied_batches`` verbatim. Same pin-then-
+    ``_write_swap`` crash-safety discipline (per-table swap suffices:
+    any mix of compacted/raw tables reads back to the identical logical
+    index)."""
     idx = simhash_index_read(spark, path)
     fingerprints = idx["fingerprints"].localCheckpoint(eager=True)
     reps = idx["reps"].localCheckpoint(eager=True)
     chunks = idx["chunks"].localCheckpoint(eager=True)
-    fingerprints.write.mode("overwrite").parquet(f"{path}/fingerprints")
-    reps.write.mode("overwrite").parquet(f"{path}/reps")
-    chunks.write.mode("overwrite").parquet(f"{path}/chunks")
+    _write_swap(fingerprints, f"{path}/fingerprints")
+    _write_swap(reps, f"{path}/reps")
+    _write_swap(chunks, f"{path}/chunks")
     return _appended_counts(fingerprints=fingerprints, reps=reps, chunks=chunks)
 
 

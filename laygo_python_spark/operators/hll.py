@@ -108,12 +108,20 @@ def _p_of(sketch: DataFrame, what: str) -> int | None:
     before hash_fn rode along are read as the then-default
     xxhash64)."""
     has_hf = "hash_fn" in sketch.columns
-    rows = sketch.select("p", *(["hash_fn"] if has_hf else [])).distinct().collect()
+    cols = [F.col("p")] + (
+        # NULL hash_fn = pre-hash_fn rows through allowMissingColumns
+        # union; the documented backcompat reading is xxhash64, so
+        # coalesce before the mixed-family check (and so the error path
+        # below never compares None with str).
+        [F.coalesce(F.col("hash_fn"), F.lit("xxhash64")).alias("hash_fn")] if has_hf else []
+    )
+    rows = sketch.select(*cols).distinct().collect()
     if len({r["p"] for r in rows}) > 1:
         raise ValueError(f"{what}: mixed HLL precisions {sorted(r['p'] for r in rows)}")
     if has_hf and len({r["hash_fn"] for r in rows}) > 1:
         raise ValueError(
-            f"{what}: mixed HLL hash families {sorted({r['hash_fn'] for r in rows})} — "
+            f"{what}: mixed HLL hash families "
+            f"{sorted({r['hash_fn'] for r in rows}, key=str)} — "
             "their rho ranges differ (64-p vs 60-p); rebuild one side"
         )
     if not rows:
@@ -130,6 +138,11 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s, allowMissingColumns=True)
+    if "hash_fn" in out.columns:
+        # Pre-hash_fn rows union in as NULL — materialize the xxhash64
+        # backcompat default so max-merge actually combines them with
+        # same-family registers.
+        out = out.withColumn("hash_fn", F.coalesce(F.col("hash_fn"), F.lit("xxhash64")))
     _p_of(out, "hll_merge")
     keys = ["idx", "p"] + (["hash_fn"] if "hash_fn" in out.columns else [])
     return out.groupBy(*keys).agg(F.max("rho").alias("rho")).select("idx", "rho", *keys[1:])

@@ -146,23 +146,53 @@ def local_rows_df(spark: SparkSession, rows, schema) -> DataFrame:
     return spark.createDataFrame(pdf, schema=st)
 
 
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[str, str, str], tuple[object, DataFrame]] = {}
+
+
+def clear_table_cache() -> None:
+    """Drop every cached table resolution — the escape hatch for a
+    caller that mutates a table directory mid-session through a channel
+    the mtime probe can't see (remote FS, symlink farm)."""
+    _TABLE_CACHE.clear()
+
+
+def _dir_fingerprint(path: str):
+    """Cheap staleness probe for LOCAL table paths: one os.stat — a
+    directory's (mtime, size) changes when files are added, removed, or
+    replaced, which is the daily-ingest mutation shape. Non-local
+    schemes and missing paths return None (no probe): those cached
+    entries behave as a per-session snapshot, which is also Spark's own
+    semantics for a DataFrame whose underlying files change (stale
+    listings / FileNotFound) — callers mutating remote dirs should
+    ``clear_table_cache()``."""
+    if "://" in path:
+        return None
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/projections into it.
 
-    Cached per (session, dir, table): the fixture tables are immutable
+    Cached per (session, dir, table): a fixture table is immutable
     within a session, and an uncached call pays file listing + parquet
     footer schema resolution + two plan analyses every time (~0.27 s at
     sf0.1, measured — it was a third of ``dedup_minhash_lsh``'s benched
     wall). A production catalog resolves a table once per session too;
-    per-query re-resolution was pure overhead. The returned DataFrame
-    is lazy and immutable, so sharing the object is safe."""
+    per-query re-resolution was pure overhead. The cache re-validates a
+    local path's directory mtime on every hit (one stat), so a table
+    dir that gains files mid-session is re-resolved instead of serving
+    the pinned first listing; see ``clear_table_cache`` for mutation
+    channels the probe can't see. The returned DataFrame is lazy and
+    immutable, so sharing the object is safe."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    cached = _TABLE_CACHE.get(key)
-    if cached is not None:
-        return cached
+    fp = _dir_fingerprint(f"{sf_dir}/{name}.parquet")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
     ensure_session_defaults(spark)
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
@@ -178,7 +208,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
-    _TABLE_CACHE[key] = df
+    _TABLE_CACHE[key] = (fp, df)
     return df
 
 

@@ -141,3 +141,22 @@ def test_cms_hash_family_rides_in_sketch(spark):
     sk_xx = cms_build(df, "k", d=3, w=1024, hash_fn="xxhash64")
     with pytest.raises(ValueError, match="mixed"):
         cms_merge(sk_md5, sk_xx)
+
+
+def test_cms_merge_pre_hash_fn_sketch_backcompat(spark):
+    # A sketch persisted before hash_fn rode in the table (simulated by
+    # dropping the column) merges under the documented then-default
+    # xxhash64 reading: geometry check passes AND the legacy counters
+    # actually combine with same-family ones (no parallel NULL-keyed
+    # counter set, no None-vs-str TypeError from the error formatter).
+    a = _freq_table(spark, ["x"] * 5 + ["y"] * 2)
+    b = _freq_table(spark, ["x"] * 3)
+    legacy = cms_build(a, "k", d=3, w=64).drop("hash_fn")
+    merged = cms_merge(legacy, cms_build(b, "k", d=3, w=64))
+    assert set(merged.select("hash_fn").distinct().toPandas()["hash_fn"]) == {"xxhash64"}
+    est = cms_estimate(merged, _freq_table(spark, ["x"]), "k").collect()[0]["est"]
+    assert est >= 8  # 5 + 3 actually summed, not split across NULL/xxhash64
+
+    # Genuinely mixed families still raise — with a readable message.
+    with pytest.raises(ValueError, match="mixed sketch geometries"):
+        cms_merge(cms_build(a, "k", d=3, w=64), cms_build(b, "k", d=3, w=64, hash_fn="md5"))

@@ -144,3 +144,18 @@ def test_hll_hash_family_rides_in_register_table(spark):
     merged = hll_merge(a, c)
     whole = hll_build(_keys(spark, 0, 1500), "k", p=10, hash_fn="xxhash64")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_hll_merge_pre_hash_fn_sketch_backcompat(spark):
+    # Legacy register table (no hash_fn column) merges under the
+    # documented xxhash64 default: registers max-combine with the new
+    # sketch's rather than surviving as a parallel NULL-keyed set, and
+    # the estimate matches a single build over the unioned keys.
+    a, b = _keys(spark, 0, 300), _keys(spark, 150, 450)
+    legacy = hll_build(a, "k", p=10).drop("hash_fn")
+    merged = hll_merge(legacy, hll_build(b, "k", p=10))
+    whole = hll_build(a.unionByName(b), "k", p=10)
+    assert abs(hll_estimate(merged) - hll_estimate(whole)) < 1e-9
+    # Mixed genuine families still raise, None-safely formatted.
+    with pytest.raises(ValueError, match="mixed HLL hash families"):
+        hll_merge(legacy, hll_build(b, "k", p=10, hash_fn="md5"))

@@ -355,3 +355,39 @@ def test_srp_index_add_equals_rebuild(spark, sf_dir, tmp_path):
     got = _sorted_rows(srp_search_indexed(spark, grown, queries, k=10))
     want = _sorted_rows(srp_search_indexed(spark, rebuilt, queries, k=10))
     assert got == want and got
+
+
+def test_compact_swap_is_crash_safe(spark, tmp_path):
+    # Compaction rewrites via temp-dir + checked-rename swap: a leftover
+    # backup dir from a crashed prior run must ABORT (not nest-rename
+    # into it), and a clean compaction must leave no temp/backup debris
+    # next to the tables. Guards the exactly-once story of the
+    # streaming ingest loop that runs compaction inline.
+    import os
+
+    day1 = _docs(spark, _uniq(20))
+    path = str(tmp_path / "idx")
+    dedup.minhash_index_write(dedup.minhash_index(day1, num_hashes=8, bands=4), path)
+    os.makedirs(f"{path}/membership__precompact")
+    with pytest.raises(RuntimeError, match="crashed mid-swap"):
+        dedup.minhash_index_compact(spark, path)
+    os.rmdir(f"{path}/membership__precompact")
+    before = dedup.minhash_index_read(spark, path)
+    kept = _sorted_rows(before["membership"])
+    dedup.minhash_index_compact(spark, path)
+    leftovers = [d for d in os.listdir(path) if "__compacting" in d or "__precompact" in d]
+    assert leftovers == []
+    assert _sorted_rows(dedup.minhash_index_read(spark, path)["membership"]) == kept
+
+
+def test_read_or_empty_propagates_real_read_errors(spark, tmp_path):
+    # Missing path -> typed empty frame; an EXISTING but unreadable path
+    # must raise (a transient/corrupt read that silently read as empty
+    # resurrected capped buckets and broke replay idempotency).
+    empty = dedup._read_or_empty(spark, str(tmp_path / "nope"), "band_key long")
+    assert empty.columns == ["band_key"] and empty.count() == 0
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "part-0.parquet").write_text("this is not parquet")
+    with pytest.raises(Exception):
+        dedup._read_or_empty(spark, str(bad), "band_key long").collect()

@@ -130,3 +130,22 @@ def test_json_corrupt_record_modes(spark, tmp_path):
         ok.unpersist()
     with _pytest.raises(Exception, match="Malformed|FAILFAST"):
         spark.read.schema("id long, v long").option("mode", "FAILFAST").json(str(path)).collect()
+
+
+def test_read_table_cache_revalidates_on_dir_change(spark, tmp_path):
+    # The per-session table cache must not pin a first file listing for
+    # a LOCAL directory that later gains files (the daily-ingest shape):
+    # the mtime probe re-resolves, so new rows become visible; and
+    # clear_table_cache() is the explicit escape hatch.
+    import time
+
+    from laygo_python_spark.session import clear_table_cache, read_table
+
+    tbl = tmp_path / "t.parquet"
+    spark.range(5).write.parquet(str(tbl))
+    assert read_table(spark, str(tmp_path), "t").count() == 5
+    time.sleep(0.05)  # distinct dir mtime at ns resolution on any fs
+    spark.range(7).write.mode("append").parquet(str(tbl))
+    assert read_table(spark, str(tmp_path), "t").count() == 12
+    clear_table_cache()
+    assert read_table(spark, str(tmp_path), "t").count() == 12
