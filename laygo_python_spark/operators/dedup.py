@@ -603,6 +603,18 @@ def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _batch_already_applied(spark, path: str, batch_id: int) -> bool:
+    """Replay-marker probe. The marker table is absent until the first
+    marked append, and a filter+count job on a guaranteed-empty frame
+    still pays ~0.3 s of job scheduling — so short-circuit on the FS
+    existence check (one metadata RPC) before paying for a real scan."""
+    _, fs, p = _hadoop_fs(spark, f"{path}/applied_batches")
+    if not fs.exists(p):
+        return False
+    applied = spark.read.parquet(f"{path}/applied_batches")
+    return bool(applied.filter(F.col("batch_id") == int(batch_id)).limit(1).count())
+
+
 def _write_swap(df: DataFrame, path: str) -> None:
     """Crash-safe table rewrite: write to a sibling temp dir, then
     checked-rename swap with a backup (the ``sinks.compact_files``
@@ -633,19 +645,40 @@ def _write_swap(df: DataFrame, path: str) -> None:
         fs.delete(backup, True)
 
 
+def _concurrent_actions(*thunks) -> None:
+    """Run independent driver actions (writes to DISTINCT directories,
+    whose input frames are checkpoint-pinned) concurrently — Spark's
+    scheduler interleaves their stages across executor slots, so the
+    wall cost is ~max instead of sum. At sf0.1 each parquet write is
+    dominated by fixed job-scheduling floor (~0.3 s), and the index
+    write/append paths issue 4–5 of them; sequential issue billed ~1 s
+    of pure scheduling per operation (measured r6). Same driver-side
+    thread-fanout discipline as ``Pipeline.branch``. Exceptions
+    propagate (first one wins) — a failed write must fail the
+    operation."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
+
+
 def minhash_index_write(index: dict[str, DataFrame], path: str) -> None:
     """Persist an index as parquet subdirectories INCLUDING its build
     params — a matcher keyed with different params would silently find
     nothing (the keys never collide), so the params ride with the
     artifact and ``minhash_match_incremental`` resolves them from
-    there."""
-    index["membership"].write.mode("overwrite").parquet(f"{path}/membership")
-    index["reps"].write.mode("overwrite").parquet(f"{path}/reps")
-    index["bands"].write.mode("overwrite").parquet(f"{path}/bands")
+    there. The four table writes land in distinct directories from
+    pinned/deterministic inputs, so they are issued concurrently."""
     spark = index["membership"].sparkSession
-    index.get(
-        "dropped", local_rows_df(spark, [], "band_key long")
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/dropped")
+    dropped = index.get("dropped", local_rows_df(spark, [], "band_key long"))
+    _concurrent_actions(
+        lambda: index["membership"].write.mode("overwrite").parquet(f"{path}/membership"),
+        lambda: index["reps"].write.mode("overwrite").parquet(f"{path}/reps"),
+        lambda: index["bands"].write.mode("overwrite").parquet(f"{path}/bands"),
+        lambda: dropped.coalesce(1).write.mode("overwrite").parquet(f"{path}/dropped"),
+    )
     p = index["params"]
     local_rows_df(
         spark,
@@ -694,6 +727,7 @@ def minhash_index_append(
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_id: int | None = None,
+    stats: bool = True,
 ) -> dict[str, int | bool]:
     """Fold an accepted batch INTO the stored index — the missing half of
     the incremental story: without it a daily pipeline re-builds the
@@ -734,13 +768,13 @@ def minhash_index_append(
     but verification dedups) — true write atomicity needs a
     transactional table format underneath, which parquet alone is not.
 
-    Returns appended row counts per table."""
+    Returns appended row counts per table; ``stats=False`` skips that
+    counting job for callers that discard the dict (the registered
+    queries, the streaming ingest loop)."""
     row = spark.read.parquet(f"{path}/params").collect()[0].asDict()
     max_bucket = row.get("max_bucket", 1000)
-    if batch_id is not None:
-        applied = _read_or_empty(spark, f"{path}/applied_batches", "batch_id long")
-        if applied.filter(F.col("batch_id") == int(batch_id)).limit(1).count():
-            return {"applied": False, "membership": 0, "reps": 0, "bands": 0, "dropped": 0}
+    if batch_id is not None and _batch_already_applied(spark, path, batch_id):
+        return {"applied": False, "membership": 0, "reps": 0, "bands": 0, "dropped": 0}
     # Pinned once: the signature pass feeds membership, reps and the
     # band derivation (see minhash_index) — and every derived frame
     # below is pinned BEFORE any write, because the writes append into
@@ -785,20 +819,27 @@ def minhash_index_append(
     band_append = new_band_rows.join(newly_dropped, "band_key", "left_anti").select(
         "sig_key", "band_key"
     )
-    new_membership.write.mode("append").parquet(f"{path}/membership")
-    reps_add.write.mode("append").parquet(f"{path}/reps")
-    band_append.write.mode("append").parquet(f"{path}/bands")
-    newly_dropped.write.mode("append").parquet(f"{path}/dropped")
+    # Four appends into distinct dirs, all from pinned frames — issued
+    # concurrently; the replay marker stays strictly AFTER them (it is
+    # the at-least-once commit point).
+    _concurrent_actions(
+        lambda: new_membership.write.mode("append").parquet(f"{path}/membership"),
+        lambda: reps_add.write.mode("append").parquet(f"{path}/reps"),
+        lambda: band_append.write.mode("append").parquet(f"{path}/bands"),
+        lambda: newly_dropped.write.mode("append").parquet(f"{path}/dropped"),
+    )
     if batch_id is not None:
         local_rows_df(spark, [(int(batch_id),)], "batch_id long").coalesce(1).write.mode(
             "append"
         ).parquet(f"{path}/applied_batches")
+    if not stats:
+        return {"applied": True}
     return {"applied": True, **_appended_counts(
         membership=new_membership, reps=reps_add, bands=band_append, dropped=newly_dropped
     )}
 
 
-def minhash_index_compact(spark, path: str) -> dict[str, int]:
+def minhash_index_compact(spark, path: str, stats: bool = True) -> dict[str, int]:
     """Rewrite the append-only artifact into its logical form — the
     OPTIMIZE-style maintenance op a daily append pipeline schedules:
     each append adds parquet files (small-file accumulation) and leaves
@@ -827,9 +868,13 @@ def minhash_index_compact(spark, path: str) -> dict[str, int]:
     membership = idx["membership"].localCheckpoint(eager=True)
     reps = idx["reps"].localCheckpoint(eager=True)
     bands = idx["bands"].localCheckpoint(eager=True)
-    _write_swap(membership, f"{path}/membership")
-    _write_swap(reps, f"{path}/reps")
-    _write_swap(bands, f"{path}/bands")
+    _concurrent_actions(
+        lambda: _write_swap(membership, f"{path}/membership"),
+        lambda: _write_swap(reps, f"{path}/reps"),
+        lambda: _write_swap(bands, f"{path}/bands"),
+    )
+    if not stats:
+        return {}
     return _appended_counts(membership=membership, reps=reps, bands=bands)
 
 
@@ -1689,13 +1734,14 @@ _SIMHASH_DROPPED_SCHEMA = "chunk_idx int, chunk_val long"
 
 
 def simhash_index_write(index: dict[str, DataFrame], path: str) -> None:
-    index["fingerprints"].write.mode("overwrite").parquet(f"{path}/fingerprints")
-    index["reps"].write.mode("overwrite").parquet(f"{path}/reps")
-    index["chunks"].write.mode("overwrite").parquet(f"{path}/chunks")
     spark = index["fingerprints"].sparkSession
-    index.get(
-        "dropped", local_rows_df(spark, [], _SIMHASH_DROPPED_SCHEMA)
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/dropped")
+    dropped = index.get("dropped", local_rows_df(spark, [], _SIMHASH_DROPPED_SCHEMA))
+    _concurrent_actions(
+        lambda: index["fingerprints"].write.mode("overwrite").parquet(f"{path}/fingerprints"),
+        lambda: index["reps"].write.mode("overwrite").parquet(f"{path}/reps"),
+        lambda: index["chunks"].write.mode("overwrite").parquet(f"{path}/chunks"),
+        lambda: dropped.coalesce(1).write.mode("overwrite").parquet(f"{path}/dropped"),
+    )
     p = index["params"]
     local_rows_df(
         spark,
@@ -1723,7 +1769,7 @@ def simhash_index_read(spark, path: str) -> dict[str, DataFrame]:
     }
 
 
-def simhash_index_compact(spark, path: str) -> dict[str, int]:
+def simhash_index_compact(spark, path: str, stats: bool = True) -> dict[str, int]:
     """SimHash twin of ``minhash_index_compact``: materialize the
     read-time derivation (reps min-reduced, retired pigeonhole-chunk
     rows removed), rewrite fingerprints for file coalescing, keep
@@ -1735,9 +1781,13 @@ def simhash_index_compact(spark, path: str) -> dict[str, int]:
     fingerprints = idx["fingerprints"].localCheckpoint(eager=True)
     reps = idx["reps"].localCheckpoint(eager=True)
     chunks = idx["chunks"].localCheckpoint(eager=True)
-    _write_swap(fingerprints, f"{path}/fingerprints")
-    _write_swap(reps, f"{path}/reps")
-    _write_swap(chunks, f"{path}/chunks")
+    _concurrent_actions(
+        lambda: _write_swap(fingerprints, f"{path}/fingerprints"),
+        lambda: _write_swap(reps, f"{path}/reps"),
+        lambda: _write_swap(chunks, f"{path}/chunks"),
+    )
+    if not stats:
+        return {}
     return _appended_counts(fingerprints=fingerprints, reps=reps, chunks=chunks)
 
 
@@ -1748,6 +1798,7 @@ def simhash_index_append(
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_id: int | None = None,
+    stats: bool = True,
 ) -> dict[str, int | bool]:
     """SimHash twin of ``minhash_index_append`` — fold an accepted batch
     into the stored index, re-checking the pigeonhole-bucket cap only on
@@ -1755,16 +1806,14 @@ def simhash_index_append(
     append-≡-rebuild contract (pytest-pinned table equality, oracle-gated
     via ``dedup_simhash_index_append``), same append-only layout, same
     ``batch_id`` replay no-op, same written-last-marker atomicity
-    caveat."""
+    caveat, same concurrent-append + optional-``stats`` job trim."""
     row = spark.read.parquet(f"{path}/params").collect()[0].asDict()
     max_bucket = row.get("max_bucket", 2000)
     max_hamming, bits, hash_fn = row["max_hamming"], row["bits"], row["hash_fn"]
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
-    if batch_id is not None:
-        applied = _read_or_empty(spark, f"{path}/applied_batches", "batch_id long")
-        if applied.filter(F.col("batch_id") == int(batch_id)).limit(1).count():
-            return {"applied": False, "fingerprints": 0, "reps": 0, "chunks": 0, "dropped": 0}
+    if batch_id is not None and _batch_already_applied(spark, path, batch_id):
+        return {"applied": False, "fingerprints": 0, "reps": 0, "chunks": 0, "dropped": 0}
     fp = (
         simhash_fingerprints(new_docs, id_col, text_col, bits, hash_fn)
         .select(F.col(id_col).alias("doc_id"), "sh")
@@ -1802,14 +1851,18 @@ def simhash_index_append(
     chunk_append = new_chunk_rows.join(
         newly_dropped, ["chunk_idx", "chunk_val"], "left_anti"
     ).select("sh", "chunk_idx", "chunk_val")
-    fp.write.mode("append").parquet(f"{path}/fingerprints")
-    reps_add.write.mode("append").parquet(f"{path}/reps")
-    chunk_append.write.mode("append").parquet(f"{path}/chunks")
-    newly_dropped.write.mode("append").parquet(f"{path}/dropped")
+    _concurrent_actions(
+        lambda: fp.write.mode("append").parquet(f"{path}/fingerprints"),
+        lambda: reps_add.write.mode("append").parquet(f"{path}/reps"),
+        lambda: chunk_append.write.mode("append").parquet(f"{path}/chunks"),
+        lambda: newly_dropped.write.mode("append").parquet(f"{path}/dropped"),
+    )
     if batch_id is not None:
         local_rows_df(spark, [(int(batch_id),)], "batch_id long").coalesce(1).write.mode(
             "append"
         ).parquet(f"{path}/applied_batches")
+    if not stats:
+        return {"applied": True}
     return {"applied": True, **_appended_counts(
         fingerprints=fp, reps=reps_add, chunks=chunk_append, dropped=newly_dropped
     )}

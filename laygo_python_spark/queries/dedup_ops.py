@@ -364,17 +364,20 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard applied once at build — and today's batch (odd doc_ids) is
     the only text that gets shingled. ``minhash_match_incremental``
     joins the new batch's band keys against the index: the seen corpus
-    is never re-read (the index frames are checkpoint-pinned here to
-    stand in for the parquet artifact). Oracle-gated with the md5 hash
-    family: DuckDB rebuilds both sides' signatures and replays the
-    index-side bucket cap. Complements ``dedup_new_vs_seen`` (the exact
-    verify on the union) with the discovery half of the incremental
-    story."""
+    is never re-read — ``minhash_index`` pins the seen side's signature
+    pass internally, so the derived membership/bands frames recompute
+    from pinned integers, never from text. (r5 additionally
+    checkpointed all four derived frames caller-side — four extra job
+    schedulings that re-materialized what the pinned signatures already
+    guarantee; dropping them recovered the r4→r5 bench regression,
+    2.26→~1.7 s at sf0.1.) Oracle-gated with the md5 hash family:
+    DuckDB rebuilds both sides' signatures and replays the index-side
+    bucket cap. Complements ``dedup_new_vs_seen`` (the exact verify on
+    the union) with the discovery half of the incremental story."""
     docs = _t(spark, sf_dir, "documents")
     seen = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
     idx = dedup.minhash_index(seen, hash_fn="md5")
-    idx = {k: (v.localCheckpoint(eager=True) if hasattr(v, "localCheckpoint") else v) for k, v in idx.items()}
     return dedup.minhash_match_incremental(new, idx, hash_fn="md5")
 
 
@@ -494,7 +497,7 @@ def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         day2 = docs.filter(F.col("doc_id") % 3 == 1)
         probe = docs.filter(F.col("doc_id") % 3 == 2)
         dedup.minhash_index_write(dedup.minhash_index(day1, hash_fn="md5"), path)
-        dedup.minhash_index_append(spark, path, day2, batch_id=1)
+        dedup.minhash_index_append(spark, path, day2, batch_id=1, stats=False)
         stored = dedup.minhash_index_read(spark, path)
         return dedup.minhash_match_incremental(probe, stored).localCheckpoint(eager=True)
     finally:
@@ -519,8 +522,8 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         day2 = docs.filter(F.col("doc_id") % 3 == 1)
         probe = docs.filter(F.col("doc_id") % 3 == 2)
         dedup.minhash_index_write(dedup.minhash_index(day1, hash_fn="md5"), path)
-        dedup.minhash_index_append(spark, path, day2, batch_id=1)
-        dedup.minhash_index_compact(spark, path)
+        dedup.minhash_index_append(spark, path, day2, batch_id=1, stats=False)
+        dedup.minhash_index_compact(spark, path, stats=False)
         stored = dedup.minhash_index_read(spark, path)
         return dedup.minhash_match_incremental(probe, stored).localCheckpoint(eager=True)
     finally:
@@ -549,7 +552,7 @@ def dedup_simhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         day2 = docs.filter(F.col("doc_id") % 3 == 1)
         probe = docs.filter(F.col("doc_id") % 3 == 2)
         dedup.simhash_index_write(dedup.simhash_index(day1, bits=60, hash_fn="md5"), path)
-        dedup.simhash_index_append(spark, path, day2, batch_id=1)
+        dedup.simhash_index_append(spark, path, day2, batch_id=1, stats=False)
         stored = dedup.simhash_index_read(spark, path)
         return dedup.simhash_match_incremental(probe, stored).localCheckpoint(eager=True)
     finally:

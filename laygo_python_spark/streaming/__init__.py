@@ -164,8 +164,8 @@ def incremental_dedup_processor(
             "doc_id",
             "left_anti",
         )
-        dedup.minhash_index_append(spark, index_path, accepted, batch_id=batch_id)
+        dedup.minhash_index_append(spark, index_path, accepted, batch_id=batch_id, stats=False)
         if compact_every and (batch_id + 1) % compact_every == 0:
-            dedup.minhash_index_compact(spark, index_path)
+            dedup.minhash_index_compact(spark, index_path, stats=False)
 
     return process
