@@ -1,0 +1,76 @@
+"""Committed trained-ANN artifacts — loader side.
+
+``tools/train_ann_artifacts.py`` trains IVF centroids / PQ codebooks
+once (seeded numpy Lloyd, bit-reproducible) and commits them under
+``artifacts/ann/`` keyed by an exact-integer corpus signature. The
+registered ANN queries load the matching slice here (driver-side
+pyarrow read — no Spark job) and the DuckDB oracles ``read_parquet``
+the very same files, which is what makes the trained search paths
+differentially testable: both engines score against identical floats.
+A corpus with no committed row falls back to live training (the
+pre-artifact behavior), so the operators keep working on arbitrary
+data — only the oracle gate needs the committed state.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+ARTIFACT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "artifacts",
+    "ann",
+)
+IVF_PATH = f"{ARTIFACT_DIR}/ivf_centroids.parquet"
+PQ_PATH = f"{ARTIFACT_DIR}/pq_codebooks.parquet"
+
+
+def corpus_signature(sf_dir: str) -> tuple[int, int] | None:
+    """(n, sig) for the embeddings fixture — the artifact key. One
+    pyarrow column read; see tools/train_ann_artifacts.py for why every
+    step is exact across engines. None when the table isn't a plain
+    local parquet file (then callers fall back to live training)."""
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.isfile(path):
+        return None
+    import pyarrow.parquet as pq_
+
+    col = pq_.read_table(path, columns=["embedding"]).column("embedding").to_pylist()
+    mat = np.array(col, dtype=np.float64)
+    return len(mat), int(np.floor(mat[:, 0] * 1048576.0).sum())
+
+
+def load_ivf_centroids(sf_dir: str, k: int) -> np.ndarray | None:
+    """(k × dim) committed centroids for this corpus, or None."""
+    key = corpus_signature(sf_dir)
+    if key is None or not os.path.isfile(IVF_PATH):
+        return None
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(IVF_PATH).to_pylist()
+    rows = [r for r in t if (r["n_corpus"], r["sig"]) == key and r["k"] == k]
+    if not rows:
+        return None
+    rows.sort(key=lambda r: r["cell"])
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def load_pq_codebooks(sf_dir: str, m: int, ksub: int) -> np.ndarray | None:
+    """(m × ksub × dsub) committed codebooks for this corpus, or None."""
+    key = corpus_signature(sf_dir)
+    if key is None or not os.path.isfile(PQ_PATH):
+        return None
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(PQ_PATH).to_pylist()
+    rows = [
+        r for r in t
+        if (r["n_corpus"], r["sig"]) == key and r["m"] == m and r["ksub"] == ksub
+    ]
+    if not rows:
+        return None
+    rows.sort(key=lambda r: (r["s"], r["code"]))
+    cbs = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    return cbs.reshape(m, ksub, -1)

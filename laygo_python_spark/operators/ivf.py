@@ -90,11 +90,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k: each query is scored only against corpus
     vectors in its ``n_probe`` nearest cells. Returns
-    (query_id, neighbor_id, sim, rank) like brute_force_topk."""
-    centroids = train_centroids(corpus, n_centroids, vec_col, seed)
+    (query_id, neighbor_id, sim, rank) like brute_force_topk. Pass
+    ``centroids`` to search at FIXED pre-trained cells (the committed
+    oracle artifact, or ``ivf_index_write``'s rebuild path) instead of
+    paying a training job."""
+    if centroids is None:
+        centroids = train_centroids(corpus, n_centroids, vec_col, seed)
     c = _assign_cells(corpus, centroids, "neighbor_id", "cv", id_col, vec_col, n_probe=1)
     q = _assign_cells(queries, centroids, "query_id", "qv", id_col, vec_col, n_probe=n_probe)
     from laygo_python_spark.operators.similarity import _score_topk

@@ -200,6 +200,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ — the production composition: IVF cells prune WHICH codes
     a query touches (partition pruning at write time), PQ/ADC prunes the
@@ -215,7 +216,8 @@ def ivfpq_topk(
     from laygo_python_spark.operators.ivf import _assign_cells, train_centroids
 
     m, ksub, dsub = codebooks.shape
-    centroids = train_centroids(corpus, n_centroids, vec_col, seed)
+    if centroids is None:
+        centroids = train_centroids(corpus, n_centroids, vec_col, seed)
     # Corpus: one (cell, id, codes) row per vector — codes via pq_encode,
     # cell via the IVF assignment, joined on id (both map-only).
     cells = _assign_cells(corpus, centroids, id_col, "__v", id_col, vec_col, n_probe=1).drop("__v")

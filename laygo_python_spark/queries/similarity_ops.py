@@ -171,43 +171,169 @@ def ann_srp_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
-@query("ann_ivf_topk")  # rows-only: approximate by design (k-means cells)
+def _ann_key_ctes() -> str:
+    """Shared oracle scaffolding for the trained-ANN family: the corpus
+    as DOUBLE[] plus the exact-integer artifact key (count, signature —
+    see tools/train_ann_artifacts.py for why every step is
+    cross-engine-exact)."""
+    return """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    key AS (SELECT count(*) AS nc, CAST(sum(floor(v[1]*1048576.0)) AS BIGINT) AS ks FROM e)"""
+
+
+def _ivf_cell_ctes(k_cells: int, n_probe: int) -> str:
+    """Cell assignment replay: d2 = ||c||² - 2 x·c (the operator skips
+    ||x||² — it cancels in the argmin), corpus rows take their single
+    nearest cell, queries their n_probe nearest; ties break to the
+    lowest cell id like numpy's argsort."""
+    from laygo_python_spark.operators.ann_artifacts import IVF_PATH
+
+    return f"""cent AS (SELECT a.cell, a.centroid FROM read_parquet('{IVF_PATH}') a, key
+             WHERE a.k = {k_cells} AND a.n_corpus = key.nc AND a.sig = key.ks),
+    d AS (SELECT e.vec_id, c.cell,
+                 list_dot_product(c.centroid, c.centroid)
+                 - 2*list_dot_product(e.v, c.centroid) AS d2
+          FROM e, cent c),
+    assign AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d) WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d WHERE vec_id < 5) WHERE rn <= {n_probe})"""
+
+
+def _pq_code_ctes(m: int, ksub: int, dsub: int) -> str:
+    """PQ replay: L2-normalize, slice into m subspaces, encode each
+    corpus vector as its per-subspace nearest code (argmin ties to the
+    lowest code like numpy); ``sub`` doubles as the query-side LUT
+    input (ADC sim = Σ_s q_sub · codebook[s, code])."""
+    from laygo_python_spark.operators.ann_artifacts import PQ_PATH
+
+    return f"""nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+    en AS (SELECT vec_id,
+                  list_transform(v, x -> x / (CASE WHEN nv = 0 THEN 1.0 ELSE nv END)) AS vn
+           FROM nrm),
+    cb AS (SELECT a.s, a.code, a.centroid FROM read_parquet('{PQ_PATH}') a, key
+           WHERE a.m = {m} AND a.ksub = {ksub} AND a.n_corpus = key.nc AND a.sig = key.ks),
+    sub AS (SELECT vec_id, sp.i AS s, vn[sp.i*{dsub}+1 : sp.i*{dsub}+{dsub}] AS xs
+            FROM en, (SELECT unnest(range({m})) AS i) sp),
+    enc AS (SELECT vec_id, s, code FROM (
+        SELECT u.vec_id, u.s, c.code,
+               row_number() OVER (PARTITION BY u.vec_id, u.s ORDER BY
+                 list_dot_product(c.centroid, c.centroid)
+                 - 2*list_dot_product(u.xs, c.centroid), c.code) AS rn
+        FROM sub u JOIN cb c ON c.s = u.s) WHERE rn = 1)"""
+
+
+_ANN_RANK_TAIL = """SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 10"""
+
+
+def _ivf_oracle(k_cells: int = 16, n_probe: int = 2) -> str:
+    return f"""WITH {_ann_key_ctes()},
+    {_ivf_cell_ctes(k_cells, n_probe)},
+    cand AS (SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+             FROM qprobe q JOIN assign a USING (cell)
+             WHERE a.vec_id <> q.query_id),
+    scored AS (SELECT c.query_id, c.neighbor_id, list_cosine_similarity(x.v, y.v) AS sim
+               FROM cand c JOIN e x ON x.vec_id = c.query_id
+                           JOIN e y ON y.vec_id = c.neighbor_id)
+    {_ANN_RANK_TAIL}"""
+
+
+def _pq_oracle(m: int = 32, ksub: int = 64, dsub: int = 2) -> str:
+    return f"""WITH {_ann_key_ctes()},
+    {_pq_code_ctes(m, ksub, dsub)},
+    scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                      sum(list_dot_product(q.xs, c.centroid)) AS sim
+               FROM enc n JOIN cb c ON c.s = n.s AND c.code = n.code
+               JOIN sub q ON q.s = n.s
+               WHERE q.vec_id < 5 AND q.vec_id <> n.vec_id
+               GROUP BY 1, 2)
+    {_ANN_RANK_TAIL}"""
+
+
+def _ivfpq_oracle(k_cells: int = 8, n_probe: int = 4, m: int = 32, ksub: int = 64, dsub: int = 2) -> str:
+    return f"""WITH {_ann_key_ctes()},
+    {_ivf_cell_ctes(k_cells, n_probe)},
+    {_pq_code_ctes(m, ksub, dsub)},
+    cand AS (SELECT q.query_id, a.vec_id AS neighbor_id
+             FROM qprobe q JOIN assign a USING (cell)
+             WHERE a.vec_id <> q.query_id),
+    scored AS (SELECT c.query_id, c.neighbor_id,
+                      sum(list_dot_product(qs.xs, cbk.centroid)) AS sim
+               FROM cand c
+               JOIN enc n ON n.vec_id = c.neighbor_id
+               JOIN cb cbk ON cbk.s = n.s AND cbk.code = n.code
+               JOIN sub qs ON qs.vec_id = c.query_id AND qs.s = n.s
+               GROUP BY 1, 2)
+    {_ANN_RANK_TAIL}"""
+
+
+@query("ann_ivf_topk", oracle=_ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (operators/ivf.py): k-means cells + 2-probe
-    search — the trained-index complement to the SRP-LSH path. Recall vs
-    brute force is asserted in tests/test_ivf.py."""
+    search — the trained-index complement to the SRP-LSH path. Searches
+    at the COMMITTED centroid artifact (artifacts/ann/, trained once by
+    tools/train_ann_artifacts.py), which is what makes a trained index
+    oracle-gateable: DuckDB reads the same centroids and replays
+    assignment, probing and cosine scoring — the reference's
+    cross-implementation equivalence idiom
+    (performance_test.py:516-539) applied to trained state. Corpora
+    without a committed artifact train live (rows-only semantics);
+    recall vs brute force stays asserted in tests/test_ivf.py."""
+    from laygo_python_spark.operators.ann_artifacts import load_ivf_centroids
     from laygo_python_spark.operators.ivf import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=2)
+    cent = load_ivf_centroids(sf_dir, k=16)
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=2, centroids=cent
+    )
     return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
 
 
-@query("ann_pq_topk")  # rows-only: approximate by design (quantized codes)
+@query("ann_pq_topk", oracle=_pq_oracle())
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization approximate top-k (operators/pq.py): the
     corpus is scored as m-byte codes via ADC lookup tables — the
     compressed-domain complement to LSH (candidate pruning) and IVF
-    (partition pruning). Recall vs brute force is asserted in
+    (partition pruning). Encodes against the COMMITTED codebook artifact
+    (see ann_ivf_topk) so DuckDB can replay normalize → encode → ADC
+    scoring end-to-end; recall vs brute force stays asserted in
     tests/test_pq.py."""
+    from laygo_python_spark.operators.ann_artifacts import load_pq_codebooks
     from laygo_python_spark.operators.pq import pq_encode, pq_topk, train_codebooks
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb = train_codebooks(emb, m=32, ksub=64)
+    cb = load_pq_codebooks(sf_dir, m=32, ksub=64)
+    if cb is None:
+        cb = train_codebooks(emb, m=32, ksub=64)
     out = pq_topk(pq_encode(emb, cb), emb.filter(F.col("vec_id") < 5), cb, k=10)
     return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
 
 
-@query("ann_ivfpq_topk")  # rows-only: approximate by design (cells + codes)
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed approximate top-k (operators/pq.ivfpq_topk): cell
-    pruning × compressed-code scoring — the production index shape.
-    Recall and pruning are pinned in tests/test_pq.py."""
+    pruning × compressed-code scoring — the production index shape, at
+    the committed centroid (k=8) + codebook artifacts so the full
+    composition (assign → probe → encode → ADC) replays in SQL. Recall
+    and pruning are pinned in tests/test_pq.py."""
+    from laygo_python_spark.operators.ann_artifacts import (
+        load_ivf_centroids,
+        load_pq_codebooks,
+    )
     from laygo_python_spark.operators.pq import ivfpq_topk, train_codebooks
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb = train_codebooks(emb, m=32, ksub=64)
-    out = ivfpq_topk(emb, emb.filter(F.col("vec_id") < 5), cb, k=10, n_centroids=8, n_probe=4)
+    cb = load_pq_codebooks(sf_dir, m=32, ksub=64)
+    if cb is None:
+        cb = train_codebooks(emb, m=32, ksub=64)
+    cent = load_ivf_centroids(sf_dir, k=8)
+    out = ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), cb, k=10, n_centroids=8, n_probe=4, centroids=cent
+    )
     return out.select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
 
 

@@ -106,3 +106,21 @@ def test_ivf_index_add_matches_fixed_centroid_rebuild(spark, emb, tmp_path):
     stats = ivf_index_stats(spark, grown).collect()
     assert sum(r["n"] for r in stats) == day1.count() + day2.count()
     assert all(r["skew"] >= 1.0 for r in stats)
+
+
+def test_committed_artifact_loader_matches_fixture(spark, sf_dir):
+    # The committed trained-state artifact must resolve for the fixture
+    # corpus (keyed by exact-integer signature) with the geometry the
+    # registered queries search at — and a foreign corpus key must miss
+    # (falling back to live training) rather than load wrong floats.
+    from laygo_python_spark.operators.ann_artifacts import (
+        load_ivf_centroids,
+        load_pq_codebooks,
+    )
+
+    cent = load_ivf_centroids(sf_dir, k=16)
+    assert cent is not None and cent.shape == (16, 64)
+    cb = load_pq_codebooks(sf_dir, m=32, ksub=64)
+    assert cb is not None and cb.shape == (32, 64, 2)
+    assert load_ivf_centroids(sf_dir, k=7) is None
+    assert load_ivf_centroids("/nonexistent", k=16) is None
