@@ -7,9 +7,10 @@ dependencies: PNG IHDR and JPEG SOF width/height via struct unpacking
 (``png_dimensions`` / ``jpeg_dimensions``), WAV fmt metadata, magic-byte
 sniffing — and full PIXEL decode for non-interlaced 8-bit PNGs
 (``png_decode_pixels``: zlib inflate + numpy unfilter of all five
-scanline filters, round-trip tested against a reference encoder).
-Only codec-requiring formats stay stubbed (JPEG entropy decode,
-palette/16-bit/interlaced PNGs, compressed audio). Everything
+scanline filters, PLTE/tRNS palette lookup, round-trip tested against a
+reference encoder). Only codec-requiring formats stay stubbed (JPEG
+entropy decode, 16-bit/sub-8-bit/interlaced PNGs, compressed audio).
+Everything
 Spark-side is real and tested: the schema contract, the mapInPandas
 batch shape, the partition sizing. ``strict=True`` raises only for
 payloads whose dimensions can't be header-parsed.
@@ -122,14 +123,19 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type → samples/pixel
 
 def png_decode_pixels(b: bytes | None, max_bytes: int = 16 << 20):
     """Decode a non-interlaced 8-bit PNG (gray / RGB / gray+alpha /
-    RGBA) to an (h, w, channels) uint8 numpy array — ZERO dependencies:
-    stdlib ``zlib.decompress`` over the concatenated IDAT chunks, then
-    the spec's five scanline filters (§9: None/Sub/Up/Average/Paeth)
-    undone with numpy. Sub is a per-lane cumsum; Up is one vector add;
-    Average/Paeth walk pixels left-to-right with the channel lane
-    vectorized (the left-neighbor dependency is inherently sequential).
+    RGBA / PALETTE) to an (h, w, channels) uint8 numpy array — ZERO
+    dependencies: stdlib ``zlib.decompress`` over the concatenated IDAT
+    chunks, then the spec's five scanline filters (§9: None/Sub/Up/
+    Average/Paeth) undone with numpy. Sub is a per-lane cumsum; Up is
+    one vector add; Average/Paeth walk pixels left-to-right with the
+    channel lane vectorized (the left-neighbor dependency is inherently
+    sequential). Palette images (color type 3, §4.1.2/§11.3.2.1)
+    unfilter as one index lane, then map through the PLTE table — RGB
+    out, or RGBA when a tRNS chunk supplies per-entry alpha (absent
+    entries default opaque per spec §11.3.2.1).
 
-    Returns None for anything else — palette, 16-bit, interlaced,
+    Returns None for anything else — sub-8-bit or 16-bit depths,
+    interlaced, an index past the palette (spec violation),
     truncated, or over ``max_bytes`` decompressed (the decompression-
     bomb guard: executors must not OOM on a crafted payload). Strict
     callers turn that None into NotImplementedError; this function
@@ -154,33 +160,42 @@ def png_decode_pixels(b: bytes | None, max_bytes: int = 16 << 20):
         return None
     w, h = struct.unpack(">II", b[16:24])
     bit_depth, color_type, compression, filter_method, interlace = b[24:29]
+    paletted = color_type == 3
     if (
         w == 0
         or h == 0
         or bit_depth != 8
-        or color_type not in _PNG_CHANNELS
+        or (color_type not in _PNG_CHANNELS and not paletted)
         or compression != 0
         or filter_method != 0
         or interlace != 0
     ):
         return None
-    ch = _PNG_CHANNELS[color_type]
+    ch = 1 if paletted else _PNG_CHANNELS[color_type]
     expected = h * (1 + w * ch)
     if expected > max_bytes:
         return None
 
-    # Walk chunks, concatenating IDAT payloads.
+    # Walk chunks, concatenating IDAT payloads (plus PLTE/tRNS for
+    # palette images — both precede the first IDAT per spec §5.6).
     idat = bytearray()
+    plte = trns = None
     pos = 8
     while pos + 8 <= len(b):
         (size,) = struct.unpack(">I", b[pos : pos + 4])
         cid = b[pos + 4 : pos + 8]
         if cid == b"IDAT":
             idat += b[pos + 8 : pos + 8 + size]
+        elif cid == b"PLTE":
+            plte = b[pos + 8 : pos + 8 + size]
+        elif cid == b"tRNS":
+            trns = b[pos + 8 : pos + 8 + size]
         elif cid == b"IEND":
             break
         pos += 12 + size  # len + id + data + crc
     if not idat:
+        return None
+    if paletted and (plte is None or len(plte) < 3 or len(plte) % 3):
         return None
     try:
         # decompressobj + max_length is the REAL bomb guard:
@@ -238,6 +253,18 @@ def png_decode_pixels(b: bytes | None, max_bytes: int = 16 << 20):
             return None
         out[r] = rec.astype(np.uint8)
         prior = rec.astype(np.int16)
+    if paletted:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max()) >= len(pal):  # index past the palette — spec violation
+            return None
+        if trns is not None:
+            alpha = np.full(len(pal), 255, dtype=np.uint8)
+            alpha[: min(len(trns), len(pal))] = np.frombuffer(
+                trns[: len(pal)], dtype=np.uint8
+            )
+            return np.concatenate([pal, alpha[:, None]], axis=1)[idx]
+        return pal[idx]
     return out.reshape(h, w, ch)
 
 
@@ -304,11 +331,12 @@ def decode_features(
     REAL with zero dependencies: PNG/JPEG payloads get their true
     width/height via header struct parsing (``png_dimensions`` /
     ``jpeg_dimensions`` — IHDR chunk / SOF marker walk), and
-    non-interlaced 8-bit PNGs get REAL pixel decode
-    (``png_decode_pixels`` — zlib inflate + numpy unfilter) feeding the
-    8-wide pixel-stat feature (``png_pixel_stats``). JPEG entropy
-    decode still needs a codec (PIL/cv2, not in this image), as do
-    palette/16-bit/interlaced PNGs — those fall back to the
+    non-interlaced 8-bit PNGs — including palette images — get REAL
+    pixel decode (``png_decode_pixels`` — zlib inflate + numpy
+    unfilter + PLTE lookup) feeding the 8-wide pixel-stat feature
+    (``png_pixel_stats``). JPEG entropy decode still needs a codec
+    (PIL/cv2, not in this image), as do 16-bit/sub-8-bit/interlaced
+    PNGs — those fall back to the
     deterministic byte-stat embedding; ``strict=True`` raises
     NotImplementedError for payloads whose DIMENSIONS can't be
     header-parsed (the honest production posture) instead of inventing

@@ -221,3 +221,29 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+@query("pack_sequences_bins")  # rows-only: greedy bin packing is imperative, not SQL
+def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py) as a driver-visible query:
+    fill 512-token training contexts with documents by partition-local
+    first-fit-decreasing. Made DETERMINISTIC for the gate — packing
+    outcome depends on partition layout and intra-partition order, so
+    the corpus is hash-repartitioned on doc_id (stable doc→partition
+    map) and sorted (n_tokens desc, doc_id) within partitions before the
+    operator's map-only pass. Result: stable bin count/row set across
+    runs and cluster sizes with the same partition count. The packing
+    INVARIANTS (every doc in exactly one bin; no multi-doc bin over
+    budget; FFD fill rate) are pinned in tests/test_advanced.py — this
+    registration puts the operator under the driver's rows-only eye."""
+    from laygo_python_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+    sized = docs.repartition(8, "doc_id").sortWithinPartitions(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    bins = pack_sequences(sized, budget=512, decreasing=False)
+    return bins.select("bin_id", "total_tokens", "n_docs")

@@ -238,3 +238,18 @@ def test_asof_bad_direction_raises(spark):
     probes = spark.createDataFrame([(1, 1, 0)], "k int, t int, pid int")
     with pytest.raises(ValueError, match="unknown direction"):
         asof_join(probes, probes, on="t", by=["k"], values=["pid"], direction="sideways")
+
+
+def test_pack_sequences_bins_query_deterministic(spark, sf_dir):
+    # The registered packing query must produce an identical row set on
+    # repeated runs (the rows-only driver gate re-executes it): the
+    # hash-repartition + in-partition (tokens desc, doc_id) sort pins
+    # the packing outcome.
+    from laygo_python_spark.queries import QUERIES, load_all
+
+    load_all()
+    a = sorted(map(tuple, QUERIES["pack_sequences_bins"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["pack_sequences_bins"](spark, sf_dir).collect()))
+    assert a == b and a
+    # every bin respects the budget unless it holds a single oversized doc
+    assert all(t <= 512 or n == 1 for _, t, n in a)

@@ -393,3 +393,78 @@ def test_srp_indexed_search_matches_direct_and_prunes(spark, sf_dir, tmp_path):
     assert got == want and got
     plan = formatted_plan(indexed)
     assert "PartitionFilters" in plan and "bkey" in plan.split("PartitionFilters", 1)[1][:300]
+
+
+def _palette_png(idx, palette, trns=None, filters=None):
+    """Palette-PNG encoder twin of _full_png: indices as the single
+    filtered lane, PLTE (+ optional tRNS) chunks before IDAT."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    idx = np.asarray(idx, dtype=np.uint8)
+    h, w = idx.shape
+
+    def _chunk(cid, data):
+        return struct.pack(">I", len(data)) + cid + data + struct.pack(">I", _z.crc32(cid + data))
+
+    ihdr = struct.pack(">II", w, h) + bytes([8, 3, 0, 0, 0])
+    raw = bytearray()
+    filters = filters or [0] * h
+    prior = np.zeros(w, dtype=np.int16)
+    for r in range(h):
+        cur = idx[r].astype(np.int16)
+        f = filters[r]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - np.concatenate([[0], cur[:-1]])) & 0xFF
+        elif f == 2:
+            enc = (cur - prior) & 0xFF
+        else:
+            raise ValueError("test encoder: palette rows use filters 0-2")
+        raw.append(f)
+        raw += enc.astype(np.uint8).tobytes()
+        prior = cur
+    blob = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", bytes(palette))
+    if trns is not None:
+        blob += _chunk(b"tRNS", bytes(trns))
+    return blob + _chunk(b"IDAT", _z.compress(bytes(raw))) + _chunk(b"IEND", b"")
+
+
+def test_png_palette_decode_roundtrip():
+    """Palette PNGs decode for real: indices unfilter as one lane, then
+    PLTE lookup yields RGB (or RGBA with tRNS alpha, absent entries
+    opaque per spec). Spec violations (no PLTE, index past palette)
+    return None, not garbage pixels."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    pal = bytes(rng.randint(0, 256, size=16 * 3, dtype=np.uint8))
+    idx = rng.randint(0, 16, size=(9, 14)).astype("uint8")
+    expected_rgb = np.frombuffer(pal, dtype=np.uint8).reshape(16, 3)[idx]
+    for filters in ([0] * 9, [1] * 9, [2] * 9, [r % 3 for r in range(9)]):
+        got = multimodal.png_decode_pixels(_palette_png(idx, pal, filters=filters))
+        assert got is not None and got.shape == (9, 14, 3)
+        assert (got == expected_rgb).all()
+    # tRNS: first 4 entries get explicit alpha, the rest default 255
+    trns = bytes([0, 64, 128, 192])
+    got = multimodal.png_decode_pixels(_palette_png(idx, pal, trns=trns))
+    assert got.shape == (9, 14, 4)
+    alpha = np.full(16, 255, dtype=np.uint8)
+    alpha[:4] = np.frombuffer(trns, dtype=np.uint8)
+    assert (got[:, :, 3] == alpha[idx]).all()
+    assert (got[:, :, :3] == expected_rgb).all()
+    # index past the palette -> None (spec violation, never garbage)
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = 99
+    assert multimodal.png_decode_pixels(_palette_png(bad_idx, pal)) is None
+    # palette image without PLTE -> None
+    import re as _re
+    blob = _palette_png(idx, pal)
+    no_plte = blob.replace(b"PLTE", b"plTe")  # unknown chunk id, skipped
+    assert multimodal.png_decode_pixels(no_plte) is None
+    # pixel stats flow through the feature path (channels==3)
+    stats = multimodal.png_pixel_stats(_palette_png(idx, pal))
+    assert stats is not None and stats[0] == 3.0
