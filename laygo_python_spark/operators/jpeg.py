@@ -1,0 +1,274 @@
+"""Baseline JPEG entropy decode — zero dependencies (stdlib + numpy).
+
+Closes the last big multimodal stub (multimodal.py previously parsed
+only SOF dimensions): full baseline-sequential decode per ITU-T.81 —
+DQT/DHT/SOF0/SOS/DRI marker parse, bit-unstuffed Huffman entropy
+decode (DC diff + AC run/length with ZRL and EOB), dequantize,
+un-zigzag, exact float IDCT-II (8×8 basis matmul), sampling-factor
+block reassembly, nearest-neighbor chroma upsample, JFIF YCbCr→RGB.
+
+Scope is the honest production envelope for a feature-extraction
+pipeline: baseline DCT (SOF0), 8-bit, grayscale or YCbCr with standard
+sampling factors, restart markers supported. Progressive (SOF2),
+arithmetic coding, and 12-bit return None — a real codec's job.
+``jpeg_decode_pixels`` never raises on malformed input (executors must
+not die on a crafted payload); it returns None.
+
+Spark never sees this module directly — multimodal.decode_features
+calls it per payload inside the same Arrow-batched mapInPandas pass as
+the PNG path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# IDCT-II basis: block = A.T @ coef @ A with A[u, x] = c(u)/2 · cos((2x+1)uπ/16)
+_A = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1 / np.sqrt(2)) if _u == 0 else 1.0
+    for _x in range(8):
+        _A[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+class _Bits:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; restart markers are handled by the caller
+    re-instantiating at the post-marker offset."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf, self.pos, self.bit = buf, pos, 0
+
+    def read(self) -> int:
+        b = self.buf
+        if self.pos >= len(b):
+            raise EOFError
+        byte = b[self.pos]
+        if byte == 0xFF:
+            nxt = b[self.pos + 1] if self.pos + 1 < len(b) else None
+            if nxt != 0x00:  # a real marker — entropy data ended
+                raise EOFError
+        v = (byte >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1 + (1 if byte == 0xFF else 0)  # skip the stuffed 0x00
+        return v
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Skip to the next marker (for restart intervals); returns the
+        marker code byte and leaves pos after it."""
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+        b = self.buf
+        while self.pos + 1 < len(b):
+            if b[self.pos] == 0xFF and b[self.pos + 1] != 0x00:
+                code = b[self.pos + 1]
+                self.pos += 2
+                return code
+            self.pos += 1
+        raise EOFError
+
+
+def _extend(v: int, n: int) -> int:
+    """T.81 F.2.1.1 sign extension: an n-bit magnitude whose MSB is 0
+    encodes a negative value."""
+    return v if n == 0 or v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+class _Huff:
+    """Canonical JPEG Huffman table as a (code, length) → symbol map,
+    decoded bit-by-bit (tables are ≤ 16 levels deep; payload decode is
+    bounded CPU per block, which is all the guard we need)."""
+
+    def __init__(self, counts: bytes, symbols: bytes):
+        self.map: dict[tuple[int, int], int] = {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.map[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, bits: _Bits) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | bits.read()
+            sym = self.map.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def jpeg_decode_pixels(b: bytes | None, max_pixels: int = 4 << 20):
+    """Decode a baseline JPEG to (h, w, 3) RGB (or (h, w, 1) grayscale)
+    uint8, or None for anything outside the baseline envelope /
+    malformed / over the ``max_pixels`` bomb guard."""
+    if b is None:
+        return None
+    b = bytes(b)
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    try:
+        return _decode(b, max_pixels)
+    except Exception:  # noqa: BLE001 — malformed payloads yield None, never raise
+        return None
+
+
+def _decode(b: bytes, max_pixels: int):
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _Huff] = {}
+    huff_ac: dict[int, _Huff] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        code = b[i + 1]
+        if code == 0xD9:  # EOI before SOS
+            return None
+        if code == 0x01 or 0xD0 <= code <= 0xD7:
+            i += 2
+            continue
+        (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+        seg = b[i + 4 : i + 2 + seg_len]
+        if code == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0xF
+                if prec != 0:  # 16-bit tables: not baseline
+                    return None
+                qt[tid] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(np.int32)
+                p += 65
+        elif code == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                counts = seg[p + 1 : p + 17]
+                n = sum(counts)
+                table = _Huff(counts, seg[p + 17 : p + 17 + n])
+                (huff_dc if cls == 0 else huff_ac)[tid] = table
+                p += 17 + n
+        elif code == 0xC0 or code == 0xC1:  # SOF0/1: baseline(+ext seq huffman)
+            prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8 or h == 0 or w == 0 or ncomp not in (1, 3):
+                return None
+            if h * w > max_pixels:
+                return None
+            comps = []
+            for c in range(ncomp):
+                cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF, "q": qid})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif 0xC2 <= code <= 0xCF and code not in (0xC4, 0xC8, 0xCC):
+            return None  # progressive/arithmetic/hierarchical — not baseline
+        elif code == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[0:2])
+        elif code == 0xDA:  # SOS
+            if frame is None:
+                return None
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel[cid] = (tabs >> 4, tabs & 0xF)
+            return _scan(
+                b, i + 2 + seg_len, frame, sel, qt, huff_dc, huff_ac, restart_interval
+            )
+        i += 2 + seg_len
+    return None
+
+
+def _scan(b, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    if hmax == 0 or vmax == 0:
+        return None
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        if c["hs"] == 0 or c["vs"] == 0 or c["q"] not in qt:
+            return None
+        planes.append(np.zeros((mcuy * c["vs"] * 8, mcux * c["hs"] * 8), dtype=np.float64))
+
+    bits = _Bits(b, pos)
+    pred = [0] * len(comps)
+    n_mcu = mcux * mcuy
+    for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            code = bits.align_to_marker()
+            if not (0xD0 <= code <= 0xD7):
+                return None
+            bits = _Bits(bits.buf, bits.pos)
+            pred = [0] * len(comps)
+        my, mx = divmod(mcu, mcux)
+        for ci, c in enumerate(comps):
+            dc_t, ac_t = sel[c["id"]]
+            if dc_t not in huff_dc or ac_t not in huff_ac:
+                return None
+            q = qt[c["q"]]
+            for by in range(c["vs"]):
+                for bx in range(c["hs"]):
+                    zz = np.zeros(64, dtype=np.int64)
+                    t = huff_dc[dc_t].decode(bits)
+                    diff = _extend(bits.receive(t), t)
+                    pred[ci] += diff
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = huff_ac[ac_t].decode(bits)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            return None
+                        zz[k] = _extend(bits.receive(s), s)
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[_ZIGZAG] = zz * q
+                    block = _A.T @ coef.reshape(8, 8) @ _A + 128.0
+                    y0, x0 = (my * c["vs"] + by) * 8, (mx * c["hs"] + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+
+    # Upsample each component to full MCU-grid resolution, crop to (h, w).
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, hmax // c["hs"], axis=1), vmax // c["vs"], axis=0)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

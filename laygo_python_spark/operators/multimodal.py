@@ -8,9 +8,11 @@ dependencies: PNG IHDR and JPEG SOF width/height via struct unpacking
 sniffing — and full PIXEL decode for non-interlaced 8-bit PNGs
 (``png_decode_pixels``: zlib inflate + numpy unfilter of all five
 scanline filters, PLTE/tRNS palette lookup, round-trip tested against a
-reference encoder). Only codec-requiring formats stay stubbed (JPEG
-entropy decode, 16-bit/sub-8-bit/interlaced PNGs, compressed audio).
-Everything
+reference encoder) — and for BASELINE JPEGs (operators/jpeg.py: Huffman
+entropy decode, dequant, exact IDCT, chroma upsample, also round-trip
+tested). Only codec-requiring formats stay stubbed
+(progressive/arithmetic JPEG, 16-bit/sub-8-bit/interlaced PNGs,
+compressed audio). Everything
 Spark-side is real and tested: the schema contract, the mapInPandas
 batch shape, the partition sizing. ``strict=True`` raises only for
 payloads whose dimensions can't be header-parsed.
@@ -268,14 +270,29 @@ def png_decode_pixels(b: bytes | None, max_bytes: int = 16 << 20):
     return out.reshape(h, w, ch)
 
 
+def image_decode_pixels(b: bytes | None):
+    """(h, w, ch) uint8 pixels from any REALLY-decodable payload:
+    non-interlaced 8-bit PNGs (incl. palette) via ``png_decode_pixels``,
+    baseline JPEGs via the full entropy decoder in operators/jpeg.py."""
+    if b is None:
+        return None
+    px = png_decode_pixels(b)
+    if px is not None:
+        return px
+    from laygo_python_spark.operators.jpeg import jpeg_decode_pixels
+
+    return jpeg_decode_pixels(bytes(b))
+
+
 def png_pixel_stats(b: bytes | None) -> list[float] | None:
-    """8-wide deterministic pixel-stat feature from a decodable PNG:
+    """8-wide deterministic pixel-stat feature from a decodable payload
+    (PNG or baseline JPEG — the name predates the JPEG decoder):
     [channels, mean, std, min, max, mean(ch0), mean(center row),
     fraction of samples > 127] — the feature contract
     ``decode_features`` emits when real decode succeeds."""
     import numpy as np
 
-    px = png_decode_pixels(b)
+    px = image_decode_pixels(b)
     if px is None:
         return None
     flat = px.astype(np.float64)
@@ -330,13 +347,14 @@ def decode_features(
 
     REAL with zero dependencies: PNG/JPEG payloads get their true
     width/height via header struct parsing (``png_dimensions`` /
-    ``jpeg_dimensions`` — IHDR chunk / SOF marker walk), and
-    non-interlaced 8-bit PNGs — including palette images — get REAL
-    pixel decode (``png_decode_pixels`` — zlib inflate + numpy
-    unfilter + PLTE lookup) feeding the 8-wide pixel-stat feature
-    (``png_pixel_stats``). JPEG entropy decode still needs a codec
-    (PIL/cv2, not in this image), as do 16-bit/sub-8-bit/interlaced
-    PNGs — those fall back to the
+    ``jpeg_dimensions`` — IHDR chunk / SOF marker walk), and pixels
+    REALLY decode for non-interlaced 8-bit PNGs — including palette
+    images — (``png_decode_pixels``: zlib inflate + numpy unfilter +
+    PLTE lookup) AND baseline JPEGs (operators/jpeg.py: full Huffman
+    entropy decode + IDCT + chroma upsample), feeding the 8-wide
+    pixel-stat feature. Progressive/arithmetic JPEGs and
+    16-bit/sub-8-bit/interlaced PNGs still need a codec — those fall
+    back to the
     deterministic byte-stat embedding; ``strict=True`` raises
     NotImplementedError for payloads whose DIMENSIONS can't be
     header-parsed (the honest production posture) instead of inventing
