@@ -43,7 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # committed as ORACLE_FULL_r*.txt). Drop names from this list once a
 # CORRECTNESS file shows them green.
 _NEVER_DRIVER_CHECKED = [
-    "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "pack_sequences_bins",
+    "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_index_topk",
+    "pack_sequences_bins",
     "price_quantiles_by_status", "approx_sketches", "sketch_merge_daily_users",
     "cms_heavy_hitters", "qsketch_value_quantiles", "mg_heavy_hitters_brands",
     "hll_relational_daily_users", "q6_forecast_revenue", "q7_volume_shipping",

@@ -223,10 +223,36 @@ def ivfpq_topk(
     cells = _assign_cells(corpus, centroids, id_col, "__v", id_col, vec_col, n_probe=1).drop("__v")
     codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
     corpus_cells = codes.join(cells, id_col)
+    return _adc_probe_topk(
+        corpus_cells, queries, codebooks, centroids, k, n_probe, id_col, vec_col
+    )
 
+
+def _adc_probe_topk(
+    corpus_cells: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    centroids: np.ndarray,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF-PQ search tail: probe the query's ``n_probe`` cells,
+    ADC-score the cell-local codes, global top-k. ``corpus_cells`` is
+    the (id, codes, cell) frame — built live by ``ivfpq_topk``, scanned
+    partition-pruned from parquet by ``ivfpq_search_indexed``. ONE
+    definition so direct and stored-index searches (and their
+    tie-breaks) cannot drift apart — the same discipline as
+    similarity._score_topk."""
+    import pandas as pd
+
+    from laygo_python_spark.operators.ivf import _assign_cells
+
+    m, ksub, dsub = codebooks.shape
     qrows = queries.select(id_col, vec_col).collect()
     if len(qrows) > 10_000:
-        raise ValueError("ivfpq_topk: query side exceeds 10k; batch your queries")
+        raise ValueError("ivfpq search: query side exceeds 10k; batch your queries")
     qids = np.array([r[0] for r in qrows])
     qmat = _normalize(np.array([r[1] for r in qrows], dtype=np.float64))
     lut = np.stack(
@@ -349,3 +375,125 @@ def pq_encode_append(
     )
     codes.write.mode("append").parquet(f"{path}/codes")
     return codes.count()
+
+
+def ivfpq_index_write(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    codebooks: np.ndarray | None = None,
+    centroids: np.ndarray | None = None,
+) -> None:
+    """Persist the COMPOSED production index — IVF cells × PQ codes:
+    the corpus stored as cell-PARTITIONED code rows
+    (``codes/cell=<i>/`` — a probe reads only its n_probe directories
+    via partition pruning, and each pruned byte is an m-byte code, not
+    a raw vector) plus the trained centroids and codebooks as tiny
+    parquets. This is the shape the module docstring promises for
+    100 TB: floats are read once at build; every later search scans
+    only probed cells' codes. Pass ``codebooks``/``centroids`` to build
+    at fixed pre-trained state (the committed oracle artifacts, or the
+    rebuild path of the add≡rebuild differential test)."""
+    from laygo_python_spark.operators.ivf import _assign_cells, train_centroids
+
+    if codebooks is None:
+        codebooks = train_codebooks(corpus, m, ksub, vec_col, seed)
+    if centroids is None:
+        centroids = train_centroids(corpus, n_centroids, vec_col, seed)
+    cells = _assign_cells(corpus, centroids, id_col, "__v", id_col, vec_col, n_probe=1).drop("__v")
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    codes.join(cells, id_col).write.partitionBy("cell").mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+    spark = corpus.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    local_rows_df(spark, cent_rows, "cell int, centroid array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+    cb_rows = [
+        (s, c, [float(x) for x in codebooks[s, c]])
+        for s in range(codebooks.shape[0])
+        for c in range(codebooks.shape[1])
+    ]
+    local_rows_df(spark, cb_rows, "subspace int, code int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def _ivfpq_index_params(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
+    """(centroids, codebooks) from a stored composed index."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = np.array(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])], dtype=np.float64
+    )
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["subspace"] for r in cb_rows)
+    ksub = 1 + max(r["code"] for r in cb_rows)
+    codebooks = np.zeros((m, ksub, len(cb_rows[0]["centroid"])), dtype=np.float64)
+    for r in cb_rows:
+        codebooks[r["subspace"], r["code"]] = r["centroid"]
+    return centroids, codebooks
+
+
+def ivfpq_search_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a stored IVF-PQ index. The probed cell ids become
+    an ``isin`` literal so Catalyst prunes unprobed ``cell=``
+    directories at file-listing time (plan-asserted in tests, same as
+    ``ivf_search_indexed``) — and what the probe DOES read is m-byte
+    codes, never raw vectors. Results match ``ivfpq_topk`` at the same
+    trained state (pytest-pinned)."""
+    centroids, codebooks = _ivfpq_index_params(spark, path)
+    from laygo_python_spark.operators.ivf import _assign_cells
+
+    q = _assign_cells(
+        queries, centroids, "query_id", "__v", id_col, vec_col, n_probe=n_probe
+    )
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    corpus_cells = spark.read.parquet(f"{path}/codes").filter(F.col("cell").isin(probed))
+    return _adc_probe_topk(
+        corpus_cells, queries, codebooks, centroids, k, n_probe, id_col, vec_col
+    )
+
+
+def ivfpq_index_add(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Grow a stored IVF-PQ index WITHOUT retraining: assign + encode
+    the new vectors at the FIXED stored centroids/codebooks (map-only;
+    the seen corpus is never read) and append into the
+    ``codes/cell=<i>/`` directories touched. Add-then-search ≡
+    rebuild-at-fixed-state-then-search (pytest-pinned) because both
+    cell and code depend only on (vector, trained state). Retrain
+    triggers: cell skew (``ivf_index_stats`` economics) and rising
+    quantization error (``pq_encode_append`` docstring) — the composed
+    index inherits both. Returns rows appended."""
+    centroids, codebooks = _ivfpq_index_params(spark, path)
+    from laygo_python_spark.operators.ivf import _assign_cells
+
+    cells = _assign_cells(
+        new_corpus, centroids, id_col, "__v", id_col, vec_col, n_probe=1
+    ).drop("__v")
+    rows = (
+        pq_encode(new_corpus, codebooks, id_col=id_col, vec_col=vec_col)
+        .join(cells, id_col)
+        .localCheckpoint(eager=True)  # pin before appending into scanned dirs
+    )
+    rows.write.partitionBy("cell").mode("append").parquet(f"{path}/codes")
+    return rows.count()

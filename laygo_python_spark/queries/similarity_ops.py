@@ -548,3 +548,51 @@ def multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("feature", F.lit(0.0), lambda acc, v: acc + v), 1
         ).alias("feature_sum"),
     )
+
+
+@query("ann_ivfpq_index_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED stored index end-to-end with GROWTH: build the
+    cell-partitioned code index (pq.ivfpq_index_write) from the even
+    half of the corpus at the committed centroid(k=8)+codebook
+    artifacts, fold in the odd half via ``ivfpq_index_add`` (assign +
+    encode only the batch — map-only, the seen codes are never read),
+    then search. The oracle is ``ann_ivfpq_topk``'s unchanged — DuckDB
+    replays assign → probe → encode → ADC over the FULL corpus from the
+    same artifacts — so a hash match certifies add ≡ rebuild through
+    the composed search path, the strongest differential in the ANN
+    family (stored state + growth + partition-pruned probe in one
+    gate)."""
+    import shutil
+    import tempfile
+
+    from laygo_python_spark.operators.ann_artifacts import (
+        load_ivf_centroids,
+        load_pq_codebooks,
+    )
+    from laygo_python_spark.operators.pq import (
+        ivfpq_index_add,
+        ivfpq_index_write,
+        ivfpq_search_indexed,
+        train_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = load_pq_codebooks(sf_dir, m=32, ksub=64)
+    if cb is None:
+        cb = train_codebooks(emb, m=32, ksub=64)
+    cent = load_ivf_centroids(sf_dir, k=8)
+    path = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    try:
+        ivfpq_index_write(
+            emb.filter(F.col("vec_id") % 2 == 0), path, codebooks=cb, centroids=cent
+        )
+        ivfpq_index_add(spark, path, emb.filter(F.col("vec_id") % 2 == 1))
+        out = ivfpq_search_indexed(
+            spark, path, emb.filter(F.col("vec_id") < 5), k=10, n_probe=4
+        )
+        return out.select(
+            "query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -168,3 +168,65 @@ def test_pq_encode_append_matches_rebuild(spark, sf_dir, tmp_path):
     got = pq_topk(codes, queries, codebooks, k=5).collect()
     want = pq_topk(fresh, queries, codebooks, k=5).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_ivfpq_indexed_search_matches_direct_and_prunes(spark, sf_dir, tmp_path):
+    """The stored composed index must (a) return exactly what ivfpq_topk
+    computes at the same trained state, and (b) read only the probed
+    cell= directories — partition pruning visible in PartitionFilters —
+    with the pruned bytes being m-byte codes, not raw vectors."""
+    from laygo_python_spark.operators.ann_artifacts import (
+        load_ivf_centroids,
+        load_pq_codebooks,
+    )
+    from laygo_python_spark.operators.pq import (
+        ivfpq_index_write,
+        ivfpq_search_indexed,
+        ivfpq_topk,
+    )
+    from laygo_python_spark.plans import formatted_plan
+    from laygo_python_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = load_pq_codebooks(sf_dir, m=32, ksub=64)
+    cent = load_ivf_centroids(sf_dir, k=8)
+    path = str(tmp_path / "ivfpq_index")
+    ivfpq_index_write(emb, path, codebooks=cb, centroids=cent)
+    queries = emb.filter("vec_id < 5")
+    indexed = ivfpq_search_indexed(spark, path, queries, k=10, n_probe=4)
+    direct = ivfpq_topk(emb, queries, cb, k=10, n_probe=4, centroids=cent)
+    got = sorted(map(tuple, indexed.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want and got
+    plan = formatted_plan(indexed)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ivfpq_index_add_matches_fixed_state_rebuild(spark, sf_dir, tmp_path):
+    """Growing the stored composed index by assigning+encoding only the
+    batch must be indistinguishable from rebuilding at the same fixed
+    centroids/codebooks — the add ≡ rebuild differential applied to the
+    composed artifact."""
+    from laygo_python_spark.operators.ann_artifacts import (
+        load_ivf_centroids,
+        load_pq_codebooks,
+    )
+    from laygo_python_spark.operators.pq import (
+        ivfpq_index_add,
+        ivfpq_index_write,
+        ivfpq_search_indexed,
+    )
+    from laygo_python_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = load_pq_codebooks(sf_dir, m=32, ksub=64)
+    cent = load_ivf_centroids(sf_dir, k=8)
+    grown, rebuilt = str(tmp_path / "grown"), str(tmp_path / "rebuilt")
+    ivfpq_index_write(emb.filter("vec_id % 2 = 0"), grown, codebooks=cb, centroids=cent)
+    n = ivfpq_index_add(spark, grown, emb.filter("vec_id % 2 = 1"))
+    assert n == emb.filter("vec_id % 2 = 1").count()
+    ivfpq_index_write(emb, rebuilt, codebooks=cb, centroids=cent)
+    queries = emb.filter("vec_id < 5")
+    got = sorted(map(tuple, ivfpq_search_indexed(spark, grown, queries, k=10).collect()))
+    want = sorted(map(tuple, ivfpq_search_indexed(spark, rebuilt, queries, k=10).collect()))
+    assert got == want and got

@@ -50,8 +50,11 @@ def main() -> None:
     """)
     con.execute(f"""
         COPY (
-          SELECT l.* REPLACE (l_suppkey + 100000 * r.i AS l_suppkey,
-                              l_partkey + 10000000 * r.i AS l_partkey,
+          -- shifts stay inside the graph queries' node-space encoding:
+          -- supplier node ids ARE l_suppkey and must stay < 100000
+          -- (part nodes live at l_partkey + 100000, unbounded above)
+          SELECT l.* REPLACE (l_suppkey + 1000 * r.i AS l_suppkey,
+                              l_partkey + 20000 * r.i AS l_partkey,
                               l_orderkey + 100000000 * r.i AS l_orderkey)
           FROM read_parquet('{SRC}/lineitem.parquet') l, range({COPIES}) r(i)
         ) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)
