@@ -92,6 +92,12 @@ HEADLINE = [
     "stream_stateful_user_counts",
     "dedup_index_append",
     "stream_incremental_dedup",
+    # r6 additions: the newly oracle-gated trained-ANN paths (committed
+    # artifacts), the composed stored IVF-PQ index with growth, and
+    # sequence packing.
+    "ann_pq_topk",
+    "ann_ivfpq_index_topk",
+    "pack_sequences_bins",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

@@ -7,12 +7,13 @@ dependencies: PNG IHDR and JPEG SOF width/height via struct unpacking
 (``png_dimensions`` / ``jpeg_dimensions``), WAV fmt metadata, magic-byte
 sniffing — and full PIXEL decode for non-interlaced 8-bit PNGs
 (``png_decode_pixels``: zlib inflate + numpy unfilter of all five
-scanline filters, PLTE/tRNS palette lookup, round-trip tested against a
-reference encoder) — and for BASELINE JPEGs (operators/jpeg.py: Huffman
-entropy decode, dequant, exact IDCT, chroma upsample, also round-trip
-tested). Only codec-requiring formats stay stubbed
-(progressive/arithmetic JPEG, 16-bit/sub-8-bit/interlaced PNGs,
-compressed audio). Everything
+scanline filters at every legal bit depth, PLTE/tRNS palette lookup,
+round-trip tested against a reference encoder), for BASELINE JPEGs
+(operators/jpeg.py: Huffman entropy decode, dequant, exact IDCT, chroma
+upsample, also round-trip tested), and for PCM WAV samples
+(``wav_decode_samples``: int 8/16/24/32 + float32/64). Only
+codec-requiring formats stay stubbed (progressive/arithmetic JPEG,
+Adam7-interlaced PNG, compressed audio). Everything
 Spark-side is real and tested: the schema contract, the mapInPandas
 batch shape, the partition sizing. ``strict=True`` raises only for
 payloads whose dimensions can't be header-parsed.
@@ -134,10 +135,15 @@ def png_decode_pixels(b: bytes | None, max_bytes: int = 16 << 20):
     sequential). Palette images (color type 3, §4.1.2/§11.3.2.1)
     unfilter as one index lane, then map through the PLTE table — RGB
     out, or RGBA when a tRNS chunk supplies per-entry alpha (absent
-    entries default opaque per spec §11.3.2.1).
+    entries default opaque per spec §11.3.2.1). Every legal bit depth
+    decodes: 1/2/4-bit gray and palette rows bit-unpack after the
+    byte-wise unfilter (filters operate on BYTES regardless of depth,
+    spec §9), gray values scale to 8-bit by the spec's max-value ratio;
+    16-bit samples reduce to their high byte (the spec's own 8-bit
+    approximation) after unfiltering at the true bytes-per-pixel.
 
-    Returns None for anything else — sub-8-bit or 16-bit depths,
-    interlaced, an index past the palette (spec violation),
+    Returns None for anything else — interlaced (Adam7 needs a real
+    codec), an index past the palette (spec violation),
     truncated, or over ``max_bytes`` decompressed (the decompression-
     bomb guard: executors must not OOM on a crafted payload). Strict
     callers turn that None into NotImplementedError; this function
@@ -163,18 +169,21 @@ def png_decode_pixels(b: bytes | None, max_bytes: int = 16 << 20):
     w, h = struct.unpack(">II", b[16:24])
     bit_depth, color_type, compression, filter_method, interlace = b[24:29]
     paletted = color_type == 3
+    # Legal (color_type, bit_depth) combos per spec §11.2.2.
+    _DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
     if (
         w == 0
         or h == 0
-        or bit_depth != 8
-        or (color_type not in _PNG_CHANNELS and not paletted)
+        or color_type not in _DEPTHS
+        or bit_depth not in _DEPTHS[color_type]
         or compression != 0
         or filter_method != 0
         or interlace != 0
     ):
         return None
     ch = 1 if paletted else _PNG_CHANNELS[color_type]
-    expected = h * (1 + w * ch)
+    rowbytes = (w * ch * bit_depth + 7) // 8
+    expected = h * (1 + rowbytes)
     if expected > max_bytes:
         return None
 
@@ -217,33 +226,38 @@ def png_decode_pixels(b: bytes | None, max_bytes: int = 16 << 20):
     if len(raw) != expected or d.unconsumed_tail or not d.eof:
         return None
 
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + w * ch)
+    # Filters operate on BYTES whatever the depth (§9): the "pixel"
+    # stride for Sub/Average/Paeth is bpp = ceil(channels·depth/8),
+    # clamped to 1 for sub-byte depths.
+    bpp = max(1, (ch * bit_depth) // 8)
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + rowbytes)
     filters, data = rows[:, 0], rows[:, 1:].astype(np.int16)
-    out = np.zeros((h, w * ch), dtype=np.uint8)
-    prior = np.zeros(w * ch, dtype=np.int16)
+    out = np.zeros((h, rowbytes), dtype=np.uint8)
+    prior = np.zeros(rowbytes, dtype=np.int16)
+    ngroups = rowbytes // bpp
     for r in range(h):
         f, cur = int(filters[r]), data[r]
         if f == 0:
             rec = cur
         elif f == 1:  # Sub: per-lane cumsum mod 256
             rec = cur.copy()
-            for lane in range(ch):
-                rec[lane::ch] = np.cumsum(cur[lane::ch]) & 0xFF
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(cur[lane::bpp]) & 0xFF
         elif f == 2:  # Up
             rec = (cur + prior) & 0xFF
         elif f == 3:  # Average — left-dependency: walk pixels, lanes vectorized
-            rec = np.zeros(w * ch, dtype=np.int16)
-            left = np.zeros(ch, dtype=np.int16)
-            for i in range(w):
-                s = slice(i * ch, (i + 1) * ch)
+            rec = np.zeros(rowbytes, dtype=np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
+            for i in range(ngroups):
+                s = slice(i * bpp, (i + 1) * bpp)
                 left = (cur[s] + ((left + prior[s]) >> 1)) & 0xFF
                 rec[s] = left
         elif f == 4:  # Paeth
-            rec = np.zeros(w * ch, dtype=np.int16)
-            left = np.zeros(ch, dtype=np.int16)
-            upleft = np.zeros(ch, dtype=np.int16)
-            for i in range(w):
-                s = slice(i * ch, (i + 1) * ch)
+            rec = np.zeros(rowbytes, dtype=np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
+            upleft = np.zeros(bpp, dtype=np.int16)
+            for i in range(ngroups):
+                s = slice(i * bpp, (i + 1) * bpp)
                 up = prior[s]
                 p = left + up - upleft
                 pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
@@ -255,9 +269,20 @@ def png_decode_pixels(b: bytes | None, max_bytes: int = 16 << 20):
             return None
         out[r] = rec.astype(np.uint8)
         prior = rec.astype(np.int16)
+
+    if bit_depth == 16:
+        # high byte = the spec's 8-bit approximation of a 16-bit sample
+        samples = out.reshape(h, w * ch, 2)[:, :, 0].reshape(h, w * ch)
+    elif bit_depth < 8:
+        bits = np.unpackbits(out, axis=1)[:, : (rowbytes * 8 // bit_depth) * bit_depth]
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        samples = (bits.reshape(h, -1, bit_depth) * weights).sum(axis=2)[:, : w * ch]
+        samples = samples.astype(np.uint8)
+    else:
+        samples = out
     if paletted:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = out.reshape(h, w)
+        idx = samples.reshape(h, w)
         if int(idx.max()) >= len(pal):  # index past the palette — spec violation
             return None
         if trns is not None:
@@ -267,7 +292,9 @@ def png_decode_pixels(b: bytes | None, max_bytes: int = 16 << 20):
             )
             return np.concatenate([pal, alpha[:, None]], axis=1)[idx]
         return pal[idx]
-    return out.reshape(h, w, ch)
+    if bit_depth < 8:  # gray: scale to 8-bit by the max-value ratio (§12.5)
+        samples = (samples * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
+    return samples.reshape(h, w, ch)
 
 
 def image_decode_pixels(b: bytes | None):
@@ -337,6 +364,93 @@ def wav_audio_meta(b: bytes | None) -> tuple[int, int, int] | None:
     return None
 
 
+def wav_decode_samples(b: bytes | None, max_bytes: int = 64 << 20):
+    """Decode RIFF/WAVE PCM samples to an (n_frames, channels) float64
+    array in [-1, 1] — zero dependencies, the audio twin of
+    ``png_decode_pixels``. Supports integer PCM at 8 (unsigned) /
+    16 / 24 / 32 bits and IEEE float32/float64 (format tags 1 and 3).
+    Compressed formats (mp3/aac/ADPCM...) return None — a codec's job.
+    ``max_bytes`` caps the data chunk (bomb guard). Never raises on
+    malformed input."""
+    import numpy as np
+
+    meta = wav_audio_meta(b)
+    if meta is None:
+        return None
+    b = bytes(b)
+    rate, channels, bits = meta
+    # re-walk for the fmt tag and the data chunk
+    fmt_tag, data = None, None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and pos + 8 + 16 <= len(b):
+            fmt_tag = int.from_bytes(b[pos + 8 : pos + 10], "little")
+        elif cid == b"data":
+            data = b[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)
+    if fmt_tag not in (1, 3) or data is None or len(data) > max_bytes:
+        return None
+    try:
+        if fmt_tag == 3:
+            if bits == 32:
+                x = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4").astype(np.float64)
+            elif bits == 64:
+                x = np.frombuffer(data[: len(data) // 8 * 8], dtype="<f8").astype(np.float64)
+            else:
+                return None
+        elif bits == 8:  # unsigned per RIFF spec
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data[: len(data) // 3 * 3], dtype=np.uint8).reshape(-1, 3)
+            v = (
+                raw[:, 0].astype(np.int64)
+                | (raw[:, 1].astype(np.int64) << 8)
+                | (raw[:, 2].astype(np.int64) << 16)
+            )
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4").astype(np.float64) / float(
+                1 << 31
+            )
+        else:
+            return None
+        n = (len(x) // channels) * channels
+        return x[:n].reshape(-1, channels)
+    except Exception:  # noqa: BLE001 — malformed payloads yield None
+        return None
+
+
+def wav_sample_stats(b: bytes | None) -> list[float] | None:
+    """8-wide deterministic audio feature from a decodable PCM WAV:
+    [channels, duration_s, rms, peak, mean, zero-crossing rate,
+    mean(ch0), clipping fraction] — the audio analog of the image
+    pixel-stat contract."""
+    import numpy as np
+
+    meta = wav_audio_meta(b)
+    x = wav_decode_samples(b)
+    if x is None or meta is None or not len(x):
+        return None
+    rate = meta[0]
+    mono = x.mean(axis=1)
+    zc = float((np.sign(mono[1:]) != np.sign(mono[:-1])).mean()) if len(mono) > 1 else 0.0
+    return [
+        float(x.shape[1]),
+        float(len(x) / rate),
+        float(np.sqrt((x**2).mean())),
+        float(np.abs(x).max()),
+        float(x.mean()),
+        zc,
+        float(x[:, 0].mean()),
+        float((np.abs(x) >= 0.999).mean()),
+    ]
+
+
 def decode_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -348,12 +462,12 @@ def decode_features(
     REAL with zero dependencies: PNG/JPEG payloads get their true
     width/height via header struct parsing (``png_dimensions`` /
     ``jpeg_dimensions`` — IHDR chunk / SOF marker walk), and pixels
-    REALLY decode for non-interlaced 8-bit PNGs — including palette
-    images — (``png_decode_pixels``: zlib inflate + numpy unfilter +
-    PLTE lookup) AND baseline JPEGs (operators/jpeg.py: full Huffman
-    entropy decode + IDCT + chroma upsample), feeding the 8-wide
-    pixel-stat feature. Progressive/arithmetic JPEGs and
-    16-bit/sub-8-bit/interlaced PNGs still need a codec — those fall
+    REALLY decode for non-interlaced PNGs at every legal bit depth —
+    including palette images — (``png_decode_pixels``: zlib inflate +
+    numpy unfilter + PLTE lookup) AND baseline JPEGs (operators/jpeg.py:
+    full Huffman entropy decode + IDCT + chroma upsample), feeding the
+    8-wide pixel-stat feature. Progressive/arithmetic JPEGs and
+    Adam7-interlaced PNGs still need a codec — those fall
     back to the
     deterministic byte-stat embedding; ``strict=True`` raises
     NotImplementedError for payloads whose DIMENSIONS can't be
@@ -412,9 +526,11 @@ def audio_meta(
     """Audio metadata extraction — the WAV counterpart of
     ``decode_features``: real RIFF header parsing (``wav_audio_meta``)
     on executors, payload bytes never shuffled. Non-WAV payloads yield
-    NULL metadata (filter on ``sample_rate IS NOT NULL`` downstream);
-    sample decode (PCM frames → features) needs an audio lib and stays
-    out of scope, same posture as pixel decode."""
+    NULL metadata (filter on ``sample_rate IS NOT NULL`` downstream).
+    PCM sample decode is REAL too (``wav_decode_samples`` /
+    ``wav_sample_stats`` — int 8/16/24/32 and float32/64); only
+    compressed codecs (mp3/aac/ADPCM) stay out of scope, same posture
+    as progressive JPEG."""
     out_schema = f"{id_col} long, n_bytes long, sample_rate int, channels int, bits int"
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:

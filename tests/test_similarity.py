@@ -468,3 +468,151 @@ def test_png_palette_decode_roundtrip():
     # pixel stats flow through the feature path (channels==3)
     stats = multimodal.png_pixel_stats(_palette_png(idx, pal))
     assert stats is not None and stats[0] == 3.0
+
+
+def _pcm_wav(rate, samples, bits=16, fmt_tag=1):
+    """Encode an (n, ch) float array in [-1,1] as a PCM/float WAV."""
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    ch = x.shape[1]
+    if fmt_tag == 3:
+        data = x.astype("<f4").tobytes() if bits == 32 else x.astype("<f8").tobytes()
+    elif bits == 8:
+        data = (np.round(x * 128.0) + 128).clip(0, 255).astype(np.uint8).tobytes()
+    elif bits == 16:
+        data = np.round(x * 32768.0).clip(-32768, 32767).astype("<i2").tobytes()
+    elif bits == 24:
+        v = np.round(x * float(1 << 23)).clip(-(1 << 23), (1 << 23) - 1).astype(np.int64)
+        v = np.where(v < 0, v + (1 << 24), v).reshape(-1)
+        data = bytes(
+            bytearray(
+                b
+                for val in v
+                for b in (int(val) & 0xFF, (int(val) >> 8) & 0xFF, (int(val) >> 16) & 0xFF)
+            )
+        )
+    elif bits == 32:
+        v = np.round(x * float(1 << 31)).clip(-(1 << 31), (1 << 31) - 1)
+        data = v.astype("<i4").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_pcm_sample_decode_roundtrip():
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    x = (rng.rand(100, 2) * 1.6 - 0.8).round(3)
+    for bits, tol in [(8, 1 / 120.0), (16, 1e-4), (24, 1e-6), (32, 1e-9)]:
+        got = multimodal.wav_decode_samples(_pcm_wav(8000, x, bits=bits))
+        assert got is not None and got.shape == (100, 2), bits
+        assert np.abs(got - x).max() <= tol, bits
+    for bits in (32, 64):
+        got = multimodal.wav_decode_samples(_pcm_wav(8000, x, bits=bits, fmt_tag=3))
+        assert np.abs(got - x).max() <= (1e-7 if bits == 32 else 1e-12)
+    # compressed/unknown format tags return None, never garbage
+    assert multimodal.wav_decode_samples(_pcm_wav(8000, x, bits=16, fmt_tag=85)) is None
+    assert multimodal.wav_decode_samples(b"not audio") is None
+    assert multimodal.wav_decode_samples(None) is None
+
+
+def test_wav_sample_stats_contract():
+    import numpy as np
+
+    t = np.arange(8000) / 8000.0
+    # phase offset keeps samples off exact zero (sign(0) would double-
+    # count a crossing; 8000/440 is rational so zeros repeat)
+    mono = 0.9 * np.sin(2 * np.pi * 440 * t + 0.1)[:, None]
+    stats = multimodal.wav_sample_stats(_pcm_wav(8000, mono, bits=16))
+    assert stats is not None and len(stats) == 8
+    ch, dur, rms, peak, mean, zc, ch0, clip = stats
+    assert ch == 1.0 and abs(dur - 1.0) < 1e-9
+    assert abs(rms - 0.9 / np.sqrt(2)) < 1e-2  # sine RMS at 0.9 amplitude
+    # crest falls between samples at 18.2 samples/cycle
+    assert 0.88 <= peak <= 0.9 and abs(mean) < 1e-3
+    assert abs(zc - 2 * 440 / 8000) < 1e-3  # two crossings per cycle
+    assert clip == 0.0  # 0.9 amplitude never reaches full scale
+
+
+def _png_raw(ihdr_tail, raw_rows, plte=None, trns=None):
+    """Assemble a PNG from pre-filtered raw scanline bytes."""
+    import struct
+    import zlib as _z
+
+    def _chunk(cid, data):
+        return struct.pack(">I", len(data)) + cid + data + struct.pack(">I", _z.crc32(cid + data))
+
+    blob = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr_tail)
+    if plte is not None:
+        blob += _chunk(b"PLTE", plte)
+    if trns is not None:
+        blob += _chunk(b"tRNS", trns)
+    return blob + _chunk(b"IDAT", _z.compress(bytes(raw_rows))) + _chunk(b"IEND", b"")
+
+
+def test_png_sub8bit_gray_and_palette_decode():
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    for depth in (1, 2, 4):
+        w, h = 11, 5
+        vals = rng.randint(0, 1 << depth, size=(h, w))
+        raw = bytearray()
+        for r in range(h):
+            raw.append(2 if r % 2 else 0)  # alternate None/Up filters
+            bits = "".join(format(v, f"0{depth}b") for v in vals[r])
+            bits = bits.ljust(-(-len(bits) // 8) * 8, "0")
+            row = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+            if r % 2:  # Up filter: delta against prior raw row
+                prior_bits = "".join(format(v, f"0{depth}b") for v in vals[r - 1])
+                prior_bits = prior_bits.ljust(len(bits), "0")
+                prior = bytes(int(prior_bits[i : i + 8], 2) for i in range(0, len(prior_bits), 8))
+                row = bytes((a - b) & 0xFF for a, b in zip(row, prior))
+            raw += row
+        ihdr = struct.pack(">II", w, h) + bytes([depth, 0, 0, 0, 0])
+        got = multimodal.png_decode_pixels(_png_raw(ihdr, raw))
+        scale = 255 // ((1 << depth) - 1)
+        assert got is not None and got.shape == (h, w, 1), depth
+        assert (got[:, :, 0] == vals * scale).all(), depth
+
+    # 4-bit palette: indices pack two per byte, PLTE lookup expands RGB
+    w, h, depth = 7, 4, 4
+    pal = bytes(rng.randint(0, 256, size=16 * 3, dtype=np.uint8))
+    idx = rng.randint(0, 16, size=(h, w))
+    raw = bytearray()
+    for r in range(h):
+        raw.append(0)
+        bits = "".join(format(v, "04b") for v in idx[r]).ljust(-(-w * 4 // 8) * 8, "0")
+        raw += bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    ihdr = struct.pack(">II", w, h) + bytes([depth, 3, 0, 0, 0])
+    got = multimodal.png_decode_pixels(_png_raw(ihdr, raw, plte=pal))
+    want = np.frombuffer(pal, dtype=np.uint8).reshape(16, 3)[idx]
+    assert got.shape == (h, w, 3) and (got == want).all()
+
+
+def test_png_16bit_decode_high_byte():
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(29)
+    for color_type, ch in [(0, 1), (2, 3)]:
+        w, h = 6, 4
+        vals = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint16)
+        raw = bytearray()
+        for r in range(h):
+            raw.append(0)
+            raw += (vals[r].reshape(-1) * 257).astype(">u2").tobytes()  # v*257: high byte == v
+        ihdr = struct.pack(">II", w, h) + bytes([16, color_type, 0, 0, 0])
+        got = multimodal.png_decode_pixels(_png_raw(ihdr, raw))
+        assert got is not None and got.shape == (h, w, ch), color_type
+        assert (got == vals.astype(np.uint8)).all(), color_type
