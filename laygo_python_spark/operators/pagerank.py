@@ -83,6 +83,14 @@ def pagerank(
     # this fixed layout plus one contribution aggregation — |E| never
     # moves again.
     e = raw.join(deg, "src").repartition("src").persist()
+    # persist (NOT localCheckpoint) pins the node set: blocks release
+    # deterministically in the finally below, where checkpoint blocks
+    # wait for driver GC — repeated calls in one session accumulated
+    # them until executor memory pressure showed up as run-over-run
+    # slowdown (measured r6). The per-node (base, pr0) literal columns
+    # stay LAZY over the pin — each round derives them from cached
+    # blocks for free, so the separate second checkpoint job the r5
+    # shape paid disappears.
     nodes_raw = (
         raw.select(F.col("src").alias("node"))
         .unionByName(raw.select(F.col("dst").alias("node")))
@@ -119,10 +127,10 @@ def pagerank(
             )
             .drop("__is_src")
         )
-    # Checkpoint the per-node (base, pr0) table and drop the raw pin:
-    # the loop reads `nodes` every round; the checkpoint's blocks are
-    # released when the result is dereferenced (ContextCleaner).
-    nodes = nodes.localCheckpoint(eager=True)
+    # `nodes` is (base, pr0) literal columns over the pinned node set —
+    # lazy on purpose; each round's job derives them from the
+    # checkpointed blocks for free (personalized mode adds a broadcast
+    # join, map-side and equally cheap in-job).
     ranks = nodes.select("node", F.col("pr0").alias("pr"))
     try:
         for it in range(iterations):
