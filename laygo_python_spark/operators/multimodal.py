@@ -8,12 +8,12 @@ dependencies: PNG IHDR and JPEG SOF width/height via struct unpacking
 sniffing — and full PIXEL decode for non-interlaced 8-bit PNGs
 (``png_decode_pixels``: zlib inflate + numpy unfilter of all five
 scanline filters at every legal bit depth, PLTE/tRNS palette lookup,
-round-trip tested against a reference encoder), for BASELINE JPEGs
-(operators/jpeg.py: Huffman entropy decode, dequant, exact IDCT, chroma
-upsample, also round-trip tested), and for PCM WAV samples
-(``wav_decode_samples``: int 8/16/24/32 + float32/64). Only
-codec-requiring formats stay stubbed (progressive/arithmetic JPEG,
-Adam7-interlaced PNG, compressed audio). Everything
+round-trip tested against a reference encoder, Adam7 interlacing
+included), for BASELINE JPEGs (operators/jpeg.py: Huffman entropy
+decode, dequant, exact IDCT, chroma upsample, also round-trip tested),
+and for PCM WAV samples (``wav_decode_samples``: int 8/16/24/32 +
+float32/64). Only codec-requiring formats stay stubbed
+(progressive/arithmetic JPEG, compressed audio). Everything
 Spark-side is real and tested: the schema contract, the mapInPandas
 batch shape, the partition sizing. ``strict=True`` raises only for
 payloads whose dimensions can't be header-parsed.
@@ -123,6 +123,76 @@ def image_dimensions(b: bytes | None) -> tuple[int, int] | None:
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type → samples/pixel
 
+# Adam7 pass grid (spec §8.2): (x0, y0, dx, dy) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter_samples(raw, h_, w_, ch, bit_depth):
+    """Undo scanline filters over one (sub-)image's raw bytes and
+    unpack to (h_, w_·ch) uint8 SAMPLES (palette indices / unscaled
+    gray for sub-byte depths; high byte for 16-bit). ``raw`` must be
+    exactly h_·(1 + rowbytes). Returns None on an unknown filter code.
+    Filters operate on BYTES whatever the depth (§9): the "pixel"
+    stride for Sub/Average/Paeth is bpp = ceil(channels·depth/8),
+    clamped to 1 for sub-byte depths."""
+    import numpy as np
+
+    rowbytes = (w_ * ch * bit_depth + 7) // 8
+    bpp = max(1, (ch * bit_depth) // 8)
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h_, 1 + rowbytes)
+    filters, data = rows[:, 0], rows[:, 1:].astype(np.int16)
+    out = np.zeros((h_, rowbytes), dtype=np.uint8)
+    prior = np.zeros(rowbytes, dtype=np.int16)
+    ngroups = rowbytes // bpp
+    for r in range(h_):
+        f, cur = int(filters[r]), data[r]
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: per-lane cumsum mod 256
+            rec = cur.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(cur[lane::bpp]) & 0xFF
+        elif f == 2:  # Up
+            rec = (cur + prior) & 0xFF
+        elif f == 3:  # Average — left-dependency: walk pixels, lanes vectorized
+            rec = np.zeros(rowbytes, dtype=np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
+            for i in range(ngroups):
+                s = slice(i * bpp, (i + 1) * bpp)
+                left = (cur[s] + ((left + prior[s]) >> 1)) & 0xFF
+                rec[s] = left
+        elif f == 4:  # Paeth
+            rec = np.zeros(rowbytes, dtype=np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
+            upleft = np.zeros(bpp, dtype=np.int16)
+            for i in range(ngroups):
+                s = slice(i * bpp, (i + 1) * bpp)
+                up = prior[s]
+                p = left + up - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+                left = (cur[s] + pred) & 0xFF
+                rec[s] = left
+                upleft = up
+        else:
+            return None
+        out[r] = rec.astype(np.uint8)
+        prior = rec.astype(np.int16)
+
+    if bit_depth == 16:
+        # high byte = the spec's 8-bit approximation of a 16-bit sample
+        return out.reshape(h_, w_ * ch, 2)[:, :, 0].reshape(h_, w_ * ch)
+    if bit_depth < 8:
+        bits = np.unpackbits(out, axis=1)[:, : (rowbytes * 8 // bit_depth) * bit_depth]
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        return (bits.reshape(h_, -1, bit_depth) * weights).sum(axis=2)[:, : w_ * ch].astype(
+            np.uint8
+        )
+    return out
+
 
 def png_decode_pixels(b: bytes | None, max_bytes: int = 16 << 20):
     """Decode a non-interlaced 8-bit PNG (gray / RGB / gray+alpha /
@@ -141,9 +211,11 @@ def png_decode_pixels(b: bytes | None, max_bytes: int = 16 << 20):
     spec §9), gray values scale to 8-bit by the spec's max-value ratio;
     16-bit samples reduce to their high byte (the spec's own 8-bit
     approximation) after unfiltering at the true bytes-per-pixel.
+    Adam7-INTERLACED images decode too: each of the seven passes
+    unfilters as its own sub-image and scatters onto the §8.2 grid.
 
-    Returns None for anything else — interlaced (Adam7 needs a real
-    codec), an index past the palette (spec violation),
+    Returns None for anything else — an index past the palette (spec
+    violation),
     truncated, or over ``max_bytes`` decompressed (the decompression-
     bomb guard: executors must not OOM on a crafted payload). Strict
     callers turn that None into NotImplementedError; this function
@@ -178,12 +250,19 @@ def png_decode_pixels(b: bytes | None, max_bytes: int = 16 << 20):
         or bit_depth not in _DEPTHS[color_type]
         or compression != 0
         or filter_method != 0
-        or interlace != 0
+        or interlace not in (0, 1)
     ):
         return None
     ch = 1 if paletted else _PNG_CHANNELS[color_type]
-    rowbytes = (w * ch * bit_depth + 7) // 8
-    expected = h * (1 + rowbytes)
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, w, h)]
+    else:  # Adam7: seven sub-images, empty passes omitted (§8.2)
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            wp, hp = -(-(w - x0) // dx), -(-(h - y0) // dy)
+            if wp > 0 and hp > 0:
+                passes.append((x0, y0, dx, dy, wp, hp))
+    expected = sum(hp * (1 + (wp * ch * bit_depth + 7) // 8) for *_, wp, hp in passes)
     if expected > max_bytes:
         return None
 
@@ -226,60 +305,19 @@ def png_decode_pixels(b: bytes | None, max_bytes: int = 16 << 20):
     if len(raw) != expected or d.unconsumed_tail or not d.eof:
         return None
 
-    # Filters operate on BYTES whatever the depth (§9): the "pixel"
-    # stride for Sub/Average/Paeth is bpp = ceil(channels·depth/8),
-    # clamped to 1 for sub-byte depths.
-    bpp = max(1, (ch * bit_depth) // 8)
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + rowbytes)
-    filters, data = rows[:, 0], rows[:, 1:].astype(np.int16)
-    out = np.zeros((h, rowbytes), dtype=np.uint8)
-    prior = np.zeros(rowbytes, dtype=np.int16)
-    ngroups = rowbytes // bpp
-    for r in range(h):
-        f, cur = int(filters[r]), data[r]
-        if f == 0:
-            rec = cur
-        elif f == 1:  # Sub: per-lane cumsum mod 256
-            rec = cur.copy()
-            for lane in range(bpp):
-                rec[lane::bpp] = np.cumsum(cur[lane::bpp]) & 0xFF
-        elif f == 2:  # Up
-            rec = (cur + prior) & 0xFF
-        elif f == 3:  # Average — left-dependency: walk pixels, lanes vectorized
-            rec = np.zeros(rowbytes, dtype=np.int16)
-            left = np.zeros(bpp, dtype=np.int16)
-            for i in range(ngroups):
-                s = slice(i * bpp, (i + 1) * bpp)
-                left = (cur[s] + ((left + prior[s]) >> 1)) & 0xFF
-                rec[s] = left
-        elif f == 4:  # Paeth
-            rec = np.zeros(rowbytes, dtype=np.int16)
-            left = np.zeros(bpp, dtype=np.int16)
-            upleft = np.zeros(bpp, dtype=np.int16)
-            for i in range(ngroups):
-                s = slice(i * bpp, (i + 1) * bpp)
-                up = prior[s]
-                p = left + up - upleft
-                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
-                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
-                left = (cur[s] + pred) & 0xFF
-                rec[s] = left
-                upleft = up
-        else:
+    # Unfilter each (sub-)image independently — a sequential PNG is the
+    # single full-frame pass; Adam7 scatters each pass's pixels onto
+    # its (x0 + i·dx, y0 + j·dy) grid (§8.2).
+    grid = np.zeros((h, w, ch), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy, wp, hp in passes:
+        nbytes = hp * (1 + (wp * ch * bit_depth + 7) // 8)
+        sub = _png_unfilter_samples(raw[off : off + nbytes], hp, wp, ch, bit_depth)
+        if sub is None:
             return None
-        out[r] = rec.astype(np.uint8)
-        prior = rec.astype(np.int16)
-
-    if bit_depth == 16:
-        # high byte = the spec's 8-bit approximation of a 16-bit sample
-        samples = out.reshape(h, w * ch, 2)[:, :, 0].reshape(h, w * ch)
-    elif bit_depth < 8:
-        bits = np.unpackbits(out, axis=1)[:, : (rowbytes * 8 // bit_depth) * bit_depth]
-        weights = 1 << np.arange(bit_depth - 1, -1, -1)
-        samples = (bits.reshape(h, -1, bit_depth) * weights).sum(axis=2)[:, : w * ch]
-        samples = samples.astype(np.uint8)
-    else:
-        samples = out
+        grid[y0::dy, x0::dx] = sub.reshape(hp, wp, ch)
+        off += nbytes
+    samples = grid.reshape(h, w * ch)
     if paletted:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = samples.reshape(h, w)
@@ -299,7 +337,8 @@ def png_decode_pixels(b: bytes | None, max_bytes: int = 16 << 20):
 
 def image_decode_pixels(b: bytes | None):
     """(h, w, ch) uint8 pixels from any REALLY-decodable payload:
-    non-interlaced 8-bit PNGs (incl. palette) via ``png_decode_pixels``,
+    PNGs at every legal depth (palette and Adam7 included) via
+    ``png_decode_pixels``,
     baseline JPEGs via the full entropy decoder in operators/jpeg.py."""
     if b is None:
         return None
@@ -462,12 +501,12 @@ def decode_features(
     REAL with zero dependencies: PNG/JPEG payloads get their true
     width/height via header struct parsing (``png_dimensions`` /
     ``jpeg_dimensions`` — IHDR chunk / SOF marker walk), and pixels
-    REALLY decode for non-interlaced PNGs at every legal bit depth —
-    including palette images — (``png_decode_pixels``: zlib inflate +
+    REALLY decode for PNGs at every legal bit depth — palette and
+    Adam7-interlaced included — (``png_decode_pixels``: zlib inflate +
     numpy unfilter + PLTE lookup) AND baseline JPEGs (operators/jpeg.py:
     full Huffman entropy decode + IDCT + chroma upsample), feeding the
-    8-wide pixel-stat feature. Progressive/arithmetic JPEGs and
-    Adam7-interlaced PNGs still need a codec — those fall
+    8-wide pixel-stat feature. Progressive/arithmetic JPEGs
+    still need a codec — those fall
     back to the
     deterministic byte-stat embedding; ``strict=True`` raises
     NotImplementedError for payloads whose DIMENSIONS can't be

@@ -616,3 +616,34 @@ def test_png_16bit_decode_high_byte():
         got = multimodal.png_decode_pixels(_png_raw(ihdr, raw))
         assert got is not None and got.shape == (h, w, ch), color_type
         assert (got == vals.astype(np.uint8)).all(), color_type
+
+
+def test_png_adam7_interlaced_decode():
+    import struct
+
+    import numpy as np
+
+    from laygo_python_spark.operators.multimodal import _ADAM7
+
+    rng = np.random.RandomState(31)
+    for h, w, ch, color_type in [(13, 11, 3, 2), (9, 16, 1, 0)]:
+        px = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            prior = np.zeros(sub.shape[1] * ch, dtype=np.int16)
+            for r in range(sub.shape[0]):
+                cur = sub[r].reshape(-1).astype(np.int16)
+                if r % 2:  # Up filter within the pass (pass-local prior)
+                    raw.append(2)
+                    raw += ((cur - prior) & 0xFF).astype(np.uint8).tobytes()
+                else:
+                    raw.append(0)
+                    raw += cur.astype(np.uint8).tobytes()
+                prior = cur
+        ihdr = struct.pack(">II", w, h) + bytes([8, color_type, 0, 0, 1])
+        got = multimodal.png_decode_pixels(_png_raw(ihdr, raw))
+        assert got is not None and got.shape == (h, w, ch), (h, w, ch)
+        assert (got == px).all(), (h, w, ch)
