@@ -1,16 +1,20 @@
-"""Baseline JPEG entropy decode — zero dependencies (stdlib + numpy).
+"""JPEG entropy decode — zero dependencies (stdlib + numpy).
 
 Closes the last big multimodal stub (multimodal.py previously parsed
-only SOF dimensions): full baseline-sequential decode per ITU-T.81 —
-DQT/DHT/SOF0/SOS/DRI marker parse, bit-unstuffed Huffman entropy
-decode (DC diff + AC run/length with ZRL and EOB), dequantize,
-un-zigzag, exact float IDCT-II (8×8 basis matmul), sampling-factor
-block reassembly, nearest-neighbor chroma upsample, JFIF YCbCr→RGB.
+only SOF dimensions): full Huffman DCT decode per ITU-T.81 —
+DQT/DHT/SOF/SOS/DRI marker parse, bit-unstuffed entropy decode
+(DC diff + AC run/length with ZRL and EOB), dequantize, un-zigzag,
+exact float IDCT-II (8×8 basis matmul), sampling-factor block
+reassembly, nearest-neighbor chroma upsample, JFIF YCbCr→RGB.
+BASELINE (SOF0/1) decodes scan-at-once; PROGRESSIVE (SOF2) accumulates
+coefficients across every scan — spectral selection, successive
+approximation (DC bit-append, AC ±1<<Al newcomers with interleaved
+correction bits, EOB runs; T.81 §G.2) — then transforms once.
 
 Scope is the honest production envelope for a feature-extraction
-pipeline: baseline DCT (SOF0), 8-bit, grayscale or YCbCr with standard
-sampling factors, restart markers supported. Progressive (SOF2),
-arithmetic coding, and 12-bit return None — a real codec's job.
+pipeline: 8-bit Huffman DCT, grayscale or YCbCr with standard sampling
+factors, restart markers supported. Arithmetic coding, 12-bit, and
+lossless/hierarchical modes return None — a real codec's job.
 ``jpeg_decode_pixels`` never raises on malformed input (executors must
 not die on a crafted payload); it returns None.
 
@@ -122,9 +126,10 @@ class _Huff:
 
 
 def jpeg_decode_pixels(b: bytes | None, max_pixels: int = 4 << 20):
-    """Decode a baseline JPEG to (h, w, 3) RGB (or (h, w, 1) grayscale)
-    uint8, or None for anything outside the baseline envelope /
-    malformed / over the ``max_pixels`` bomb guard."""
+    """Decode a baseline or progressive JPEG to (h, w, 3) RGB (or
+    (h, w, 1) grayscale) uint8, or None for anything outside the
+    Huffman-DCT envelope / malformed / over the ``max_pixels`` bomb
+    guard."""
     if b is None:
         return None
     b = bytes(b)
@@ -171,7 +176,7 @@ def _decode(b: bytes, max_pixels: int):
                 table = _Huff(counts, seg[p + 17 : p + 17 + n])
                 (huff_dc if cls == 0 else huff_ac)[tid] = table
                 p += 17 + n
-        elif code == 0xC0 or code == 0xC1:  # SOF0/1: baseline(+ext seq huffman)
+        elif code in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8 or h == 0 or w == 0 or ncomp not in (1, 3):
                 return None
@@ -181,14 +186,16 @@ def _decode(b: bytes, max_pixels: int):
             for c in range(ncomp):
                 cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF, "q": qid})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif 0xC2 <= code <= 0xCF and code not in (0xC4, 0xC8, 0xCC):
-            return None  # progressive/arithmetic/hierarchical — not baseline
+            frame = {"h": h, "w": w, "comps": comps, "progressive": code == 0xC2}
+        elif 0xC3 <= code <= 0xCF and code not in (0xC4, 0xC8, 0xCC):
+            return None  # arithmetic/lossless/hierarchical — out of scope
         elif code == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[0:2])
         elif code == 0xDA:  # SOS
             if frame is None:
                 return None
+            if frame["progressive"]:
+                return _progressive(b, i, qt, huff_dc, huff_ac, frame, restart_interval)
             ns = seg[0]
             sel = {}
             for c in range(ns):
@@ -199,6 +206,234 @@ def _decode(b: bytes, max_pixels: int):
             )
         i += 2 + seg_len
     return None
+
+
+def _ac_first(blk, ac, bits, ss, se, al, eobrun):
+    """One block of an AC first scan (T.81 G.1.2.2): run/size pairs with
+    EOBn codes encoding runs of end-of-band blocks. Returns the EOB-run
+    REMAINING after this block."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac.decode(bits)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += bits.receive(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index past band end")
+        blk[k] = _extend(bits.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(blk, ac, bits, ss, se, al, eobrun):
+    """One block of an AC refinement scan (T.81 G.2 / the classic
+    decode_mcu_AC_refine shape): newly-nonzero coefficients arrive as
+    ±1<<Al placed after skipping ``r`` zero-HISTORY positions, while
+    every nonzero-history coefficient passed on the way (and the whole
+    band tail under an EOB run) absorbs one correction bit."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac.decode(bits)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += bits.receive(r)
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement size must be 1")
+                val = p1 if bits.read() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if bits.read() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0 and bits.read() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _next_marker(b, pos):
+    """(code, pos_after) of the next real marker at/after ``pos`` —
+    skips entropy bytes, stuffed 0xFF00 and fill 0xFFs."""
+    n = len(b)
+    while pos + 1 < n:
+        if b[pos] == 0xFF and b[pos + 1] not in (0x00, 0xFF):
+            return b[pos + 1], pos + 2
+        pos += 1
+    raise EOFError
+
+
+def _progressive(b, i, qt, huff_dc, huff_ac, frame, restart_interval):
+    """Progressive (SOF2) decode: loop over every scan, accumulating
+    DCT coefficients per component (zigzag order) through spectral
+    selection and successive approximation, then dequantize + IDCT +
+    assemble once at the end. ``i`` points at the first SOS's 0xFF."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    if any(c["hs"] == 0 or c["vs"] == 0 for c in comps):
+        return None
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = [
+        np.zeros((mcuy * c["vs"], mcux * c["hs"], 64), dtype=np.int32) for c in comps
+    ]
+    # Non-interleaved scans cover only the component's true block grid
+    # (§A.2.2), which can be smaller than the MCU-padded store.
+    nbw = [-(-(-(-w * c["hs"] // hmax)) // 8) for c in comps]
+    nbh = [-(-(-(-h * c["vs"] // vmax)) // 8) for c in comps]
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+
+    code = 0xDA  # we are AT the first SOS
+    pos = i + 2
+    while code != 0xD9:  # EOI
+        if code in (0xD0 + j for j in range(8)):
+            return None  # stray restart outside a scan
+        (seg_len,) = struct.unpack(">H", b[pos : pos + 2])
+        seg = b[pos + 2 : pos + seg_len]
+        data_pos = pos + seg_len
+        if code == 0xDB:
+            p = 0
+            while p < len(seg):
+                if seg[p] >> 4 != 0:
+                    return None
+                qt[seg[p] & 0xF] = np.frombuffer(
+                    seg[p + 1 : p + 65], dtype=np.uint8
+                ).astype(np.int32)
+                p += 65
+        elif code == 0xC4:
+            p = 0
+            while p + 17 <= len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                n = sum(seg[p + 1 : p + 17])
+                table = _Huff(seg[p + 1 : p + 17], seg[p + 17 : p + 17 + n])
+                (huff_dc if cls == 0 else huff_ac)[tid] = table
+                p += 17 + n
+        elif code == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[0:2])
+        elif code == 0xDA:
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                if cid not in by_id:
+                    return None
+                scomps.append((by_id[cid], tabs >> 4, tabs & 0xF))
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            data_pos = _progressive_scan(
+                b, data_pos, comps, coefs, scomps, ss, se, ah, al,
+                huff_dc, huff_ac, restart_interval, mcux, mcuy, nbw, nbh,
+            )
+        code, pos = _next_marker(b, data_pos)
+        if 0xD0 <= code <= 0xD7:  # leftover restart at scan end
+            code, pos = _next_marker(b, pos)
+
+    # Dequantize + IDCT every block, assemble planes (coefficients are
+    # stored in zigzag order; _ZIGZAG maps them to natural positions).
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["q"] not in qt:
+            return None
+        q = qt[c["q"]]
+        byc, bxc = coefs[ci].shape[:2]
+        plane = np.zeros((byc * 8, bxc * 8), dtype=np.float64)
+        for by in range(byc):
+            for bx in range(bxc):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZIGZAG] = coefs[ci][by, bx] * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _A.T @ coef.reshape(8, 8) @ _A + 128.0
+                )
+        planes.append(plane)
+    return _assemble(planes, comps, hmax, vmax, h, w)
+
+
+def _progressive_scan(
+    b, pos, comps, coefs, scomps, ss, se, ah, al,
+    huff_dc, huff_ac, restart_interval, mcux, mcuy, nbw, nbh,
+):
+    """Entropy-decode one progressive scan; returns the offset where the
+    scan's entropy data ended."""
+    bits = _Bits(b, pos)
+    preds = [0] * len(scomps)
+    eobrun = 0
+    if ss == 0:  # DC scan (interleaved when ns > 1)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        units = mcux * mcuy if len(scomps) > 1 else nbw[scomps[0][0]] * nbh[scomps[0][0]]
+    else:
+        if len(scomps) != 1:
+            raise ValueError("AC scan must be single-component")
+        units = nbw[scomps[0][0]] * nbh[scomps[0][0]]
+    rst = 0
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            code = bits.align_to_marker()
+            if code != 0xD0 + (rst % 8):
+                raise ValueError("bad restart marker")
+            rst += 1
+            bits = _Bits(bits.buf, bits.pos)
+            preds = [0] * len(scomps)
+            eobrun = 0
+        if ss == 0 and len(scomps) > 1:
+            my, mx = divmod(u, mcux)
+            for si, (ci, dct, _act) in enumerate(scomps):
+                c = comps[ci]
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        blk = coefs[ci][my * c["vs"] + by, mx * c["hs"] + bx]
+                        if ah == 0:
+                            t = huff_dc[dct].decode(bits)
+                            preds[si] += _extend(bits.receive(t), t)
+                            blk[0] = preds[si] << al
+                        elif bits.read():
+                            blk[0] |= 1 << al
+        else:
+            ci, dct, act = scomps[0]
+            blk = coefs[ci][u // nbw[ci], u % nbw[ci]]
+            if ss == 0:
+                if ah == 0:
+                    t = huff_dc[dct].decode(bits)
+                    preds[0] += _extend(bits.receive(t), t)
+                    blk[0] = preds[0] << al
+                elif bits.read():
+                    blk[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _ac_first(blk, huff_ac[act], bits, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(blk, huff_ac[act], bits, ss, se, al, eobrun)
+    if bits.bit:
+        bits.pos += 1
+    return bits.pos
 
 
 def _scan(b, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
@@ -260,9 +495,17 @@ def _scan(b, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
 
     # Upsample each component to full MCU-grid resolution, crop to (h, w).
+    return _assemble(planes, comps, hmax, vmax, h, w)
+
+
+def _assemble(planes, comps, hmax, vmax, h, w):
+    """Shared decode tail: nearest-neighbor chroma upsample, crop to the
+    frame, JFIF YCbCr→RGB (or grayscale passthrough)."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
+        if hmax % c["hs"] or vmax % c["vs"]:
+            return None
         p = np.repeat(np.repeat(p, hmax // c["hs"], axis=1), vmax // c["vs"], axis=0)
         full.append(p[:h, :w])
     if len(full) == 1:

@@ -12,8 +12,10 @@ round-trip tested against a reference encoder, Adam7 interlacing
 included), for BASELINE JPEGs (operators/jpeg.py: Huffman entropy
 decode, dequant, exact IDCT, chroma upsample, also round-trip tested),
 and for PCM WAV samples (``wav_decode_samples``: int 8/16/24/32 +
-float32/64). Only codec-requiring formats stay stubbed
-(progressive/arithmetic JPEG, compressed audio). Everything
+float32/64), with PROGRESSIVE JPEG decoded too (coefficients
+accumulated across spectral-selection/successive-approximation scans).
+Only codec-requiring formats stay stubbed (arithmetic-coded JPEG,
+compressed audio). Everything
 Spark-side is real and tested: the schema contract, the mapInPandas
 batch shape, the partition sizing. ``strict=True`` raises only for
 payloads whose dimensions can't be header-parsed.
@@ -505,8 +507,8 @@ def decode_features(
     Adam7-interlaced included — (``png_decode_pixels``: zlib inflate +
     numpy unfilter + PLTE lookup) AND baseline JPEGs (operators/jpeg.py:
     full Huffman entropy decode + IDCT + chroma upsample), feeding the
-    8-wide pixel-stat feature. Progressive/arithmetic JPEGs
-    still need a codec — those fall
+    8-wide pixel-stat feature — progressive JPEGs included.
+    Arithmetic-coded JPEGs still need a codec — those fall
     back to the
     deterministic byte-stat embedding; ``strict=True`` raises
     NotImplementedError for payloads whose DIMENSIONS can't be

@@ -223,7 +223,9 @@ def test_rejects_non_baseline_and_malformed():
     assert J.jpeg_decode_pixels(b"\xff\xd8\xff\xd9") is None  # no frame
     assert J.jpeg_decode_pixels(None) is None
     assert J.jpeg_decode_pixels(b"garbage") is None
-    # progressive (SOF2) -> None
+    # a SEQUENTIAL scan mislabeled as progressive (SOF2 with the
+    # baseline Ss=0..Se=63 SOS) is malformed -> None; real progressive
+    # streams decode (see the _encode_jpeg_progressive round-trips)
     prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert J.jpeg_decode_pixels(prog) is None
 
@@ -258,3 +260,244 @@ def test_jpeg_feeds_decode_features_pipeline(spark):
     assert row["feature"][0] == 3.0  # real pixel decode, not byte-stat fallback
     want = multimodal.png_pixel_stats(blob)
     assert row["feature"] == want
+
+
+class _PBits(_BitW):
+    def emit(self, enc, sym):
+        ln, code = enc[sym]
+        self.put(code, ln)
+
+
+def _encode_jpeg_progressive(px: np.ndarray) -> bytes:
+    """Progressive (SOF2) encoder: interleaved DC first/refine scans at
+    Al=1/0, then per-component AC first+refine scans over two spectral
+    bands — exercising EOB runs, ZRL-in-refinement and correction-bit
+    interleaving. 4:4:4 only; all-ones quant (loss = coef rounding)."""
+    h, w, nc = px.shape
+    dc_counts, dc_syms, dc_enc = _flat_huff(_DC_SYMS, 8)
+    ac_counts, ac_syms, ac_enc = _flat_huff(_AC_SYMS, 9)
+
+    if nc == 3:
+        rgb = px.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = 128.0 + (rgb[:, :, 2] - y) / 1.772
+        cr = 128.0 + (rgb[:, :, 0] - y) / 1.402
+        chans = [y, cb, cr]
+    else:
+        chans = [px[:, :, 0].astype(np.float64)]
+
+    A = J._A
+    bw, bh = -(-w // 8), -(-h // 8)
+    # per-component zigzag coefficient grid
+    zz = np.zeros((nc, bh, bw, 64), dtype=np.int64)
+    for ci, ch in enumerate(chans):
+        p = np.zeros((bh * 8, bw * 8))
+        p[:h, :w] = ch
+        p[h:, :] = p[max(h - 1, 0), :][None, :]
+        p[:, w:] = p[:, max(w - 1, 0)][:, None]
+        for by in range(bh):
+            for bx in range(bw):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                zz[ci, by, bx] = np.round((A @ blk @ A.T).reshape(-1)[J._ZIGZAG])
+
+    def seg(code, payload):
+        return bytes([0xFF, code]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    out += seg(0xC4, bytes([0x00]) + dc_counts + dc_syms)
+    out += seg(0xC4, bytes([0x10]) + ac_counts + ac_syms)
+
+    def _cat(v):
+        return 0 if v == 0 else int(v).bit_length()
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        p = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            p += bytes([cid + 1, 0x00])
+        return seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+    # --- DC first (interleaved, Al=1): diffs of v >> 1 (arithmetic) ---
+    out += sos_header(list(range(nc)), 0, 0, 0, 1)
+    bwr = _PBits()
+    pred = [0] * nc
+    for u in range(bw * bh):
+        by, bx = divmod(u, bw)
+        for ci in range(nc):
+            v = int(zz[ci, by, bx, 0]) >> 1
+            diff = v - pred[ci]
+            pred[ci] = v
+            t = _cat(abs(diff))
+            bwr.emit(dc_enc, t)
+            if t:
+                bwr.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    bwr.pad()
+    out += bwr.out
+
+    # --- DC refine (interleaved, Al=0): low bit of v ---
+    out += sos_header(list(range(nc)), 0, 0, 1, 0)
+    bwr = _PBits()
+    for u in range(bw * bh):
+        by, bx = divmod(u, bw)
+        for ci in range(nc):
+            bwr.put(int(zz[ci, by, bx, 0]) & 1, 1)
+    bwr.pad()
+    out += bwr.out
+
+    bands = [(1, 8), (9, 63)]
+
+    # --- AC first scans (Al=1): magnitude >> 1, toward zero ---
+    for ci in range(nc):
+        for ss, se in bands:
+            out += sos_header([ci], ss, se, 0, 1)
+            bwr = _PBits()
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    bwr.emit(ac_enc, r << 4)
+                    if r:
+                        bwr.put(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            for u in range(bw * bh):
+                by, bx = divmod(u, bw)
+                vals = [
+                    (1 if v > 0 else -1) * (abs(int(v)) >> 1)
+                    for v in zz[ci, by, bx, ss : se + 1]
+                ]
+                if not any(vals):
+                    eobrun += 1
+                    if eobrun == 0x3FF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                last_nz = max(i for i, v in enumerate(vals) if v)
+                for i, v in enumerate(vals):
+                    if i > last_nz:
+                        eobrun += 1
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bwr.emit(ac_enc, 0xF0)
+                        run -= 16
+                    s = _cat(abs(v))
+                    bwr.emit(ac_enc, (run << 4) | s)
+                    bwr.put(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+            flush_eob()
+            bwr.pad()
+            out += bwr.out
+
+    # --- AC refine scans (Al=0): ±1 newcomers + correction bits ---
+    for ci in range(nc):
+        for ss, se in bands:
+            out += sos_header([ci], ss, se, 1, 0)
+            bwr = _PBits()
+            eobrun = 0
+            pending: list[int] = []
+
+            def flush_eob_r():
+                nonlocal eobrun, pending
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    bwr.emit(ac_enc, r << 4)
+                    if r:
+                        bwr.put(eobrun - (1 << r), r)
+                    for bit in pending:
+                        bwr.put(bit, 1)
+                    eobrun = 0
+                    pending = []
+
+            for u in range(bw * bh):
+                by, bx = divmod(u, bw)
+                band = [int(v) for v in zz[ci, by, bx, ss : se + 1]]
+                hist = [(1 if v > 0 else -1) * (abs(v) >> 1) for v in band]
+                new_pos = [i for i, (t, v) in enumerate(zip(hist, band)) if t == 0 and v != 0]
+                if not new_pos:
+                    eobrun += 1
+                    pending += [abs(v) & 1 for t, v in zip(hist, band) if t != 0]
+                    if eobrun == 0x3FF:
+                        flush_eob_r()
+                    continue
+                flush_eob_r()
+                run, buf = 0, []
+                last_new = new_pos[-1]
+                for i, (t, v) in enumerate(zip(hist, band)):
+                    if i > last_new:
+                        eobrun += 1
+                        pending += [
+                            abs(vv) & 1
+                            for tt, vv in zip(hist[i:], band[i:])
+                            if tt != 0
+                        ]
+                        break
+                    if t != 0:
+                        buf.append(abs(v) & 1)
+                        continue
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bwr.emit(ac_enc, 0xF0)
+                        for bit in buf:
+                            bwr.put(bit, 1)
+                        buf = []
+                        run -= 16
+                    bwr.emit(ac_enc, (run << 4) | 1)
+                    bwr.put(1 if v > 0 else 0, 1)
+                    for bit in buf:
+                        bwr.put(bit, 1)
+                    buf = []
+                    run = 0
+                else:
+                    # band ended exactly at a newly-nonzero: nothing trails
+                    pass
+            flush_eob_r()
+            bwr.pad()
+            out += bwr.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_gray_roundtrip_matches_baseline():
+    """Progressive decode must reconstruct the SAME coefficients the
+    baseline scan carries: encode one image both ways (identical DCT +
+    quant) and demand pixel-identical decodes."""
+    rng = np.random.RandomState(41)
+    base = rng.randint(30, 226, size=(3, 4)).astype(np.float64)
+    px = np.kron(base, np.ones((8, 8)))[:22, :27][:, :, None].astype(np.uint8)
+    prog = J.jpeg_decode_pixels(_encode_jpeg_progressive(px))
+    seq = J.jpeg_decode_pixels(_encode_jpeg(px))
+    assert prog is not None and prog.shape == px.shape
+    assert (prog == seq).all()
+    assert np.abs(prog.astype(int) - px.astype(int)).max() <= 2
+
+
+def test_progressive_rgb_roundtrip_matches_baseline():
+    rng = np.random.RandomState(43)
+    px = rng.randint(0, 256, size=(21, 18, 3)).astype(np.uint8)  # full-noise: every band busy
+    prog = J.jpeg_decode_pixels(_encode_jpeg_progressive(px))
+    seq = J.jpeg_decode_pixels(_encode_jpeg(px))
+    assert prog is not None and prog.shape == px.shape
+    assert (prog == seq).all()
+
+
+def test_progressive_sparse_bands_exercise_eob_runs():
+    # near-flat image: AC bands mostly empty -> long EOB runs in both
+    # first and refinement scans
+    px = np.full((40, 40, 1), 100, dtype=np.uint8)
+    px[3, 5] = 140  # one busy block
+    prog = J.jpeg_decode_pixels(_encode_jpeg_progressive(px))
+    seq = J.jpeg_decode_pixels(_encode_jpeg(px))
+    assert prog is not None and (prog == seq).all()
