@@ -503,3 +503,20 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n").over(w_cum) / F.col("total"), 6).alias("cum_coverage"),
         )
     )
+
+
+@query("compression_ratio_score")  # rows-only: DEFLATE is not SQL-reproducible
+def compression_ratio_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (operators/compress.py) —
+    the published repetition proxy that complements the Gopher-style
+    repetition_score: boilerplate compresses far below prose, encoded
+    junk barely compresses at all; curation drops both tails. Map-only
+    (one Arrow pass, no shuffle), deterministic at a fixed DEFLATE
+    level — the rows-only gate sees a stable row set; the behavioral
+    contract (bounds, repetition monotonicity, determinism) is pinned
+    in tests/test_quality.py."""
+    from laygo_python_spark.operators.compress import compression_ratio
+
+    return compression_ratio(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_bytes", "n_compressed", F.round("ratio", 6).alias("ratio")
+    )

@@ -59,3 +59,52 @@ def test_validate_null_predicate_is_a_failure(spark):
     assert [r["id"] for r in clean.collect()] == [1]
     got = {r["id"]: r["failed_checks"] for r in violations.collect()}
     assert got == {2: ["amt_pos"], 3: ["amt_pos"]}
+
+
+def test_compression_ratio_contract(spark):
+    # Bounds, repetition monotonicity, determinism — the behavioral
+    # contract of the rows-only compression-ratio quality signal.
+    from pyspark.sql import Row
+
+    from laygo_python_spark.operators.compress import compression_ratio
+
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id=1,
+                text=" ".join(
+                    f"{a}{b}{i}" for i, (a, b) in enumerate(
+                        (x, y) for x in "lexical varied corpus prose sample".split()
+                        for y in "alpha beta gamma delta epsilon zeta".split()
+                    )
+                ),
+            ),
+            Row(doc_id=2, text="spam " * 500),
+            Row(
+                doc_id=3,  # non-repeating pseudorandom junk: barely compresses
+                text=" ".join(
+                    __import__("hashlib").md5(str(i).encode()).hexdigest() for i in range(60)
+                ),
+            ),
+            Row(doc_id=4, text=""),
+            Row(doc_id=5, text=None),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert all(0 < r["ratio"] <= 1.2 for r in rows.values())
+    # pure repetition compresses (much) better than varied prose
+    assert rows[2]["ratio"] < rows[1]["ratio"] < rows[3]["ratio"]
+    assert rows[2]["ratio"] < 0.05
+    assert rows[4]["ratio"] == 1.0 and rows[4]["n_bytes"] == 0
+    assert rows[5]["ratio"] == 1.0  # NULL text = empty by convention
+    again = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert all(rows[k]["n_compressed"] == again[k]["n_compressed"] for k in rows)
+
+
+def test_compression_ratio_query_registered(spark, sf_dir):
+    from laygo_python_spark.queries import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["compression_ratio_score"](spark, sf_dir)
+    rows = out.limit(50).collect()
+    assert rows and set(out.columns) == {"doc_id", "n_bytes", "n_compressed", "ratio"}
