@@ -337,6 +337,69 @@ def png_decode_pixels(b: bytes | None, max_bytes: int = 16 << 20):
     return samples.reshape(h, w, ch)
 
 
+def png_encode(px, compress_level: int = 6) -> bytes:
+    """Encode an (h, w) or (h, w, ch) uint8 array as a non-interlaced
+    8-bit PNG (gray / gray+alpha / RGB / RGBA; filter 0 rows) — the
+    write half of the zero-dep codec: thumbnail sinks, debug dumps, and
+    the deterministic payload synthesis the decode+resize oracle gate
+    uses. Deterministic for a given input (fixed zlib level)."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def _chunk(cid, data):
+        return _s.pack(">I", len(data)) + cid + data + _s.pack(">I", _z.crc32(cid + data))
+
+    raw = bytearray()
+    for r in range(h):
+        raw.append(0)
+        raw += px[r].tobytes()
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", _s.pack(">II", w, h) + bytes([8, color_type, 0, 0, 0]))
+        + _chunk(b"IDAT", _z.compress(bytes(raw), compress_level))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def resize_pixels(px, out_h: int, out_w: int, method: str = "nearest"):
+    """Resize an (h, w, ch) uint8 image — the standard vision-pipeline
+    preprocessing step, in numpy. ``nearest`` uses exact integer source
+    indices (floor(i·h/out_h)) so the mapping is reproducible in plain
+    SQL arithmetic (the oracle gate relies on this); ``bilinear``
+    interpolates at pixel centers (half-pixel offsets, edges clamped)
+    and rounds half away from zero."""
+    import numpy as np
+
+    px = np.asarray(px)
+    h, w = px.shape[:2]
+    if method == "nearest":
+        yi = (np.arange(out_h) * h) // out_h
+        xi = (np.arange(out_w) * w) // out_w
+        return px[yi][:, xi]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1, x1 = np.minimum(y0 + 1, h - 1), np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - fx) + p[y0][:, x1] * fx
+    bot = p[y1][:, x0] * (1 - fx) + p[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.floor(out + 0.5).astype(np.uint8)
+
+
 def image_decode_pixels(b: bytes | None):
     """(h, w, ch) uint8 pixels from any REALLY-decodable payload:
     PNGs at every legal depth (palette and Adam7 included) via

@@ -596,3 +596,59 @@ def ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "multimodal_resize_stats",
+    oracle="""
+    WITH g AS (SELECT doc_id, doc_id % 13 + 5 AS h0, doc_id % 11 + 6 AS w0 FROM documents),
+    px AS (
+      SELECT g.doc_id,
+             ((g.doc_id*31 + 7*((y.i*g.h0)//4) + 13*((x.i*g.w0)//4)) % 256) AS v
+      FROM g, (SELECT unnest(range(4)) AS i) y, (SELECT unnest(range(4)) AS i) x)
+    SELECT doc_id, round(avg(v), 6) AS mean_px,
+           CAST(min(v) AS INT) AS min_px, CAST(max(v) AS INT) AS max_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode + RESIZE, oracle-gated end-to-end: each doc_id
+    deterministically synthesizes a gray gradient image
+    (pixel(y,x) = (doc_id·31 + 7y + 13x) mod 256, dims keyed off
+    doc_id), PNG-ENCODES it (multimodal.png_encode), DECODES it back
+    (png_decode_pixels — the real zlib+unfilter path), resizes to 4×4
+    nearest-neighbor (resize_pixels, exact integer source indices) and
+    emits pixel stats. The DuckDB oracle never touches PNG bytes: it
+    recomputes the same stats from the pixel formula + the same integer
+    resize arithmetic — so a hash match certifies that
+    encode→decode→resize is the IDENTITY on pixels, across engines, for
+    every document-derived image in the corpus. Any drift in the codec
+    (filters, chunk layout, zlib framing) or in the resize index math
+    breaks the gate. All map-only (one Arrow pass, no shuffle)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            ids, means, mns, mxs = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h0, w0 = d % 13 + 5, d % 11 + 6
+                pixels = (
+                    (d * 31 + 7 * np.arange(h0)[:, None] + 13 * np.arange(w0)[None, :]) % 256
+                ).astype(np.uint8)
+                px = multimodal.png_decode_pixels(multimodal.png_encode(pixels))
+                if px is None:  # codec broke — the gate must fail loudly
+                    raise ValueError(f"round-trip decode failed for doc_id={d}")
+                rz = multimodal.resize_pixels(px, 4, 4)[:, :, 0].astype(np.int64)
+                ids.append(d)
+                means.append(round(float(rz.sum()) / 16.0, 6))
+                mns.append(int(rz.min()))
+                mxs.append(int(rz.max()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "mean_px": means, "min_px": mns, "max_px": mxs}
+            )
+
+    return docs.mapInPandas(run, schema="doc_id long, mean_px double, min_px int, max_px int")

@@ -647,3 +647,32 @@ def test_png_adam7_interlaced_decode():
         got = multimodal.png_decode_pixels(_png_raw(ihdr, raw))
         assert got is not None and got.shape == (h, w, ch), (h, w, ch)
         assert (got == px).all(), (h, w, ch)
+
+
+def test_resize_pixels_nearest_and_bilinear():
+    import numpy as np
+
+    from laygo_python_spark.operators.multimodal import png_encode, resize_pixels
+
+    rng = np.random.RandomState(37)
+    px = rng.randint(0, 256, size=(9, 7, 3)).astype(np.uint8)
+    # nearest: exact integer source-index mapping (the oracle contract)
+    rz = resize_pixels(px, 4, 4)
+    yi = (np.arange(4) * 9) // 4
+    xi = (np.arange(4) * 7) // 4
+    assert (rz == px[yi][:, xi]).all() and rz.shape == (4, 4, 3)
+    # upscale keeps every source pixel reachable; identity at same size
+    assert resize_pixels(px, 9, 7).shape == (9, 7, 3)
+    assert (resize_pixels(px, 9, 7) == px).all()
+    # bilinear: constant image stays constant, output bounded by input
+    const = np.full((8, 8, 1), 77, dtype=np.uint8)
+    assert (resize_pixels(const, 3, 5, method="bilinear") == 77).all()
+    bl = resize_pixels(px, 5, 5, method="bilinear")
+    assert bl.min() >= px.min() and bl.max() <= px.max()
+    with pytest.raises(ValueError, match="unknown resize method"):
+        resize_pixels(px, 2, 2, method="cubic")
+    # png_encode round-trips through the real decoder for every ch count
+    for ch in (1, 2, 3, 4):
+        img = rng.randint(0, 256, size=(6, 5, ch)).astype(np.uint8)
+        got = multimodal.png_decode_pixels(png_encode(img))
+        assert got is not None and (got == img).all(), ch
