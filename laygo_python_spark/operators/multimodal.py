@@ -468,6 +468,24 @@ def wav_audio_meta(b: bytes | None) -> tuple[int, int, int] | None:
     return None
 
 
+def wav_encode(samples, rate: int = 8000) -> bytes:
+    """Encode an (n_frames, channels) int16 array as a PCM RIFF/WAVE —
+    the write half of the zero-dep audio codec (decode side:
+    ``wav_decode_samples``). Deterministic; used by the audio
+    round-trip oracle gate and as a debug/thumbnail sink."""
+    import struct as _s
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype="<i2")
+    ch = x.shape[1] if x.ndim == 2 else 1
+    data = x.tobytes()
+    fmt = _s.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    chunks = b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + _s.pack("<I", len(data)) + data
+    return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def wav_decode_samples(b: bytes | None, max_bytes: int = 64 << 20):
     """Decode RIFF/WAVE PCM samples to an (n_frames, channels) float64
     array in [-1, 1] — zero dependencies, the audio twin of

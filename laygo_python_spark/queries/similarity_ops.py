@@ -652,3 +652,72 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(run, schema="doc_id long, mean_px double, min_px int, max_px int")
+
+
+@query(
+    "multimodal_audio_stats",
+    oracle="""
+    WITH g AS (SELECT doc_id, doc_id % 50 + 10 AS n FROM documents),
+    s AS (SELECT g.doc_id, g.n,
+                 ((g.doc_id*7919 + i.i*31 + c.c*17) % 65536) - 32768 AS v
+          FROM g, (SELECT unnest(range(60)) AS i) i, (SELECT unnest(range(2)) AS c) c
+          WHERE i.i < g.n)
+    SELECT doc_id,
+           round(CAST(sum(v) AS DOUBLE) / count(*) / 32768.0, 6) AS mean_s,
+           min(v) / 32768.0 AS min_s,
+           max(v) / 32768.0 AS max_s,
+           CAST(any_value(n) AS INT) AS n_frames
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of multimodal_resize_stats, oracle-gated end-to-end:
+    each doc_id synthesizes deterministic stereo int16 PCM
+    (sample(i,c) = ((doc_id·7919 + 31i + 17c) mod 2^16) − 2^15, frame
+    count keyed off doc_id), WAV-ENCODES it (multimodal.wav_encode),
+    DECODES it back (wav_decode_samples — the real RIFF walk + PCM
+    normalize) and emits sample stats. The oracle recomputes the stats
+    from the sample formula alone (int16 PCM round-trips exactly;
+    v/32768 is a dyadic-exact double on both engines; the mean is
+    sum/count in ONE division with explicit half-away-from-zero
+    rounding, since Python's round() is banker's while DuckDB rounds
+    away and the dyadic means can tie exactly at the 6th decimal), so
+    a hash match certifies encode→decode is the identity on samples
+    across engines. Map-only, no shuffle."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            ids, means, mns, mxs, nf = [], [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 50 + 10
+                samples = (
+                    (d * 7919 + 31 * np.arange(n)[:, None] + 17 * np.arange(2)[None, :])
+                    % 65536
+                ) - 32768
+                x = multimodal.wav_decode_samples(
+                    multimodal.wav_encode(samples.astype(np.int16))
+                )
+                if x is None or x.shape != (n, 2):  # codec broke — fail loudly
+                    raise ValueError(f"wav round-trip failed for doc_id={d}")
+                ids.append(d)
+                # one division (sum/count) then exact /2^15, half-away
+                # rounding — bit-compatible with the oracle's arithmetic
+                mean = float(samples.sum()) / (2 * n) / 32768.0
+                means.append(math.copysign(math.floor(abs(mean) * 1e6 + 0.5), mean) / 1e6)
+                mns.append(float(samples.min()) / 32768.0)
+                mxs.append(float(samples.max()) / 32768.0)
+                nf.append(n)
+            yield pd.DataFrame(
+                {"doc_id": ids, "mean_s": means, "min_s": mns, "max_s": mxs, "n_frames": nf}
+            )
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, mean_s double, min_s double, max_s double, n_frames int"
+    )

@@ -676,3 +676,16 @@ def test_resize_pixels_nearest_and_bilinear():
         img = rng.randint(0, 256, size=(6, 5, ch)).astype(np.uint8)
         got = multimodal.png_decode_pixels(png_encode(img))
         assert got is not None and (got == img).all(), ch
+
+
+def test_wav_encode_roundtrip_exact():
+    import numpy as np
+
+    from laygo_python_spark.operators.multimodal import wav_decode_samples, wav_encode
+
+    rng = np.random.RandomState(47)
+    s16 = rng.randint(-32768, 32768, size=(33, 2)).astype(np.int16)
+    x = wav_decode_samples(wav_encode(s16, rate=16000))
+    assert x is not None and x.shape == (33, 2)
+    assert (np.round(x * 32768.0).astype(np.int16) == s16).all()
+    assert multimodal.wav_audio_meta(wav_encode(s16, rate=16000)) == (16000, 2, 16)
