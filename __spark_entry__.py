@@ -45,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEVER_DRIVER_CHECKED = [
     "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_index_topk",
     "pack_sequences_bins", "compression_ratio_score", "multimodal_resize_stats",
-    "multimodal_audio_stats",
+    "multimodal_audio_stats", "multimodal_video_stats",
     "price_quantiles_by_status", "approx_sketches", "sketch_merge_daily_users",
     "cms_heavy_hitters", "qsketch_value_quantiles", "mg_heavy_hitters_brands",
     "hll_relational_daily_users", "q6_forecast_revenue", "q7_volume_shipping",

@@ -13,9 +13,12 @@ included), for BASELINE JPEGs (operators/jpeg.py: Huffman entropy
 decode, dequant, exact IDCT, chroma upsample, also round-trip tested),
 and for PCM WAV samples (``wav_decode_samples``: int 8/16/24/32 +
 float32/64), with PROGRESSIVE JPEG decoded too (coefficients
-accumulated across spectral-selection/successive-approximation scans).
-Only codec-requiring formats stay stubbed (arithmetic-coded JPEG,
-compressed audio). Everything
+accumulated across spectral-selection/successive-approximation scans),
+and for VIDEO containers (``avi_meta`` header parse feeding true frame
+counts into ``frame_sample_plan``; ``avi_decode_frames`` fully decodes
+uncompressed raw-DIB AVIs). Only compressed-codec payloads stay
+stubbed (arithmetic-coded JPEG, compressed audio, MJPG/H.264 video).
+Everything
 Spark-side is real and tested: the schema contract, the mapInPandas
 batch shape, the partition sizing. ``strict=True`` raises only for
 payloads whose dimensions can't be header-parsed.
@@ -66,11 +69,22 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "
 
 
 def sniff_media_type(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Magic-byte sniffing — pure Column ops, no decoder needed."""
+    """Magic-byte sniffing — pure Column ops, no decoder needed. RIFF is
+    a container family, so its form type (bytes 8-12) disambiguates
+    WAVE audio from AVI video."""
     p = F.col(payload_col)
     expr = F.lit("application/octet-stream")
     for magic, mtype in _MAGIC.items():
         expr = F.when(F.startswith(p, F.lit(magic)), F.lit(mtype)).otherwise(expr)
+    form = F.substring(p, 9, 4)
+    expr = F.when(
+        F.startswith(p, F.lit(b"RIFF")),
+        F.when(form == F.lit(b"AVI "), F.lit("video/avi")).otherwise(
+            F.when(form == F.lit(b"WAVE"), F.lit("audio/wav")).otherwise(
+                F.lit("application/octet-stream")
+            )
+        ),
+    ).otherwise(expr)
     return df.withColumn("sniffed_type", expr)
 
 
@@ -672,13 +686,150 @@ def audio_meta(
     return df.mapInPandas(run, schema=out_schema)
 
 
-def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
+def frame_sample_plan(
+    df: DataFrame, every_n: int = 30, payload_col: str | None = None
+) -> DataFrame:
     """Video frame-sampling plumbing: emit (media_id, frame_idx) rows for
     a downstream decoder, one row per sampled frame. The explode happens
     BEFORE decode so frame work distributes across the cluster instead
-    of one task per video."""
-    n_frames = (F.col("n_bytes") / 1000).cast("int") + 1  # stub: bytes→frame count
-    return df.select(
-        "media_id",
-        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
+    of one task per video. Pass ``payload_col`` to read the TRUE frame
+    count from the container header (``avi_meta`` — one Arrow pass over
+    header bytes, frames never decoded here); without it, the legacy
+    bytes→count heuristic stands in for payload-less metadata rows."""
+    if payload_col is None:
+        n_frames = (F.col("n_bytes") / 1000).cast("int") + 1  # stub: bytes→frame count
+        return df.select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
+        )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs = [], []
+            for media_id, payload, nb in zip(pdf["media_id"], pdf[payload_col], pdf["n_bytes"]):
+                meta = avi_meta(payload)
+                n = meta[0] if meta else int(nb) // 1000 + 1
+                for fi in range(0, max(n, 1), every_n):
+                    ids.append(media_id)
+                    idxs.append(fi)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs})
+
+    return df.mapInPandas(run, schema="media_id long, frame_idx int")
+
+
+def avi_encode(frames, fps: int = 30) -> bytes:
+    """Encode an (n, h, w, 3) uint8 RGB array as an uncompressed AVI
+    (RIFF 'AVI ': avih + one video strl + movi with raw-DIB '00db'
+    frames — bottom-up rows, BGR order, 4-byte row padding, per the
+    BITMAPINFOHEADER convention). The write half of the zero-dep video
+    container codec; deterministic."""
+    import struct as _s
+
+    import numpy as np
+
+    fr = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = fr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    frame_bytes = []
+    for i in range(n):
+        bgr = fr[i][::-1, :, ::-1]  # bottom-up rows, BGR samples
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        frame_bytes.append(rows.tobytes())
+
+    def ck(cid, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + _s.pack("<I", len(data)) + data + pad
+
+    def lst(kind, data):
+        return ck(b"LIST", kind + data)
+
+    avih = _s.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1), 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0
     )
+    strh = b"vids" + b"DIB " + _s.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 0, 0, 0)
+    strf = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", ck(b"avih", avih) + lst(b"strl", ck(b"strh", strh) + ck(b"strf", strf)))
+    movi = lst(b"movi", b"".join(ck(b"00db", fb) for fb in frame_bytes))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def _riff_chunks(b: bytes, pos: int, end: int):
+    """Yield (id, payload_start, size) over a RIFF chunk run."""
+    while pos + 8 <= end:
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        yield cid, pos + 8, size
+        pos += 8 + size + (size % 2)
+
+
+def avi_meta(b: bytes | None):
+    """(n_frames, width, height, fps) from a RIFF AVI 'avih' header —
+    the video twin of wav_audio_meta / png_dimensions: real container
+    metadata with zero deps, so frame-sampling plans use TRUE frame
+    counts. None for anything malformed or non-AVI."""
+    if b is None:
+        return None
+    b = bytes(b)
+    if len(b) < 24 or b[0:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    for cid, p, size in _riff_chunks(b, 12, len(b)):
+        if cid == b"LIST" and b[p : p + 4] == b"hdrl":
+            for c2, p2, s2 in _riff_chunks(b, p + 4, p + size):
+                if c2 == b"avih" and s2 >= 40:
+                    us = int.from_bytes(b[p2 : p2 + 4], "little")
+                    n = int.from_bytes(b[p2 + 16 : p2 + 20], "little")
+                    w = int.from_bytes(b[p2 + 32 : p2 + 36], "little")
+                    h = int.from_bytes(b[p2 + 36 : p2 + 40], "little")
+                    fps = round(1_000_000 / us) if us else 0
+                    return (n, w, h, fps)
+    return None
+
+
+def avi_decode_frames(b: bytes | None, max_bytes: int = 64 << 20):
+    """Decode an UNCOMPRESSED (raw-DIB 24-bit) AVI to an (n, h, w, 3)
+    uint8 RGB array — the real video-decode path for the container the
+    zero-dep envelope can honestly cover; compressed codecs (MJPG,
+    H.264...) return None, a real codec's job. Walks hdrl for
+    dimensions and the strf bit depth, then the movi LIST's
+    '00db'/'00dc' chunks; bottom-up BGR rows with 4-byte stride
+    padding. Bomb-guarded; never raises on malformed input."""
+    import numpy as np
+
+    meta = avi_meta(b)
+    if meta is None:
+        return None
+    b = bytes(b)
+    n, w, h, _fps = meta
+    if n == 0 or w == 0 or h == 0:
+        return None
+    stride = (w * 3 + 3) // 4 * 4
+    if n * stride * h > max_bytes:
+        return None
+    try:
+        bit_count = None
+        movi = None
+        for cid, p, size in _riff_chunks(b, 12, len(b)):
+            if cid == b"LIST" and b[p : p + 4] == b"hdrl":
+                for c2, p2, s2 in _riff_chunks(b, p + 4, p + size):
+                    if c2 == b"LIST" and b[p2 : p2 + 4] == b"strl":
+                        for c3, p3, s3 in _riff_chunks(b, p2 + 4, p2 + s2):
+                            if c3 == b"strf" and s3 >= 16:
+                                bit_count = int.from_bytes(b[p3 + 14 : p3 + 16], "little")
+            elif cid == b"LIST" and b[p : p + 4] == b"movi":
+                movi = (p + 4, p + size)
+        if bit_count != 24 or movi is None:
+            return None
+        frames = []
+        for cid, p, size in _riff_chunks(b, movi[0], movi[1]):
+            if cid[2:4] in (b"db", b"dc") and size >= stride * h:
+                rows = np.frombuffer(b[p : p + stride * h], dtype=np.uint8).reshape(h, stride)
+                bgr = rows[:, : w * 3].reshape(h, w, 3)
+                frames.append(bgr[::-1, :, ::-1])  # flip rows, BGR→RGB
+        if len(frames) != n:
+            return None
+        return np.stack(frames)
+    except Exception:  # noqa: BLE001 — malformed payloads yield None
+        return None

@@ -721,3 +721,85 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run, schema="doc_id long, mean_s double, min_s double, max_s double, n_frames int"
     )
+
+
+@query(
+    "multimodal_video_stats",
+    oracle="""
+    WITH g AS (SELECT doc_id, doc_id % 4 + 2 AS n, doc_id % 5 + 3 AS h0,
+                      doc_id % 6 + 3 AS w0 FROM documents),
+    px AS (SELECT g.doc_id, g.n, g.h0, g.w0,
+                  ((g.doc_id*37 + f.i*11 + y.i*7 + x.i*13 + c.i*29) % 256) AS v
+           FROM g,
+                (SELECT unnest(range(6)) AS i) f,
+                (SELECT unnest(range(8)) AS i) y,
+                (SELECT unnest(range(9)) AS i) x,
+                (SELECT unnest(range(3)) AS i) c
+           WHERE f.i < g.n AND y.i < g.h0 AND x.i < g.w0)
+    SELECT doc_id,
+           round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_px,
+           CAST(min(v) AS INT) AS min_px, CAST(max(v) AS INT) AS max_px,
+           CAST(any_value(n) AS INT) AS n_frames,
+           CAST(count(*) / (any_value(n) * 3) AS INT) AS frame_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video twin of the resize/audio identity gates: each doc_id
+    synthesizes a deterministic RGB frame stack
+    (pixel(f,y,x,c) = (37·doc_id + 11f + 7y + 13x + 29c) mod 256, dims
+    and frame count keyed off doc_id), AVI-ENCODES it
+    (multimodal.avi_encode — raw-DIB '00db' frames, bottom-up BGR rows,
+    stride padding), DECODES it back (avi_decode_frames — the real RIFF
+    walk + DIB unpack) and emits frame-stack stats. The oracle
+    recomputes them from the pixel formula alone (uncompressed DIB
+    round-trips exactly), so a hash match certifies the container
+    encode→decode is the identity on pixels across engines — row flip,
+    channel order and stride padding included. Half-away mean rounding
+    as in multimodal_audio_stats. Map-only, no shuffle."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            ids, means, mns, mxs, nf, fp = [], [], [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n, h0, w0 = d % 4 + 2, d % 5 + 3, d % 6 + 3
+                frames = (
+                    (
+                        d * 37
+                        + 11 * np.arange(n)[:, None, None, None]
+                        + 7 * np.arange(h0)[None, :, None, None]
+                        + 13 * np.arange(w0)[None, None, :, None]
+                        + 29 * np.arange(3)[None, None, None, :]
+                    )
+                    % 256
+                ).astype(np.uint8)
+                got = multimodal.avi_decode_frames(multimodal.avi_encode(frames))
+                if got is None or got.shape != frames.shape:  # codec broke — fail loudly
+                    raise ValueError(f"avi round-trip failed for doc_id={d}")
+                flat = got.astype(np.int64)
+                total, cnt = int(flat.sum()), flat.size
+                mean = float(total) / cnt
+                ids.append(d)
+                means.append(math.copysign(math.floor(abs(mean) * 1e6 + 0.5), mean) / 1e6)
+                mns.append(int(flat.min()))
+                mxs.append(int(flat.max()))
+                nf.append(n)
+                fp.append(h0 * w0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "mean_px": means, "min_px": mns, "max_px": mxs,
+                    "n_frames": nf, "frame_px": fp,
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, mean_px double, min_px int, max_px int, n_frames int, frame_px int",
+    )

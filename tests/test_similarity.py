@@ -169,6 +169,28 @@ def test_multimodal_magic_sniffing(spark):
     got = {r.media_id: r.sniffed_type for r in multimodal.sniff_media_type(df).collect()}
     assert got == {1: "image/jpeg", 2: "image/png", 3: "application/octet-stream"}
 
+    import numpy as np
+
+    riff = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(_wav_bytes(8000, 1, 16)), media_type=None, n_bytes=0),
+            Row(
+                media_id=2,
+                payload=bytearray(
+                    multimodal.avi_encode(np.zeros((1, 2, 2, 3), dtype="uint8"))
+                ),
+                media_type=None,
+                n_bytes=0,
+            ),
+            Row(media_id=3, payload=bytearray(b"RIFF1234JUNKxxxx"), media_type=None, n_bytes=0),
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    got = {
+        r["media_id"]: r["sniffed_type"] for r in multimodal.sniff_media_type(riff).collect()
+    }
+    assert got == {1: "audio/wav", 2: "video/avi", 3: "application/octet-stream"}
+
 
 def test_frame_sample_distributes_before_decode(spark):
     df = spark.createDataFrame(
@@ -689,3 +711,52 @@ def test_wav_encode_roundtrip_exact():
     assert x is not None and x.shape == (33, 2)
     assert (np.round(x * 32768.0).astype(np.int16) == s16).all()
     assert multimodal.wav_audio_meta(wav_encode(s16, rate=16000)) == (16000, 2, 16)
+
+
+def test_avi_roundtrip_and_meta():
+    import numpy as np
+
+    from laygo_python_spark.operators.multimodal import (
+        avi_decode_frames,
+        avi_encode,
+        avi_meta,
+    )
+
+    rng = np.random.RandomState(53)
+    # odd width exercises the 4-byte DIB stride padding
+    fr = rng.randint(0, 256, size=(5, 6, 7, 3)).astype(np.uint8)
+    blob = avi_encode(fr, fps=24)
+    assert avi_meta(blob) == (5, 7, 6, 24)
+    got = avi_decode_frames(blob)
+    assert got is not None and (got == fr).all()
+    assert avi_meta(b"RIFFxxxxWAVE") is None
+    assert avi_meta(b"garbage") is None and avi_meta(None) is None
+    assert avi_decode_frames(blob[:40]) is None
+    # compressed stream (bit_count != 24) -> None, never garbage
+    i = blob.find(b"strf")
+    hacked = bytearray(blob)
+    hacked[i + 8 + 14] = 12  # BITMAPINFOHEADER biBitCount
+    assert avi_decode_frames(bytes(hacked)) is None
+
+
+def test_frame_sample_plan_uses_real_avi_frame_counts(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from laygo_python_spark.operators.multimodal import avi_encode
+
+    fr = np.zeros((7, 4, 4, 3), dtype=np.uint8)
+    blob = avi_encode(fr)
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(blob), media_type=None, n_bytes=len(blob)),
+            Row(media_id=2, payload=bytearray(b"not a video"), media_type=None, n_bytes=2500),
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        (r["media_id"], r["frame_idx"])
+        for r in multimodal.frame_sample_plan(df, every_n=3, payload_col="payload").collect()
+    )
+    # media 1: REAL count 7 -> frames 0,3,6; media 2: byte stub 2500//1000+1=3 -> 0
+    assert rows == [(1, 0), (1, 3), (1, 6), (2, 0)]
