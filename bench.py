@@ -98,6 +98,7 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_ivfpq_index_topk",
     "pack_sequences_bins",
+    "compression_ratio_score",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite
