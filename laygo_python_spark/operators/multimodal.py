@@ -16,8 +16,11 @@ float32/64), with PROGRESSIVE JPEG decoded too (coefficients
 accumulated across spectral-selection/successive-approximation scans),
 and for VIDEO containers (``avi_meta`` header parse feeding true frame
 counts into ``frame_sample_plan``; ``avi_decode_frames`` fully decodes
-uncompressed raw-DIB AVIs). Only compressed-codec payloads stay
-stubbed (arithmetic-coded JPEG, compressed audio, MJPG/H.264 video).
+uncompressed raw-DIB AVIs), and for COMPRESSED AUDIO (G.711
+mu-law/A-law and IMA ADPCM via ``operators/audio_codecs.py``,
+dispatched on the WAVE format tag). Only entropy-coded payloads stay
+stubbed (arithmetic-coded JPEG, perceptual audio mp3/aac, H.264
+video).
 Everything
 Spark-side is real and tested: the schema contract, the mapInPandas
 batch shape, the partition sizing. ``strict=True`` raises only for
@@ -500,33 +503,110 @@ def wav_encode(samples, rate: int = 8000) -> bytes:
     return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def wav_encode_g711(samples, rate: int = 8000, law: str = "mulaw") -> bytes:
+    """Encode an (n_frames, channels) int16 array as a G.711-compressed
+    RIFF/WAVE (format tag 7 mu-law / 6 A-law, 8 bits per sample) —
+    the compressed-write half of the zero-dep audio codec family; the
+    decode side is ``wav_decode_samples``'s tag-6/7 dispatch into
+    ``operators.audio_codecs``. Used by the G.711 round-trip oracle
+    gate (queries: multimodal_g711_stats)."""
+    import struct as _s
+
+    import numpy as np
+
+    from laygo_python_spark.operators import audio_codecs as AC
+
+    x = np.asarray(samples, dtype=np.int16)
+    if x.ndim == 1:
+        x = x[:, None]
+    ch = x.shape[1]
+    tag = 7 if law == "mulaw" else 6
+    codes = (AC.mulaw_encode(x) if law == "mulaw" else AC.alaw_encode(x)).tobytes()
+    fmt = _s.pack("<HHIIHH", tag, ch, rate, rate * ch, ch, 8)
+    chunks = b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + _s.pack("<I", 4) + _s.pack("<I", x.shape[0])
+    chunks += b"data" + _s.pack("<I", len(codes)) + codes
+    if len(codes) % 2:
+        chunks += b"\x00"  # RIFF word alignment pad
+    return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def wav_encode_adpcm(samples, rate: int = 8000, block_align: int = 256) -> bytes:
+    """Encode an (n_frames, channels) int16 array as an IMA ADPCM
+    RIFF/WAVE (format tag 0x11, 4 bits per sample, 'fact' chunk
+    carrying the true frame count so decode trims block padding)."""
+    import struct as _s
+
+    import numpy as np
+
+    from laygo_python_spark.operators import audio_codecs as AC
+
+    x = np.asarray(samples, dtype=np.int16)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_frames, ch = x.shape
+    data, spb = AC.ima_adpcm_encode_blocks(x, block_align)
+    byte_rate = (rate * block_align + spb - 1) // spb
+    fmt = _s.pack("<HHIIHHHH", 0x11, ch, rate, byte_rate, block_align, 4, 2, spb)
+    chunks = b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + _s.pack("<I", 4) + _s.pack("<I", n_frames)
+    chunks += b"data" + _s.pack("<I", len(data)) + data
+    if len(data) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def wav_decode_samples(b: bytes | None, max_bytes: int = 64 << 20):
-    """Decode RIFF/WAVE PCM samples to an (n_frames, channels) float64
+    """Decode RIFF/WAVE samples to an (n_frames, channels) float64
     array in [-1, 1] — zero dependencies, the audio twin of
     ``png_decode_pixels``. Supports integer PCM at 8 (unsigned) /
-    16 / 24 / 32 bits and IEEE float32/float64 (format tags 1 and 3).
-    Compressed formats (mp3/aac/ADPCM...) return None — a codec's job.
-    ``max_bytes`` caps the data chunk (bomb guard). Never raises on
-    malformed input."""
+    16 / 24 / 32 bits, IEEE float32/float64 (format tags 1 and 3), and
+    the COMPRESSED telephony/ADPCM codecs via ``operators.audio_codecs``:
+    G.711 A-law (tag 6), G.711 mu-law (tag 7) and IMA ADPCM (tag 0x11,
+    'fact'-chunk frame trim honored). Perceptual codecs (mp3/aac)
+    return None — an entropy codec's job. ``max_bytes`` caps the data
+    chunk (bomb guard). Never raises on malformed input."""
     import numpy as np
+
+    from laygo_python_spark.operators import audio_codecs as AC
 
     meta = wav_audio_meta(b)
     if meta is None:
         return None
     b = bytes(b)
     rate, channels, bits = meta
-    # re-walk for the fmt tag and the data chunk
-    fmt_tag, data = None, None
+    # re-walk for the fmt tag/block_align, fact frame count, data chunk
+    fmt_tag, data, block_align, fact_frames = None, None, None, None
     pos = 12
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         size = int.from_bytes(b[pos + 4 : pos + 8], "little")
         if cid == b"fmt " and pos + 8 + 16 <= len(b):
             fmt_tag = int.from_bytes(b[pos + 8 : pos + 10], "little")
+            block_align = int.from_bytes(b[pos + 20 : pos + 22], "little")
+        elif cid == b"fact" and size >= 4:
+            fact_frames = int.from_bytes(b[pos + 8 : pos + 12], "little")
         elif cid == b"data":
             data = b[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size % 2)
-    if fmt_tag not in (1, 3) or data is None or len(data) > max_bytes:
+    if data is None or len(data) > max_bytes:
+        return None
+    if fmt_tag in (6, 7):  # G.711 A-law / mu-law: one code byte per sample
+        codes = np.frombuffer(data, dtype=np.uint8)
+        lin = AC.alaw_decode(codes) if fmt_tag == 6 else AC.mulaw_decode(codes)
+        x = lin.astype(np.float64) / 32768.0
+        n = (len(x) // channels) * channels
+        return x[:n].reshape(-1, channels)
+    if fmt_tag == 0x11:  # IMA ADPCM
+        if not block_align:
+            return None
+        frames = AC.ima_adpcm_decode_blocks(data, channels, block_align)
+        if frames is None:
+            return None
+        if fact_frames is not None:
+            frames = frames[:fact_frames]
+        return frames.astype(np.float64) / 32768.0
+    if fmt_tag not in (1, 3):
         return None
     try:
         if fmt_tag == 3:

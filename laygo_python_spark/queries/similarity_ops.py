@@ -803,3 +803,76 @@ def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id long, mean_px double, min_px int, max_px int, n_frames int, frame_px int",
     )
+
+
+@query(
+    "multimodal_g711_stats",
+    oracle="""
+    WITH g AS (SELECT doc_id, doc_id % 40 + 8 AS n FROM documents),
+    s AS (SELECT g.doc_id, g.n,
+                 ((g.doc_id*7919 + i.i*31) % 65536) - 32768 AS v
+          FROM g, (SELECT unnest(range(48)) AS i) i WHERE i.i < g.n),
+    e AS (SELECT doc_id, n,
+                 CASE WHEN v < 0 THEN 1 ELSE 0 END AS neg,
+                 LEAST(ABS(v), 32635) + 132 AS mag FROM s),
+    x AS (SELECT doc_id, n, neg, mag,
+                 CASE WHEN mag >= 16384 THEN 7 WHEN mag >= 8192 THEN 6
+                      WHEN mag >= 4096 THEN 5 WHEN mag >= 2048 THEN 4
+                      WHEN mag >= 1024 THEN 3 WHEN mag >= 512 THEN 2
+                      WHEN mag >= 256 THEN 1 ELSE 0 END AS e1 FROM e),
+    d AS (SELECT doc_id, n,
+                 CASE WHEN neg = 1
+                      THEN 132 - (((((mag >> (e1+3)) & 15)*8)+132) * (1 << e1))
+                      ELSE (((((mag >> (e1+3)) & 15)*8)+132) * (1 << e1)) - 132
+                 END AS dec
+          FROM x)
+    SELECT doc_id, CAST(sum(dec) AS BIGINT) AS sum_dec,
+           CAST(min(dec) AS INT) AS min_dec, CAST(max(dec) AS INT) AS max_dec,
+           CAST(any_value(n) AS INT) AS n_frames
+    FROM d GROUP BY doc_id
+    """,
+)
+def multimodal_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio twin of the codec identity gates: each doc_id
+    synthesizes deterministic mono int16 PCM
+    (sample(i) = ((doc_id*7919 + 31i) mod 2^16) - 2^15, frame count
+    keyed off doc_id), G.711 mu-law WAV-ENCODES it
+    (multimodal.wav_encode_g711 -> format tag 7), DECODES it back
+    through the real RIFF walk + audio_codecs.mulaw_decode dispatch,
+    and emits INTEGER sample stats of the companded round trip. The
+    DuckDB oracle never touches WAV bytes: it replays the mu-law
+    encode∘decode arithmetic itself (clamp 32635, bias 0x84, CASE
+    segment ladder, mantissa truncate, expansion) in pure integer SQL —
+    so a hash match certifies the compression codec's arithmetic,
+    bit-for-bit, across engines. Integer outputs: no float-rounding
+    caveats at all. Map-only, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            ids, sums, mns, mxs, nf = [], [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 40 + 8
+                v = (((d * 7919 + 31 * np.arange(n)) % 65536) - 32768).astype(np.int16)
+                out = multimodal.wav_decode_samples(
+                    multimodal.wav_encode_g711(v, 8000, "mulaw")
+                )
+                if out is None or out.shape != (n, 1):  # codec broke — fail loudly
+                    raise ValueError(f"g711 round-trip failed for doc_id={d}")
+                dec = np.rint(out[:, 0] * 32768.0).astype(np.int64)  # exact: int16-scaled
+                ids.append(d)
+                sums.append(int(dec.sum()))
+                mns.append(int(dec.min()))
+                mxs.append(int(dec.max()))
+                nf.append(n)
+            yield pd.DataFrame(
+                {"doc_id": ids, "sum_dec": sums, "min_dec": mns, "max_dec": mxs, "n_frames": nf}
+            )
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, sum_dec long, min_dec int, max_dec int, n_frames int"
+    )
