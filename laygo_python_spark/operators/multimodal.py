@@ -16,11 +16,11 @@ float32/64), with PROGRESSIVE JPEG decoded too (coefficients
 accumulated across spectral-selection/successive-approximation scans),
 and for VIDEO containers (``avi_meta`` header parse feeding true frame
 counts into ``frame_sample_plan``; ``avi_decode_frames`` fully decodes
-uncompressed raw-DIB AVIs), and for COMPRESSED AUDIO (G.711
-mu-law/A-law and IMA ADPCM via ``operators/audio_codecs.py``,
-dispatched on the WAVE format tag). Only entropy-coded payloads stay
-stubbed (arithmetic-coded JPEG, perceptual audio mp3/aac, H.264
-video).
+uncompressed raw-DIB AVIs and MOTION-JPEG via per-chunk Huffman DCT
+decode), and for COMPRESSED AUDIO (G.711 mu-law/A-law and IMA ADPCM
+via ``operators/audio_codecs.py``, dispatched on the WAVE format
+tag). Only payloads needing inter-frame or perceptual entropy codecs
+stay stubbed (arithmetic-coded JPEG, mp3/aac audio, H.264 video).
 Everything
 Spark-side is real and tested: the schema contract, the mapInPandas
 batch shape, the partition sizing. ``strict=True`` raises only for
@@ -836,6 +836,38 @@ def avi_encode(frames, fps: int = 30) -> bytes:
     return b"RIFF" + _s.pack("<I", len(body)) + body
 
 
+def avi_encode_mjpg(jpeg_frames, w: int, h: int, fps: int = 30) -> bytes:
+    """Encode a list of JPEG blobs (e.g. ``operators.jpeg.jpeg_encode``
+    output, all ``w``x``h``) as a Motion-JPEG AVI: same RIFF layout as
+    ``avi_encode`` but fourcc/biCompression 'MJPG' and one complete
+    JPEG bitstream per '00dc' chunk — the layout every MJPG-producing
+    camera/ffmpeg writes. Deterministic."""
+    import struct as _s
+
+    frames = [bytes(f) for f in jpeg_frames]
+    n = len(frames)
+
+    def ck(cid, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + _s.pack("<I", len(data)) + data + pad
+
+    def lst(kind, data):
+        return ck(b"LIST", kind + data)
+
+    avih = _s.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1), 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = b"vids" + b"MJPG" + _s.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 0, 0, 0)
+    strf = _s.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0x47504A4D, w * h * 3, 0, 0, 0, 0
+    )  # biCompression 'MJPG' little-endian
+    hdrl = lst(b"hdrl", ck(b"avih", avih) + lst(b"strl", ck(b"strh", strh) + ck(b"strf", strf)))
+    movi = lst(b"movi", b"".join(ck(b"00dc", fb) for fb in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
 def _riff_chunks(b: bytes, pos: int, end: int):
     """Yield (id, payload_start, size) over a RIFF chunk run."""
     while pos + 8 <= end:
@@ -869,13 +901,15 @@ def avi_meta(b: bytes | None):
 
 
 def avi_decode_frames(b: bytes | None, max_bytes: int = 64 << 20):
-    """Decode an UNCOMPRESSED (raw-DIB 24-bit) AVI to an (n, h, w, 3)
-    uint8 RGB array — the real video-decode path for the container the
-    zero-dep envelope can honestly cover; compressed codecs (MJPG,
-    H.264...) return None, a real codec's job. Walks hdrl for
-    dimensions and the strf bit depth, then the movi LIST's
-    '00db'/'00dc' chunks; bottom-up BGR rows with 4-byte stride
-    padding. Bomb-guarded; never raises on malformed input."""
+    """Decode an AVI to an (n, h, w, 3) uint8 RGB array — real video
+    decode for the two codecs the zero-dep envelope honestly covers:
+    UNCOMPRESSED raw-DIB 24-bit ('DIB '/0 fourcc: bottom-up BGR rows,
+    4-byte stride padding) and MOTION-JPEG ('MJPG': one complete JPEG
+    bitstream per '00dc' chunk, fed through operators/jpeg.py's real
+    Huffman DCT decoder). Entropy codecs with inter-frame state
+    (H.264...) return None, a real codec's job. Walks hdrl for
+    dimensions and the strf compression tag, then the movi LIST's
+    frame chunks. Bomb-guarded; never raises on malformed input."""
     import numpy as np
 
     meta = avi_meta(b)
@@ -889,18 +923,36 @@ def avi_decode_frames(b: bytes | None, max_bytes: int = 64 << 20):
     if n * stride * h > max_bytes:
         return None
     try:
-        bit_count = None
+        bit_count, compression = None, None
         movi = None
         for cid, p, size in _riff_chunks(b, 12, len(b)):
             if cid == b"LIST" and b[p : p + 4] == b"hdrl":
                 for c2, p2, s2 in _riff_chunks(b, p + 4, p + size):
                     if c2 == b"LIST" and b[p2 : p2 + 4] == b"strl":
                         for c3, p3, s3 in _riff_chunks(b, p2 + 4, p2 + s2):
-                            if c3 == b"strf" and s3 >= 16:
+                            if c3 == b"strf" and s3 >= 20:
                                 bit_count = int.from_bytes(b[p3 + 14 : p3 + 16], "little")
+                                compression = b[p3 + 16 : p3 + 20]
             elif cid == b"LIST" and b[p : p + 4] == b"movi":
                 movi = (p + 4, p + size)
-        if bit_count != 24 or movi is None:
+        if movi is None:
+            return None
+        if compression == b"MJPG":
+            from laygo_python_spark.operators import jpeg as _J
+
+            frames = []
+            for cid, p, size in _riff_chunks(b, movi[0], movi[1]):
+                if cid[2:4] == b"dc" and size >= 4:
+                    px = _J.jpeg_decode_pixels(b[p : p + size])
+                    if px is None or px.shape[:2] != (h, w):
+                        return None  # undecodable/mismatched frame
+                    if px.shape[2] == 1:  # gray MJPG → replicate to RGB
+                        px = np.repeat(px, 3, axis=2)
+                    frames.append(px)
+            if len(frames) != n:
+                return None
+            return np.stack(frames)
+        if bit_count != 24 or compression not in (None, b"\x00\x00\x00\x00", b"DIB "):
             return None
         frames = []
         for cid, p, size in _riff_chunks(b, movi[0], movi[1]):

@@ -876,3 +876,75 @@ def multimodal_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run, schema="doc_id long, sum_dec long, min_dec int, max_dec int, n_frames int"
     )
+
+
+@query(
+    "multimodal_mjpg_stats",
+    oracle="""
+    WITH g AS (SELECT doc_id, doc_id % 4 + 2 AS n, doc_id % 9 + 8 AS h0,
+                      doc_id % 7 + 9 AS w0 FROM documents),
+    f AS (SELECT g.doc_id, g.n, g.h0, g.w0,
+                 ((g.doc_id*41 + i.i*23) % 256) AS v
+          FROM g, (SELECT unnest(range(6)) AS i) i WHERE i.i < g.n)
+    SELECT doc_id,
+           CAST(sum(CAST(v AS BIGINT) * h0 * w0 * 3) AS BIGINT) AS sum_px,
+           CAST(min(v) AS INT) AS min_px, CAST(max(v) AS INT) AS max_px,
+           CAST(any_value(n) AS INT) AS n_frames,
+           CAST(any_value(h0) * any_value(w0) AS INT) AS frame_px
+    FROM f GROUP BY doc_id
+    """,
+)
+def multimodal_mjpg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motion-JPEG twin of the codec identity gates: each doc_id
+    synthesizes n uniform-gray frames (value (41*doc_id + 23f) mod 256,
+    dims keyed off doc_id and deliberately NOT multiples of 8 so MCU
+    edge padding is exercised), JPEG-encodes each (operators/jpeg.py
+    jpeg_encode — all-ones quant, so a uniform frame is a DC-only block
+    set that round-trips EXACTLY through the lossy pipeline), wraps
+    them in an MJPG AVI (avi_encode_mjpg), decodes the container back
+    (avi_decode_frames -> per-chunk Huffman DCT decode) and emits
+    integer pixel stats. The DuckDB oracle recomputes them from the
+    value formula alone, so a hash match certifies the full
+    container+entropy-codec path is the identity on uniform frames
+    across engines. The UDF raises if any decoded frame deviates —
+    non-uniform drift cannot silently average out. Map-only."""
+    import numpy as np
+    import pandas as pd
+
+    from laygo_python_spark.operators import jpeg as J
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            ids, sums, mns, mxs, nf, fp = [], [], [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n, h0, w0 = d % 4 + 2, d % 9 + 8, d % 7 + 9
+                vals = [(d * 41 + 23 * f) % 256 for f in range(n)]
+                blobs = [
+                    J.jpeg_encode(np.full((h0, w0, 1), v, dtype=np.uint8)) for v in vals
+                ]
+                got = multimodal.avi_decode_frames(
+                    multimodal.avi_encode_mjpg(blobs, w0, h0)
+                )
+                if got is None or got.shape != (n, h0, w0, 3):
+                    raise ValueError(f"mjpg round-trip failed for doc_id={d}")
+                for f, v in enumerate(vals):  # exact identity, frame by frame
+                    if not (got[f] == v).all():
+                        raise ValueError(f"mjpg drift doc_id={d} frame={f}")
+                ids.append(d)
+                sums.append(int(np.asarray(got, dtype=np.int64).sum()))
+                mns.append(int(min(vals)))
+                mxs.append(int(max(vals)))
+                nf.append(n)
+                fp.append(h0 * w0)
+            yield pd.DataFrame(
+                {"doc_id": ids, "sum_px": sums, "min_px": mns, "max_px": mxs,
+                 "n_frames": nf, "frame_px": fp}
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, sum_px long, min_px int, max_px int, n_frames int, frame_px int",
+    )

@@ -16,153 +16,14 @@ import pytest
 from laygo_python_spark.operators import jpeg as J
 
 
-def _flat_huff(symbols: list[int], length: int) -> tuple[bytes, bytes, dict[int, tuple[int, int]]]:
-    """Canonical table giving every symbol the same code length."""
-    assert len(symbols) < (1 << length)
-    counts = bytearray(16)
-    counts[length - 1] = len(symbols)
-    enc = {s: (length, i) for i, s in enumerate(symbols)}
-    return bytes(counts), bytes(symbols), enc
-
-
-class _BitW:
-    def __init__(self):
-        self.out = bytearray()
-        self.acc, self.n = 0, 0
-
-    def put(self, val: int, bits: int):
-        for i in range(bits - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((val >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)
-                self.acc, self.n = 0, 0
-
-    def pad(self):
-        while self.n:
-            self.put(1, 1)
-
-
-_DC_SYMS = list(range(12))
-_AC_SYMS = [(r << 4) | s for r in range(16) for s in range(11)]  # incl. EOB(0x00), ZRL(0xF0)
-
-
-def _encode_jpeg(px: np.ndarray, subsample: bool = False, restart: int = 0) -> bytes:
-    """Baseline JPEG encoder: grayscale (h,w,1) or RGB (h,w,3); 4:4:4 or
-    4:2:0 when ``subsample``; optional DRI restart interval (in MCUs);
-    all-ones quant tables."""
-    h, w, nc = px.shape
-    dc_counts, dc_syms, dc_enc = _flat_huff(_DC_SYMS, 8)
-    ac_counts, ac_syms, ac_enc = _flat_huff(_AC_SYMS, 9)
-
-    if nc == 3:
-        rgb = px.astype(np.float64)
-        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
-        cb = 128.0 + (rgb[:, :, 2] - y) / 1.772
-        cr = 128.0 + (rgb[:, :, 0] - y) / 1.402
-        chans = [y, cb, cr]
-    else:
-        chans = [px[:, :, 0].astype(np.float64)]
-
-    if subsample and nc == 3:
-        samp = [(2, 2), (1, 1), (1, 1)]
-    else:
-        samp = [(1, 1)] * nc
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-
-    planes = []
-    for ci, ch in enumerate(chans):
-        hs, vs = samp[ci]
-        ph, pw = mcuy * vs * 8, mcux * hs * 8
-        if (hs, vs) != (hmax, vmax):  # box-filter downsample
-            fy, fx = vmax // vs, hmax // hs
-            ch = ch[: (ch.shape[0] // fy) * fy, : (ch.shape[1] // fx) * fx]
-            ch = ch.reshape(ch.shape[0] // fy, fy, ch.shape[1] // fx, fx).mean(axis=(1, 3))
-        p = np.zeros((ph, pw))
-        p[: ch.shape[0], : ch.shape[1]] = ch
-        p[ch.shape[0] :, :] = p[max(ch.shape[0] - 1, 0), :][None, :]
-        p[:, ch.shape[1] :] = p[:, max(ch.shape[1] - 1, 0)][:, None]
-        planes.append(p)
-
-    A = J._A
-
-    def seg(code, payload):
-        return bytes([0xFF, code]) + struct.pack(">H", len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xDB, bytes([0]) + bytes([1] * 64))  # DQT id 0, all ones
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
-    for ci in range(nc):
-        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
-    out += seg(0xC0, sof)
-    out += seg(0xC4, bytes([0x00]) + dc_counts + dc_syms)
-    out += seg(0xC4, bytes([0x10]) + ac_counts + ac_syms)
-    if restart:
-        out += seg(0xDD, struct.pack(">H", restart))
-    sos = bytes([nc])
-    for ci in range(nc):
-        sos += bytes([ci + 1, 0x00])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-
-    bw = _BitW()
-    pred = [0] * nc
-    rst = 0
-
-    def _cat(v: int) -> int:
-        return 0 if v == 0 else int(v).bit_length()
-
-    n_mcu = mcux * mcuy
-    for mcu in range(n_mcu):
-        if restart and mcu and mcu % restart == 0:
-            bw.pad()
-            out += bw.out
-            out += bytes([0xFF, 0xD0 + (rst % 8)])
-            rst += 1
-            bw = _BitW()
-            pred = [0] * nc
-        my, mx = divmod(mcu, mcux)
-        for ci in range(nc):
-            hs, vs = samp[ci]
-            for by in range(vs):
-                for bx in range(hs):
-                    y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
-                    block = planes[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                    coef = A @ block @ A.T
-                    zz = np.round(coef.reshape(-1)[J._ZIGZAG]).astype(np.int64)
-                    diff = int(zz[0]) - pred[ci]
-                    pred[ci] = int(zz[0])
-                    t = _cat(abs(diff))
-                    ln, code = dc_enc[t]
-                    bw.put(code, ln)
-                    if t:
-                        bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
-                    run = 0
-                    for k in range(1, 64):
-                        v = int(zz[k])
-                        if v == 0:
-                            run += 1
-                            continue
-                        while run > 15:
-                            ln, code = ac_enc[0xF0]
-                            bw.put(code, ln)
-                            run -= 16
-                        s = _cat(abs(v))
-                        ln, code = ac_enc[(run << 4) | s]
-                        bw.put(code, ln)
-                        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
-                        run = 0
-                    if run:
-                        ln, code = ac_enc[0x00]
-                        bw.put(code, ln)
-    bw.pad()
-    out += bw.out
-    out += b"\xff\xd9"
-    return bytes(out)
+# The baseline encoder now lives in the package (operators/jpeg.py:
+# jpeg_encode, promoted for MJPG video frames); these tests keep gating
+# the decode round trip against it.
+_flat_huff = J._flat_huff
+_BitW = J._BitW
+_DC_SYMS = J._DC_SYMS
+_AC_SYMS = J._AC_SYMS
+_encode_jpeg = J.jpeg_encode
 
 
 def test_gray_uniform_exact():

@@ -760,3 +760,57 @@ def test_frame_sample_plan_uses_real_avi_frame_counts(spark):
     )
     # media 1: REAL count 7 -> frames 0,3,6; media 2: byte stub 2500//1000+1=3 -> 0
     assert rows == [(1, 0), (1, 3), (1, 6), (2, 0)]
+
+
+def test_mjpg_avi_roundtrip_matches_per_blob_jpeg_decode():
+    import numpy as np
+
+    from laygo_python_spark.operators import jpeg as J
+    from laygo_python_spark.operators.multimodal import (
+        avi_decode_frames,
+        avi_encode_mjpg,
+        avi_meta,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (24, 32, 3), dtype=np.uint8) for _ in range(3)]
+    blobs = [J.jpeg_encode(f) for f in frames]
+    blob = avi_encode_mjpg(blobs, 32, 24, fps=12)
+    assert avi_meta(blob) == (3, 32, 24, 12)
+    got = avi_decode_frames(blob)
+    assert got is not None and got.shape == (3, 24, 32, 3)
+    # container decode IS the per-chunk JPEG decode, bit for bit
+    for i, b in enumerate(blobs):
+        assert (got[i] == J.jpeg_decode_pixels(b)).all()
+
+
+def test_mjpg_uniform_frames_exact_identity():
+    import numpy as np
+
+    from laygo_python_spark.operators import jpeg as J
+    from laygo_python_spark.operators.multimodal import avi_decode_frames, avi_encode_mjpg
+
+    # all-ones quant + DC-only blocks: uniform frames survive the lossy
+    # codec exactly — the precondition the multimodal_mjpg_stats oracle
+    # gate relies on (checked here for every uniform value used there)
+    vals = [0, 5, 128, 200, 255]
+    blobs = [J.jpeg_encode(np.full((13, 11, 1), v, dtype=np.uint8)) for v in vals]
+    got = avi_decode_frames(avi_encode_mjpg(blobs, 11, 13))
+    assert got is not None and got.shape == (len(vals), 13, 11, 3)
+    for i, v in enumerate(vals):
+        assert (got[i] == v).all()
+
+
+def test_mjpg_malformed_guards():
+    import numpy as np
+
+    from laygo_python_spark.operators import jpeg as J
+    from laygo_python_spark.operators.multimodal import avi_decode_frames, avi_encode_mjpg
+
+    good = J.jpeg_encode(np.full((8, 8, 1), 9, dtype=np.uint8))
+    # a chunk that is not a decodable JPEG → None, no raise
+    blob = avi_encode_mjpg([good, b"\xff\xd8garbage"], 8, 8)
+    assert avi_decode_frames(blob) is None
+    # frame dims disagreeing with the header → None
+    other = J.jpeg_encode(np.full((16, 16, 1), 9, dtype=np.uint8))
+    assert avi_decode_frames(avi_encode_mjpg([other], 8, 8)) is None
