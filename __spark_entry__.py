@@ -43,6 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # committed as ORACLE_FULL_r*.txt). Drop names from this list once a
 # CORRECTNESS file shows them green.
 _NEVER_DRIVER_CHECKED = [
+    "multimodal_g711_stats", "multimodal_mjpg_stats", "dedup_semantic",
     "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_index_topk",
     "pack_sequences_bins", "compression_ratio_score", "multimodal_resize_stats",
     "multimodal_audio_stats", "multimodal_video_stats",

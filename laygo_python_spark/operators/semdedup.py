@@ -1,0 +1,81 @@
+"""Semantic deduplication over an embedding column — the SemDeDup
+shape (Abbas et al., 2023, public): k-means-cluster the corpus
+embeddings, then prune near-duplicates WITHIN each cluster by cosine
+similarity, keeping one representative per duplicate group.
+
+This completes the dedup ladder: exact (hash) → MinHash/SimHash
+(lexical near-dup) → embedding-cosine near-dup (SRP buckets) →
+SEMANTIC (meaning-level, cluster-scoped). The keep rule is
+deterministic and relational — a vector is dropped iff some LOWER-id
+vector in the same cluster has cosine similarity >= threshold — so the
+whole operator is a join + filter Catalyst can plan, and the DuckDB
+oracle can replay it exactly (dedup_semantic in queries/similarity_ops
+reuses the committed IVF centroid artifact, the trained-state gating
+idiom from ann_ivf_topk).
+
+Scale posture (100 TB): the only shuffle is the hash-partition on
+``cell``; pairwise work is O(Σ c_i²) where c_i is the cluster size, so
+k MUST grow with the corpus (the SemDeDup recipe: keep n/k roughly
+constant, e.g. k = n/5000). Cluster assignment is a map-side matmul
+against broadcast centroids (operators/ivf.py `_assign_cells`); the
+pairwise join carries only (id, vec) within a cell, never payloads.
+``max_cluster`` caps a runaway cell the same way the MinHash-LSH
+bucket cap does — oversized cells are truncated to the lowest-id
+members for pairing (cap events should be rare when k is sized right;
+the remainder is kept, not silently dropped).
+
+Reference parity: the reference engine (schemaless iterator library)
+has no embedding or dedup machinery; this is uplift for the
+training-data pipeline family (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from laygo_python_spark.operators.ivf import _assign_cells, train_centroids
+from laygo_python_spark.operators.similarity import cosine
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """(id, cell, keep) for every corpus vector: ``keep`` is false iff a
+    lower-id vector in the same k-means cell has cosine sim >=
+    ``threshold``. Pass ``centroids`` to cluster at fixed pre-trained
+    cells (the committed artifact); otherwise trains distributed
+    k-means. ``max_cluster`` bounds the pairwise fan-in per cell."""
+    if centroids is None:
+        centroids = train_centroids(corpus, n_clusters, vec_col)
+    a = _assign_cells(corpus, centroids, "sd_id", "v", id_col, vec_col, n_probe=1)
+    pair_src = a
+    if max_cluster is not None:
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(Window.partitionBy("cell").orderBy("sd_id"))
+        pair_src = a.withColumn("_rn", rn).filter(F.col("_rn") <= max_cluster).drop("_rn")
+    left = pair_src.select("cell", F.col("sd_id").alias("a_id"), F.col("v").alias("va"))
+    right = pair_src.select("cell", F.col("sd_id").alias("b_id"), F.col("v").alias("vb"))
+    dups = (
+        left.join(right, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= F.lit(float(threshold)))
+        .select(F.col("b_id").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        a.join(dups, a["sd_id"] == dups["dup_id"], "left")
+        .select(
+            F.col("sd_id").alias(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("dup_id").isNull().alias("keep"),
+        )
+    )

@@ -948,3 +948,39 @@ def multimodal_mjpg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id long, sum_px long, min_px int, max_px int, n_frames int, frame_px int",
     )
+
+
+def _semdedup_oracle(k_cells: int = 16, threshold: float = 0.35) -> str:
+    # reuses the trained-IVF assignment replay (_ivf_cell_ctes; its
+    # qprobe CTE goes unused here) — a vector is dropped iff a lower-id
+    # vector in its cell clears the cosine threshold
+    return f"""WITH {_ann_key_ctes()},
+    {_ivf_cell_ctes(k_cells, 1)},
+    dup AS (SELECT DISTINCT ay.vec_id AS dup_id
+            FROM assign ax JOIN assign ay ON ax.cell = ay.cell AND ax.vec_id < ay.vec_id
+            JOIN e x ON x.vec_id = ax.vec_id
+            JOIN e y ON y.vec_id = ay.vec_id
+            WHERE list_cosine_similarity(x.v, y.v) >= {threshold})
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell, (d.dup_id IS NULL) AS keep
+    FROM assign a LEFT JOIN dup d ON d.dup_id = a.vec_id"""
+
+
+@query("dedup_semantic", oracle=_semdedup_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/semdedup.py): k-means
+    cells from the COMMITTED IVF centroid artifact (the trained-state
+    gating idiom from ann_ivf_topk), then within-cell cosine pruning
+    with the deterministic lowest-id-wins keep rule. Completes the
+    dedup ladder at the meaning level: exact -> MinHash/SimHash ->
+    SRP near-dup -> semantic. The DuckDB oracle replays assignment and
+    the pairwise threshold join against the same centroids parquet —
+    cosine sims are bit-identical across engines (proven by
+    embedding_cosine_topk / embedding_near_dups), so keep flags match
+    exactly. Threshold 0.35 sits where the near-orthogonal fixture has
+    real duplicate pairs (max pairwise sim ~0.51)."""
+    from laygo_python_spark.operators.ann_artifacts import load_ivf_centroids
+    from laygo_python_spark.operators.semdedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = load_ivf_centroids(sf_dir, k=16)
+    return semantic_dedup(emb, threshold=0.35, n_clusters=16, centroids=cent)
