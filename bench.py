@@ -99,6 +99,11 @@ HEADLINE = [
     "ann_ivfpq_index_topk",
     "pack_sequences_bins",
     "compression_ratio_score",
+    # r6 late additions: the compressed-codec identity gates and the
+    # semantic (cluster-scoped cosine) dedup rung.
+    "multimodal_g711_stats",
+    "multimodal_mjpg_stats",
+    "dedup_semantic",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite
