@@ -44,6 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS file shows them green.
 _NEVER_DRIVER_CHECKED = [
     "multimodal_g711_stats", "multimodal_mjpg_stats", "dedup_semantic",
+    "embedding_prototypicality",
     "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_index_topk",
     "pack_sequences_bins", "compression_ratio_score", "multimodal_resize_stats",
     "multimodal_audio_stats", "multimodal_video_stats",

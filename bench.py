@@ -104,6 +104,7 @@ HEADLINE = [
     "multimodal_g711_stats",
     "multimodal_mjpg_stats",
     "dedup_semantic",
+    "embedding_prototypicality",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

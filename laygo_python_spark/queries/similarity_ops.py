@@ -984,3 +984,53 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cent = load_ivf_centroids(sf_dir, k=16)
     return semantic_dedup(emb, threshold=0.35, n_clusters=16, centroids=cent)
+
+
+@query(
+    "embedding_prototypicality",
+    oracle=f"""WITH {_ann_key_ctes()},
+    {_ivf_cell_ctes(16, 1)},
+    scored AS (SELECT a.vec_id, a.cell,
+                      list_cosine_similarity(e.v, c.centroid) AS proto
+               FROM assign a JOIN e ON e.vec_id = a.vec_id
+                             JOIN cent c ON c.cell = a.cell)
+    SELECT vec_id, CAST(cell AS INT) AS cell, proto,
+           CAST(row_number() OVER (PARTITION BY cell ORDER BY proto DESC, vec_id) AS INT)
+             AS proto_rank
+    FROM scored""",
+)
+def embedding_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality scoring for diversity-aware curation (the
+    SemDeDup/D4-family signal, public): each vector's cosine similarity
+    to its own k-means centroid, ranked within the cluster. High
+    proto_rank tail = prototypical/redundant mass (candidates for
+    downsampling); low = diverse/outlier mass (upweight or inspect).
+    Runs at the COMMITTED IVF centroid artifact so DuckDB replays
+    assignment + scoring + ranking exactly. Map-side matmul assignment,
+    one shuffle on cell for the rank window. Composes with
+    dedup_semantic: dedup prunes near-copies, prototypicality then
+    shapes what remains."""
+    from laygo_python_spark.operators.ann_artifacts import load_ivf_centroids
+    from laygo_python_spark.operators.ivf import _assign_cells
+    from laygo_python_spark.operators.similarity import cosine
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = load_ivf_centroids(sf_dir, k=16)
+    if cent is None:
+        from laygo_python_spark.operators.ivf import train_centroids
+
+        cent = train_centroids(emb, 16)
+    a = _assign_cells(emb, cent, "vec_id", "v", "vec_id", "embedding", n_probe=1)
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)]
+    cdf = spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+    w = Window.partitionBy("cell").orderBy(F.desc("proto"), F.asc("vec_id"))
+    return (
+        a.join(F.broadcast(cdf), "cell")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            cosine(F.col("v"), F.col("centroid")).alias("proto"),
+        )
+        .withColumn("proto_rank", F.row_number().over(w).cast("int"))
+    )
