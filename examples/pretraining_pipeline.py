@@ -3,6 +3,7 @@ exists for, composed from the library's own operators:
 
   ingest → normalize → language filter → quality gate → exact dedup
   → MinHash-LSH near-dedup (pairs → clusters → representatives)
+  → semantic dedup (embedding clusters, SemDeDup shape)
   → eval-split decontamination → deterministic train/eval split
   → token counts → sequence packing → partitioned parquet out
 
@@ -101,6 +102,19 @@ def near_dedup(docs: DataFrame) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti")
 
 
+def semantic_dedup_stage(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Meaning-level rung of the dedup ladder (SemDeDup shape,
+    operators/semdedup.py): cluster the embedding sidecar, drop docs
+    whose lower-id cluster-mate clears the cosine threshold. Docs
+    without an embedding pass through untouched — the stage only ever
+    subtracts ids it has evidence for."""
+    from laygo_python_spark.operators.semdedup import semantic_dedup
+
+    verdict = semantic_dedup(emb, threshold=0.35, n_clusters=8)
+    drop = verdict.filter(~F.col("keep")).select(F.col("vec_id").alias("doc_id"))
+    return docs.join(drop, "doc_id", "left_anti")
+
+
 def split_and_decontaminate(docs: DataFrame, n: int = 3) -> DataFrame:
     """Assign the md5-bucket train/eval split, then drop training docs
     sharing any word n-gram with the eval split (broadcast semi join —
@@ -139,6 +153,9 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
 
     docs = docs.transform(exact_dedup).transform(near_dedup)
     stages["after_dedup"] = docs.count()
+
+    docs = semantic_dedup_stage(docs, read_table(spark, sf_dir, "embeddings"))
+    stages["after_semantic_dedup"] = docs.count()
 
     docs = docs.transform(split_and_decontaminate)
     stages["after_decontamination"] = docs.count()
