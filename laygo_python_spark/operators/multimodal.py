@@ -734,31 +734,79 @@ def decode_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
+# MPEG audio (mp3) header tables — ISO/IEC 11172-3 (public spec).
+# Layer III bitrate kbps by (is_mpeg1, index); samplerate by version bits.
+_MP3_BITRATE_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATE_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def mp3_meta(b: bytes | None) -> tuple[int, int, int, float] | None:
+    """(sample_rate, channels, bitrate_kbps, est_duration_s) from an
+    MPEG Layer III stream — ID3v2 tag skip (syncsafe size) + first
+    frame-sync header parse, per the published ISO 11172-3 layout.
+    Duration is the CBR estimate (audio_bytes·8 / bitrate). Entropy
+    decode of the audio itself stays out of scope (perceptual codec);
+    this is the honest-metadata posture, same as H.264. Returns None
+    for anything that isn't a parseable Layer III stream."""
+    if b is None:
+        return None
+    b = bytes(b)
+    pos = 0
+    if len(b) >= 10 and b[0:3] == b"ID3":
+        syncsafe = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        pos = 10 + syncsafe
+    # scan a bounded window for the frame sync (garbage tolerance)
+    end = min(len(b) - 4, pos + 4096)
+    while pos <= end:
+        if b[pos] == 0xFF and (b[pos + 1] & 0xE0) == 0xE0:
+            ver = (b[pos + 1] >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+            layer = (b[pos + 1] >> 1) & 0x03  # 1 = Layer III
+            br_idx = (b[pos + 2] >> 4) & 0x0F
+            sr_idx = (b[pos + 2] >> 2) & 0x03
+            mode = (b[pos + 3] >> 6) & 0x03
+            if ver != 1 and layer == 1 and 0 < br_idx < 15 and sr_idx < 3:
+                rate = _MP3_RATES[ver][sr_idx]
+                kbps = (_MP3_BITRATE_V1 if ver == 3 else _MP3_BITRATE_V2)[br_idx]
+                channels = 1 if mode == 3 else 2
+                dur = (len(b) - pos) * 8.0 / (kbps * 1000.0)
+                return (rate, channels, kbps, dur)
+        pos += 1
+    return None
+
+
 def audio_meta(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Audio metadata extraction — the WAV counterpart of
+    """Audio metadata extraction — the WAV/MP3 counterpart of
     ``decode_features``: real RIFF header parsing (``wav_audio_meta``)
-    on executors, payload bytes never shuffled. Non-WAV payloads yield
-    NULL metadata (filter on ``sample_rate IS NOT NULL`` downstream).
-    PCM sample decode is REAL too (``wav_decode_samples`` /
-    ``wav_sample_stats`` — int 8/16/24/32 and float32/64); only
-    compressed codecs (mp3/aac/ADPCM) stay out of scope, same posture
-    as progressive JPEG."""
+    or MPEG frame-header parsing (``mp3_meta``) on executors, payload
+    bytes never shuffled. Unrecognized payloads yield NULL metadata
+    (filter on ``sample_rate IS NOT NULL`` downstream). Sample decode
+    is REAL for PCM int8/16/24/32 + float32/64, G.711 mu-law/A-law and
+    IMA ADPCM (``wav_decode_samples``); only perceptual codecs
+    (mp3/aac) stay metadata-only, same posture as progressive H.264.
+    ``bits`` is NULL for mp3 (a perceptual stream has no fixed
+    bits-per-sample)."""
     out_schema = f"{id_col} long, n_bytes long, sample_rate int, channels int, bits int"
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
             metas = payloads.apply(wav_audio_meta)
+            mp3s = [None if m else mp3_meta(p) for m, p in zip(metas, payloads)]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "n_bytes": payloads.str.len().fillna(0).astype("int64"),
-                    "sample_rate": [m[0] if m else None for m in metas],
-                    "channels": [m[1] if m else None for m in metas],
+                    "sample_rate": [
+                        m[0] if m else (x[0] if x else None) for m, x in zip(metas, mp3s)
+                    ],
+                    "channels": [
+                        m[1] if m else (x[1] if x else None) for m, x in zip(metas, mp3s)
+                    ],
                     "bits": [m[2] if m else None for m in metas],
                 }
             )

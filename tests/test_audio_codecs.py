@@ -185,3 +185,61 @@ def test_adpcm_malformed_guards():
             break
         pos += 8 + size + (size % 2)
     assert M.wav_decode_samples(bytes(bad)) is None
+
+
+def _mk_mp3(ver_bits=3, br_idx=9, sr_idx=0, mode=0, n_frames=10, id3=True):
+    """Hand-assemble a Layer III stream: optional ID3v2 tag + repeated
+    frame headers with zeroed payload (header parse needs no audio)."""
+    hdr = bytes(
+        [
+            0xFF,
+            0xE0 | (ver_bits << 3) | (1 << 1),  # sync + version + layer III
+            (br_idx << 4) | (sr_idx << 2),
+            mode << 6,
+        ]
+    )
+    frame = hdr + b"\x00" * 413  # 128kbps@44100 frame size ~417
+    body = frame * n_frames
+    if id3:
+        tag_body = b"\x00" * 200
+        sz = len(tag_body)
+        syncsafe = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F])
+        return b"ID3\x03\x00\x00" + syncsafe + tag_body + body
+    return body
+
+
+def test_mp3_meta_parses_header_and_duration():
+    blob = _mk_mp3()  # MPEG1 L3 128kbps 44100 stereo
+    got = M.mp3_meta(blob)
+    assert got is not None
+    rate, ch, kbps, dur = got
+    assert (rate, ch, kbps) == (44100, 2, 128)
+    # CBR estimate over the audio bytes (ID3 tag excluded)
+    audio_bytes = len(blob) - 210
+    assert abs(dur - audio_bytes * 8 / 128000) < 1e-9
+
+
+def test_mp3_meta_variants_and_guards():
+    # MPEG2 Layer III bitrate table: index 9 -> 80 kbps (ISO 13818-3)
+    got = M.mp3_meta(_mk_mp3(ver_bits=2, br_idx=9, sr_idx=1, mode=3, id3=False))
+    assert got is not None and got[:3] == (24000, 1, 80)
+    assert M.mp3_meta(None) is None
+    assert M.mp3_meta(b"not audio at all") is None
+    assert M.mp3_meta(_mk_mp3(br_idx=0)) is None  # free-format: unsupported
+    assert M.mp3_meta(_mk_mp3(sr_idx=3)) is None  # reserved samplerate
+
+
+def test_audio_meta_dispatches_mp3(spark):
+    import pandas as pd  # noqa: F401
+
+    sig = _sig(1000)
+    rows = [
+        (1, bytearray(M.wav_encode(np.stack([sig, sig], 1), 16000))),
+        (2, bytearray(_mk_mp3())),
+        (3, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.sample_rate, r.channels, r.bits) for r in M.audio_meta(df).collect()}
+    assert got[1] == (16000, 2, 16)
+    assert got[2] == (44100, 2, None)  # mp3: real rate/channels, bits NULL
+    assert got[3] == (None, None, None)
