@@ -17,6 +17,24 @@ from laygo_python_spark.queries import query
 from laygo_python_spark.session import read_table as _t
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a key-only projection up to cluster
+    parallelism before a CPU-bound codec UDF stage.
+
+    The synthetic-codec gates cost ~1 ms of pure-Python work per row,
+    so stage parallelism — not I/O — decides wall clock. A small
+    fixture arrives as ONE parquet split (a 5k-row file can't be split
+    below row-group granularity), which would pin the whole encode/
+    decode stage to a single core. Shuffling the 8-byte key column is
+    ~free next to the UDF cost. Never coalesces: a source already
+    wider than the cluster (the 100 TB layout) keeps its partitioning.
+    """
+    sc = df.sparkSession.sparkContext
+    want = sc.defaultParallelism
+    have = df.rdd.getNumPartitions()
+    return df.repartition(want) if have < want else df
+
+
 @query(
     "embedding_cosine_topk",
     oracle="""
@@ -628,7 +646,7 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def run(batches):
         for pdf in batches:
@@ -689,7 +707,7 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def run(batches):
         for pdf in batches:
@@ -762,7 +780,7 @@ def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def run(batches):
         for pdf in batches:
@@ -849,7 +867,7 @@ def multimodal_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def run(batches):
         for pdf in batches:
@@ -913,7 +931,7 @@ def multimodal_mjpg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from laygo_python_spark.operators import jpeg as J
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def run(batches):
         for pdf in batches:
