@@ -33,55 +33,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Driver-rotation steering (round 6): the correctness gate checks the
-# FIRST 50 entries of queries() per round (CORRECTNESS_r01–r05 are each
-# a contiguous prefix of the then-registration order), and the union of
-# r1–r5 covered only 78 of 164 names. These are the queries with no
-# driver-side evidence yet (plus this round's newly gated additions),
-# fronted so the driver record converges on full-catalog coverage; the
-# full catalog is verified locally every round (tools/verify_oracle.py,
-# committed as ORACLE_FULL_r*.txt). Drop names from this list once a
-# CORRECTNESS file shows them green.
+# Driver-rotation steering (round 7): the correctness gate checks the
+# FIRST 50 entries of queries() per round. The union of CORRECTNESS_r01–
+# r06 covers 128 of 174 catalog names; these are the exact 46 that have
+# never appeared in a driver rotation (the text-analysis family, all 8
+# stream_* queries, and a few warehouse/stats ops), plus this round's
+# newly gated additions. Fronting them closes driver-union coverage to
+# the full catalog; everything is also verified locally every round
+# (tools/verify_oracle.py, committed as ORACLE_FULL_r*.txt). Drop names
+# from this list once a CORRECTNESS file shows them green.
 _NEVER_DRIVER_CHECKED = [
-    "multimodal_g711_stats", "multimodal_mjpg_stats", "dedup_semantic",
-    "embedding_prototypicality",
-    "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_index_topk",
-    "pack_sequences_bins", "compression_ratio_score", "multimodal_resize_stats",
-    "multimodal_audio_stats", "multimodal_video_stats",
-    "price_quantiles_by_status", "approx_sketches", "sketch_merge_daily_users",
-    "cms_heavy_hitters", "qsketch_value_quantiles", "mg_heavy_hitters_brands",
-    "hll_relational_daily_users", "q6_forecast_revenue", "q7_volume_shipping",
-    "q9_product_profit", "q19_disjunctive_revenue", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q5_local_supplier_volume",
-    "q12_late_shipment_priorities", "q21_waiting_suppliers",
-    "q2_top_supplier_per_nation", "q11_important_part_revenue",
-    "q20_excess_shippers", "hash_split_train_eval", "training_mix_weights",
-    "temperature_mix_weights", "embedding_cosine_topk",
-    "embedding_cosine_topk_fast", "ann_lsh_topk", "ann_srp_index_add",
-    "embedding_near_dups", "multimodal_payload_meta",
-    "multimodal_decode_features", "embedding_label_centroids",
-    "embedding_int8_quantize", "multimodal_decode_dims",
-    "winsorize_order_totals", "time_rollup_event_value",
-    "latest_order_per_customer", "trend_per_event_type",
-    "histogram_order_totals", "incremental_hourly_stats",
-    "validate_lineitem_rules", "profile_orders_columns",
-    "feature_scale_order_prices", "spearman_price_acctbal",
-    "chi2_segment_priority", "impute_missing_acctbal",
-    "edit_distance_name_pairs", "sorted_neighborhood_name_pairs",
+    "token_count", "doc_quality_score", "lang_id_heuristic",
+    "regex_token_count", "stopword_ratio", "doc_chunks",
+    "unigram_logprob_score", "quality_gate", "rolling_hash_fingerprint",
+    "doc_fingerprint", "dedup_exact", "repetition_score",
+    "decontaminate_ngram_overlap", "pii_redaction", "text_normalize_clean",
+    "bigram_pmi_collocations", "char_entropy_score", "chunk_dedup_spans",
+    "bigram_lm_xent", "vocab_coverage_curve",
     "stream_hourly_counts", "stream_session_windows",
     "stream_click_error_join", "stream_stateful_user_counts",
     "stream_dedup_user_types", "stream_sliding_counts",
-    "stream_incremental_dedup", "token_count", "doc_quality_score",
-    "lang_id_heuristic", "regex_token_count", "stopword_ratio", "doc_chunks",
-    "unigram_logprob_score", "quality_gate", "rolling_hash_fingerprint",
-    "doc_fingerprint", "dedup_exact", "ewma_daily_event_value",
-    "mad_outlier_orders", "cusum_changepoint_daily", "seasonal_dow_decompose",
-    "acf_daily_value", "repetition_score", "decontaminate_ngram_overlap",
-    "pii_redaction", "text_normalize_clean", "bigram_pmi_collocations",
-    "char_entropy_score", "chunk_dedup_spans", "bigram_lm_xent",
-    "vocab_coverage_curve", "merge_upsert_customer_balance",
-    "scd2_priority_history", "gapfill_hourly_purchases",
-    "snapshot_diff_orders", "zorder_morton_keys",
+    "stream_incremental_dedup",
+    "merge_upsert_customer_balance", "scd2_priority_history",
+    "gapfill_hourly_purchases", "snapshot_diff_orders", "zorder_morton_keys",
+    "incremental_hourly_stats", "validate_lineitem_rules",
+    "profile_orders_columns", "feature_scale_order_prices",
+    "spearman_price_acctbal", "chi2_segment_priority",
+    "impute_missing_acctbal", "edit_distance_name_pairs",
+    "sorted_neighborhood_name_pairs", "ewma_daily_event_value",
+    "mad_outlier_orders", "cusum_changepoint_daily",
+    "seasonal_dow_decompose", "acf_daily_value",
 ]
 
 
