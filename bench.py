@@ -143,6 +143,37 @@ def materialize(df) -> None:
         df.count()
 
 
+def quiesce(spark, deep: bool = False) -> None:
+    """Untimed between-measurement hygiene — release state leaked by the
+    PREVIOUS query so it can't perturb the NEXT one's number.
+
+    The r6 driver bench showed +9-44% in-suite drift on queries whose
+    isolated plans hadn't changed (ppr +44%, tpch sweep +22%): 72
+    headliners x 5-10 runs each leave localCheckpoint blocks (pagerank/
+    ppr/cc ranks), broadcast variables (every BHJ) and shuffle files
+    pinned until a JVM GC lets the ContextCleaner reclaim them — which
+    in a <30min session never happens organically. Unpersisting the
+    leaked RDDs is deterministic and cheap; the periodic ``deep`` pass
+    additionally triggers one JVM GC so the cleaner drains broadcasts/
+    shuffles. All outside the timers: this is standard benchmark
+    hygiene (each query measured against a quiet session), not a
+    measurement change."""
+    import gc
+
+    gc.collect()  # drop py4j refs so the JVM side sees the weak refs
+    try:
+        jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in jrdds.values():
+            jrdd.unpersist(False)
+    except Exception:  # noqa: BLE001 — hygiene must never kill the bench
+        pass
+    if deep:
+        try:
+            spark._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -195,22 +226,35 @@ def main() -> None:
     min_runs = int(os.environ.get("BENCH_RUNS", "5"))
     max_runs = int(os.environ.get("BENCH_MAX_RUNS", "10"))
 
-    def timed_min(fn) -> float:
+    def timed_min(fn) -> tuple[float, float]:
+        """(min, mean) over the adaptive run set. min is the headline
+        (comparable round-over-round, the reference baseline's own
+        methodology); mean is reported alongside so a ~7% ambient drift
+        can't masquerade as — or mask — a real regression (r6 verdict
+        ask #6: a min that regressed while the mean held is noise; both
+        moving together is real)."""
         best = float("inf")
+        times: list[float] = []
         for i in range(max_runs):
+            quiesce(spark)  # untimed: drop blocks leaked by the previous run
             t0 = time.perf_counter()
             materialize(fn())
             t = time.perf_counter() - t0
+            times.append(t)
             improving = t < best * 0.98
             best = min(best, t)
             if i + 1 >= min_runs and not improving:
                 break
-        return best
+        return best, sum(times) / len(times)
 
     per_query: dict[str, float] = {}
+    per_query_mean: dict[str, float] = {}
     for name in names:
+        quiesce(spark, deep=True)
         try:
-            per_query[name] = round(timed_min(lambda: qs[name](spark, sf_dir)), 3)
+            mn, mean = timed_min(lambda: qs[name](spark, sf_dir))
+            per_query[name] = round(mn, 3)
+            per_query_mean[name] = round(mean, 3)
         except Exception as exc:  # noqa: BLE001 — one bad query must not kill the run
             print(f"# bench query {name} failed: {type(exc).__name__}: {exc}", file=sys.stderr)
             per_query[name] = -1.0
@@ -223,12 +267,16 @@ def main() -> None:
     if sweep:
         try:
             best = float("inf")
+            sweep_times = []
             for _ in range(3):
+                quiesce(spark, deep=True)
                 t0 = time.perf_counter()
                 for n in sweep:
                     materialize(qs[n](spark, sf_dir))
-                best = min(best, time.perf_counter() - t0)
+                sweep_times.append(time.perf_counter() - t0)
+                best = min(best, sweep_times[-1])
             per_query["tpch_sweep_total"] = round(best, 3)
+            per_query_mean["tpch_sweep_total"] = round(sum(sweep_times) / len(sweep_times), 3)
         except Exception as exc:  # noqa: BLE001
             print(f"# tpch sweep failed: {type(exc).__name__}: {exc}", file=sys.stderr)
             per_query["tpch_sweep_total"] = -1.0
@@ -248,6 +296,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "queries_mean": per_query_mean,
                 "sf": sf,
             }
         )

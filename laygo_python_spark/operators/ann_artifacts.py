@@ -27,19 +27,37 @@ IVF_PATH = f"{ARTIFACT_DIR}/ivf_centroids.parquet"
 PQ_PATH = f"{ARTIFACT_DIR}/pq_codebooks.parquet"
 
 
+_SIG_CACHE: dict[tuple[str, int, int], tuple[int, int] | None] = {}
+
+
 def corpus_signature(sf_dir: str) -> tuple[int, int] | None:
     """(n, sig) for the embeddings fixture — the artifact key. One
     pyarrow column read; see tools/train_ann_artifacts.py for why every
     step is exact across engines. None when the table isn't a plain
-    local parquet file (then callers fall back to live training)."""
+    local parquet file (then callers fall back to live training).
+
+    Memoized per (path, mtime, size): every artifact-gated query calls
+    this up to twice (IVF + PQ loaders), and the pre-r7 shape
+    re-materialized the FULL embedding matrix on the driver each time
+    (``to_pylist`` — ~0.3 s at sf0.1, pure overhead). The signature only
+    needs each row's first component, taken zero-copy from the arrow
+    list buffer via its offsets; the floor/sum arithmetic is unchanged
+    so committed artifact keys still match."""
     path = f"{sf_dir}/embeddings.parquet"
     if not os.path.isfile(path):
         return None
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    if key in _SIG_CACHE:
+        return _SIG_CACHE[key]
     import pyarrow.parquet as pq_
 
-    col = pq_.read_table(path, columns=["embedding"]).column("embedding").to_pylist()
-    mat = np.array(col, dtype=np.float64)
-    return len(mat), int(np.floor(mat[:, 0] * 1048576.0).sum())
+    col = pq_.read_table(path, columns=["embedding"]).column("embedding").combine_chunks()
+    offsets = np.asarray(col.offsets)
+    first = np.asarray(col.values)[offsets[:-1]].astype(np.float64)
+    sig = (len(col), int(np.floor(first * 1048576.0).sum()))
+    _SIG_CACHE[key] = sig
+    return sig
 
 
 def load_ivf_centroids(sf_dir: str, k: int) -> np.ndarray | None:

@@ -71,7 +71,11 @@ def _assign_cells(
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)  # (n, dim)
             # argmin ||x - c||² = argmin (||c||² - 2x·c) — skip ||x||²
             d2 = c_norm2 - 2.0 * (mat @ cT)  # (n, k)
-            order = np.argsort(d2, axis=1)[:, :n_probe]  # (n, n_probe)
+            # stable: an exact d2 tie (possible after an empty-cluster
+            # centroid collapse duplicates a centroid) must break to the
+            # LOWEST cell id, matching the DuckDB oracle's
+            # ORDER BY d2, cell — default quicksort is tie-unstable.
+            order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]  # (n, n_probe)
             ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
             vecs = [row for row in mat.tolist() for _ in range(n_probe)]
             yield pd.DataFrame({id_out: ids, vec_out: vecs, "cell": order.reshape(-1)})

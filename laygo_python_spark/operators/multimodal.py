@@ -743,12 +743,19 @@ _MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 120
 
 def mp3_meta(b: bytes | None) -> tuple[int, int, int, float] | None:
     """(sample_rate, channels, bitrate_kbps, est_duration_s) from an
-    MPEG Layer III stream — ID3v2 tag skip (syncsafe size) + first
-    frame-sync header parse, per the published ISO 11172-3 layout.
-    Duration is the CBR estimate (audio_bytes·8 / bitrate). Entropy
-    decode of the audio itself stays out of scope (perceptual codec);
-    this is the honest-metadata posture, same as H.264. Returns None
-    for anything that isn't a parseable Layer III stream."""
+    MPEG Layer III stream — ID3v2 tag skip (syncsafe size) + frame-sync
+    header parse, per the published ISO 11172-3 layout. A sync is only
+    accepted when a SECOND consecutive frame header (same version/layer/
+    samplerate) sits exactly one computed frame length later — the
+    standard MP3-sniffer discipline; a lone 11-bit sync with plausible
+    fields occurs in random binary at a non-trivial rate, and without
+    the continuation check audio_meta reported bogus metadata for
+    non-audio blobs. A stream that ENDS before a second frame could
+    exist (single-frame file) is still accepted. Duration is the CBR
+    estimate (audio_bytes·8 / bitrate). Entropy decode of the audio
+    itself stays out of scope (perceptual codec); this is the
+    honest-metadata posture, same as H.264. Returns None for anything
+    that isn't a parseable Layer III stream."""
     if b is None:
         return None
     b = bytes(b)
@@ -768,6 +775,22 @@ def mp3_meta(b: bytes | None) -> tuple[int, int, int, float] | None:
             if ver != 1 and layer == 1 and 0 < br_idx < 15 and sr_idx < 3:
                 rate = _MP3_RATES[ver][sr_idx]
                 kbps = (_MP3_BITRATE_V1 if ver == 3 else _MP3_BITRATE_V2)[br_idx]
+                padding = (b[pos + 2] >> 1) & 0x01
+                # Layer III frame length: 144 (MPEG1) / 72 (MPEG2/2.5)
+                # samples-per-byte factor · bitrate / samplerate + pad.
+                factor = 144 if ver == 3 else 72
+                frame_len = factor * kbps * 1000 // rate + padding
+                nxt = pos + frame_len
+                if nxt + 2 <= len(b) and not (
+                    b[nxt] == 0xFF
+                    and (b[nxt + 1] & 0xE0) == 0xE0
+                    and (b[nxt + 1] >> 3) & 0x03 == ver
+                    and (b[nxt + 1] >> 1) & 0x03 == layer
+                    and nxt + 3 <= len(b)
+                    and (b[nxt + 2] >> 2) & 0x03 == sr_idx
+                ):
+                    pos += 1
+                    continue
                 channels = 1 if mode == 3 else 2
                 dur = (len(b) - pos) * 8.0 / (kbps * 1000.0)
                 return (rate, channels, kbps, dur)

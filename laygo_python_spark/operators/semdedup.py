@@ -41,7 +41,7 @@ from laygo_python_spark.operators.similarity import cosine
 
 def semantic_dedup(
     corpus: DataFrame,
-    threshold: float = 0.35,
+    threshold: float = 0.95,
     n_clusters: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -52,7 +52,14 @@ def semantic_dedup(
     lower-id vector in the same k-means cell has cosine sim >=
     ``threshold``. Pass ``centroids`` to cluster at fixed pre-trained
     cells (the committed artifact); otherwise trains distributed
-    k-means. ``max_cluster`` bounds the pairwise fan-in per cell."""
+    k-means. ``max_cluster`` bounds the pairwise fan-in per cell.
+
+    The 0.95 default follows the published SemDeDup operating range for
+    real embedding corpora (duplicates are near-identical vectors);
+    lower values prune semantic NEIGHBORS, not duplicates. The
+    registered fixture query passes 0.35 explicitly because the
+    synthetic embeddings are near-orthogonal (max pairwise sim ~0.51) —
+    that value is fixture-tuned, not a recommendation."""
     if centroids is None:
         centroids = train_centroids(corpus, n_clusters, vec_col)
     a = _assign_cells(corpus, centroids, "sd_id", "v", id_col, vec_col, n_probe=1)

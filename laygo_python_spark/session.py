@@ -90,6 +90,15 @@ def get_spark(
         # from driver threads — FAIR interleaves them instead of FIFO
         # head-of-line blocking.
         .config("spark.scheduler.mode", "FAIR")
+        # ContextCleaner housekeeping: out-of-scope broadcasts, shuffle
+        # files and localCheckpoint blocks are only reclaimed after a
+        # JVM GC surfaces their weak refs, and Spark's fallback periodic
+        # GC defaults to 30min — longer than a whole bench/test session,
+        # so hundreds of per-query broadcasts and checkpoint blocks
+        # accumulated as storage/GC pressure (measured r6: back-to-back
+        # suite runs drifted +9% vs isolated). 2min bounds the drift
+        # without measurable GC cost (one full GC on this heap ~0.2 s).
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
     if SparkSession.getActiveSession() is None:

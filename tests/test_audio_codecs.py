@@ -189,7 +189,9 @@ def test_adpcm_malformed_guards():
 
 def _mk_mp3(ver_bits=3, br_idx=9, sr_idx=0, mode=0, n_frames=10, id3=True):
     """Hand-assemble a Layer III stream: optional ID3v2 tag + repeated
-    frame headers with zeroed payload (header parse needs no audio)."""
+    frame headers with zeroed payload (header parse needs no audio).
+    Frames carry their TRUE computed length so consecutive headers land
+    exactly one frame apart — mp3_meta validates the continuation."""
     hdr = bytes(
         [
             0xFF,
@@ -198,7 +200,13 @@ def _mk_mp3(ver_bits=3, br_idx=9, sr_idx=0, mode=0, n_frames=10, id3=True):
             mode << 6,
         ]
     )
-    frame = hdr + b"\x00" * 413  # 128kbps@44100 frame size ~417
+    kbps = (M._MP3_BITRATE_V1 if ver_bits == 3 else M._MP3_BITRATE_V2)[br_idx]
+    rate = M._MP3_RATES.get(ver_bits, (44100,))[sr_idx] if sr_idx < 3 else 0
+    factor = 144 if ver_bits == 3 else 72
+    # free-format / reserved-rate fixtures can't size a frame (and the
+    # parser rejects the header anyway) — any filler works
+    flen = factor * kbps * 1000 // rate if kbps and rate else 417
+    frame = hdr + b"\x00" * (flen - 4)
     body = frame * n_frames
     if id3:
         tag_body = b"\x00" * 200
@@ -227,6 +235,19 @@ def test_mp3_meta_variants_and_guards():
     assert M.mp3_meta(b"not audio at all") is None
     assert M.mp3_meta(_mk_mp3(br_idx=0)) is None  # free-format: unsupported
     assert M.mp3_meta(_mk_mp3(sr_idx=3)) is None  # reserved samplerate
+    # a single frame at stream end is accepted (no room for a 2nd header)
+    assert M.mp3_meta(_mk_mp3(n_frames=1, id3=False)) is not None
+    # a lone plausible sync followed by garbage is REJECTED — the
+    # continuation check is what keeps audio_meta from reporting bogus
+    # metadata on random binary (a real sniffer's discipline)
+    one = bytearray(_mk_mp3(n_frames=2, id3=False))
+    one[417] = 0x00  # clobber the 2nd frame's sync byte
+    assert M.mp3_meta(bytes(one)) is None
+    # deterministic pseudo-random binary: no false positive in 4 KiB
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    assert M.mp3_meta(rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()) is None
 
 
 def test_audio_meta_dispatches_mp3(spark):

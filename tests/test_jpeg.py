@@ -362,3 +362,31 @@ def test_progressive_sparse_bands_exercise_eob_runs():
     prog = J.jpeg_decode_pixels(_encode_jpeg_progressive(px))
     seq = J.jpeg_decode_pixels(_encode_jpeg(px))
     assert prog is not None and (prog == seq).all()
+
+
+def test_progressive_real_encoder_fixture():
+    """Cross-implementation gate (r6 advice): the progressive tests
+    above validate against _encode_jpeg_progressive — a test-authored
+    encoder in this repo — so a MUTUAL bug in the spectral-selection /
+    successive-approximation conventions could pass both sides. When a
+    real encoder (PIL/libjpeg) is present, encode progressive streams
+    with IT and demand our decoder reconstructs the pixels it encodes.
+    This container ships no image libs (skip); any environment with
+    Pillow runs the real cross-check."""
+    PIL_Image = pytest.importorskip("PIL.Image", reason="no real JPEG encoder in this image")
+    import io
+
+    rng = np.random.RandomState(47)
+    for shape, mode in (((24, 33), "L"), ((21, 18, 3), "RGB")):
+        base = rng.randint(0, 256, size=shape).astype(np.uint8)
+        im = PIL_Image.fromarray(base, mode=mode)
+        buf = io.BytesIO()
+        im.save(buf, format="JPEG", progressive=True, quality=90, subsampling=0)
+        blob = buf.getvalue()
+        got = J.jpeg_decode_pixels(blob)
+        assert got is not None and got.shape[:2] == shape[:2]
+        # libjpeg's decoder is the ground truth for its own stream
+        ref = np.asarray(PIL_Image.open(io.BytesIO(blob)).convert(mode))
+        if ref.ndim == 2:
+            ref = ref[:, :, None]
+        assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
