@@ -1052,3 +1052,110 @@ def embedding_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("proto_rank", F.row_number().over(w).cast("int"))
     )
+
+
+@query(
+    "multimodal_mp3_meta",
+    oracle="""
+    WITH g AS (SELECT doc_id,
+                      doc_id % 2 AS isv1,
+                      doc_id % 13 + 1 AS br_idx,
+                      doc_id % 3 AS sr_idx,
+                      doc_id % 4 AS md,
+                      doc_id % 6 + 2 AS nf
+               FROM documents),
+    t AS (SELECT doc_id, nf,
+                 CASE WHEN isv1 = 1
+                   THEN [32,40,48,56,64,80,96,112,128,160,192,224,256][br_idx]
+                   ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144][br_idx]
+                 END AS kbps,
+                 CASE WHEN isv1 = 1
+                   THEN [44100,48000,32000][sr_idx + 1]
+                   ELSE [22050,24000,16000][sr_idx + 1]
+                 END AS rate,
+                 CASE WHEN md = 3 THEN 1 ELSE 2 END AS channels,
+                 CASE WHEN isv1 = 1 THEN 144 ELSE 72 END AS factor
+          FROM g)
+    SELECT doc_id,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(channels AS INT) AS channels,
+           CAST(kbps AS INT) AS bitrate_kbps,
+           round(CAST((factor * kbps * 1000 // rate) * nf * 8 AS DOUBLE)
+                 / (kbps * 1000), 6) AS duration_s
+    FROM t
+    """,
+)
+def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 twin of the codec identity gates (r6 verdict ask #8): each
+    doc_id synthesizes a deterministic MPEG Layer III stream — version/
+    bitrate/samplerate/mode/frame-count all keyed off doc_id, an ID3v2
+    tag in front (exercising the syncsafe skip), every frame carrying
+    its TRUE computed length so the parser's second-frame continuation
+    check holds — and ``multimodal.mp3_meta`` parses it back. The
+    oracle recomputes (rate, channels, kbps, CBR duration) from the
+    ISO 11172-3 tables alone, so a hash match certifies the header
+    parser end-to-end: sync scan, ID3 skip, version/bitrate/rate/mode
+    decode and the frame-length arithmetic. Duration is ONE float64
+    division on both engines (body_bytes·8 / bps) with half-away
+    rounding at 6 decimals (same discipline as multimodal_audio_stats).
+    Map-only, no shuffle."""
+    import math
+
+    import pandas as pd
+
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
+
+    def run(batches):
+        for pdf in batches:
+            ids, rates, chs, kbpss, durs = [], [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                isv1 = d % 2 == 1
+                ver_bits = 3 if isv1 else 2
+                br_idx = d % 13 + 1
+                sr_idx = d % 3
+                mode = d % 4
+                nf = d % 6 + 2
+                hdr = bytes(
+                    [
+                        0xFF,
+                        0xE0 | (ver_bits << 3) | (1 << 1),
+                        (br_idx << 4) | (sr_idx << 2),
+                        mode << 6,
+                    ]
+                )
+                kbps = (
+                    multimodal._MP3_BITRATE_V1 if isv1 else multimodal._MP3_BITRATE_V2
+                )[br_idx]
+                rate = multimodal._MP3_RATES[ver_bits][sr_idx]
+                factor = 144 if isv1 else 72
+                flen = factor * kbps * 1000 // rate
+                body = (hdr + b"\x00" * (flen - 4)) * nf
+                tag = b"\x00" * 64
+                blob = b"ID3\x03\x00\x00" + bytes(
+                    [(len(tag) >> 21) & 0x7F, (len(tag) >> 14) & 0x7F,
+                     (len(tag) >> 7) & 0x7F, len(tag) & 0x7F]
+                ) + tag + body
+                got = multimodal.mp3_meta(blob)
+                if got is None:  # parser broke — the gate must fail loudly
+                    raise ValueError(f"mp3_meta failed for doc_id={d}")
+                r, c, k, dur = got
+                ids.append(d)
+                rates.append(r)
+                chs.append(c)
+                kbpss.append(k)
+                durs.append(math.copysign(math.floor(abs(dur) * 1e6 + 0.5), dur) / 1e6)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": rates,
+                    "channels": chs,
+                    "bitrate_kbps": kbpss,
+                    "duration_s": durs,
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, sample_rate int, channels int, bitrate_kbps int, duration_s double",
+    )
