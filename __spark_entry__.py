@@ -63,6 +63,8 @@ _NEVER_DRIVER_CHECKED = [
     "sorted_neighborhood_name_pairs", "ewma_daily_event_value",
     "mad_outlier_orders", "cusum_changepoint_daily",
     "seasonal_dow_decompose", "acf_daily_value",
+    # r7 newly gated additions:
+    "multimodal_mp3_meta",
 ]
 
 

@@ -723,11 +723,13 @@ def minhash_index_read(spark, path: str) -> dict[str, DataFrame]:
 def minhash_index_append(
     spark,
     path: str,
-    new_docs: DataFrame,
+    new_docs: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_id: int | None = None,
     stats: bool = True,
+    precomputed_sig: DataFrame | None = None,
+    params: dict | None = None,
 ) -> dict[str, int | bool]:
     """Fold an accepted batch INTO the stored index — the missing half of
     the incremental story: without it a daily pipeline re-builds the
@@ -770,8 +772,18 @@ def minhash_index_append(
 
     Returns appended row counts per table; ``stats=False`` skips that
     counting job for callers that discard the dict (the registered
-    queries, the streaming ingest loop)."""
-    row = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    queries, the streaming ingest loop).
+
+    ``precomputed_sig`` + ``params``: a caller that already shingled
+    the batch (the streaming ingest loop matches FIRST, then appends
+    the accepted subset) passes the pinned ``_minhash_sig_keys`` frame
+    — restricted to the docs to append — and the index's params dict;
+    the append then runs ZERO Python passes (integer joins + writes
+    only) and skips the params parquet probe."""
+    if params is not None:
+        row = dict(params)
+    else:
+        row = spark.read.parquet(f"{path}/params").collect()[0].asDict()
     max_bucket = row.get("max_bucket", 1000)
     if batch_id is not None and _batch_already_applied(spark, path, batch_id):
         return {"applied": False, "membership": 0, "reps": 0, "bands": 0, "dropped": 0}
@@ -780,16 +792,18 @@ def minhash_index_append(
     # below is pinned BEFORE any write, because the writes append into
     # the very directories those frames read (lazy evaluation would
     # otherwise re-scan mid-append state).
-    sig = _minhash_sig_keys(
-        new_docs,
-        id_col,
-        text_col,
-        row["shingle_n"],
-        row["num_hashes"],
-        row["bands"],
-        row["seed"],
-        row["hash_fn"],
-    ).localCheckpoint(eager=True)
+    sig = precomputed_sig
+    if sig is None:
+        sig = _minhash_sig_keys(
+            new_docs,
+            id_col,
+            text_col,
+            row["shingle_n"],
+            row["num_hashes"],
+            row["bands"],
+            row["seed"],
+            row["hash_fn"],
+        ).localCheckpoint(eager=True)
     new_membership = sig.select(F.col(id_col).alias("doc_id"), "sig_key")
     reps_add = new_membership.groupBy("sig_key").agg(F.min("doc_id").alias("rep"))
     existing_sigs = spark.read.parquet(f"{path}/reps").select("sig_key")
@@ -928,6 +942,7 @@ def minhash_match_incremental(
     seed: int | None = None,
     hash_fn: str | None = None,
     mode: str = "pairs",
+    precomputed_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-snapshot LSH candidates: today's batch against a stored
     index — (doc_id_new, doc_id_seen, n_bands), where n_bands counts
@@ -980,10 +995,15 @@ def minhash_match_incremental(
     # join, the cross-sig join, and the band explode — three subtrees
     # that would each re-run the Python pass (exchange reuse never
     # fires across mapInPandas subtrees; plan-verified 3x without the
-    # pin).
-    sig = _minhash_sig_keys(
-        new_docs, id_col, text_col, shingle_n, num_hashes, bands, seed, hash_fn
-    ).localCheckpoint(eager=True)
+    # pin). ``precomputed_sig`` lets a caller that ALSO needs the
+    # batch's signatures (the streaming ingest loop: match THEN append)
+    # shingle exactly once — it must be a pinned ``_minhash_sig_keys``
+    # output built with this index's params.
+    sig = precomputed_sig
+    if sig is None:
+        sig = _minhash_sig_keys(
+            new_docs, id_col, text_col, shingle_n, num_hashes, bands, seed, hash_fn
+        ).localCheckpoint(eager=True)
     seen_side = index["membership"] if mode == "pairs" else index["reps"]
     seen_cols = {"sig_key": "nsig", "doc_id": "doc_id_seen"} if mode == "pairs" else {
         "sig_key": "nsig",

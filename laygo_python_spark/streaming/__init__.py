@@ -155,16 +155,30 @@ def incremental_dedup_processor(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         new = batch_df.filter(new_filter) if new_filter is not None else batch_df
-        new = new.localCheckpoint(eager=True)
         stored = dedup.minhash_index_read(spark, index_path)
-        matches = dedup.minhash_match_incremental(new, stored).localCheckpoint(eager=True)
+        p = stored["params"]
+        # ONE Python pass per micro-batch: the pinned signature frame
+        # feeds BOTH the match and (anti-joined down to the accepted
+        # docs) the index append — the pre-r7 shape shingled the batch
+        # twice and pinned the raw batch rows a third time.
+        sig = dedup._minhash_sig_keys(
+            new, "doc_id", "text",
+            p["shingle_n"], p["num_hashes"], p["bands"], p["seed"], p["hash_fn"],
+        ).localCheckpoint(eager=True)
+        matches = dedup.minhash_match_incremental(
+            new, stored, precomputed_sig=sig
+        ).localCheckpoint(eager=True)
         matches.write.mode("overwrite").parquet(f"{matches_path}/batch_id={batch_id}")
-        accepted = new.join(
+        accepted_sig = sig.join(
             matches.select(F.col("doc_id_new").alias("doc_id")).distinct(),
             "doc_id",
             "left_anti",
         )
-        dedup.minhash_index_append(spark, index_path, accepted, batch_id=batch_id, stats=False)
+        dedup.minhash_index_append(
+            spark, index_path, None,
+            batch_id=batch_id, stats=False,
+            precomputed_sig=accepted_sig, params=p,
+        )
         if compact_every and (batch_id + 1) % compact_every == 0:
             dedup.minhash_index_compact(spark, index_path, stats=False)
 
