@@ -37,6 +37,7 @@ def pagerank(
     weight: str | None = None,
     checkpoint_every: int = 1,
     sources: DataFrame | None = None,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Rank nodes of a directed graph given an edge list.
 
@@ -65,45 +66,68 @@ def pagerank(
     importance. The source flag joins into the node table once
     (broadcast — source sets are small by definition) and the loop is
     otherwise unchanged.
+
+    ``symmetric=True``: the caller asserts every node appears as a
+    source (true for any symmetrized edge list — the graph queries'
+    shape). The node set is then deg's key column — zero extra
+    shuffles — instead of a union-distinct over both endpoint columns
+    (measured 1.5 s → free at sf0.1).
     """
     wcol = F.col(weight) if weight else F.lit(1.0)
-    # Pin the INPUT view first: deg, the partitioned edge table and the
-    # node set each consume `raw`, and they materialize in separate
-    # jobs — without this persist each one re-runs the caller's whole
-    # edge derivation (for the graph queries: a distinct over lineitem,
+    # Pin the INPUT view first: deg, the edge table and the node set
+    # each consume `raw`, and they materialize in separate jobs —
+    # without this persist each one re-runs the caller's whole edge
+    # derivation (for the graph queries: a distinct over lineitem,
     # ~1 s/scan at sf0.1, 3x = the bulk of setup; measured r5 via
     # tools/pagerank_profile.py). Cross-job plan reuse only happens
     # through a persist, never through ReusedExchange.
     raw = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), wcol.alias("w")
     ).persist()
-    deg = raw.groupBy("src").agg(F.sum("w").alias("deg"))
-    # Pre-join out-degree into the edge table and hash-partition on src
-    # ONCE: the per-round work is then one shuffle of the rank vector to
-    # this fixed layout plus one contribution aggregation — |E| never
-    # moves again.
-    e = raw.join(deg, "src").repartition("src").persist()
-    # persist (NOT localCheckpoint) pins the node set: blocks release
+    # deg pinned too: it feeds BOTH the pre-joined edge table and (in
+    # symmetric mode) the node set — and its groupBy shuffle is the
+    # setup's priciest step after the edge distinct.
+    deg = raw.groupBy("src").agg(F.sum("w").alias("deg")).persist()
+    # persists (NOT localCheckpoint) everywhere: blocks release
     # deterministically in the finally below, where checkpoint blocks
     # wait for driver GC — repeated calls in one session accumulated
     # them until executor memory pressure showed up as run-over-run
     # slowdown (measured r6). The per-node (base, pr0) literal columns
-    # stay LAZY over the pin — each round derives them from cached
-    # blocks for free, so the separate second checkpoint job the r5
-    # shape paid disappears.
-    nodes_raw = (
-        raw.select(F.col("src").alias("node"))
-        .unionByName(raw.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
+    # stay LAZY over the pins — each round derives them from cached
+    # blocks for free.
+    if symmetric:
+        nodes_raw = deg.select(F.col("src").alias("node"))
+        pins = [raw, deg]
+    else:
+        nodes_raw = (
+            raw.select(F.col("src").alias("node"))
+            .unionByName(raw.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        pins = [raw, deg, nodes_raw]
     n = nodes_raw.count()
+    # Edge-table layout, cadence-aware (measured r7, min-of-5 at
+    # sf0.1): with a checkpoint cadence each round runs as its OWN job
+    # against the edge cache, and hash-partitioning the edges on src
+    # ONCE is what keeps |E| still — only the rank vector moves to the
+    # fixed layout (pin 4.8 s vs no-pin 5.5-5.7 s for the 5-round
+    # query, at every cadence tried). With checkpoint_every=0 the
+    # whole loop fuses into ONE job where Catalyst's ReusedExchange
+    # serves the same purpose for free, and the forced exchange is
+    # pure overhead (no-pin 3.8 s vs pin 4.2 s for the 3-round
+    # personalized query). Same reasoning holds on a cluster: the pin
+    # matters exactly when rounds are separate jobs.
+    e = raw.join(deg, "src")
+    if checkpoint_every:
+        e = e.repartition("src")
+    e = e.persist()
+    pins.append(e)
     if n == 0:
         # Empty edge list (e.g. an upstream filter matched nothing):
         # empty ranks, not a driver-side ZeroDivisionError.
-        e.unpersist()
-        raw.unpersist()
-        nodes_raw.unpersist()
+        for p_ in pins:
+            p_.unpersist()
         return nodes_raw.withColumn("pr", F.lit(0.0))
     nodes = nodes_raw
     if sources is None:
@@ -154,7 +178,6 @@ def pagerank(
             ):
                 ranks = ranks.localCheckpoint(eager=True)
     finally:
-        e.unpersist()
-        raw.unpersist()
-        nodes_raw.unpersist()
+        for p_ in pins:
+            p_.unpersist()
     return ranks

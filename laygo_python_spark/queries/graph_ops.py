@@ -86,7 +86,9 @@ def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint_every=2: measured sweet spot at sf0.1 (r6) — every
     # round (5 checkpoint jobs) pays scheduling, never (one mega-job)
     # pays replanning; min-of-4 walls 0→5.09 s, 1→4.60, 2→4.45, 5→4.90.
-    return pagerank(edges, iterations=5, checkpoint_every=2).select(
+    # symmetric=True: _sp_edges symmetrizes, so the node set is deg's
+    # key column (r7 — saves the union-distinct shuffle).
+    return pagerank(edges, iterations=5, checkpoint_every=2, symmetric=True).select(
         "node", F.round("pr", 8).alias("pr")
     )
 
@@ -227,5 +229,5 @@ def ppr_similar_to_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     on BOTH sides since 'unreached' is the semantic answer there."""
     edges = _sp_edges(_t(spark, sf_dir, "lineitem"), "ppr_similar_to_suppliers")
     sources = local_rows_df(edges.sparkSession, [(1,), (2,), (3,)], "node long")
-    out = pagerank(edges, iterations=3, checkpoint_every=0, sources=sources)
+    out = pagerank(edges, iterations=3, checkpoint_every=0, sources=sources, symmetric=True)
     return out.select("node", F.round("pr", 9).alias("pr")).filter(F.col("pr") > 0)
