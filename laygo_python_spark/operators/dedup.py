@@ -808,6 +808,11 @@ def minhash_index_append(
     reps_add = new_membership.groupBy("sig_key").agg(F.min("doc_id").alias("rep"))
     existing_sigs = spark.read.parquet(f"{path}/reps").select("sig_key")
     dropped_cur = _read_or_empty(spark, f"{path}/dropped", "band_key long")
+    # ONE pinned frame carries both the band rows AND each band's cap
+    # verdict (r7: the previous shape checkpointed new_band_rows, then
+    # a second job checkpointed newly_dropped derived from it — two
+    # sequential job barriers where one suffices; the self-referencing
+    # count rides the same job via in-job exchange reuse).
     new_band_rows = (
         sig.dropDuplicates(["sig_key"])
         .join(existing_sigs, "sig_key", "left_anti")
@@ -815,7 +820,6 @@ def minhash_index_append(
         .distinct()
         .join(dropped_cur, "band_key", "left_anti")
         .select("sig_key", "band_key")  # USING-join reordered; parquet appends by name
-        .localCheckpoint(eager=True)
     )
     new_counts = new_band_rows.groupBy("band_key").agg(F.count(F.lit(1)).alias("add"))
     cur_counts = (
@@ -824,15 +828,13 @@ def minhash_index_append(
         .groupBy("band_key")
         .agg(F.count(F.lit(1)).alias("cur"))
     )
-    newly_dropped = (
-        new_counts.join(cur_counts, "band_key", "left")
-        .filter(F.coalesce(F.col("cur"), F.lit(0)) + F.col("add") > max_bucket)
-        .select("band_key")
-        .localCheckpoint(eager=True)
+    verdict = new_counts.join(cur_counts, "band_key", "left").select(
+        "band_key",
+        (F.coalesce(F.col("cur"), F.lit(0)) + F.col("add") > max_bucket).alias("__drop"),
     )
-    band_append = new_band_rows.join(newly_dropped, "band_key", "left_anti").select(
-        "sig_key", "band_key"
-    )
+    combined = new_band_rows.join(verdict, "band_key").localCheckpoint(eager=True)
+    newly_dropped = combined.filter(F.col("__drop")).select("band_key").distinct()
+    band_append = combined.filter(~F.col("__drop")).select("sig_key", "band_key")
     # Four appends into distinct dirs, all from pinned frames — issued
     # concurrently; the replay marker stays strictly AFTER them (it is
     # the at-least-once commit point).
