@@ -105,6 +105,8 @@ HEADLINE = [
     "multimodal_mjpg_stats",
     "dedup_semantic",
     "embedding_prototypicality",
+    # r7 addition: the MP3 header-parse identity gate.
+    "multimodal_mp3_meta",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

@@ -391,3 +391,39 @@ def test_read_or_empty_propagates_real_read_errors(spark, tmp_path):
     (bad / "part-0.parquet").write_text("this is not parquet")
     with pytest.raises(Exception):
         dedup._read_or_empty(spark, str(bad), "band_key long").collect()
+
+
+def test_index_template_cached_and_mutation_isolated(spark, tmp_path, monkeypatch):
+    # _index_template builds the stored-index fixture ONCE per (session,
+    # table state) and each invocation copies it — appending into the
+    # copy must never mutate the template (otherwise a later run would
+    # dedup against state a previous run accreted).
+    import shutil
+
+    from laygo_python_spark.queries import dedup_ops
+
+    builds = []
+
+    def build(p):
+        builds.append(p)
+        dedup.minhash_index_write(
+            dedup.minhash_index(_docs(spark, _uniq(12)), num_hashes=8, bands=4), p
+        )
+
+    monkeypatch.setattr(dedup_ops, "_INDEX_TEMPLATES", {})
+    t1 = dedup_ops._index_template(spark, str(tmp_path), "t", build)
+    t2 = dedup_ops._index_template(spark, str(tmp_path), "t", build)
+    assert t1 == t2 and len(builds) == 1  # second call served from cache
+    before = sorted(
+        r["sig_key"] for r in spark.read.parquet(f"{t1}/membership").collect()
+    )
+    copy = str(tmp_path / "copy")
+    shutil.copytree(t1, copy)
+    dedup.minhash_index_append(spark, copy, _docs(spark, _uniq(5, start=100)), batch_id=9)
+    after = sorted(
+        r["sig_key"] for r in spark.read.parquet(f"{t1}/membership").collect()
+    )
+    assert after == before  # template untouched by the copy's append
+    grown = spark.read.parquet(f"{copy}/membership").count()
+    assert grown == len(before) + 5
+    shutil.rmtree(t1, ignore_errors=True)
