@@ -120,9 +120,9 @@ def _dec_avi_mjpg(b: bytes) -> None:
     n = 0
     data = bytes(b)
     movi = data.find(b"movi")
-    for cid, payload in multimodal._riff_chunks(data, movi + 4, len(data)):
+    for cid, start, size in multimodal._riff_chunks(data, movi + 4, len(data)):
         if cid == b"00dc":
-            assert J.jpeg_decode_pixels(payload) is not None
+            assert J.jpeg_decode_pixels(data[start : start + size]) is not None
             n += 1
     assert n > 0
 
