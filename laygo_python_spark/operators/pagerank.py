@@ -156,19 +156,31 @@ def pagerank(
     # checkpointed blocks for free (personalized mode adds a broadcast
     # join, map-side and equally cheap in-job).
     ranks = nodes.select("node", F.col("pr0").alias("pr"))
+    # Symmetric + uniform teleport: every node has in-edges (in-degree
+    # = out-degree > 0), so the contribution aggregation already covers
+    # the whole node set and `base` is one constant — the per-round
+    # nodes join exists only to re-add zero-contribution nodes and
+    # per-node teleports, both vacuous here. Personalized mode keeps
+    # the join (base varies by node).
+    fold_base = symmetric and sources is None
     try:
         for it in range(iterations):
             contrib = e.join(ranks.withColumnRenamed("node", "src"), "src").select(
                 F.col("dst").alias("node"),
                 (F.col("pr") * F.col("w") / F.col("deg")).alias("c"),
             )
-            ranks = (
-                nodes.join(contrib.groupBy("node").agg(F.sum("c").alias("s")), "node", "left")
-                .select(
-                    "node",
-                    (F.col("base") + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("pr"),
+            if fold_base:
+                ranks = contrib.groupBy("node").agg(
+                    (F.lit((1.0 - damping) / n) + F.lit(damping) * F.sum("c")).alias("pr")
                 )
-            )
+            else:
+                ranks = (
+                    nodes.join(contrib.groupBy("node").agg(F.sum("c").alias("s")), "node", "left")
+                    .select(
+                        "node",
+                        (F.col("base") + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("pr"),
+                    )
+                )
             # The FINAL round always checkpoints eagerly: the finally
             # block unpins the edge layout, so the returned frame must
             # already be materialized (otherwise the caller's action
