@@ -105,8 +105,10 @@ HEADLINE = [
     "multimodal_mjpg_stats",
     "dedup_semantic",
     "embedding_prototypicality",
-    # r7 addition: the MP3 header-parse identity gate.
+    # r7 additions: the MP3 header-parse identity gate and the directed
+    # containment (quote/subset-dup) detector.
     "multimodal_mp3_meta",
+    "ngram_containment_pairs",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

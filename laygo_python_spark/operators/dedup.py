@@ -1042,6 +1042,75 @@ def minhash_match_incremental(
     return cross.unionByName(same)
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """DIRECTED containment pairs: (doc_id_a, doc_id_b, containment)
+    where containment = |grams(A) ∩ grams(B)| / |grams(A)| ≥ threshold,
+    a ≠ b. The asymmetric complement of ``ngram_jaccard_pairs``:
+    Jaccard misses the quote/subset shape entirely (a paragraph copied
+    into a 100× longer document has near-zero Jaccard but containment
+    ≈ 1.0 in the A→B direction), and containment-based filtering is
+    the standard decontamination / quote-dedup primitive for training
+    corpora. Both directions emit as separate rows (A-inside-B and
+    B-inside-A are different decisions).
+
+    Plan: inverted-index set-similarity join — distinct (doc, gram)
+    posting list, self-joined on the gram, per-pair intersection
+    counts, one division against |A|. All shuffles carry grams and
+    ids, never document text.
+
+    ``max_df`` is the stop-gram guard the inverted-index family needs
+    at scale: a gram appearing in d documents fans the self-join out
+    d² rows, so boilerplate grams dominate cost while carrying no
+    signal. Grams with document frequency > max_df are dropped from
+    the UNIVERSE — both the intersection and |A| — so the reported
+    value is exactly "containment over sub-max_df grams" (a documented
+    semantics change, deterministic and oracle-replayable, not a
+    silent approximation). None = exact containment."""
+    grams = (
+        docs.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(
+                F.array_distinct(shingles(text_col, n) if n > 1 else tokens(text_col))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    if max_df is not None:
+        keep = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("g")
+        )
+        grams = grams.join(keep, "g", "left_semi")
+    sizes = grams.groupBy("__doc").agg(F.count(F.lit(1)).alias("__n"))
+    a = grams.select(F.col("__doc").alias("__ida"), "g")
+    b = grams.select(F.col("__doc").alias("__idb"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .groupBy("__ida", "__idb")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    cont = F.col("__i").cast("double") / F.col("__n")
+    return (
+        inter.join(sizes.withColumnRenamed("__doc", "__ida"), "__ida")
+        .filter(cont >= threshold)
+        .select(
+            F.col("__ida").alias("doc_id_a"),
+            F.col("__idb").alias("doc_id_b"),
+            cont.alias("containment"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -38,6 +38,7 @@ def pagerank(
     checkpoint_every: int = 1,
     sources: DataFrame | None = None,
     symmetric: bool = False,
+    sparse: bool = False,
 ) -> DataFrame:
     """Rank nodes of a directed graph given an edge list.
 
@@ -131,6 +132,8 @@ def pagerank(
         return nodes_raw.withColumn("pr", F.lit(0.0))
     nodes = nodes_raw
     if sources is None:
+        if sparse:
+            raise ValueError("pagerank: sparse=True requires a source set (personalized mode)")
         nodes = nodes.withColumn("base", F.lit((1.0 - damping) / n)).withColumn(
             "pr0", F.lit(1.0 / n)
         )
@@ -139,6 +142,41 @@ def pagerank(
         n_s = src_set.count()
         if n_s == 0:
             raise ValueError("pagerank: personalized mode needs a non-empty source set")
+        if sparse:
+            # SPARSE personalized mode — the 100 TB shape for PPR: rank
+            # mass lives only inside the iteration-hop ball around the
+            # sources, so the rank vector carries REACHED nodes instead
+            # of |V| rows of mostly zeros (on a billion-node graph with
+            # a 3-round walk that is the difference between a frontier
+            # and the full vertex set every round). The teleport enters
+            # as |S| constant rows unioned into the contribution
+            # aggregation — dense pr(v) = base(v) + d·Σc(v) equals the
+            # summed union exactly, and a node absent from both has
+            # pr = 0, which is exactly the rows this mode omits. The
+            # caller gets ONLY pr > 0 nodes.
+            base_rows = src_set.select(
+                "node", F.lit((1.0 - damping) / n_s).alias("pr")
+            ).localCheckpoint(eager=True)
+            ranks = src_set.select("node", F.lit(1.0 / n_s).alias("pr"))
+            try:
+                for it in range(iterations):
+                    contrib = e.join(ranks.withColumnRenamed("node", "src"), "src").select(
+                        F.col("dst").alias("node"),
+                        (F.lit(damping) * F.col("pr") * F.col("w") / F.col("deg")).alias("pr"),
+                    )
+                    ranks = (
+                        base_rows.unionByName(contrib)
+                        .groupBy("node")
+                        .agg(F.sum("pr").alias("pr"))
+                    )
+                    if it + 1 == iterations or (
+                        checkpoint_every and (it + 1) % checkpoint_every == 0
+                    ):
+                        ranks = ranks.localCheckpoint(eager=True)
+            finally:
+                for p_ in pins:
+                    p_.unpersist()
+            return ranks
         flagged = F.broadcast(src_set.withColumn("__is_src", F.lit(True)))
         nodes = (
             nodes.join(flagged, "node", "left")

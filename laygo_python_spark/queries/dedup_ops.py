@@ -170,6 +170,37 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=1, threshold=0.95)
 
 
+@query(
+    "ngram_containment_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+                  FROM documents WHERE text IS NOT NULL),
+    idx AS (SELECT doc_id, l, unnest(range(1, len(l)-1)) AS i
+            FROM toks WHERE len(l) >= 3),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2],' ') AS g FROM idx),
+    df AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 1000),
+    kept AS (SELECT sh.doc_id, sh.g FROM sh JOIN df USING (g)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+              FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_id_a, doc_id_b, CAST(i AS DOUBLE) / s.n AS containment
+    FROM inter JOIN sizes s ON doc_id_a = s.doc_id
+    WHERE CAST(i AS DOUBLE) / s.n >= 0.6
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 3-gram containment pairs at threshold 0.6 with the
+    max_df=1000 stop-gram guard — the quote/subset-duplication detector
+    Jaccard can't see (operators/dedup.ngram_containment_pairs). The
+    DuckDB oracle replays shingling, the df cap, the inverted-index
+    intersection and the single |A| division, so the containment double
+    is bit-identical and oracle-safe unrounded."""
+    return dedup.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.6, max_df=1000
+    )
+
+
 @query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128) + LSH(32 bands × 4 rows) candidate pairs on 3-gram

@@ -229,5 +229,11 @@ def ppr_similar_to_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     on BOTH sides since 'unreached' is the semantic answer there."""
     edges = _sp_edges(_t(spark, sf_dir, "lineitem"), "ppr_similar_to_suppliers")
     sources = local_rows_df(edges.sparkSession, [(1,), (2,), (3,)], "node long")
-    out = pagerank(edges, iterations=3, checkpoint_every=0, sources=sources, symmetric=True)
+    # sparse=True: the rank vector carries only REACHED nodes (the
+    # 3-hop ball around the sources) instead of |V| rows — the shape
+    # that survives a billion-node graph; pr>0 filter semantics are
+    # unchanged (sparse omits exactly the zero rows).
+    out = pagerank(
+        edges, iterations=3, checkpoint_every=0, sources=sources, symmetric=True, sparse=True
+    )
     return out.select("node", F.round("pr", 9).alias("pr")).filter(F.col("pr") > 0)

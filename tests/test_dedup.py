@@ -405,3 +405,45 @@ def test_minhash_incremental_rep_mode_linear_under_flood(spark):
     assert {r.doc_id_seen for r in rep_rows} == {0}
     assert all(r.n_bands == 32 for r in rep_rows)
     assert dedup.minhash_match_incremental(new, idx, mode="pairs").count() == 20 * 50
+
+
+def test_ngram_containment_pairs_matches_model(spark):
+    # quote shape: doc 1 is a short passage, doc 2 embeds it verbatim in
+    # a much longer text — containment(1→2) = 1.0 while Jaccard is tiny;
+    # doc 3 is unrelated. Reference model: brute-force python sets.
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    long_doc = "unrelated preamble words here " + passage + " and then a very long tail " + " ".join(f"filler{i}" for i in range(40))
+    rows = [(1, passage), (2, long_doc), (3, "completely different content " + " ".join(f"w{i}" for i in range(30)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def grams(t, n=3):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    model = {}
+    g = {i: grams(t) for i, t in rows}
+    for a in g:
+        for b in g:
+            if a != b and g[a]:
+                c = len(g[a] & g[b]) / len(g[a])
+                if c >= 0.5:
+                    model[(a, b)] = c
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.containment
+        for r in dedup.ngram_containment_pairs(df, n=3, threshold=0.5).collect()
+    }
+    assert got == pytest.approx(model)
+    assert got[(1, 2)] == 1.0 and (2, 1) not in got  # directed, asymmetric
+
+
+def test_ngram_containment_max_df_drops_stop_grams(spark):
+    # one boilerplate shingle shared by EVERY doc: with max_df it leaves
+    # the universe entirely (numerator AND denominator), so two docs
+    # whose only overlap is boilerplate report no pair at all.
+    boiler = "copyright footer text"
+    rows = [(i, f"unique{i} alpha{i} beta{i} " + boiler) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with_cap = dedup.ngram_containment_pairs(df, n=3, threshold=0.1, max_df=3).collect()
+    assert with_cap == []
+    no_cap = dedup.ngram_containment_pairs(df, n=3, threshold=0.1).collect()
+    assert len(no_cap) == 20  # all directed pairs share the boilerplate gram

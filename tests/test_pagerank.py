@@ -4,6 +4,8 @@ iteration — the differential-model style the join/dedup operators use.
 
 from __future__ import annotations
 
+import pytest
+
 from laygo_python_spark.operators.pagerank import pagerank
 
 
@@ -119,3 +121,32 @@ def test_personalized_pagerank_empty_sources_raises(spark):
     empty = spark.createDataFrame([], "node long")
     with _pytest.raises(ValueError, match="non-empty source set"):
         pagerank(df, sources=empty)
+
+
+def test_sparse_personalized_equals_dense(spark):
+    # sparse mode must equal the dense personalized ranks restricted to
+    # pr > 0 — on a graph where the 2-round ball does NOT cover all
+    # nodes, so the sparsity is actually exercised.
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)]
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    srcs = spark.createDataFrame([(1,)], "node long")
+    dense = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, iterations=2, sources=srcs).collect()
+        if r["pr"] > 0
+    }
+    sparse = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            df, iterations=2, sources=srcs, symmetric=True, sparse=True
+        ).collect()
+    }
+    assert sparse == pytest.approx(dense)
+    assert set(sparse) == {1, 2, 3}  # the 2-hop ball only
+
+
+def test_sparse_requires_sources(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="sparse"):
+        pagerank(df, sparse=True)
