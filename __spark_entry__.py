@@ -64,7 +64,7 @@ _NEVER_DRIVER_CHECKED = [
     "mad_outlier_orders", "cusum_changepoint_daily",
     "seasonal_dow_decompose", "acf_daily_value",
     # r7 newly gated additions:
-    "multimodal_mp3_meta", "ngram_containment_pairs",
+    "multimodal_mp3_meta", "ngram_containment_pairs", "embedding_pca_project",
 ]
 
 

@@ -105,10 +105,12 @@ HEADLINE = [
     "multimodal_mjpg_stats",
     "dedup_semantic",
     "embedding_prototypicality",
-    # r7 additions: the MP3 header-parse identity gate and the directed
-    # containment (quote/subset-dup) detector.
+    # r7 additions: the MP3 header-parse identity gate, the directed
+    # containment (quote/subset-dup) detector, and the committed-axes
+    # PCA projection.
     "multimodal_mp3_meta",
     "ngram_containment_pairs",
+    "embedding_pca_project",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

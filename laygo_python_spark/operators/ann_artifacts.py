@@ -92,3 +92,27 @@ def load_pq_codebooks(sf_dir: str, m: int, ksub: int) -> np.ndarray | None:
     rows.sort(key=lambda r: (r["s"], r["code"]))
     cbs = np.array([r["centroid"] for r in rows], dtype=np.float64)
     return cbs.reshape(m, ksub, -1)
+
+
+PCA_PATH = f"{ARTIFACT_DIR}/pca_projection.parquet"
+
+
+def load_pca_projection(sf_dir: str, k: int) -> tuple[np.ndarray, np.ndarray] | None:
+    """(mean (d,), components (k × d)) committed principal axes for this
+    corpus, or None (callers fall back to live distributed training)."""
+    key = corpus_signature(sf_dir)
+    if key is None or not os.path.isfile(PCA_PATH):
+        return None
+    import pyarrow.parquet as pq_
+
+    rows = [
+        r
+        for r in pq_.read_table(PCA_PATH).to_pylist()
+        if (r["n_corpus"], r["sig"]) == key and r["k"] == k
+    ]
+    if not rows:
+        return None
+    rows.sort(key=lambda r: r["comp"])
+    mean = np.array(rows[0]["mean"], dtype=np.float64)
+    comps = np.array([r["component"] for r in rows], dtype=np.float64)
+    return mean, comps

@@ -408,3 +408,102 @@ def srp_search_indexed(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _score_topk(candidates, k)
+
+
+def pca_components(mat, k: int):
+    """(mean, components (k × d), eigvals (k,)) — top-k principal axes
+    of a centered corpus matrix (numpy, driver-side eig of the d × d
+    covariance). Deterministic sign convention: each component flips so
+    its largest-|coefficient| entry is positive (first index wins a
+    tie). Canonical implementation — tools/train_ann_artifacts.py
+    imports THIS function to build the committed artifact, so training
+    here and the stored state can never drift."""
+    import numpy as np
+
+    mu = mat.mean(axis=0)
+    xc = mat - mu
+    comps, eig = _top_components(xc.T @ xc, k)
+    return mu, comps, eig
+
+
+def _top_components(cov, k: int):
+    """(components (k × d), eigvals) from a covariance matrix — shared
+    by in-memory and distributed-moments training paths."""
+    import numpy as np
+
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w, kind="stable")[::-1][:k]
+    comps = v[:, order].T
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, w[order]
+
+
+def train_pca(corpus: DataFrame, k: int, vec_col: str = "embedding"):
+    """Distributed PCA training: one map-only pass emits per-partition
+    moments (count, column sum, Xᵀ X — d and d² doubles, independent of
+    row count), the driver reduces them into the d × d covariance and
+    takes the eig there. This is the standard big-data PCA shape: the
+    data never leaves executors, only O(d²) state does — at d = 64
+    that is 4 KB per partition regardless of whether the corpus is
+    500 rows or 100 TB."""
+    import numpy as np
+    import pandas as pd
+
+    def moments(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(mat)],
+                    "s": [mat.sum(axis=0).tolist()],
+                    "xx": [(mat.T @ mat).reshape(-1).tolist()],
+                }
+            )
+
+    rows = corpus.select(vec_col).mapInPandas(
+        moments, schema="n long, s array<double>, xx array<double>"
+    ).collect()
+    if not rows:
+        raise ValueError("train_pca: empty corpus")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    xx = np.sum([np.array(r["xx"]) for r in rows], axis=0)
+    d = len(s)
+    mu = s / n
+    cov = xx.reshape(d, d) - n * np.outer(mu, mu)
+    comps, _ = _top_components(cov, k)
+    return mu, comps
+
+
+def pca_project(
+    df: DataFrame,
+    mean,
+    components,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Project embeddings onto fixed principal axes: (id, proj double[k])
+    with proj_j = (x − mean) · component_j. Pure Column algebra — the
+    centered dot products run inside whole-stage codegen (zero Python,
+    zero shuffle), the same sequential-fold `dot` the cosine gates
+    proved bit-identical to DuckDB's list_dot_product. The axes are
+    broadcast as literals (k·d doubles — trivially small); this is the
+    standard dimensionality-reduction / whitening front half before a
+    PQ or IVF index."""
+    mu = F.array(*[F.lit(float(x)) for x in mean])
+    centered = F.zip_with(F.col(vec_col).cast("array<double>"), mu, lambda x, m: x - m)
+    projs = [
+        F.aggregate(
+            F.zip_with(centered, F.array(*[F.lit(float(c)) for c in comp]), lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for comp in components
+    ]
+    return df.select(id_col, F.array(*projs).alias(out_col))

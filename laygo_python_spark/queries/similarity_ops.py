@@ -1159,3 +1159,45 @@ def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id long, sample_rate int, channels int, bitrate_kbps int, duration_s double",
     )
+
+
+def _pca_oracle(k: int = 8) -> str:
+    from laygo_python_spark.operators.ann_artifacts import PCA_PATH
+
+    return f"""WITH {_ann_key_ctes()},
+    pc AS (SELECT comp, mean, component
+           FROM read_parquet('{PCA_PATH}') p, key
+           WHERE p.k = {k} AND p.n_corpus = key.nc AND p.sig = key.ks),
+    proj AS (SELECT e.vec_id, p.comp,
+                    list_dot_product(
+                        list_transform(range(1, len(e.v) + 1), i -> e.v[i] - p.mean[i]),
+                        p.component) AS val
+             FROM e, pc p)
+    SELECT vec_id, list(val ORDER BY comp) AS proj FROM proj GROUP BY vec_id"""
+
+
+@query("embedding_pca_project", oracle=_pca_oracle())
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection to 8 components at the COMMITTED principal-axes
+    artifact (tools/train_ann_artifacts.py — the trained-state gating
+    idiom of ann_ivf_topk): the dimensionality-reduction / whitening
+    front half a production vector pipeline runs before PQ or IVF
+    indexing, and the third trained-artifact family after centroids and
+    codebooks. Spark side is pure Column algebra — centered sequential-
+    fold dot products inside whole-stage codegen, zero Python, zero
+    shuffle (operators/similarity.pca_project); the DuckDB oracle
+    replays (x − mean) · component from the same parquet, so the
+    projection doubles are bit-identical and the value hash is exact.
+    Falls back to live distributed-moments training (train_pca — one
+    map-only pass emitting O(d²) state per partition) on corpora with
+    no committed row."""
+    from laygo_python_spark.operators.ann_artifacts import load_pca_projection
+    from laygo_python_spark.operators.similarity import pca_project, train_pca
+
+    emb = _t(spark, sf_dir, "embeddings")
+    loaded = load_pca_projection(sf_dir, k=8)
+    if loaded is None:
+        mean, comps = train_pca(emb, 8)
+    else:
+        mean, comps = loaded
+    return pca_project(emb, mean, comps)

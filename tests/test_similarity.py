@@ -814,3 +814,29 @@ def test_mjpg_malformed_guards():
     # frame dims disagreeing with the header → None
     other = J.jpeg_encode(np.full((16, 16, 1), 9, dtype=np.uint8))
     assert avi_decode_frames(avi_encode_mjpg([other], 8, 8)) is None
+
+
+def test_pca_project_matches_numpy_model(spark):
+    import numpy as np
+
+    from laygo_python_spark.operators.similarity import (
+        pca_components,
+        pca_project,
+        train_pca,
+    )
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: variance concentrated on two known axes
+    base = rng.normal(size=(200, 6)) * np.array([5.0, 3.0, 0.5, 0.2, 0.1, 0.05])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mu, comps, eig = pca_components(base, 3)
+    assert eig[0] >= eig[1] >= eig[2]  # descending variance
+    want = (base - mu) @ comps.T
+    got = {r.vec_id: r.proj for r in pca_project(df, mu, comps).collect()}
+    for i in range(len(base)):
+        assert np.allclose(got[i], want[i], atol=1e-9), i
+    # distributed-moments training must agree with the in-memory eig
+    mu2, comps2 = train_pca(df, 3)
+    assert np.allclose(mu2, mu, atol=1e-12)
+    assert np.allclose(np.abs(comps2 @ comps.T), np.eye(3), atol=1e-6)

@@ -52,10 +52,22 @@ def corpus_sig(mat: np.ndarray) -> int:
     return int(np.floor(mat[:, 0] * 1048576.0).sum())
 
 
+PCA_K = 8  # embedding_pca_project's committed component count
+
+# canonical PCA math lives with the operator — importing it here means
+# training in-engine and the committed artifact can never drift. The eig
+# is LAPACK (machine-deterministic, not spec-pinned): fine for the
+# differential gate, which never re-derives axes — DuckDB REPLAYS the
+# projection from this committed artifact, same contract as the IVF
+# centroids.
+from laygo_python_spark.operators.similarity import pca_components as _pca_components  # noqa: E402
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     ivf_rows: list[tuple] = []
     pq_rows: list[tuple] = []
+    pca_rows: list[tuple] = []
     for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
         if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
             continue
@@ -73,7 +85,12 @@ def main() -> None:
         for s in range(PQ_M):
             cb = _kmeans_1sub(norm[:, s * dsub : (s + 1) * dsub], PQ_KSUB, iters=10, seed=42 + s)
             pq_rows += [(n, sig, PQ_M, PQ_KSUB, s, c, v.tolist()) for c, v in enumerate(cb)]
-        print(f"{sf_dir}: n={n} sig={sig} ivf k={IVF_KS} pq m={PQ_M} ksub={PQ_KSUB}")
+        mu, comps, eig = _pca_components(mat, PCA_K)
+        pca_rows += [
+            (n, sig, PCA_K, i, mu.tolist(), c.tolist(), float(e))
+            for i, (c, e) in enumerate(zip(comps, eig))
+        ]
+        print(f"{sf_dir}: n={n} sig={sig} ivf k={IVF_KS} pq m={PQ_M} ksub={PQ_KSUB} pca k={PCA_K}")
 
     pq_.write_table(
         pa.table(
@@ -101,8 +118,23 @@ def main() -> None:
         ),
         f"{OUT}/pq_codebooks.parquet",
     )
+    pq_.write_table(
+        pa.table(
+            {
+                "n_corpus": pa.array([r[0] for r in pca_rows], pa.int64()),
+                "sig": pa.array([r[1] for r in pca_rows], pa.int64()),
+                "k": pa.array([r[2] for r in pca_rows], pa.int32()),
+                "comp": pa.array([r[3] for r in pca_rows], pa.int32()),
+                "mean": pa.array([r[4] for r in pca_rows], pa.list_(pa.float64())),
+                "component": pa.array([r[5] for r in pca_rows], pa.list_(pa.float64())),
+                "eigval": pa.array([r[6] for r in pca_rows], pa.float64()),
+            }
+        ),
+        f"{OUT}/pca_projection.parquet",
+    )
     print(f"wrote {OUT}/ivf_centroids.parquet ({len(ivf_rows)} rows), "
-          f"{OUT}/pq_codebooks.parquet ({len(pq_rows)} rows)")
+          f"{OUT}/pq_codebooks.parquet ({len(pq_rows)} rows), "
+          f"{OUT}/pca_projection.parquet ({len(pca_rows)} rows)")
 
 
 if __name__ == "__main__":
