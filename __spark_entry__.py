@@ -65,6 +65,7 @@ _NEVER_DRIVER_CHECKED = [
     "seasonal_dow_decompose", "acf_daily_value",
     # r7 newly gated additions:
     "multimodal_mp3_meta", "ngram_containment_pairs", "embedding_pca_project",
+    "embedding_pca_topk",
 ]
 
 

@@ -111,6 +111,7 @@ HEADLINE = [
     "multimodal_mp3_meta",
     "ngram_containment_pairs",
     "embedding_pca_project",
+    "embedding_pca_topk",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

@@ -1201,3 +1201,47 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         mean, comps = loaded
     return pca_project(emb, mean, comps)
+
+
+def _pca_topk_oracle(k: int = 8) -> str:
+    from laygo_python_spark.operators.ann_artifacts import PCA_PATH
+
+    return f"""WITH {_ann_key_ctes()},
+    pc AS (SELECT comp, mean, component
+           FROM read_parquet('{PCA_PATH}') p, key
+           WHERE p.k = {k} AND p.n_corpus = key.nc AND p.sig = key.ks),
+    proj AS (SELECT e.vec_id, p.comp,
+                    list_dot_product(
+                        list_transform(range(1, len(e.v) + 1), i -> e.v[i] - p.mean[i]),
+                        p.component) AS val
+             FROM e, pc p),
+    pv AS (SELECT vec_id, list(val ORDER BY comp) AS v FROM proj GROUP BY vec_id),
+    scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      list_cosine_similarity(q.v, c.v) AS sim
+               FROM pv q JOIN pv c ON c.vec_id <> q.vec_id
+               WHERE q.vec_id < 5)
+    {_ANN_RANK_TAIL}"""
+
+
+@query("embedding_pca_topk", oracle=_pca_topk_oracle())
+def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k in the PCA-REDUCED space (8 of 64 dims) at the
+    committed principal-axes artifact — the project→search composition
+    a reduced-dimension retrieval pipeline runs: 8× less score
+    arithmetic and 8× smaller vectors in memory for a controlled,
+    variance-ranked approximation (vs the hash/cell pruning of
+    LSH/IVF). Both sides of the gate project with identical arithmetic
+    (bit-exact, proven by embedding_pca_project) and score with the
+    sequential-fold cosine, so ranks match exactly."""
+    from laygo_python_spark.operators.ann_artifacts import load_pca_projection
+    from laygo_python_spark.operators.similarity import (
+        brute_force_topk,
+        pca_project,
+        train_pca,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    loaded = load_pca_projection(sf_dir, k=8)
+    mean, comps = loaded if loaded is not None else train_pca(emb, 8)
+    pv = pca_project(emb, mean, comps)
+    return brute_force_topk(pv, pv.filter(F.col("vec_id") < 5), k=10, vec_col="proj")
