@@ -38,6 +38,10 @@ _KNOWN_BNLJ = {
     "embedding_cosine_topk",
     "embedding_cosine_topk_fast",
     "embedding_near_dups",
+    # exact top-k in the PCA-reduced space: same intentional
+    # broadcast-the-queries exhaustive scan as embedding_cosine_topk
+    # (brute_force_topk docstring), on 8x smaller vectors
+    "embedding_pca_topk",
     "ngram_jaccard_pairs",
     # same operator, same bitmask-path rationale, filtered to cross-side pairs
     "dedup_new_vs_seen",
