@@ -215,13 +215,22 @@ def kcore(
         r += 1
         deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("a")
-        before = _persistent_ids()
-        nxt = (
+        survivors = (
             e.join(keep, "a", "left_semi")
             .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
         )
+        obs = None
+        if rounds is None:
+            # fixpoint mode's per-round convergence count rides the
+            # checkpoint job as an observed metric (r7) — the separate
+            # e.count() was one extra job per peel round.
+            from pyspark.sql import Observation
+
+            obs = Observation(f"kcore_edges_r{r}")
+            survivors = survivors.observe(obs, F.count(F.lit(1)).alias("n"))
+        before = _persistent_ids()
+        nxt = survivors.localCheckpoint(eager=True)
         _release(prev_pins)
         prev_pins = _persistent_ids() - before
         e = nxt
@@ -229,7 +238,7 @@ def kcore(
             if r >= rounds:
                 break
         else:
-            n_next = e.count()
+            n_next = obs.get["n"]
             if n_next == n_edges:
                 break
             n_edges = n_next
