@@ -265,6 +265,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — one bad query must not kill the run
             print(f"# bench query {name} failed: {type(exc).__name__}: {exc}", file=sys.stderr)
             per_query[name] = -1.0
+            per_query_mean[name] = -1.0  # keep queries / queries_mean key sets identical
 
     # Composite TPC-H sweep: one timed pass materializes all 22
     # relational shapes back-to-back (min over 3 passes; the shapes are
@@ -287,6 +288,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"# tpch sweep failed: {type(exc).__name__}: {exc}", file=sys.stderr)
             per_query["tpch_sweep_total"] = -1.0
+            per_query_mean["tpch_sweep_total"] = -1.0
 
     if iso > 0:
         per_query["reference_workload_isolated"] = iso
@@ -321,6 +323,12 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": sum(1 for v in per_query.values() if v > 0),
                 "failed": sorted(k for k, v in per_query.items() if v <= 0),
+                # Machine-readable 2x-baseline check (r7 verdict ask #7):
+                # the isolated reference-workload pin and the composite
+                # sweep survive any tail-capture truncation of the full
+                # per-query line above.
+                "reference_workload_isolated": iso,
+                "tpch_sweep_total": per_query.get("tpch_sweep_total", -1.0),
             }
         )
     )

@@ -781,12 +781,17 @@ def mp3_meta(b: bytes | None) -> tuple[int, int, int, float] | None:
                 factor = 144 if ver == 3 else 72
                 frame_len = factor * kbps * 1000 // rate + padding
                 nxt = pos + frame_len
-                if nxt + 2 <= len(b) and not (
+                # The continuation check needs the full 3 comparable
+                # bytes of a second header; any shorter tail (0-2
+                # trailing bytes) is end-of-stream and accepted as a
+                # single-frame file — one consistent boundary instead
+                # of the old mixed nxt+2 / nxt+3 bounds that rejected
+                # exactly-2-byte tails while accepting 0-1 (r7 advice).
+                if nxt + 3 <= len(b) and not (
                     b[nxt] == 0xFF
                     and (b[nxt + 1] & 0xE0) == 0xE0
                     and (b[nxt + 1] >> 3) & 0x03 == ver
                     and (b[nxt + 1] >> 1) & 0x03 == layer
-                    and nxt + 3 <= len(b)
                     and (b[nxt + 2] >> 2) & 0x03 == sr_idx
                 ):
                     pos += 1

@@ -143,6 +143,15 @@ def pagerank(
         if n_s == 0:
             raise ValueError("pagerank: personalized mode needs a non-empty source set")
         if sparse:
+            # Out-of-graph sources: dense mode's broadcast flag join
+            # silently drops them (their 1/n_s teleport share just
+            # vanishes). Semi-join the source set against the node set so
+            # sparse mode agrees instead of emitting teleport-only rows
+            # for nodes the graph has never seen (r7 advice) — n_s stays
+            # the FULL source-set count in both modes, so per-source mass
+            # is identical too. Dense mode needs no extra join: its flag
+            # join is the filter.
+            src_set = src_set.join(nodes_raw, "node", "semi")
             # SPARSE personalized mode — the 100 TB shape for PPR: rank
             # mass lives only inside the iteration-hop ball around the
             # sources, so the rank vector carries REACHED nodes instead
@@ -208,8 +217,15 @@ def pagerank(
                 (F.col("pr") * F.col("w") / F.col("deg")).alias("c"),
             )
             if fold_base:
+                # coalesce matches the dense path: a node whose incoming
+                # contributions are ALL null (null/zero weights make deg
+                # null or 0, so c is null) must land on the teleport base,
+                # not a null pr (r7 advice).
                 ranks = contrib.groupBy("node").agg(
-                    (F.lit((1.0 - damping) / n) + F.lit(damping) * F.sum("c")).alias("pr")
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * F.coalesce(F.sum("c"), F.lit(0.0))
+                    ).alias("pr")
                 )
             else:
                 ranks = (

@@ -59,7 +59,12 @@ def semantic_dedup(
     lower values prune semantic NEIGHBORS, not duplicates. The
     registered fixture query passes 0.35 explicitly because the
     synthetic embeddings are near-orthogonal (max pairwise sim ~0.51) —
-    that value is fixture-tuned, not a recommendation."""
+    that value is fixture-tuned, not a recommendation.
+
+    .. versionchanged:: r7 — the default was 0.35 (the fixture value)
+       through r6 and is now 0.95; callers that relied on the old
+       default for neighbor-pruning behavior must pass ``threshold``
+       explicitly (r7 advice: breaking-default notice)."""
     if centroids is None:
         centroids = train_centroids(corpus, n_clusters, vec_col)
     a = _assign_cells(corpus, centroids, "sd_id", "v", id_col, vec_col, n_probe=1)

@@ -1173,7 +1173,7 @@ def _pca_oracle(k: int = 8) -> str:
                         list_transform(range(1, len(e.v) + 1), i -> e.v[i] - p.mean[i]),
                         p.component) AS val
              FROM e, pc p)
-    SELECT vec_id, list(val ORDER BY comp) AS proj FROM proj GROUP BY vec_id"""
+    SELECT vec_id, CAST(comp AS BIGINT) AS comp, val FROM proj"""
 
 
 @query("embedding_pca_project", oracle=_pca_oracle())
@@ -1188,9 +1188,12 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (operators/similarity.pca_project); the DuckDB oracle
     replays (x − mean) · component from the same parquet, so the
     projection doubles are bit-identical and the value hash is exact.
-    Falls back to live distributed-moments training (train_pca — one
-    map-only pass emitting O(d²) state per partition) on corpora with
-    no committed row."""
+    Output is EXPLODED scalar rows (vec_id, comp, val) — the driver's
+    pandas canonicalizer cannot sort array cells (CORRECTNESS_r07 err),
+    so oracle queries must emit scalar columns only (lint enforced in
+    tools/gen_catalog.py). Falls back to live distributed-moments
+    training (train_pca — one map-only pass emitting O(d²) state per
+    partition) on corpora with no committed row."""
     from laygo_python_spark.operators.ann_artifacts import load_pca_projection
     from laygo_python_spark.operators.similarity import pca_project, train_pca
 
@@ -1200,7 +1203,10 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean, comps = train_pca(emb, 8)
     else:
         mean, comps = loaded
-    return pca_project(emb, mean, comps)
+    proj = pca_project(emb, mean, comps)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("comp", "val")
+    ).withColumn("comp", F.col("comp").cast("long"))
 
 
 def _pca_topk_oracle(k: int = 8) -> str:

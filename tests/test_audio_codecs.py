@@ -237,6 +237,16 @@ def test_mp3_meta_variants_and_guards():
     assert M.mp3_meta(_mk_mp3(sr_idx=3)) is None  # reserved samplerate
     # a single frame at stream end is accepted (no room for a 2nd header)
     assert M.mp3_meta(_mk_mp3(n_frames=1, id3=False)) is not None
+    # r7 advice: truncation handling must be consistent across the 0-3
+    # trailing-byte boundary — a tail too short to hold the 3 comparable
+    # bytes of a second header is end-of-stream, accepted, regardless of
+    # whether the fragment looks header-like
+    single = _mk_mp3(n_frames=1, id3=False)
+    for tail in (b"", b"\xff", b"\xff\xfb", b"\x00\x00"):
+        got = M.mp3_meta(single + tail)
+        assert got is not None and got[:3] == (44100, 2, 128), tail
+    # ...but a FULL 3-byte mismatching continuation still rejects
+    assert M.mp3_meta(single + b"\x00\x00\x00") is None
     # a lone plausible sync followed by garbage is REJECTED — the
     # continuation check is what keeps audio_meta from reporting bogus
     # metadata on random binary (a real sniffer's discipline)

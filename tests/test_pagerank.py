@@ -150,3 +150,46 @@ def test_sparse_requires_sources(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="sparse"):
         pagerank(df, sparse=True)
+
+
+def test_sparse_drops_out_of_graph_sources_like_dense(spark):
+    # r7 advice: a source node absent from the graph must be DROPPED in
+    # sparse mode exactly as the dense broadcast-flag join drops it —
+    # previously sparse emitted a teleport-only row for it. n_s stays the
+    # full source-set count in both modes, so surviving ranks agree too.
+    edges = [(1, 2), (2, 3)]
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    srcs = spark.createDataFrame([(1,), (99,)], "node long")  # 99 not in graph
+    dense = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, iterations=2, sources=srcs).collect()
+        if r["pr"] > 0
+    }
+    sparse = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            df, iterations=2, sources=srcs, symmetric=True, sparse=True
+        ).collect()
+    }
+    assert 99 not in sparse
+    assert sparse == pytest.approx(dense)
+
+
+def test_symmetric_fold_base_null_weights_fall_back_to_teleport(spark):
+    # r7 advice: with symmetric=True (fold_base path) a node whose ONLY
+    # incoming contributions are null (null weight -> deg null -> c null)
+    # must get the teleport base (1-d)/N, matching the dense path's
+    # coalesce — not a null pr.
+    sym = [(1, 2, None), (2, 1, None), (1, 3, 1.0), (3, 1, 1.0)]
+    df = spark.createDataFrame(sym, "src long, dst long, w double")
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, iterations=2, weight="w", symmetric=True).collect()
+    }
+    dense = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, iterations=2, weight="w", symmetric=False).collect()
+    }
+    assert all(v is not None for v in got.values())
+    assert got == pytest.approx(dense)

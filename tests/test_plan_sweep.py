@@ -11,7 +11,7 @@ from __future__ import annotations
 import pytest
 
 from laygo_python_spark.plans import physical_plan
-from laygo_python_spark.queries import QUERIES, load_all
+from laygo_python_spark.queries import ORACLES, QUERIES, load_all
 
 load_all()
 
@@ -54,7 +54,16 @@ _SWEEP = sorted(set(QUERIES) - _EXECUTING)
 
 @pytest.mark.parametrize("name", _SWEEP)
 def test_no_scale_killers(spark, sf_dir, name):
-    plan = physical_plan(QUERIES[name](spark, sf_dir))
+    df = QUERIES[name](spark, sf_dir)
+    if name in ORACLES:
+        # Driver-canonicalizer contract: oracle-gated queries must emit
+        # SCALAR output columns only — the driver's pandas sort_values
+        # crashes on array/map cells (CORRECTNESS_r07 embedding_pca_project).
+        from pyspark.sql.types import ArrayType, MapType
+
+        bad = [f.name for f in df.schema.fields if isinstance(f.dataType, (ArrayType, MapType))]
+        assert not bad, f"{name}: array/map-typed oracle output columns {bad}"
+    plan = physical_plan(df)
     if name not in _KNOWN_BNLJ:
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         # A broadcast CROSS nested-loop is the scalar-attach pattern

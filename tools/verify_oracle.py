@@ -82,6 +82,18 @@ def main() -> int:
             failures += 1
             continue
         problems = []
+        # Driver-canonicalizer contract: oracle queries must emit scalar
+        # columns only (pandas sort_values crashes on array/map cells —
+        # CORRECTNESS_r07 embedding_pca_project). Mirror of the
+        # test_plan_sweep lint, but this one also covers run-to-completion
+        # queries that the plan sweep skips.
+        from pyspark.sql.types import ArrayType, MapType
+
+        nonscalar = [
+            f.name for f in sdf.schema.fields if isinstance(f.dataType, (ArrayType, MapType))
+        ]
+        if nonscalar:
+            problems.append(f"array/map-typed output columns {nonscalar}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns {sorted(scols)} != {sorted(dcols)}")
         if len(srows) != len(drows):
