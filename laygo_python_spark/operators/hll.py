@@ -39,19 +39,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _clz_expr(col_sql: str) -> str:
-    """SQL expression for clz64 of ``col_sql`` — iterative mask
-    narrowing, pure integer ops."""
-    v = col_sql
-    n_terms = []
-    for bits in (32, 16, 8, 4, 2, 1):
-        cond = f"shiftrightunsigned({v}, {64 - bits}) = 0"
-        n_terms.append(f"(CASE WHEN {cond} THEN {bits} ELSE 0 END)")
-        v = f"(CASE WHEN {cond} THEN shiftleft({v}, {bits}) ELSE {v} END)"
-    zero_case = f"CASE WHEN {col_sql} = 0 THEN 64 ELSE " + " + ".join(n_terms) + " END"
-    return f"({zero_case})"
-
-
 def _hash_exprs(p: int, hash_fn: str) -> tuple[str, str]:
     """(idx_sql, rho_sql) over the ``__hll_key`` column.
 
@@ -70,10 +57,19 @@ def _hash_exprs(p: int, hash_fn: str) -> tuple[str, str]:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     tail = bits - p
     idx_sql = f"CAST(shiftrightunsigned({h}, {tail}) AS INT)"
-    # rho = leading zeros of the LOW bits−p bits (shifted to the top of
-    # the 64-bit word) + 1, capped at bits−p+1 when all zero.
+    # rho = leading zeros of the LOW bits−p bits viewed as a tail-bit
+    # word, + 1 = tail + 1 − bit_length(tailbits), capped at tail+1 when
+    # all zero. bit_length via length(bin(x)): x is masked positive so
+    # bin() is its minimal binary representation. The earlier iterative
+    # mask-narrowing CLZ duplicated the (md5-conv) hash expression ~65×
+    # into a 46 KB expression string — measured as a ~1 MB task binary
+    # and 15 s cold analysis/codegen in the r7 verdict; this form keeps
+    # the hash expression at 2 occurrences and the whole rho under 300
+    # bytes, with bit-identical registers (pinned in tests/test_hll.py).
+    x = f"({h} & {(1 << tail) - 1})"
     rho_sql = (
-        f"CAST(LEAST({_clz_expr(f'shiftleft({h}, {64 - tail})')} + 1, {tail + 1}) AS INT)"
+        f"CAST(CASE WHEN {x} = 0 THEN {tail + 1} "
+        f"ELSE {tail + 1} - length(bin({x})) END AS INT)"
     )
     return idx_sql, rho_sql
 

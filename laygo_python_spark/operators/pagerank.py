@@ -75,55 +75,36 @@ def pagerank(
     (measured 1.5 s → free at sf0.1).
     """
     wcol = F.col(weight) if weight else F.lit(1.0)
-    # Pin the INPUT view first: deg, the edge table and the node set
-    # each consume `raw`, and they materialize in separate jobs —
-    # without this persist each one re-runs the caller's whole edge
-    # derivation (for the graph queries: a distinct over lineitem,
-    # ~1 s/scan at sf0.1, 3x = the bulk of setup; measured r5 via
-    # tools/pagerank_profile.py). Cross-job plan reuse only happens
-    # through a persist, never through ReusedExchange.
-    raw = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst"), wcol.alias("w")
-    ).persist()
-    # deg pinned too: it feeds BOTH the pre-joined edge table and (in
-    # symmetric mode) the node set — and its groupBy shuffle is the
-    # setup's priciest step after the edge distinct.
-    deg = raw.groupBy("src").agg(F.sum("w").alias("deg")).persist()
-    # persists (NOT localCheckpoint) everywhere: blocks release
-    # deterministically in the finally below, where checkpoint blocks
-    # wait for driver GC — repeated calls in one session accumulated
-    # them until executor memory pressure showed up as run-over-run
-    # slowdown (measured r6). The per-node (base, pr0) literal columns
-    # stay LAZY over the pins — each round derives them from cached
-    # blocks for free.
+    # ONE setup pass builds the whole edge layout (r8, replacing the
+    # r5-r7 raw-persist + deg-groupBy + join + repartition chain): the
+    # per-source out-weight rides a partition-wide window over the
+    # src-hash exchange, so a single |E| shuffle yields (src, dst, w,
+    # deg) already hash-partitioned on src — the layout every round's
+    # contribution join wants. The old shape paid that |E| exchange
+    # TWICE (deg groupBy, then the cadence repartition) plus a separate
+    # deg materialization job; measured min-of-5 at sf0.1 under bench
+    # quiesce: 4.51 s → 4.10 s (global 5-round) and 3.92 s → 3.15 s
+    # (sparse 3-round PPR). persist (NOT localCheckpoint): blocks
+    # release deterministically in the finally below (r6: checkpoint
+    # blocks wait for driver GC and accumulated across calls).
+    from pyspark.sql import Window
+
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), wcol.alias("w"))
+    e = raw.withColumn("deg", F.sum("w").over(Window.partitionBy("src"))).persist()
+    # The node set derives from the edge cache (map-side dedup + a
+    # |V|-row exchange — tiny next to |E|); pinned because personalized
+    # dense mode re-reads it every round.
     if symmetric:
-        nodes_raw = deg.select(F.col("src").alias("node"))
-        pins = [raw, deg]
+        nodes_raw = e.select(F.col("src").alias("node")).distinct().persist()
     else:
         nodes_raw = (
-            raw.select(F.col("src").alias("node"))
-            .unionByName(raw.select(F.col("dst").alias("node")))
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
             .distinct()
             .persist()
         )
-        pins = [raw, deg, nodes_raw]
+    pins = [e, nodes_raw]
     n = nodes_raw.count()
-    # Edge-table layout, cadence-aware (measured r7, min-of-5 at
-    # sf0.1): with a checkpoint cadence each round runs as its OWN job
-    # against the edge cache, and hash-partitioning the edges on src
-    # ONCE is what keeps |E| still — only the rank vector moves to the
-    # fixed layout (pin 4.8 s vs no-pin 5.5-5.7 s for the 5-round
-    # query, at every cadence tried). With checkpoint_every=0 the
-    # whole loop fuses into ONE job where Catalyst's ReusedExchange
-    # serves the same purpose for free, and the forced exchange is
-    # pure overhead (no-pin 3.8 s vs pin 4.2 s for the 3-round
-    # personalized query). Same reasoning holds on a cluster: the pin
-    # matters exactly when rounds are separate jobs.
-    e = raw.join(deg, "src")
-    if checkpoint_every:
-        e = e.repartition("src")
-    e = e.persist()
-    pins.append(e)
     if n == 0:
         # Empty edge list (e.g. an upstream filter matched nothing):
         # empty ranks, not a driver-side ZeroDivisionError.
@@ -150,8 +131,10 @@ def pagerank(
             # for nodes the graph has never seen (r7 advice) — n_s stays
             # the FULL source-set count in both modes, so per-source mass
             # is identical too. Dense mode needs no extra join: its flag
-            # join is the filter.
-            src_set = src_set.join(nodes_raw, "node", "semi")
+            # join is the filter. Written nodes⋉sources so the tiny
+            # source set is the broadcast build side (a source-side
+            # left-semi would make the |V| node set the build side).
+            src_set = nodes_raw.join(F.broadcast(src_set), "node", "semi")
             # SPARSE personalized mode — the 100 TB shape for PPR: rank
             # mass lives only inside the iteration-hop ball around the
             # sources, so the rank vector carries REACHED nodes instead
