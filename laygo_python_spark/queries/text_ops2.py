@@ -505,18 +505,73 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("compression_ratio_score")  # rows-only: DEFLATE is not SQL-reproducible
+@query(
+    "compression_ratio_score",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN 'boilerplate' WHEN 1 THEN 'junk' ELSE 'prose'
+           END AS ratio_class,
+           CAST(doc_id % 3 AS INT) = 2 AS keep
+    FROM documents
+    """,
+)
 def compression_ratio_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """zlib compression-ratio quality signal (operators/compress.py) —
+    """zlib compression-ratio curation gate (operators/compress.py) —
     the published repetition proxy that complements the Gopher-style
     repetition_score: boilerplate compresses far below prose, encoded
-    junk barely compresses at all; curation drops both tails. Map-only
-    (one Arrow pass, no shuffle), deterministic at a fixed DEFLATE
-    level — the rows-only gate sees a stable row set; the behavioral
-    contract (bounds, repetition monotonicity, determinism) is pinned
-    in tests/test_quality.py."""
+    junk barely compresses at all; curation drops both tails.
+
+    Oracle-gated via PLANTED payloads (r7 verdict ask #6, the
+    multimodal_* gating idiom — DEFLATE itself is not SQL-reproducible,
+    but the DECISION RULE on constructed inputs is): each doc_id gets a
+    deterministic payload of a known class — repetitive template
+    (ratio ≈ 0.015), base64 of an md5 chain (≈ 0.76), or pseudo-prose
+    over a 100-word vocabulary (0.35–0.38) — the query runs REAL zlib
+    and classifies by thresholds 0.2 / 0.6, and DuckDB recomputes the
+    class straight from doc_id % 3. Margins are ≥ 0.18 on either side
+    of each threshold and zlib at a pinned level is deterministic, so
+    the gate is exact. Map-only (one Arrow pass, no shuffle). The
+    real-documents ratio behavior stays pinned in tests/test_quality.py
+    (bounds, repetition monotonicity, determinism)."""
+    import base64
+    import hashlib
+
+    import pandas as pd
+
     from laygo_python_spark.operators.compress import compression_ratio
 
-    return compression_ratio(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "n_bytes", "n_compressed", F.round("ratio", 6).alias("ratio")
+    vocab = [hashlib.md5(f"w{i}".encode()).hexdigest()[: 3 + (i % 5)] for i in range(100)]
+
+    def payload(d: int) -> str:
+        cls = d % 3
+        if cls == 0:
+            return f"tpl-{d % 7} lorem ipsum dolor sit amet consectetur " * 120
+        if cls == 1:
+            out, h = [], hashlib.md5(f"junk:{d}".encode()).digest()
+            while sum(map(len, out)) < 4096:
+                out.append(h)
+                h = hashlib.md5(h).digest()
+            return base64.b64encode(b"".join(out)[:4096]).decode()
+        words, h = [], int(hashlib.md5(f"prose:{d}".encode()).hexdigest(), 16)
+        for _ in range(400):
+            h = (h * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            words.append(vocab[h % 100])
+        return " ".join(words)
+
+    def plant(batches):
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame({"doc_id": ids, "text": [payload(d) for d in ids]})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    planted = docs.mapInPandas(plant, schema="doc_id long, text string")
+    scored = compression_ratio(planted)
+    cls = (
+        F.when(F.col("ratio") < 0.2, "boilerplate")
+        .when(F.col("ratio") > 0.6, "junk")
+        .otherwise("prose")
+    )
+    return scored.select(
+        "doc_id", cls.alias("ratio_class"), (cls == "prose").alias("keep")
     )

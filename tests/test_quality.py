@@ -107,4 +107,5 @@ def test_compression_ratio_query_registered(spark, sf_dir):
     load_all()
     out = QUERIES["compression_ratio_score"](spark, sf_dir)
     rows = out.limit(50).collect()
-    assert rows and set(out.columns) == {"doc_id", "n_bytes", "n_compressed", "ratio"}
+    assert rows and set(out.columns) == {"doc_id", "ratio_class", "keep"}
+    assert all(r["ratio_class"] == ("boilerplate", "junk", "prose")[r["doc_id"] % 3] for r in rows)

@@ -32,7 +32,12 @@ def test_minhash_signature_sample_shape_and_determinism(spark, sf_dir):
 
 
 def test_approx_sketches_within_tolerance(spark, sf_dir):
-    for r in QUERIES["approx_sketches"](spark, sf_dir).collect():
+    # catalog-retired in r8 (engine-versioned estimates have no honest
+    # oracle; hll_relational_daily_users is the oracle-green twin) but
+    # still pytest-gated as the built-in sketch API smoke check
+    from laygo_python_spark.queries.relational4 import approx_sketches
+
+    for r in approx_sketches(spark, sf_dir).collect():
         # HLL++ at default rsd=5%; generous bound for tiny groups.
         assert abs(r["approx_parts"] - r["exact_parts"]) <= max(3, 0.15 * r["exact_parts"]), r
 
