@@ -187,5 +187,19 @@ class SyntheticEventsDataSource(DataSource):
         return _StreamReader(self.options)
 
 
+import weakref
+
+_REGISTERED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def register(spark: SparkSession) -> None:
+    """Idempotent per-session registration — re-registering pickles and
+    ships the DataSource class to the JVM again on every call (the
+    bench re-invokes the query body per timed run; r7 flagged the
+    query's driver-bench drift). WeakSet keying: a restarted session is
+    a new object and registers afresh; a dead session's entry can't
+    alias a new one the way a bare id() memo could."""
+    if spark in _REGISTERED:
+        return
     spark.dataSource.register(SyntheticEventsDataSource)
+    _REGISTERED.add(spark)
