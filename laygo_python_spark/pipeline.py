@@ -314,6 +314,53 @@ class Pipeline:
         for r in self.df.toLocalIterator():
             yield extract(r)
 
+    def iter_unordered(self, max_workers: int = 4) -> Iterator[Any]:
+        """Stream results in partition-COMPLETION order — the reference's
+        ``ordered=False`` as-completed guarantee
+        (laygo/transformers/strategies/threaded.py:92-130), with Spark
+        partitions as the chunk unit: each partition is fetched by its own
+        job through a ``max_workers``-wide pool and yields the moment it
+        finishes, so a straggler partition never blocks rows that are
+        already done (``__iter__`` is the partition-ORDER complement).
+        The in-flight window is ``max_workers + 1`` exactly like the
+        reference's ``_unordered_generator``: bounded driver memory, one
+        new partition submitted per completion. Upstream shuffle output
+        is computed once and REUSED across the per-partition jobs (Spark
+        keeps map output registered for the lineage), so the extra jobs
+        cost scheduling latency only, not recomputation of wide stages."""
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+        extract = _item_extractor(self.df.columns)
+        rdd = self.df.rdd
+        sc = self.df.sparkSession.sparkContext
+        n = rdd.getNumPartitions()
+        if n == 0:
+            return
+
+        def fetch(i: int) -> list[Row]:
+            return sc.runJob(rdd, lambda it: it, partitions=[i])
+
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            window = min(max_workers + 1, n)
+            pending = {ex.submit(fetch, i) for i in range(window)}
+            nxt = window
+            try:
+                while pending:
+                    done, pending = wait(pending, return_when=FIRST_COMPLETED)
+                    for fut in done:
+                        rows = fut.result()
+                        if nxt < n:
+                            pending.add(ex.submit(fetch, nxt))
+                            nxt += 1
+                        for r in rows:
+                            yield extract(r)
+            finally:
+                # Abandoned mid-stream (consumer break / error): drop the
+                # tail instead of scheduling it — reference finally-block
+                # parity (threaded.py:126-130).
+                for fut in pending:
+                    fut.cancel()
+
     # -- branch fan-out (reference: laygo/pipeline.py:459-555) -----------------
     def branch(
         self,

@@ -500,3 +500,56 @@ def test_pipeline_context_deprecated_shim(spark):
     )
     assert len(rows) == 3
     assert out_ctx["threshold"] == 10
+
+
+def test_iter_unordered_multiset_parity(spark):
+    """iter_unordered yields exactly the same multiset as __iter__ —
+    completion order changes SEQUENCE, never membership."""
+    p = Pipeline(spark.range(0, 200, 1, 8).selectExpr("id AS value"), spark=spark)
+    assert sorted(p.iter_unordered()) == sorted(p)
+
+
+def test_iter_unordered_yields_as_completed(spark):
+    """The reference ordered=False guarantee (strategies/threaded.py:
+    92-130): a straggler chunk must not block finished ones. Partition 0
+    sleeps; its rows must arrive LAST even though it was submitted
+    first."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 8, 1, 4).selectExpr("id AS value")
+
+    def slow_first(it):
+        rows = list(it)
+        if rows and rows[0]["value"] == 0:  # partition 0 holds ids 0-1
+            time.sleep(3)
+        return iter(rows)
+
+    slow = df.sparkSession.createDataFrame(
+        df.rdd.mapPartitions(slow_first), df.schema
+    )
+    # mapPartitions round-trip keeps 4 partitions; route through Pipeline
+    p = Pipeline(slow, spark=spark)
+    order = list(p.iter_unordered(max_workers=4))
+    assert sorted(order) == list(range(8))
+    # the slow partition's rows (0 and 1) arrive after every fast row
+    assert set(order[-2:]) == {0, 1}
+
+
+def test_iter_unordered_single_and_empty_partition(spark):
+    assert list(Pipeline(spark.range(0).selectExpr("id AS value"), spark=spark).iter_unordered()) == []
+    got = list(Pipeline(spark.range(3, numPartitions=1).selectExpr("id AS value"), spark=spark).iter_unordered())
+    assert sorted(got) == [0, 1, 2]
+
+
+def test_iter_unordered_early_break_cancels_tail(spark):
+    """Abandoning the stream mid-way must not raise and must leave the
+    session usable (finally-block parity, threaded.py:126-130)."""
+    p = Pipeline(spark.range(0, 100, 1, 8).selectExpr("id AS value"), spark=spark)
+    it = p.iter_unordered(max_workers=2)
+    first = [next(it) for _ in range(3)]
+    assert len(first) == 3
+    it.close()
+    # session still healthy
+    assert spark.range(5).count() == 5
