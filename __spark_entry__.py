@@ -35,19 +35,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver-rotation steering (round 8): the correctness gate checks the
 # FIRST 50 entries of queries() per round. After r7 every catalog name
-# has appeared in some driver rotation; this round fronts FRESHNESS —
-# the 28 names whose LATEST driver check is r01–r04 (code has evolved
-# since: minhash defaults r5, pagerank layout r8, hll rho r8), plus
-# embedding_pca_project (the one r7 ERR, re-gated after its scalar-
-# output fix), plus 21 r05-checked names biased toward operators whose
-# code changed in r6–r8 (graph/pagerank rewrite, dedup defaults,
+# has appeared in some driver rotation; this round fronts (a) every
+# query whose CODE or ORACLE changed in r8 — embedding_pca_project
+# (the one r7 ERR, scalar-output fix), pack_sequences_bins (newly
+# oracle-gated grouped packing), compression_ratio_score (newly
+# oracle-gated planted payloads), q21_waiting_suppliers /
+# order_priority_check / top_returning_customers (plan rewrites),
+# hll_relational_daily_users (rho rewrite) — then (b) FRESHNESS: the
+# names whose latest driver check is r01–r04, plus r05-checked names
+# whose operators changed in r6–r8 (pagerank layout, dedup defaults,
 # python datasource). After this round no name's latest driver check
 # is older than r05. Everything is also verified locally every round
 # (tools/verify_oracle.py, committed as ORACLE_FULL_r*.txt). Recompute
 # per round from the CORRECTNESS_r*.json union.
 _ROTATION_FRONT = [
-    # r7 ERR — re-gate first
-    "embedding_pca_project",
+    # r8-changed code/oracles — gate first
+    "embedding_pca_project", "pack_sequences_bins",
+    "compression_ratio_score", "q21_waiting_suppliers",
+    "hll_relational_daily_users",
     # latest check r01
     "cube_order_stats", "customer_order_distribution", "grouped_zscore",
     "grouping_sets_revenue", "idle_customers", "large_quantity_orders",
@@ -69,8 +74,7 @@ _ROTATION_FRONT = [
     "dedup_cluster_representatives", "dedup_incremental_lsh",
     "dedup_index_append", "dedup_index_compact", "dedup_simhash",
     "dedup_simhash_index_append", "dedup_new_vs_seen", "ngram_jaccard_pairs",
-    "q1_pricing_summary", "reference_workload", "asof_join_last_error",
-    "interval_join_click_errors", "loop_double",
+    "reference_workload",
 ]
 
 

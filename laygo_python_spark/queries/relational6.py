@@ -141,31 +141,39 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     90 days (no receipt/commit dates in the fixtures).
 
     Spark-first: instead of two correlated semi/anti joins re-scanning
-    lineitem (3 fact scans), compute both existence facts in ONE window
-    pass over (orderkey): distinct-supplier count ≥ 2 ≡ EXISTS, distinct
-    LATE-supplier count = 1 ≡ NOT EXISTS (given this row is late). One
-    shuffle on orderkey — the same key the orders join needs — then a
-    broadcast of supplier names onto the survivors. At 100 TB this is
-    one fact shuffle versus the textbook plan's three."""
+    lineitem (3 fact scans), fold BOTH existence facts into one
+    per-order aggregation with map-side partials: ≥2 distinct suppliers
+    ≡ min(suppkey) ≠ max(suppkey) ≡ the EXISTS; exactly one LATE
+    supplier ≡ min(late suppkey) = max(late suppkey) ≡ the NOT EXISTS —
+    and since every qualifying order has a single late supplier, his
+    numwait contribution is just that order's late-line count, which
+    the same aggregate carries. The shuffle moves one partial row per
+    (map partition × orderkey) — not the joined lines a window pass
+    would buffer whole — then a broadcast of supplier names onto the
+    few thousand surviving orders. At 100 TB this is one combiner-
+    compressed fact shuffle versus the textbook plan's three full
+    scans."""
     supp = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    w = Window.partitionBy("l_orderkey")
-    lines = (
+    late_supp = F.when(late, F.col("l_suppkey"))
+    per_order = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
-        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
-        .withColumn(
-            "n_late_supp",
-            F.size(F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)),
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"), late_supp.alias("ls"))
+        .groupBy("l_orderkey")
+        .agg(
+            (F.min("l_suppkey") != F.max("l_suppkey")).alias("multi_supp"),
+            F.min("ls").alias("late_lo"),
+            F.max("ls").alias("late_hi"),
+            F.sum(F.col("is_late").cast("long")).alias("n_late_lines"),
         )
+        .filter(F.col("multi_supp") & F.col("late_lo").isNotNull() & (F.col("late_lo") == F.col("late_hi")))
     )
     return (
-        lines.filter(F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        per_order.join(F.broadcast(supp), F.col("late_lo") == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").alias("numwait"))
     )
 
 

@@ -564,7 +564,12 @@ def compression_ratio_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = [int(d) for d in pdf["doc_id"]]
             yield pd.DataFrame({"doc_id": ids, "text": [payload(d) for d in ids]})
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # The payload synthesis + zlib pass is CPU-bound Python; a small-SF
+    # scan yields ONE file split, serializing all of it through a single
+    # task (measured 3 s at sf0.1). Round-robin the 8-byte ids across
+    # the cores first — the shuffle moves only doc_ids, and at real
+    # scale the scan's own splits already provide the spread.
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(16)
     planted = docs.mapInPandas(plant, schema="doc_id long, text string")
     scored = compression_ratio(planted)
     cls = (

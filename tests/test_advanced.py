@@ -242,9 +242,9 @@ def test_asof_bad_direction_raises(spark):
 
 def test_pack_sequences_bins_query_deterministic(spark, sf_dir):
     # The registered packing query must produce an identical row set on
-    # repeated runs (the rows-only driver gate re-executes it): the
-    # hash-repartition + in-partition (tokens desc, doc_id) sort pins
-    # the packing outcome.
+    # repeated runs (the driver gate re-executes it): md5 group routing +
+    # in-group (tokens desc, doc_id) order pins the packing outcome
+    # independent of partition layout.
     from laygo_python_spark.queries import QUERIES, load_all
 
     load_all()
@@ -252,4 +252,85 @@ def test_pack_sequences_bins_query_deterministic(spark, sf_dir):
     b = sorted(map(tuple, QUERIES["pack_sequences_bins"](spark, sf_dir).collect()))
     assert a == b and a
     # every bin respects the budget unless it holds a single oversized doc
-    assert all(t <= 512 or n == 1 for _, t, n in a)
+    assert all(t <= 512 or n == 1 for _, _, t, n in a)
+
+
+def _ffd_reference(items, budget, max_open):
+    """Pure-Python replica of the capped-first-fit state machine —
+    the differential ground truth for pack_sequences_grouped."""
+    loads, ndocs, open_idx = [], [], []
+    for t in items:
+        for j in open_idx:
+            if loads[j] + t <= budget:
+                loads[j] += t
+                ndocs[j] += 1
+                break
+        else:
+            loads.append(t)
+            ndocs.append(1)
+            open_idx.append(len(loads) - 1)
+            if len(open_idx) > max_open:
+                open_idx.pop(0)
+    return list(zip(range(1, len(loads) + 1), loads, ndocs))
+
+
+def test_pack_sequences_grouped_differential(spark):
+    # Random corpus (sizes spanning < and > budget) → the Spark grouped
+    # operator must equal the pure-Python state machine, group by group.
+    import random
+
+    from laygo_python_spark.operators.packing import pack_sequences_grouped
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 700)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(13)
+    got = sorted(
+        map(tuple, pack_sequences_grouped(df, budget=512, n_groups=4).collect())
+    )
+    import hashlib
+
+    def grp_of(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:6], 16) % 4
+
+    expect = []
+    for g in range(4):
+        items = sorted(
+            ((t, i) for i, t in rows if grp_of(i) == g), key=lambda p: (-p[0], p[1])
+        )
+        for bin_id, tot, n in _ffd_reference([t for t, _ in items], 512, 64):
+            expect.append((g, bin_id, tot, n))
+    assert got == sorted(expect)
+
+
+def test_pack_sequences_grouped_max_open_cap(spark):
+    # With max_open=1 a bin CLOSES as soon as a second one opens: doc 4
+    # (size 1, packed last under tokens-desc order) can no longer reach
+    # bins 1-2 (each 9, both closed) even though 9+1 <= 10 — it lands in
+    # the newest open bin instead. One group so the scenario is exact.
+    # Order (tokens desc, id asc): 9, 9, 3, 1 → bin1=9 (closes when bin2
+    # opens), bin2=9 (closes when bin3 opens), bin3=3+1=4.
+    from laygo_python_spark.operators.packing import pack_sequences_grouped
+
+    df = spark.createDataFrame(
+        [(1, 9), (2, 3), (3, 9), (4, 1)], "doc_id long, n_tokens long"
+    )
+    got = sorted(
+        (r["bin_id"], r["total_tokens"], r["n_docs"])
+        for r in pack_sequences_grouped(
+            df, budget=10, n_groups=1, max_open=1
+        ).collect()
+    )
+    assert got == [(1, 9, 1), (2, 9, 1), (3, 4, 2)]
+
+
+def test_pack_sequences_grouped_layout_independent(spark):
+    # Same corpus, wildly different input partitioning → identical bins
+    # (the whole point of the grouped variant vs pack_sequences).
+    from laygo_python_spark.operators.packing import pack_sequences_grouped
+
+    rows = [(i, (i * 37) % 600 + 1) for i in range(300)]
+    a = spark.createDataFrame(rows, "doc_id long, n_tokens long").coalesce(1)
+    b = spark.createDataFrame(rows[::-1], "doc_id long, n_tokens long").repartition(17)
+    pa = sorted(map(tuple, pack_sequences_grouped(a, budget=512).collect()))
+    pb = sorted(map(tuple, pack_sequences_grouped(b, budget=512).collect()))
+    assert pa == pb and pa
