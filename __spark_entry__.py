@@ -49,7 +49,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tools/verify_oracle.py, committed as ORACLE_FULL_r*.txt). Recompute
 # per round from the CORRECTNESS_r*.json union.
 _ROTATION_FRONT = [
-    # r8-changed code/oracles — gate first
+    # r8-new queries (never driver-checked) and r8-changed code/oracles
+    "embedding_binary_quantize", "ann_binary_rerank_topk",
     "embedding_pca_project", "pack_sequences_bins",
     "compression_ratio_score", "q21_waiting_suppliers",
     "hll_relational_daily_users",
@@ -73,8 +74,7 @@ _ROTATION_FRONT = [
     "python_datasource_events", "dedup_minhash_lsh", "dedup_minhash_verified",
     "dedup_cluster_representatives", "dedup_incremental_lsh",
     "dedup_index_append", "dedup_index_compact", "dedup_simhash",
-    "dedup_simhash_index_append", "dedup_new_vs_seen", "ngram_jaccard_pairs",
-    "reference_workload",
+    "dedup_simhash_index_append", "ngram_jaccard_pairs",
 ]
 
 

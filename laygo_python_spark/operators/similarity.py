@@ -507,3 +507,113 @@ def pca_project(
         for comp in components
     ]
     return df.select(id_col, F.array(*projs).alias(out_col))
+
+
+# -- binary (sign) quantization + Hamming shortlist --------------------------
+
+
+def binary_quantize(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, word, code) — 1-bit sign quantization of the embedding
+    column, packed 32 bits per BIGINT word: bit (i-1)%32 of word
+    (i-1)//32 is set iff dimension i > 0. A float32 vector store
+    shrinks 32× and Hamming distance becomes a few XOR+popcounts —
+    the cheapest production ANN shortlist (binary embeddings, rerank
+    by exact cosine downstream; see ``binary_hamming_topk``).
+
+    32-bit words, not 64: packing 64 bits shifts the top bit into the
+    BIGINT sign, which silently wraps in Java but is checked-overflow
+    in other engines — 32 keeps every code in [0, 2^32) so the layout
+    is portable/oracle-replayable bit for bit. Map-only (a per-word
+    JVM fold); no shuffle, no Python."""
+    n_words = (dim + 31) // 32
+    codes = [
+        F.expr(
+            f"aggregate(slice({vec_col}, {w * 32 + 1}, 32), "
+            "struct(cast(0 as bigint) as s, cast(1 as bigint) as p), "
+            "(a, x) -> struct(a.s + IF(x > 0, a.p, cast(0 as bigint)), a.p * cast(2 as bigint)), "
+            "a -> a.s)"
+        )
+        for w in range(n_words)
+    ]
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*codes)).alias("word", "code")
+    ).withColumn("word", F.col("word").cast("int"))
+
+
+def _packed_codes(df: DataFrame, dim: int, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    """Map-only (id, code words...) — same 32-bit layout as
+    ``binary_quantize`` but wide, for XOR scoring."""
+    n_words = (dim + 31) // 32
+    codes = [
+        F.expr(
+            f"aggregate(slice({vec_col}, {w * 32 + 1}, 32), "
+            "struct(cast(0 as bigint) as s, cast(1 as bigint) as p), "
+            "(a, x) -> struct(a.s + IF(x > 0, a.p, cast(0 as bigint)), a.p * cast(2 as bigint)), "
+            "a -> a.s)"
+        ).alias(f"{prefix}c{w}")
+        for w in range(n_words)
+    ]
+    return df.select(F.col(id_col).alias(f"{prefix}id"), *codes)
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    shortlist: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage binary ANN: Hamming shortlist over packed sign codes
+    (bit_count(xor) per word, all JVM codegen), then exact-cosine
+    rerank of the ``shortlist`` nearest codes only. Returns
+    (query_id, neighbor_id, hamming, sim, rank) with deterministic
+    ordering at both stages (hamming asc / sim desc, neighbor_id
+    tiebreak).
+
+    Scale shape: stage 1 scores CODES only — the corpus vectors never
+    enter the candidate stream, so the shortlist window shuffles
+    3-scalar rows; stage 2 broadcast-joins the tiny
+    (queries × shortlist) survivor set back onto the corpus to fetch
+    just the vectors it reranks. At 100 TB the packed codes are the
+    resident index (32× smaller than the vectors) and only
+    shortlist·|queries| full vectors are ever read twice."""
+    n_words = (dim + 31) // 32
+    c = _packed_codes(corpus, dim, id_col, vec_col, "n")
+    q = _packed_codes(queries, dim, id_col, vec_col, "q")
+    hamming = sum(
+        F.bit_count(F.col(f"nc{w}").bitwiseXOR(F.col(f"qc{w}")))
+        for w in range(n_words)
+    )
+    cand = c.join(F.broadcast(q), F.col("nid") != F.col("qid")).select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("neighbor_id"),
+        hamming.cast("int").alias("hamming"),
+    )
+    w_short = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    short = cand.withColumn("srank", F.row_number().over(w_short)).filter(
+        F.col("srank") <= shortlist
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    reranked = (
+        cv.join(F.broadcast(short.select("query_id", "neighbor_id", "hamming")), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", "hamming", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "sim", F.col("rank").cast("int").alias("rank"))
+    )

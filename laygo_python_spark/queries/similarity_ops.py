@@ -1251,3 +1251,77 @@ def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean, comps = loaded if loaded is not None else train_pca(emb, 8)
     pv = pca_project(emb, mean, comps)
     return brute_force_topk(pv, pv.filter(F.col("vec_id") < 5), k=10, vec_col="proj")
+
+
+@query(
+    "embedding_binary_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS i, v FROM e)
+    SELECT vec_id, CAST((i - 1) // 32 AS INT) AS word,
+           sum(CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << CAST((i - 1) % 32 AS INT))
+                    ELSE 0 END) AS code
+    FROM p GROUP BY vec_id, (i - 1) // 32
+    """,
+)
+def embedding_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit sign quantization of the embedding column
+    (operators/similarity.binary_quantize): bit (i-1)%32 of word
+    (i-1)//32 is set iff dimension i > 0 — a 32× smaller binary
+    vector store whose Hamming distances approximate angular distance
+    (the production shortlist for binary-embedding retrieval; the
+    search composition is ann_binary_rerank_topk). 32-bit words keep
+    every code inside non-negative BIGINT range, so the packing is
+    bit-replayable in any engine — DuckDB rebuilds each word as a sum
+    of shifted sign bits and every (vec_id, word, code) row must match
+    exactly. Map-only: the packing is a per-word JVM fold, no shuffle,
+    no Python."""
+    from laygo_python_spark.operators.similarity import binary_quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return binary_quantize(emb, dim=64)
+
+
+_BINARY_RERANK_ORACLE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 5),
+    h AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST(len(list_filter(range(1, 65),
+                          i -> (q.v[i] > 0) <> (c.v[i] > 0))) AS INT) AS hamming
+          FROM q JOIN e c ON c.vec_id <> q.vec_id),
+    short AS (SELECT query_id, neighbor_id, hamming,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY hamming, neighbor_id) AS srank
+              FROM h),
+    rr AS (SELECT s.query_id, s.neighbor_id, s.hamming,
+                  list_cosine_similarity(q.v, c.v) AS sim
+           FROM short s
+           JOIN q ON q.vec_id = s.query_id
+           JOIN e c ON c.vec_id = s.neighbor_id
+           WHERE s.srank <= 64),
+    ranked AS (SELECT query_id, neighbor_id, hamming, sim,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) AS rank
+               FROM rr)
+    SELECT query_id, neighbor_id, hamming, sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+"""
+
+
+@query("ann_binary_rerank_topk", oracle=_BINARY_RERANK_ORACLE)
+def ann_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding retrieval end-to-end
+    (operators/similarity.binary_hamming_topk): Hamming shortlist of
+    the 64 nearest sign codes per query (XOR + popcount over two
+    packed words, all JVM codegen, corpus vectors untouched), then
+    exact-cosine rerank of the shortlist only. Integer Hamming makes
+    the shortlist engine-exact; the rerank reuses the sequential-fold
+    cosine already proven bit-identical to DuckDB's
+    list_cosine_similarity (embedding_cosine_topk), so ranks match
+    exactly. Scale: stage 1 shuffles 3-scalar candidate rows; stage 2
+    broadcast-joins the (queries × 64)-row survivor set back onto the
+    corpus — only those vectors are ever read twice."""
+    from laygo_python_spark.operators.similarity import binary_hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return binary_hamming_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10, shortlist=64)

@@ -45,6 +45,11 @@ _KNOWN_BNLJ = {
     "ngram_jaccard_pairs",
     # same operator, same bitmask-path rationale, filtered to cross-side pairs
     "dedup_new_vs_seen",
+    # Hamming shortlist = intentional exhaustive scan over packed SIGN
+    # CODES (32x smaller than the vectors, XOR+popcount per row) — the
+    # compressed-domain analog of the cosine baseline's broadcast scan;
+    # sub-linear variants are the LSH/IVF families
+    "ann_binary_rerank_topk",
 }
 
 # Arrow-batched Python surfaces (mapInPandas/applyInPandas/cogroup) are

@@ -840,3 +840,75 @@ def test_pca_project_matches_numpy_model(spark):
     mu2, comps2 = train_pca(df, 3)
     assert np.allclose(mu2, mu, atol=1e-12)
     assert np.allclose(np.abs(comps2 @ comps.T), np.eye(3), atol=1e-6)
+
+
+def test_binary_quantize_matches_numpy_packing(spark):
+    import numpy as np
+
+    from laygo_python_spark.operators.similarity import binary_quantize
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((20, 64)).astype("float32")
+    vecs[0, :5] = 0.0  # exact zeros pack as 0-bits (x > 0 rule)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_id"], r["word"]): r["code"]
+        for r in binary_quantize(df, dim=64).collect()
+    }
+    for i in range(20):
+        for w in range(2):
+            expect = 0
+            for j in range(32):
+                if vecs[i, w * 32 + j] > 0:
+                    expect |= 1 << j
+            assert got[(i, w)] == expect, (i, w)
+
+
+def test_binary_hamming_topk_exact_and_recalls(spark):
+    import numpy as np
+
+    from laygo_python_spark.operators.similarity import binary_hamming_topk
+
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((60, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = binary_hamming_topk(df, df.filter("vec_id < 3"), dim=64, k=5, shortlist=30).collect()
+    # hamming column is the exact sign-disagreement count
+    signs = vecs > 0
+    for r in out:
+        expect = int((signs[r["query_id"]] != signs[r["neighbor_id"]]).sum())
+        assert r["hamming"] == expect
+    # per query: 5 ranked rows, ranks 1..5, sims descending
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        sims = [r["sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_binary_hamming_topk_recovers_planted_near_dups(spark):
+    # The claim a sign sketch actually makes: HIGH-similarity neighbors
+    # have LOW hamming, so a planted near-duplicate (query + small
+    # noise, cosine ~0.99) survives the shortlist and wins the rerank.
+    # (Unstructured gaussian corpora have no such guarantee — max
+    # cosine ~0.4 — which is exactly why the production pattern is
+    # shortlist-then-rerank, not hamming-rank-only.)
+    import numpy as np
+
+    from laygo_python_spark.operators.similarity import binary_hamming_topk
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((40, 64)).astype("float32")
+    planted = base[:3] + 0.05 * rng.standard_normal((3, 64)).astype("float32")
+    vecs = np.vstack([base, planted])  # ids 40..42 are near-dups of 0..2
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = binary_hamming_topk(df, df.filter("vec_id < 3"), dim=64, k=1, shortlist=10).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out}
+    assert top1 == {0: 40, 1: 41, 2: 42}
