@@ -112,6 +112,10 @@ HEADLINE = [
     "ngram_containment_pairs",
     "embedding_pca_project",
     "embedding_pca_topk",
+    # r8 additions: the binary sign-quantization store prep and the
+    # Hamming-shortlist / cosine-rerank retrieval composition.
+    "embedding_binary_quantize",
+    "ann_binary_rerank_topk",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

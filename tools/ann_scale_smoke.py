@@ -130,6 +130,24 @@ def main() -> None:
         "planted_rank1": sum(1 for r in pq if r.rank == 1 and r.neighbor_id == r.query_id - 10_000_000),
     }
     codes.unpersist()
+
+    # Binary sign codes (r8): quantize ONCE (the 32x-smaller stored
+    # form), then Hamming-shortlist + exact-cosine rerank. Like PQ, the
+    # quantize time is write-path cost; query time is the XOR+popcount
+    # scan of two BIGINT words per vector plus a rerank that touches
+    # only shortlist x queries full vectors.
+    t0 = time.perf_counter()
+    bq = similarity.binary_hamming_topk(
+        corpus, probes, dim=DIM, k=10, shortlist=128
+    ).collect()
+    bq_pairs = {(r.query_id, r.neighbor_id) for r in bq}
+    results["binary_hamming_rerank"] = {
+        "query_sec": round(time.perf_counter() - t0, 2),
+        "recall_at_10": round(len(bf_pairs & bq_pairs) / len(bf_pairs), 3),
+        "planted_rank1": sum(
+            1 for r in bq if r.rank == 1 and r.neighbor_id == r.query_id - 10_000_000
+        ),
+    }
     print(json.dumps(results))
 
 
