@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from laygo_python_spark.functions import normalized_text
 from laygo_python_spark.operators.dedup import connected_components, minhash_lsh_candidates
-from laygo_python_spark.operators.packing import pack_sequences
+from laygo_python_spark.operators.packing import pack_sequences_grouped
 from laygo_python_spark.session import get_spark, read_table
 from laygo_python_spark.sources.sinks import to_parquet
 
@@ -160,9 +160,13 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
     docs = docs.transform(split_and_decontaminate)
     stages["after_decontamination"] = docs.count()
 
-    # Pack the training split into 512-token bins for the trainer.
+    # Pack the training split into 512-token bins for the trainer — the
+    # GROUPED variant, so the packing (and therefore the training data
+    # order) is identical on any cluster size / partition layout;
+    # pack_sequences is the shuffle-free alternative when
+    # reproducibility across layouts doesn't matter.
     train = docs.filter(F.col("split") == "train")
-    bins = pack_sequences(train, budget=512)
+    bins = pack_sequences_grouped(train, budget=512, n_groups=8, with_doc_ids=True)
     stages["train_bins"] = bins.count()
 
     to_parquet(docs, f"{out_dir}/documents", partition_by=["split"])

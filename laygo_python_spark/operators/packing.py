@@ -82,6 +82,7 @@ def pack_sequences_grouped(
     budget: int = 512,
     n_groups: int = 8,
     max_open: int = 64,
+    with_doc_ids: bool = False,
 ) -> DataFrame:
     """(grp, bin_id, total_tokens, n_docs) — DETERMINISTIC first-fit-
     decreasing packing, independent of partition layout and cluster
@@ -99,6 +100,11 @@ def pack_sequences_grouped(
     O(docs × max_open). Groups are the parallel unit — size ``n_groups``
     so a group's doc list fits executor memory, exactly like any
     ``applyInPandas`` key.
+
+    ``with_doc_ids=True`` adds the bin membership as a ``doc_ids``
+    array column (what a trainer consumes); the default aggregate-only
+    shape is what the oracle-gated query emits (the driver's compare
+    needs scalar columns).
     """
     grp = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
@@ -114,29 +120,34 @@ def pack_sequences_grouped(
         g = int(pdf["grp"].iloc[0])
         loads: list[int] = []  # creation order, closed and open alike
         ndocs: list[int] = []
+        members: list[list] = []
         open_idx: list[int] = []  # indexes into loads, oldest first
-        for n_tok in pdf[tokens_col]:
+        for doc_id, n_tok in zip(pdf[id_col], pdf[tokens_col]):
             n_tok = int(n_tok)
             for j in open_idx:
                 if loads[j] + n_tok <= budget:
                     loads[j] += n_tok
                     ndocs[j] += 1
+                    members[j].append(doc_id)
                     break
             else:
                 loads.append(n_tok)
                 ndocs.append(1)
+                members.append([doc_id])
                 open_idx.append(len(loads) - 1)
                 if len(open_idx) > max_open:
                     open_idx.pop(0)
-        return pd.DataFrame(
-            {
-                "grp": g,
-                "bin_id": range(1, len(loads) + 1),
-                "total_tokens": loads,
-                "n_docs": ndocs,
-            }
-        )
+        out = {
+            "grp": g,
+            "bin_id": range(1, len(loads) + 1),
+            "total_tokens": loads,
+            "n_docs": ndocs,
+        }
+        if with_doc_ids:
+            out["doc_ids"] = members
+        return pd.DataFrame(out)
 
-    return sized.groupBy("grp").applyInPandas(
-        pack_group, schema="grp long, bin_id long, total_tokens long, n_docs long"
-    )
+    schema = "grp long, bin_id long, total_tokens long, n_docs long"
+    if with_doc_ids:
+        schema += ", doc_ids array<long>"
+    return sized.groupBy("grp").applyInPandas(pack_group, schema=schema)

@@ -334,3 +334,20 @@ def test_pack_sequences_grouped_layout_independent(spark):
     pa = sorted(map(tuple, pack_sequences_grouped(a, budget=512).collect()))
     pb = sorted(map(tuple, pack_sequences_grouped(b, budget=512).collect()))
     assert pa == pb and pa
+
+
+def test_pack_sequences_grouped_with_doc_ids_membership(spark):
+    # with_doc_ids=True: bins carry membership; every doc appears in
+    # exactly one bin and each bin's doc count/total matches its list.
+    from laygo_python_spark.operators.packing import pack_sequences_grouped
+
+    rows = [(i, (i * 53) % 400 + 1) for i in range(200)]
+    toks = dict(rows)
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences_grouped(df, budget=512, n_groups=4, with_doc_ids=True).collect()
+    seen = []
+    for r in out:
+        assert r["n_docs"] == len(r["doc_ids"])
+        assert r["total_tokens"] == sum(toks[d] for d in r["doc_ids"])
+        seen.extend(r["doc_ids"])
+    assert sorted(seen) == [i for i, _ in rows]
