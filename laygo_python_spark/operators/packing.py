@@ -149,5 +149,8 @@ def pack_sequences_grouped(
 
     schema = "grp long, bin_id long, total_tokens long, n_docs long"
     if with_doc_ids:
-        schema += ", doc_ids array<long>"
+        # Membership keeps the caller's id type (string uuids route
+        # through the md5 hash just as well as longs).
+        id_type = df.schema[id_col].dataType.simpleString()
+        schema += f", doc_ids array<{id_type}>"
     return sized.groupBy("grp").applyInPandas(pack_group, schema=schema)

@@ -156,10 +156,17 @@ def pagerank(
                         F.col("dst").alias("node"),
                         (F.lit(damping) * F.col("pr") * F.col("w") / F.col("deg")).alias("pr"),
                     )
+                    # sum() skips NULLs, so a node holding base mass or any
+                    # real contribution is safe — but a node reached ONLY
+                    # through null-weight edges (deg null -> pr null) would
+                    # aggregate to a NULL-pr row. Dense mode coalesces the
+                    # same case to 0.0 and the sparse contract emits only
+                    # pr > 0 nodes, so drop those rows (r8 review).
                     ranks = (
                         base_rows.unionByName(contrib)
                         .groupBy("node")
                         .agg(F.sum("pr").alias("pr"))
+                        .filter(F.col("pr").isNotNull())
                     )
                     if it + 1 == iterations or (
                         checkpoint_every and (it + 1) % checkpoint_every == 0

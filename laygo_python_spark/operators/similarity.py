@@ -530,34 +530,31 @@ def binary_quantize(
     in other engines — 32 keeps every code in [0, 2^32) so the layout
     is portable/oracle-replayable bit for bit. Map-only (a per-word
     JVM fold); no shuffle, no Python."""
-    n_words = (dim + 31) // 32
-    codes = [
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*_code_exprs(vec_col, dim))).alias("word", "code")
+    ).withColumn("word", F.col("word").cast("int"))
+
+
+def _code_exprs(vec_col: str, dim: int) -> list[Column]:
+    """One fold expression per 32-bit word — the SINGLE definition of
+    the sign-packing bit layout, shared by the stored form
+    (binary_quantize) and the query-time form (binary_hamming_topk) so
+    the two can never desynchronize."""
+    return [
         F.expr(
             f"aggregate(slice({vec_col}, {w * 32 + 1}, 32), "
             "struct(cast(0 as bigint) as s, cast(1 as bigint) as p), "
             "(a, x) -> struct(a.s + IF(x > 0, a.p, cast(0 as bigint)), a.p * cast(2 as bigint)), "
             "a -> a.s)"
         )
-        for w in range(n_words)
+        for w in range((dim + 31) // 32)
     ]
-    return df.select(
-        F.col(id_col), F.posexplode(F.array(*codes)).alias("word", "code")
-    ).withColumn("word", F.col("word").cast("int"))
 
 
 def _packed_codes(df: DataFrame, dim: int, id_col: str, vec_col: str, prefix: str) -> DataFrame:
-    """Map-only (id, code words...) — same 32-bit layout as
+    """Map-only (id, code words...) — the same ``_code_exprs`` layout as
     ``binary_quantize`` but wide, for XOR scoring."""
-    n_words = (dim + 31) // 32
-    codes = [
-        F.expr(
-            f"aggregate(slice({vec_col}, {w * 32 + 1}, 32), "
-            "struct(cast(0 as bigint) as s, cast(1 as bigint) as p), "
-            "(a, x) -> struct(a.s + IF(x > 0, a.p, cast(0 as bigint)), a.p * cast(2 as bigint)), "
-            "a -> a.s)"
-        ).alias(f"{prefix}c{w}")
-        for w in range(n_words)
-    ]
+    codes = [c.alias(f"{prefix}c{w}") for w, c in enumerate(_code_exprs(vec_col, dim))]
     return df.select(F.col(id_col).alias(f"{prefix}id"), *codes)
 
 

@@ -328,6 +328,7 @@ class Pipeline:
         is computed once and REUSED across the per-partition jobs (Spark
         keeps map output registered for the lineage), so the extra jobs
         cost scheduling latency only, not recomputation of wide stages."""
+        import uuid
         from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
         extract = _item_extractor(self.df.columns)
@@ -336,30 +337,44 @@ class Pipeline:
         n = rdd.getNumPartitions()
         if n == 0:
             return
+        group = f"iter_unordered-{uuid.uuid4().hex[:12]}"
 
         def fetch(i: int) -> list[Row]:
+            # Job groups are thread-local — tag inside the pool thread so
+            # the finally below can cancel IN-FLIGHT fetches, not just
+            # queued ones (interruptOnCancel kills the running tasks).
+            sc.setJobGroup(group, "Pipeline.iter_unordered", interruptOnCancel=True)
             return sc.runJob(rdd, lambda it: it, partitions=[i])
 
-        with ThreadPoolExecutor(max_workers=max_workers) as ex:
-            window = min(max_workers + 1, n)
-            pending = {ex.submit(fetch, i) for i in range(window)}
-            nxt = window
-            try:
-                while pending:
-                    done, pending = wait(pending, return_when=FIRST_COMPLETED)
-                    for fut in done:
-                        rows = fut.result()
-                        if nxt < n:
-                            pending.add(ex.submit(fetch, nxt))
-                            nxt += 1
-                        for r in rows:
-                            yield extract(r)
-            finally:
-                # Abandoned mid-stream (consumer break / error): drop the
-                # tail instead of scheduling it — reference finally-block
-                # parity (threaded.py:126-130).
-                for fut in pending:
-                    fut.cancel()
+        ex = ThreadPoolExecutor(max_workers=max_workers)
+        window = min(max_workers + 1, n)
+        pending = {ex.submit(fetch, i) for i in range(window)}
+        nxt = window
+        try:
+            while pending:
+                done, pending = wait(pending, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    rows = fut.result()
+                    if nxt < n:
+                        pending.add(ex.submit(fetch, nxt))
+                        nxt += 1
+                    for r in rows:
+                        yield extract(r)
+        finally:
+            # Abandoned mid-stream (consumer break / error): drop the tail
+            # instead of scheduling OR finishing it — reference
+            # finally-block parity (threaded.py:126-130). cancelJobGroup
+            # interrupts running partition fetches so generator close
+            # never blocks behind a straggler; shutdown(wait=False)
+            # releases the pool threads as those fetches unwind.
+            for fut in pending:
+                fut.cancel()
+            if pending:
+                try:
+                    sc.cancelJobGroup(group)
+                except Exception:  # noqa: BLE001 — sc may already be stopped
+                    pass
+            ex.shutdown(wait=False, cancel_futures=True)
 
     # -- branch fan-out (reference: laygo/pipeline.py:459-555) -----------------
     def branch(

@@ -577,6 +577,8 @@ def compression_ratio_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("ratio") > 0.6, "junk")
         .otherwise("prose")
     )
-    return scored.select(
-        "doc_id", cls.alias("ratio_class"), (cls == "prose").alias("keep")
+    # keep derives from the aliased class column, not a second build of
+    # the CASE, so the two can never disagree after a threshold edit.
+    return scored.select("doc_id", cls.alias("ratio_class")).withColumn(
+        "keep", F.col("ratio_class") == "prose"
     )

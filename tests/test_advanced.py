@@ -351,3 +351,15 @@ def test_pack_sequences_grouped_with_doc_ids_membership(spark):
         assert r["total_tokens"] == sum(toks[d] for d in r["doc_ids"])
         seen.extend(r["doc_ids"])
     assert sorted(seen) == [i for i, _ in rows]
+
+
+def test_pack_sequences_grouped_string_ids(spark):
+    # r8 review: membership must keep the caller's id type — string ids
+    # route through the md5 hash and come back as array<string>.
+    from laygo_python_spark.operators.packing import pack_sequences_grouped
+
+    rows = [(f"doc-{i}", (i * 31) % 200 + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    out = pack_sequences_grouped(df, budget=256, n_groups=2, with_doc_ids=True).collect()
+    seen = sorted(d for r in out for d in r["doc_ids"])
+    assert seen == sorted(i for i, _ in rows)

@@ -193,3 +193,17 @@ def test_symmetric_fold_base_null_weights_fall_back_to_teleport(spark):
     }
     assert all(v is not None for v in got.values())
     assert got == pytest.approx(dense)
+
+
+def test_sparse_ppr_drops_nodes_reached_only_via_null_weights(spark):
+    # r8 review: a node whose ONLY path carries a null weight must not
+    # surface as a NULL-pr row in sparse mode — dense coalesces the same
+    # case to 0.0 and the sparse contract emits only pr > 0 nodes.
+    sym = [(1, 2, 1.0), (2, 1, 1.0), (2, 3, None), (3, 2, None)]
+    df = spark.createDataFrame(sym, "src long, dst long, w double")
+    srcs = spark.createDataFrame([(1,)], "node long")
+    rows = pagerank(
+        df, iterations=2, weight="w", sources=srcs, symmetric=True, sparse=True
+    ).collect()
+    assert all(r["pr"] is not None for r in rows)
+    assert 3 not in {r["node"] for r in rows}

@@ -33,18 +33,31 @@ from laygo_python_spark.session import get_spark
 BUDGET = 2048
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SplitMix64 — an independent uniform word PER id, so the
+    synthetic corpus is a pure function of doc_id (batch/partition
+    layout cannot change it, unlike seeding one Generator from the
+    whole batch's id array)."""
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def synth_docs(spark, n: int):
-    """Deterministic per-row lognormal-ish token counts (hash-seeded,
-    partition-independent) — the long-tailed doc-length mix packing
-    exists for."""
+    """Deterministic per-row lognormal-ish token counts (each doc's
+    length is a function of its id alone) — the long-tailed doc-length
+    mix packing exists for."""
 
     def gen(batches):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            rng = np.random.default_rng(ids % (2**31))
-            toks = np.minimum(
-                (rng.lognormal(5.0, 1.0, size=len(ids))).astype(np.int64) + 1, 8192
-            )
+            # Box-Muller from two per-id SplitMix64 uniforms -> one
+            # standard normal per id, then exp(5 + 1*z) lognormal.
+            u1 = (_splitmix64(ids) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+            u2 = (_splitmix64(ids + n) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+            z = np.sqrt(-2.0 * np.log(u1 + 1e-300)) * np.cos(2.0 * np.pi * u2)
+            toks = np.minimum(np.exp(5.0 + z).astype(np.int64) + 1, 8192)
             yield pd.DataFrame({"doc_id": ids, "n_tokens": toks})
 
     return spark.range(0, n, 1, 32).mapInPandas(gen, schema="doc_id long, n_tokens long")
