@@ -363,3 +363,37 @@ def test_pack_sequences_grouped_string_ids(spark):
     out = pack_sequences_grouped(df, budget=256, n_groups=2, with_doc_ids=True).collect()
     seen = sorted(d for r in out for d in r["doc_ids"])
     assert seen == sorted(i for i, _ in rows)
+
+
+def test_pack_sequences_grouped_parameter_sweep_differential(spark):
+    # Broader config coverage for the capped-FFD state machine: several
+    # (budget, n_groups, max_open) corners — tiny budgets (every doc
+    # oversized), tight caps (constant closing), many groups (sparse
+    # groups) — each against the pure-Python reference.
+    import hashlib
+    import random
+
+    from laygo_python_spark.operators.packing import pack_sequences_grouped
+
+    rng = random.Random(29)
+    rows = [(i, rng.randint(1, 300)) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    for budget, n_groups, max_open in ((64, 2, 2), (1, 3, 64), (300, 1, 1), (128, 16, 4)):
+        got = sorted(
+            map(
+                tuple,
+                pack_sequences_grouped(
+                    df, budget=budget, n_groups=n_groups, max_open=max_open
+                ).collect(),
+            )
+        )
+        expect = []
+        for g in range(n_groups):
+            items = sorted(
+                ((t, i) for i, t in rows
+                 if int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) % n_groups == g),
+                key=lambda p: (-p[0], p[1]),
+            )
+            for bin_id, tot, n in _ffd_reference([t for t, _ in items], budget, max_open):
+                expect.append((g, bin_id, tot, n))
+        assert got == sorted(expect), (budget, n_groups, max_open)
