@@ -504,3 +504,58 @@ def impute_missing_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bal").isNull().alias("was_missing"),
         F.round(F.coalesce("bal", "seg_mean"), 2).alias("bal_imputed"),
     )
+
+
+@query(
+    "psi_value_drift",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(least(9, greatest(0, floor((value - 0.0) / 50.0))) AS INT) AS bin,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+      FROM events),
+    h AS (SELECT event_type, bin, sum(is_ref) AS cr, sum(1 - is_ref) AS cc
+          FROM b GROUP BY event_type, bin),
+    t AS (SELECT event_type, CAST(sum(cr) AS BIGINT) AS n_ref,
+                 CAST(sum(cc) AS BIGINT) AS n_cur
+          FROM h GROUP BY event_type),
+    terms AS (
+      SELECT h.event_type, t.n_ref, t.n_cur,
+             greatest(CAST(cr AS DOUBLE) / t.n_ref, 1e-6) AS p,
+             greatest(CAST(cc AS DOUBLE) / t.n_cur, 1e-6) AS q
+      FROM h JOIN t USING (event_type))
+    SELECT event_type,
+           round(sum((q - p) * ln(q / p)), 6) AS psi,
+           round(sum(0.5 * p * ln(p / ((p + q) / 2))
+                   + 0.5 * q * ln(q / ((p + q) / 2))), 6) AS jsd,
+           n_ref, n_cur
+    FROM terms GROUP BY event_type, n_ref, n_cur
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (operators/drift.distribution_drift):
+    PSI + Jensen-Shannon divergence of the event `value` distribution,
+    second half of January vs the first, per event type — the
+    data-quality alarm a continuously-ingesting training pipeline runs
+    on every batch (PSI > 0.25 = the crawl's character changed; JSD is
+    the bounded symmetric companion). Fixed bin EDGES (10 × width-50
+    over [0, 500)) rather than quantile bins keep the statistic
+    engine-exact AND incrementally maintainable: per-bin counts are
+    additive partials, so the reference histogram can be a stored
+    artifact new batches merge into — the sketch mergeability contract.
+    One combiner-compressed aggregation per side; the oracle replays
+    the identical floored-proportion PSI/JSD fold (round 6 absorbs the
+    bin-order float summation)."""
+    from laygo_python_spark.operators.drift import distribution_drift
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    return distribution_drift(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut),
+        col="value",
+        lo=0.0,
+        hi=500.0,
+        n_bins=10,
+        keys=["event_type"],
+    )

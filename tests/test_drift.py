@@ -1,0 +1,99 @@
+"""Distribution-drift monitors (operators/drift.py) vs in-test numpy —
+known-value PSI/JSD, zero-drift identity, disjoint-support bound, and
+the additive-histogram mergeability contract."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from laygo_python_spark.operators.drift import EPS, binned_counts, distribution_drift
+
+
+def _expected(pc, qc, eps=EPS):
+    n_p, n_q = sum(pc), sum(qc)
+    psi = jsd = 0.0
+    for cr, cc in zip(pc, qc):
+        if cr == 0 and cc == 0:
+            continue
+        p = max(cr / n_p, eps)
+        q = max(cc / n_q, eps)
+        m = (p + q) / 2
+        psi += (q - p) * math.log(q / p)
+        jsd += 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+    return round(psi, 6), round(jsd, 6)
+
+
+def _df(spark, counts, lo=0.0, w=10.0):
+    rows = []
+    for b, c in enumerate(counts):
+        rows += [(lo + b * w + 0.5,)] * c
+    return spark.createDataFrame(rows, "value double")
+
+
+def test_known_value_psi_jsd(spark):
+    ref_counts = [10, 30, 40, 20]
+    cur_counts = [25, 25, 25, 25]
+    out = distribution_drift(
+        _df(spark, ref_counts), _df(spark, cur_counts), "value", 0.0, 40.0, 4
+    ).collect()[0]
+    psi, jsd = _expected(ref_counts, cur_counts)
+    assert out["psi"] == psi and out["jsd"] == jsd
+    assert out["n_ref"] == 100 and out["n_cur"] == 100
+
+
+def test_identical_distributions_zero_drift(spark):
+    counts = [5, 10, 15]
+    out = distribution_drift(
+        _df(spark, counts), _df(spark, counts), "value", 0.0, 30.0, 3
+    ).collect()[0]
+    assert out["psi"] == 0.0 and out["jsd"] == 0.0
+
+
+def test_disjoint_support_jsd_near_ln2(spark):
+    # All reference mass in bin 0, all current mass in bin 3: JSD must
+    # approach ln 2 (the bound), PSI explodes (floored by EPS).
+    out = distribution_drift(
+        _df(spark, [50, 0, 0, 0]), _df(spark, [0, 0, 0, 50]), "value", 0.0, 40.0, 4
+    ).collect()[0]
+    assert abs(out["jsd"] - math.log(2)) < 1e-4
+    assert out["psi"] > 5
+
+
+def test_out_of_range_values_clamp_to_edge_bins(spark):
+    df = spark.createDataFrame([(-100.0,), (999.0,)], "value double")
+    got = {r["bin"]: r["cnt"] for r in binned_counts(df, "value", 0.0, 40.0, 4, []).collect()}
+    assert got == {0: 1, 3: 1}
+
+
+def test_binned_counts_are_additive_partials(spark):
+    # The mergeability contract: histogram(batch1) + histogram(batch2)
+    # == histogram(union) — what lets the reference histogram live as a
+    # stored artifact that new batches fold into.
+    a = _df(spark, [3, 1, 4])
+    b = _df(spark, [1, 5, 9])
+    whole = {
+        r["bin"]: r["cnt"]
+        for r in binned_counts(a.unionAll(b), "value", 0.0, 30.0, 3, []).collect()
+    }
+    merged = {
+        r["bin"]: r["cnt"]
+        for r in binned_counts(a, "value", 0.0, 30.0, 3, [])
+        .unionByName(binned_counts(b, "value", 0.0, 30.0, 3, []))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert whole == merged
+
+
+def test_keyed_drift_per_group(spark):
+    ref = spark.createDataFrame([("a", 5.0)] * 10 + [("b", 5.0)] * 10, "k string, value double")
+    cur = spark.createDataFrame([("a", 5.0)] * 10 + [("b", 35.0)] * 10, "k string, value double")
+    out = {
+        r["k"]: (r["psi"], r["jsd"])
+        for r in distribution_drift(ref, cur, "value", 0.0, 40.0, 4, keys=["k"]).collect()
+    }
+    assert out["a"] == (0.0, 0.0)
+    assert out["b"][0] > 5 and abs(out["b"][1] - math.log(2)) < 1e-4
