@@ -112,10 +112,12 @@ HEADLINE = [
     "ngram_containment_pairs",
     "embedding_pca_project",
     "embedding_pca_topk",
-    # r8 additions: the binary sign-quantization store prep and the
-    # Hamming-shortlist / cosine-rerank retrieval composition.
+    # r8 additions: the binary sign-quantization store prep, the
+    # Hamming-shortlist / cosine-rerank retrieval composition, and the
+    # PSI/JSD distribution-drift monitor.
     "embedding_binary_quantize",
     "ann_binary_rerank_topk",
+    "psi_value_drift",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

@@ -46,27 +46,48 @@ def binned_counts(
     )
 
 
+def categorical_counts(df: DataFrame, col: str, keys: list[str]) -> DataFrame:
+    """(keys..., bin, cnt) where the "bin" IS the category value — the
+    categorical twin of ``binned_counts`` (source mix, language mix,
+    license mix...). Same additive-partial mergeability."""
+    return (
+        df.select(*keys, F.col(col).cast("string").alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def distribution_drift(
     ref: DataFrame,
     cur: DataFrame,
     col: str,
-    lo: float,
-    hi: float,
+    lo: float | None = None,
+    hi: float | None = None,
     n_bins: int = 10,
     keys: list[str] | None = None,
+    categorical: bool = False,
 ) -> DataFrame:
     """(keys..., psi, jsd, n_ref, n_cur) — Population Stability Index
     and Jensen-Shannon divergence (natural log) between the reference
     and current distributions of ``col``, per group key.
 
-    Reading: PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 alarm
-    (the conventional thresholds); JSD ∈ [0, ln 2] is the symmetric,
-    always-finite companion. Proportions are floored at ``EPS`` so
-    empty bins stay finite — the classic PSI convention, replayed
-    verbatim by the SQL oracle."""
+    Numeric mode bins by the fixed [lo, hi) edges; ``categorical=True``
+    treats each distinct value of ``col`` as its own bin (source mix,
+    language mix — lo/hi/n_bins ignored). Reading: PSI < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 alarm (the conventional
+    thresholds); JSD ∈ [0, ln 2] is the symmetric, always-finite
+    companion. Proportions are floored at ``EPS`` so empty bins stay
+    finite — the classic PSI convention, replayed verbatim by the SQL
+    oracle."""
     keys = keys or []
-    r = binned_counts(ref, col, lo, hi, n_bins, keys).withColumnRenamed("cnt", "cr")
-    c = binned_counts(cur, col, lo, hi, n_bins, keys).withColumnRenamed("cnt", "cc")
+    if categorical:
+        r = categorical_counts(ref, col, keys).withColumnRenamed("cnt", "cr")
+        c = categorical_counts(cur, col, keys).withColumnRenamed("cnt", "cc")
+    else:
+        if lo is None or hi is None:
+            raise ValueError("distribution_drift: numeric mode needs lo and hi bin edges")
+        r = binned_counts(ref, col, lo, hi, n_bins, keys).withColumnRenamed("cnt", "cr")
+        c = binned_counts(cur, col, lo, hi, n_bins, keys).withColumnRenamed("cnt", "cc")
     j = r.join(c, [*keys, "bin"], "full").fillna(0, subset=["cr", "cc"])
     wk = [F.col(k) for k in keys]
     tot = j.groupBy(*wk).agg(

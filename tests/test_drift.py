@@ -97,3 +97,24 @@ def test_keyed_drift_per_group(spark):
     }
     assert out["a"] == (0.0, 0.0)
     assert out["b"][0] > 5 and abs(out["b"][1] - math.log(2)) < 1e-4
+
+
+def test_categorical_drift(spark):
+    # Source-mix drift: reference is 50/50 a|b, current is 90/10 —
+    # PSI/JSD must match the numpy fold over category bins; a category
+    # appearing on only one side gets the EPS floor, not an error.
+    ref = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "src string")
+    cur = spark.createDataFrame([("a",)] * 90 + [("c",)] * 10, "src string")
+    out = distribution_drift(ref, cur, "src", categorical=True).collect()[0]
+    # bins: a (50, 90), b (50, 0), c (0, 10)
+    psi, jsd = _expected([50, 50, 0], [90, 0, 10])
+    assert out["psi"] == psi and out["jsd"] == jsd
+    assert out["n_ref"] == 100 and out["n_cur"] == 100
+
+
+def test_numeric_mode_requires_edges(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1.0,)], "value double")
+    with pytest.raises(ValueError, match="lo and hi"):
+        distribution_drift(df, df, "value")
