@@ -81,13 +81,24 @@ def distribution_drift(
     oracle."""
     keys = keys or []
     if categorical:
-        r = categorical_counts(ref, col, keys).withColumnRenamed("cnt", "cr")
-        c = categorical_counts(cur, col, keys).withColumnRenamed("cnt", "cc")
+        r = categorical_counts(ref, col, keys)
+        c = categorical_counts(cur, col, keys)
     else:
         if lo is None or hi is None:
             raise ValueError("distribution_drift: numeric mode needs lo and hi bin edges")
-        r = binned_counts(ref, col, lo, hi, n_bins, keys).withColumnRenamed("cnt", "cr")
-        c = binned_counts(cur, col, lo, hi, n_bins, keys).withColumnRenamed("cnt", "cc")
+        r = binned_counts(ref, col, lo, hi, n_bins, keys)
+        c = binned_counts(cur, col, lo, hi, n_bins, keys)
+    return drift_from_counts(r, c, keys)
+
+
+def drift_from_counts(ref_hist: DataFrame, cur_hist: DataFrame, keys: list[str]) -> DataFrame:
+    """The PSI/JSD fold over two (keys..., bin, cnt) histograms — split
+    out so STORED histograms work too: a streaming gate keeps per-batch
+    histogram partials as a parquet artifact (additive, so replay-safe
+    partition overwrites merge exactly) and folds against the committed
+    reference without ever touching raw history rows."""
+    r = ref_hist.withColumnRenamed("cnt", "cr")
+    c = cur_hist.withColumnRenamed("cnt", "cc")
     j = r.join(c, [*keys, "bin"], "full").fillna(0, subset=["cr", "cc"])
     wk = [F.col(k) for k in keys]
     tot = j.groupBy(*wk).agg(

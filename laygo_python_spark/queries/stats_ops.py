@@ -506,9 +506,10 @@ def impute_missing_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "psi_value_drift",
-    oracle="""
+# Shared by psi_value_drift and its streaming twin (stream_drift_monitor,
+# queries/streaming_ops.py): a bounded stream of per-batch histogram
+# partials merged and folded must equal the batch answer exactly.
+PSI_DRIFT_ORACLE = """
     WITH b AS (
       SELECT event_type,
              CAST(least(9, greatest(0, floor((value - 0.0) / 50.0))) AS INT) AS bin,
@@ -530,8 +531,10 @@ def impute_missing_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + 0.5 * q * ln(q / ((p + q) / 2))), 6) AS jsd,
            n_ref, n_cur
     FROM terms GROUP BY event_type, n_ref, n_cur
-    """,
-)
+    """
+
+
+@query("psi_value_drift", oracle=PSI_DRIFT_ORACLE)
 def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor (operators/drift.distribution_drift):
     PSI + Jensen-Shannon divergence of the event `value` distribution,

@@ -305,3 +305,59 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+from laygo_python_spark.queries.stats_ops import PSI_DRIFT_ORACLE
+
+
+@query("stream_drift_monitor", oracle=PSI_DRIFT_ORACLE)
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING data-quality gate (streaming/
+    drift_histogram_processor): the second half of January arrives as a
+    file stream, every micro-batch lands its additive histogram partial
+    as a batch_id-keyed parquet partition (replay = overwrite, so
+    exactly-once), and the drift fold (operators/drift.drift_from_counts)
+    runs over the MERGED partials against the reference histogram —
+    raw history rows are never re-read, which is what lets this gate
+    run forever at ingest rates. A bounded stream processed to
+    completion must equal the batch answer exactly, so the oracle is
+    psi_value_drift's own SQL (histogram additivity makes the result
+    independent of how rows were split into batches — also pinned by
+    tests/test_drift.py::test_stream_multi_batch_equals_batch with a
+    forced 4-file multi-batch split)."""
+    import shutil
+    import tempfile
+
+    from laygo_python_spark.operators.drift import binned_counts, drift_from_counts
+    from laygo_python_spark.session import read_table
+    from laygo_python_spark.streaming import drift_histogram_processor
+
+    ev = read_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ref_hist = binned_counts(
+        ev.filter(F.col("ts") < cut), "value", 0.0, 500.0, 10, ["event_type"]
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="stream_drift_")
+    try:
+        process = drift_histogram_processor(
+            "value", 0.0, 500.0, 10, ["event_type"],
+            hist_path=f"{scratch}/hist",
+            batch_filter=F.col("ts") >= cut,
+        )
+        q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        cur_hist = (
+            spark.read.parquet(f"{scratch}/hist")
+            .groupBy("event_type", "bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        return drift_from_counts(ref_hist, cur_hist, ["event_type"]).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

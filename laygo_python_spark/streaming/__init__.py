@@ -183,3 +183,32 @@ def incremental_dedup_processor(
             dedup.minhash_index_compact(spark, index_path, stats=False)
 
     return process
+
+
+def drift_histogram_processor(
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    keys: list[str],
+    hist_path: str,
+    batch_filter: Column | None = None,
+):
+    """``foreachBatch`` body for a streaming data-quality gate: per
+    micro-batch, bin the batch's rows (operators/drift.binned_counts)
+    and land the partial histogram as ``{hist_path}/batch_id=N``.
+    Histograms are additive partials, so the merged current-window
+    distribution is a read-time ``groupBy(keys, bin).sum`` over the
+    partitions — no raw row is ever re-read — and drift against a
+    stored reference histogram is ``drift_from_counts`` on two tiny
+    frames. Exactly-once under the replay contract: a replayed batch
+    OVERWRITES its own partition, and additivity makes the merge
+    independent of how rows were split into batches (pytest-pinned)."""
+    from laygo_python_spark.operators.drift import binned_counts
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.filter(batch_filter) if batch_filter is not None else batch_df
+        hist = binned_counts(rows, col, lo, hi, n_bins, keys)
+        hist.write.mode("overwrite").parquet(f"{hist_path}/batch_id={batch_id}")
+
+    return process

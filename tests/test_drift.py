@@ -118,3 +118,58 @@ def test_numeric_mode_requires_edges(spark):
     df = spark.createDataFrame([(1.0,)], "value double")
     with pytest.raises(ValueError, match="lo and hi"):
         distribution_drift(df, df, "value")
+
+
+def test_stream_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    # Force a REAL multi-batch run (4 files, one per trigger): the
+    # merged per-batch histogram partials folded against the reference
+    # must equal the single-pass batch drift — histogram additivity is
+    # what makes the streaming gate exactly-once under any batch split.
+    import glob
+
+    from laygo_python_spark.operators.drift import binned_counts, drift_from_counts
+    from laygo_python_spark.session import read_table
+    from laygo_python_spark.streaming import drift_histogram_processor
+
+    ev = read_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ref_hist = binned_counts(ev.filter(F.col("ts") < cut), "value", 0.0, 500.0, 10, ["event_type"])
+    batch = {
+        r["event_type"]: (r["psi"], r["jsd"], r["n_ref"], r["n_cur"])
+        for r in drift_from_counts(
+            ref_hist,
+            binned_counts(ev.filter(F.col("ts") >= cut), "value", 0.0, 500.0, 10, ["event_type"]),
+            ["event_type"],
+        ).collect()
+    }
+
+    src = tmp_path / "evsrc"
+    ev.repartition(4).write.parquet(str(src))
+    n_files = len(glob.glob(f"{src}/part-*.parquet"))
+    assert n_files == 4
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    process = drift_histogram_processor(
+        "value", 0.0, 500.0, 10, ["event_type"],
+        hist_path=str(tmp_path / "hist"),
+        batch_filter=F.col("ts") >= cut,
+    )
+    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    assert len(glob.glob(f"{tmp_path}/hist/batch_id=*")) == n_files
+    cur_hist = (
+        spark.read.parquet(str(tmp_path / "hist"))
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    streamed = {
+        r["event_type"]: (r["psi"], r["jsd"], r["n_ref"], r["n_cur"])
+        for r in drift_from_counts(ref_hist, cur_hist, ["event_type"]).collect()
+    }
+    assert streamed == batch
