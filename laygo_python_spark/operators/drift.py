@@ -17,7 +17,7 @@ partial rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Proportion floor — the standard PSI guard for empty bins (keeps
@@ -38,20 +38,35 @@ def binned_counts(
     df: DataFrame, col: str, lo: float, hi: float, n_bins: int, keys: list[str]
 ) -> DataFrame:
     """(keys..., bin, cnt) histogram — one combiner-compressed
-    aggregation; the shuffle moves n_keys × n_bins partial rows."""
+    aggregation; the shuffle moves n_keys × n_bins partial rows.
+
+    NULL measurements are EXCLUDED, not binned: greatest/least skip
+    NULLs, so without the filter a 100%-NULL batch would masquerade as
+    all-mass-in-bin-0 — a drift monitor hiding the most common
+    data-quality failure (r8 review). Track the null RATE separately if
+    it matters (it usually does): ``F.avg(col.isNull().cast("int"))``."""
     return (
-        df.select(*keys, bin_col(F.col(col), lo, hi, n_bins).alias("bin"))
+        df.filter(F.col(col).isNotNull())
+        .select(*keys, bin_col(F.col(col), lo, hi, n_bins).alias("bin"))
         .groupBy(*keys, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
+NULL_CATEGORY = "__null__"
+
+
 def categorical_counts(df: DataFrame, col: str, keys: list[str]) -> DataFrame:
     """(keys..., bin, cnt) where the "bin" IS the category value — the
     categorical twin of ``binned_counts`` (source mix, language mix,
-    license mix...). Same additive-partial mergeability."""
+    license mix...). Same additive-partial mergeability. NULL is a
+    legitimate category in a mix, so it becomes the ``NULL_CATEGORY``
+    sentinel instead of a NULL bin (a NULL bin value would fall out of
+    the fold's groupings/joins and report spurious drift — r8 review)."""
     return (
-        df.select(*keys, F.col(col).cast("string").alias("bin"))
+        df.select(
+            *keys, F.coalesce(F.col(col).cast("string"), F.lit(NULL_CATEGORY)).alias("bin")
+        )
         .groupBy(*keys, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -96,22 +111,43 @@ def drift_from_counts(ref_hist: DataFrame, cur_hist: DataFrame, keys: list[str])
     out so STORED histograms work too: a streaming gate keeps per-batch
     histogram partials as a parquet artifact (additive, so replay-safe
     partition overwrites merge exactly) and folds against the committed
-    reference without ever touching raw history rows."""
-    r = ref_hist.withColumnRenamed("cnt", "cr")
-    c = cur_hist.withColumnRenamed("cnt", "cc")
-    j = r.join(c, [*keys, "bin"], "full").fillna(0, subset=["cr", "cc"])
-    wk = [F.col(k) for k in keys]
-    tot = j.groupBy(*wk).agg(
-        F.sum("cr").alias("n_ref"), F.sum("cc").alias("n_cur")
+    reference without ever touching raw history rows.
+
+    Shape notes (r8 review): the sides align by UNION + groupBy, never
+    a join — groupBy treats NULL key/bin values as ordinary group
+    members where an equi-join would silently drop them and report
+    false drift; per-key totals are window sums over the same frame (no
+    totals re-join, and an empty key list is just the global window);
+    and a key present on only ONE side gets proportion 0 → the EPS
+    floor → a maximal-drift alarm, instead of the divide-by-zero that
+    ANSI mode turns into a job-killing exception (a brand-new group
+    appearing in the current window is exactly the event a drift
+    monitor exists to catch)."""
+    u = ref_hist.select(
+        *keys, "bin", F.col("cnt").alias("cr"), F.lit(0).cast("long").alias("cc")
+    ).unionByName(
+        cur_hist.select(
+            *keys, "bin", F.lit(0).cast("long").alias("cr"), F.col("cnt").alias("cc")
+        )
     )
-    j = j.join(tot, keys) if keys else j.crossJoin(F.broadcast(tot))
-    p = F.greatest(F.col("cr") / F.col("n_ref"), F.lit(EPS))
-    q = F.greatest(F.col("cc") / F.col("n_cur"), F.lit(EPS))
+    j = u.groupBy(*keys, "bin").agg(F.sum("cr").alias("cr"), F.sum("cc").alias("cc"))
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    j = j.withColumn("n_ref", F.sum("cr").over(w)).withColumn(
+        "n_cur", F.sum("cc").over(w)
+    )
+    p = F.greatest(
+        F.when(F.col("n_ref") > 0, F.col("cr") / F.col("n_ref")).otherwise(F.lit(0.0)),
+        F.lit(EPS),
+    )
+    q = F.greatest(
+        F.when(F.col("n_cur") > 0, F.col("cc") / F.col("n_cur")).otherwise(F.lit(0.0)),
+        F.lit(EPS),
+    )
     m = (p + q) / 2
     psi_term = (q - p) * F.log(q / p)
     jsd_term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
     return (
-        j.groupBy(*wk, "n_ref", "n_cur")
+        j.groupBy(*keys, "n_ref", "n_cur")
         .agg(
             F.round(F.sum(psi_term), 6).alias("psi"),
             F.round(F.sum(jsd_term), 6).alias("jsd"),

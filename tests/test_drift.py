@@ -173,3 +173,40 @@ def test_stream_multi_batch_equals_batch(spark, sf_dir, tmp_path):
         for r in drift_from_counts(ref_hist, cur_hist, ["event_type"]).collect()
     }
     assert streamed == batch
+
+
+def test_null_values_excluded_from_numeric_histogram(spark):
+    # r8 review: NULL measurements must not masquerade as bin-0 mass.
+    df = spark.createDataFrame([(1.0,), (None,), (None,)], "value double")
+    got = {r["bin"]: r["cnt"] for r in binned_counts(df, "value", 0.0, 40.0, 4, []).collect()}
+    assert got == {0: 1}
+
+
+def test_null_category_is_a_real_category(spark):
+    # r8 review: identical distributions containing NULL categories must
+    # report ZERO drift (a NULL bin used to fall out of the join and
+    # fire a spurious alarm), and a null-share shift must register.
+    from laygo_python_spark.operators.drift import NULL_CATEGORY
+
+    same = spark.createDataFrame([("a",)] * 5 + [(None,)] * 5, "src string")
+    out = distribution_drift(same, same, "src", categorical=True).collect()[0]
+    assert out["psi"] == 0.0 and out["jsd"] == 0.0 and out["n_ref"] == 10
+    shifted = spark.createDataFrame([("a",)] * 9 + [(None,)] * 1, "src string")
+    moved = distribution_drift(same, shifted, "src", categorical=True).collect()[0]
+    psi, jsd = _expected([5, 5], [9, 1])
+    assert (moved["psi"], moved["jsd"]) == (psi, jsd)
+    from laygo_python_spark.operators.drift import categorical_counts
+
+    cats = {r["bin"] for r in categorical_counts(same, "src", []).collect()}
+    assert NULL_CATEGORY in cats
+
+
+def test_one_sided_group_key_alarms_instead_of_crashing(spark):
+    # r8 review: a brand-new group in the current window used to raise
+    # DIVIDE_BY_ZERO under Spark's default ANSI mode — exactly the event
+    # a drift monitor exists to catch. It must report maximal drift.
+    ref = spark.createDataFrame([("a", 5.0)] * 10, "k string, value double")
+    cur = spark.createDataFrame([("a", 5.0)] * 10 + [("b", 5.0)] * 10, "k string, value double")
+    out = {r["k"]: r for r in distribution_drift(ref, cur, "value", 0.0, 40.0, 4, keys=["k"]).collect()}
+    assert out["a"]["psi"] == 0.0
+    assert out["b"]["psi"] > 5 and out["b"]["n_ref"] == 0 and out["b"]["n_cur"] == 10
