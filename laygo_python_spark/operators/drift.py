@@ -29,6 +29,8 @@ def bin_col(col: Column, lo: float, hi: float, n_bins: int) -> Column:
     """Clamped fixed-width bin index in [0, n_bins): floor((x-lo)/w),
     out-of-range values land in the edge bins. Pure double arithmetic —
     bit-identical across engines."""
+    if not (hi > lo) or n_bins <= 0:
+        raise ValueError(f"bin_col: need hi > lo and n_bins > 0, got [{lo}, {hi}) / {n_bins}")
     w = (hi - lo) / n_bins
     raw = F.floor((col - F.lit(lo)) / F.lit(w))
     return F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw)).cast("int")

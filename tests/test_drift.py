@@ -210,3 +210,12 @@ def test_one_sided_group_key_alarms_instead_of_crashing(spark):
     out = {r["k"]: r for r in distribution_drift(ref, cur, "value", 0.0, 40.0, 4, keys=["k"]).collect()}
     assert out["a"]["psi"] == 0.0
     assert out["b"]["psi"] > 5 and out["b"]["n_ref"] == 0 and out["b"]["n_cur"] == 10
+
+
+def test_bin_col_rejects_degenerate_edges(spark):
+    import pytest
+
+    from laygo_python_spark.operators.drift import bin_col
+
+    with pytest.raises(ValueError, match="hi > lo"):
+        bin_col(F.lit(1.0), 5.0, 5.0, 4)

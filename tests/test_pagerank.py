@@ -207,3 +207,19 @@ def test_sparse_ppr_drops_nodes_reached_only_via_null_weights(spark):
     ).collect()
     assert all(r["pr"] is not None for r in rows)
     assert 3 not in {r["node"] for r in rows}
+
+
+def test_zero_sum_weights_do_not_crash_under_ansi(spark):
+    # Spark 4 defaults spark.sql.ansi.enabled=true, where x/0 is a
+    # job-killing SparkArithmeticException — a source whose weights sum
+    # to exactly zero must distribute no mass instead (same treatment
+    # as null weights), in BOTH the dense and symmetric paths.
+    sym = [(1, 2, 1.0), (1, 3, -1.0), (2, 1, 1.0), (3, 1, 1.0)]
+    df = spark.createDataFrame(sym, "src long, dst long, w double")
+    dense = {r["node"]: r["pr"] for r in pagerank(df, iterations=2, weight="w").collect()}
+    symm = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, iterations=2, weight="w", symmetric=True).collect()
+    }
+    assert all(v is not None for v in dense.values())
+    assert symm == pytest.approx(dense)

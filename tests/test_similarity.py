@@ -912,3 +912,16 @@ def test_binary_hamming_topk_recovers_planted_near_dups(spark):
     out = binary_hamming_topk(df, df.filter("vec_id < 3"), dim=64, k=1, shortlist=10).collect()
     top1 = {r["query_id"]: r["neighbor_id"] for r in out}
     assert top1 == {0: 40, 1: 41, 2: 42}
+
+
+def test_cosine_zero_vector_yields_null_not_crash(spark):
+    # ANSI mode turns /0 into an exception; a zero (padding) embedding
+    # must rank last via NULL sim, not kill the scan.
+    from laygo_python_spark.operators.similarity import brute_force_topk
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(df, df.filter("vec_id = 0"), k=2).collect()
+    got = {r["neighbor_id"]: r["sim"] for r in out}
+    assert got[1] is None  # the zero vector scored NULL, ranked last
+    assert got[2] is not None
