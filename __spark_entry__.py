@@ -51,6 +51,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _ROTATION_FRONT = [
     # r8-new queries (never driver-checked) and r8-changed code/oracles
     "embedding_binary_quantize", "ann_binary_rerank_topk",
+    "psi_value_drift", "stream_drift_monitor",
     "embedding_pca_project", "pack_sequences_bins",
     "compression_ratio_score", "q21_waiting_suppliers",
     "hll_relational_daily_users",
@@ -74,7 +75,6 @@ _ROTATION_FRONT = [
     "python_datasource_events", "dedup_minhash_lsh", "dedup_minhash_verified",
     "dedup_cluster_representatives", "dedup_incremental_lsh",
     "dedup_index_append", "dedup_index_compact", "dedup_simhash",
-    "dedup_simhash_index_append", "ngram_jaccard_pairs",
 ]
 
 
