@@ -58,16 +58,22 @@ def binned_counts(
 NULL_CATEGORY = "__null__"
 
 
-def categorical_counts(df: DataFrame, col: str, keys: list[str]) -> DataFrame:
+def categorical_counts(
+    df: DataFrame, col: str, keys: list[str], null_category: str = NULL_CATEGORY
+) -> DataFrame:
     """(keys..., bin, cnt) where the "bin" IS the category value — the
     categorical twin of ``binned_counts`` (source mix, language mix,
     license mix...). Same additive-partial mergeability. NULL is a
-    legitimate category in a mix, so it becomes the ``NULL_CATEGORY``
+    legitimate category in a mix, so it becomes the ``null_category``
     sentinel instead of a NULL bin (a NULL bin value would fall out of
-    the fold's groupings/joins and report spurious drift — r8 review)."""
+    the fold's groupings/joins and report spurious drift — r8 review).
+    If the column can legitimately contain the literal sentinel string
+    (an upstream feed that already sentinel-encodes its NULLs), pass a
+    different ``null_category`` — a collision silently merges the two
+    populations into one bin."""
     return (
         df.select(
-            *keys, F.coalesce(F.col(col).cast("string"), F.lit(NULL_CATEGORY)).alias("bin")
+            *keys, F.coalesce(F.col(col).cast("string"), F.lit(null_category)).alias("bin")
         )
         .groupBy(*keys, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -94,8 +100,12 @@ def distribution_drift(
     0.1-0.25 moderate shift, > 0.25 alarm (the conventional
     thresholds); JSD ∈ [0, ln 2] is the symmetric, always-finite
     companion. Proportions are floored at ``EPS`` so empty bins stay
-    finite — the classic PSI convention, replayed verbatim by the SQL
-    oracle."""
+    finite — the classic PSI convention. The SQL oracle replays the
+    fold including the NULL-measurement exclusion (WHERE value IS NOT
+    NULL — DuckDB's greatest(0, NULL) = 0 would otherwise bin NULLs as
+    bin-0 mass) and a null-safe key join; one remaining documented
+    delta: DuckDB's x/0 → NULL → greatest(NULL, EPS) = EPS happens to
+    equal the Spark when-guard's EPS floor for one-sided groups."""
     keys = keys or []
     if categorical:
         r = categorical_counts(ref, col, keys)

@@ -48,9 +48,12 @@ def l2_norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """NULL (not a crash) for a zero vector: Spark 4's default ANSI mode
     turns /0 into a job-killing exception, and a padding/all-zero
-    embedding shouldn't take down a top-k scan — a NULL sim ranks last
-    and falls out of any k-cut. (The numpy path returns NaN for the
-    same input; neither value ever reaches a fixture-gated oracle.)"""
+    embedding shouldn't take down a top-k scan — a NULL sim sorts LAST
+    under desc ranking, so it only surfaces when a query has fewer than
+    k real candidates (consumers doing arithmetic on ``sim`` must still
+    null-check). The numpy path maps the same case to -inf so both
+    paths rank it identically; neither value ever reaches a
+    fixture-gated oracle."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom != 0, dot(a, b) / denom)
 
@@ -131,7 +134,16 @@ def _brute_force_topk_numpy(
                 continue
             ids = pdf[id_col].to_numpy()
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            sims = (mat @ q_mat.T) / (np.linalg.norm(mat, axis=1)[:, None] * q_norm[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (mat @ q_mat.T) / (
+                    np.linalg.norm(mat, axis=1)[:, None] * q_norm[None, :]
+                )
+            # Zero (padding) vectors: NaN here, but Spark's desc window
+            # orders NaN FIRST — a zero vector would win the global rank
+            # while the Column path's NULL ranks it last. -inf keeps the
+            # two paths agreeing: ranked last, surfaced only when a query
+            # has fewer than k real candidates (r8 review).
+            sims[~np.isfinite(sims)] = -np.inf
             out_q, out_n, out_s = [], [], []
             for j, qid in enumerate(q_ids):
                 col = sims[:, j]

@@ -514,7 +514,10 @@ PSI_DRIFT_ORACLE = """
       SELECT event_type,
              CAST(least(9, greatest(0, floor((value - 0.0) / 50.0))) AS INT) AS bin,
              CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
-      FROM events),
+      FROM events
+      WHERE value IS NOT NULL),  -- mirror Spark: NULL measurements are EXCLUDED,
+                                 -- never binned (DuckDB's greatest(0, NULL) = 0
+                                 -- would otherwise count them as bin-0 mass)
     h AS (SELECT event_type, bin, sum(is_ref) AS cr, sum(1 - is_ref) AS cc
           FROM b GROUP BY event_type, bin),
     t AS (SELECT event_type, CAST(sum(cr) AS BIGINT) AS n_ref,
@@ -524,7 +527,7 @@ PSI_DRIFT_ORACLE = """
       SELECT h.event_type, t.n_ref, t.n_cur,
              greatest(CAST(cr AS DOUBLE) / t.n_ref, 1e-6) AS p,
              greatest(CAST(cc AS DOUBLE) / t.n_cur, 1e-6) AS q
-      FROM h JOIN t USING (event_type))
+      FROM h JOIN t ON h.event_type IS NOT DISTINCT FROM t.event_type)
     SELECT event_type,
            round(sum((q - p) * ln(q / p)), 6) AS psi,
            round(sum(0.5 * p * ln(p / ((p + q) / 2))

@@ -925,3 +925,17 @@ def test_cosine_zero_vector_yields_null_not_crash(spark):
     got = {r["neighbor_id"]: r["sim"] for r in out}
     assert got[1] is None  # the zero vector scored NULL, ranked last
     assert got[2] is not None
+
+
+def test_zero_vector_ranks_last_in_both_topk_paths(spark):
+    # r8 review: the numpy path returned NaN (which Spark's desc window
+    # ranks FIRST) while the Column path returns NULL (ranked last) —
+    # both paths must rank a zero vector last and pick the same top-1.
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    col_path = similarity.brute_force_topk(df, q, k=2).collect()
+    np_path = similarity.brute_force_topk(df, q, k=2, vectorized=True).collect()
+    top_col = [r["neighbor_id"] for r in sorted(col_path, key=lambda r: r["rank"])]
+    top_np = [r["neighbor_id"] for r in sorted(np_path, key=lambda r: r["rank"])]
+    assert top_col == top_np == [3, 2]  # the zero vector (id 1) never wins
