@@ -553,3 +553,29 @@ def test_iter_unordered_early_break_cancels_tail(spark):
     it.close()
     # session still healthy
     assert spark.range(5).count() == 5
+
+
+def test_iter_unordered_close_does_not_wait_for_straggler(spark):
+    """The abandon path's contract (threaded.py:126-130 parity): with a
+    straggler partition mid-flight, generator close() cancels the job
+    group and returns promptly instead of waiting out the sleep."""
+    import time
+
+    df = spark.range(0, 8, 1, 4).selectExpr("id AS value")
+
+    def slow_tail(it):
+        rows = list(it)
+        if rows and rows[0]["value"] >= 4:  # partitions 2-3 sleep
+            time.sleep(15)
+        return iter(rows)
+
+    slow = df.sparkSession.createDataFrame(df.rdd.mapPartitions(slow_tail), df.schema)
+    it = Pipeline(slow, spark=spark).iter_unordered(max_workers=4)
+    got = [next(it) for _ in range(2)]  # fast partitions yield first
+    assert all(v < 4 for v in got)
+    t0 = time.time()
+    it.close()
+    took = time.time() - t0
+    assert took < 5, f"close() blocked {took:.1f}s behind the straggler"
+    # session healthy after the cancel
+    assert spark.range(3).count() == 3
