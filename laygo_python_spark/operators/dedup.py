@@ -1377,6 +1377,7 @@ def connected_components(
     max_iterations: int = 25,
     checkpoint_every: int = 1,
     stats: dict | None = None,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: (node, cluster)
     where cluster = the smallest node id reachable from the node.
@@ -1409,7 +1410,20 @@ def connected_components(
     ``_release``): at 10^10 nodes a labels snapshot is ~160 GB of
     executor storage — holding all 25 rounds' snapshots alive until GC
     would need TBs. Only the blocks backing the RETURNED frame stay
-    (freed when the caller drops it)."""
+    (freed when the caller drops it).
+
+    Adaptive small-graph path: below ``driver_threshold`` edges (of the
+    already-materialized symmetric list — the size check is a count on
+    the checkpoint, never a re-execution of pair discovery) the
+    component labels come from a driver-side union-find instead of the
+    distributed fixpoint. An LSH candidate graph is usually SPARSE —
+    orders of magnitude smaller than the corpus — and each distributed
+    round costs 2 jobs of scheduling floor regardless of data size, so
+    at ≤10^6 edges (≈16 MB collected) union-find is strictly faster
+    (the same adaptive logic as AQE's runtime broadcast demotion; the
+    collect is bounded by the threshold, pq._MAX_TRAIN-style). Pass
+    ``driver_threshold=0`` to force the distributed path (the scale
+    smokes do, to measure its round bounds)."""
     spark = edges.sparkSession
 
     def _persistent_ids() -> set[int]:
@@ -1431,6 +1445,46 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     sym_ids = _persistent_ids() - pre
+    if driver_threshold and sym.count() <= 2 * driver_threshold:
+        # Small-graph fast path (see docstring): union-find over the
+        # bounded, already-materialized edge list. Same contract —
+        # (node, label=min reachable id) — verified against the
+        # distributed path by tests/test_dedup.py.
+        pairs = sym.collect()
+        _release(sym_ids)
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while x != root:  # path compression
+                nxt = parent[x]
+                parent[x] = root
+                x = nxt
+            return root
+
+        for r in pairs:
+            a, b = find(r["s"]), find(r["d"])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        nodes = {r["s"] for r in pairs}
+        comp_min: dict = {}
+        roots = {n: find(n) for n in nodes}
+        for n, root in roots.items():
+            if root not in comp_min or n < comp_min[root]:
+                comp_min[root] = n
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["driver_path_edges"] = len(pairs) // 2
+        t = dict(sym.dtypes)["s"]
+        from laygo_python_spark.session import local_rows_df
+
+        return local_rows_df(
+            spark,
+            sorted((n, comp_min[root]) for n, root in roots.items()),
+            f"node {t}, cluster {t}",
+        )
     labels = (
         sym.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
     )

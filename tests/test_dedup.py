@@ -447,3 +447,26 @@ def test_ngram_containment_max_df_drops_stop_grams(spark):
     assert with_cap == []
     no_cap = dedup.ngram_containment_pairs(df, n=3, threshold=0.1).collect()
     assert len(no_cap) == 20  # all directed pairs share the boilerplate gram
+
+
+def test_cc_driver_path_equals_distributed_path(spark):
+    # r8 adaptive small-graph path: union-find (default threshold) and
+    # the distributed fixpoint (driver_threshold=0) must emit identical
+    # (node, cluster) labels — chain + clique + singleton-pair mix.
+    import random
+
+    from laygo_python_spark.operators.dedup import connected_components
+
+    rng = random.Random(31)
+    edges = [(i, i + 1) for i in range(50)]                    # chain
+    edges += [(100 + a, 100 + b) for a in range(8) for b in range(a)]  # clique
+    edges += [(rng.randint(200, 260), rng.randint(200, 260)) for _ in range(40)]
+    df = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    fast = {(r["node"], r["cluster"]) for r in connected_components(df).collect()}
+    dist_stats: dict = {}
+    dist = {
+        (r["node"], r["cluster"])
+        for r in connected_components(df, driver_threshold=0, stats=dist_stats).collect()
+    }
+    assert fast == dist
+    assert dist_stats.get("rounds", 1) > 0  # the distributed path actually ran

@@ -88,7 +88,9 @@ def main() -> None:
 
     stats: dict = {}
     t0 = time.perf_counter()
-    labels = connected_components(edges, max_iterations=30, stats=stats)
+    # driver_threshold=0: this smoke MEASURES the distributed fixpoint's
+    # round bound — never let the adaptive union-find path absorb it.
+    labels = connected_components(edges, max_iterations=30, stats=stats, driver_threshold=0)
     n_components = labels.select("cluster").distinct().count()
     elapsed = time.perf_counter() - t0
 
