@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from laygo_python_spark import get_spark
 from laygo_python_spark.operators.bloom import bloom_build, bloom_merge, bloom_might_contain
 from laygo_python_spark.operators.cms import cms_build, cms_estimate, cms_merge
+from laygo_python_spark.operators.drift import binned_counts, drift_from_counts
 from laygo_python_spark.operators.heavyhitters import mg_merge, mg_summarize
 from laygo_python_spark.sources.python_datasource import register
 
@@ -59,6 +60,7 @@ def incremental_heavy_users(spark, shards=((0, 40_000), (40_000, 80_000), (80_00
     day_hll = []
     day_bloom = []
     day_mg = []
+    day_hist = []
     for lo, hi in shards:
         day = _shard(spark, lo, hi)
         # In production each of these writes to an artifact table;
@@ -67,6 +69,10 @@ def incremental_heavy_users(spark, shards=((0, 40_000), (40_000, 80_000), (80_00
         day_hll.append(day.agg(F.hll_sketch_agg("user_id").alias("sk")))
         day_bloom.append(bloom_build(day.select("user_id"), "user_id", m=1 << 17, k=5))
         day_mg.append(mg_summarize(day, "user_id", k=mg_k))
+        # Fixed-edge value histogram — the drift monitor's additive
+        # artifact (operators/drift.py), same store-and-merge contract
+        # as the sketches above.
+        day_hist.append(binned_counts(day, "value", 0.0, 100.0, 20, []))
 
     merged_cms = cms_merge(*day_cms)
     hll_union = day_hll[0]
@@ -105,18 +111,33 @@ def incremental_heavy_users(spark, shards=((0, 40_000), (40_000, 80_000), (80_00
         (r["user_id"], r["est"])
         for r in mg_month.orderBy(F.desc("est"), "user_id").limit(5).collect()
     ]
-    return [(r["user_id"], r["est"]) for r in top], distinct_est, n_maybe_seen, mg_top
+
+    # Distribution-drift certificate from stored histograms alone: day 1
+    # is the reference, the rest of the month merges by counter addition
+    # (exactly like the CMS/bloom merges above) and the PSI/JSD fold
+    # answers "did the value distribution change?" without re-reading a
+    # single raw row. This stream is stationary, so the CORRECT answer
+    # is ~zero drift.
+    rest = day_hist[1]
+    for h in day_hist[2:]:
+        rest = rest.unionByName(h)
+    rest = rest.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    dr = drift_from_counts(day_hist[0], rest, []).collect()[0]
+    drift_cert = (dr["psi"], dr["jsd"])
+
+    return [(r["user_id"], r["est"]) for r in top], distinct_est, n_maybe_seen, mg_top, drift_cert
 
 
 def main() -> None:
     spark = get_spark("incremental_analytics_example")
     register(spark)
-    top, distinct_est, n_maybe_seen, mg_top = incremental_heavy_users(spark)
+    top, distinct_est, n_maybe_seen, mg_top, drift_cert = incremental_heavy_users(spark)
     print("distinct users (merged HLL):", distinct_est)
     for uid, est in top[:5]:
         print(f"user {uid}: ~{est} events")
     print("probes passing merged bloom:", n_maybe_seen)
     print("MG skew certificate (uniform stream -> all ests ~ per-user rate):", mg_top)
+    print("drift certificate (stationary stream -> ~0): psi, jsd =", drift_cert)
 
 
 if __name__ == "__main__":

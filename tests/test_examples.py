@@ -77,7 +77,7 @@ def test_incremental_analytics(spark):
     from laygo_python_spark.sources.python_datasource import register
 
     register(spark)
-    top, distinct_est, n_maybe_seen, mg_top = inc.incremental_heavy_users(spark)
+    top, distinct_est, n_maybe_seen, mg_top, drift_cert = inc.incremental_heavy_users(spark)
     # 120k events over user_id = id % 1000 → every user ~120 events;
     # CMS estimates bound truth from above, HLL is within 5%.
     assert len(top) == 10
@@ -90,6 +90,10 @@ def test_incremental_analytics(spark):
     # true per-user count (~120), certifying no heavy user exists.
     assert len(mg_top) <= 5
     assert all(0 < est <= 150 for _, est in mg_top)
+    # Drift certificate from stored histograms: the generator is
+    # stationary across shards, so PSI/JSD are ~0.
+    psi, jsd = drift_cert
+    assert psi < 0.01 and jsd < 0.01, drift_cert
 
 
 def test_migration_http_worker(spark):
