@@ -1419,7 +1419,10 @@ def connected_components(
     distributed fixpoint. An LSH candidate graph is usually SPARSE —
     orders of magnitude smaller than the corpus — and each distributed
     round costs 2 jobs of scheduling floor regardless of data size, so
-    at ≤10^6 edges (≈16 MB collected) union-find is strictly faster
+    at ≤10^6 edges (≈32 MB via the Arrow toPandas fetch of the two
+    long columns — NOT a Row collect, which boxes ~100+ B/edge and
+    would be hundreds of MB of driver heap) union-find is strictly
+    faster
     (the same adaptive logic as AQE's runtime broadcast demotion; the
     collect is bounded by the threshold, pq._MAX_TRAIN-style). Pass
     ``driver_threshold=0`` to force the distributed path (the scale
@@ -1449,9 +1452,13 @@ def connected_components(
         # Small-graph fast path (see docstring): union-find over the
         # bounded, already-materialized edge list. Same contract —
         # (node, label=min reachable id) — verified against the
-        # distributed path by tests/test_dedup.py.
-        pairs = sym.collect()
+        # distributed path by tests/test_dedup.py. Fetched via Arrow
+        # (toPandas on the two long columns, ~16 B/edge contiguous)
+        # rather than Row collect (~100+ B/edge of boxed Row objects):
+        # at the threshold the driver holds ~32 MB, not hundreds.
+        pdf = sym.toPandas()
         _release(sym_ids)
+        n_pairs = len(pdf)
         parent: dict = {}
 
         def find(x):
@@ -1464,11 +1471,15 @@ def connected_components(
                 x = nxt
             return root
 
-        for r in pairs:
-            a, b = find(r["s"]), find(r["d"])
+        s_vals = pdf["s"].tolist()
+        d_vals = pdf["d"].tolist()
+        del pdf
+        for a0, b0 in zip(s_vals, d_vals):
+            a, b = find(a0), find(b0)
             if a != b:
                 parent[max(a, b)] = min(a, b)
-        nodes = {r["s"] for r in pairs}
+        nodes = set(s_vals)
+        del s_vals, d_vals
         comp_min: dict = {}
         roots = {n: find(n) for n in nodes}
         for n, root in roots.items():
@@ -1476,7 +1487,7 @@ def connected_components(
                 comp_min[root] = n
         if stats is not None:
             stats["rounds"] = 0
-            stats["driver_path_edges"] = len(pairs) // 2
+            stats["driver_path_edges"] = n_pairs // 2
         t = dict(sym.dtypes)["s"]
         from laygo_python_spark.session import local_rows_df
 

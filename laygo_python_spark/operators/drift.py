@@ -66,15 +66,26 @@ def categorical_counts(
     license mix...). Same additive-partial mergeability. NULL is a
     legitimate category in a mix, so it becomes the ``null_category``
     sentinel instead of a NULL bin (a NULL bin value would fall out of
-    the fold's groupings/joins and report spurious drift — r8 review).
-    If the column can legitimately contain the literal sentinel string
-    (an upstream feed that already sentinel-encodes its NULLs), pass a
-    different ``null_category`` — a collision silently merges the two
-    populations into one bin."""
+    downstream joins on stored histograms and report spurious drift —
+    r8 review).
+
+    Collision-FREE, not collision-documented (r9 advice): a real value
+    that merely EQUALS the sentinel (an upstream feed that already
+    sentinel-encodes its NULLs) must not silently merge with the NULL
+    population — that would understate or fabricate drift. Real values
+    carrying the sentinel as a prefix are escape-doubled (sentinel
+    prepended once more), which is injective: no real value can land on
+    the bare sentinel, and no two real values can land on the same
+    escaped label. Values without the prefix — everything, in practice
+    — keep their label verbatim."""
+    s = F.col(col).cast("string")
+    bin_expr = (
+        F.when(s.isNull(), F.lit(null_category))
+        .when(s.startswith(null_category), F.concat(F.lit(null_category), s))
+        .otherwise(s)
+    )
     return (
-        df.select(
-            *keys, F.coalesce(F.col(col).cast("string"), F.lit(null_category)).alias("bin")
-        )
+        df.select(*keys, bin_expr.alias("bin"))
         .groupBy(*keys, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

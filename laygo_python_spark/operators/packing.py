@@ -111,7 +111,14 @@ def pack_sequences_grouped(
         .cast("long")
         % n_groups
     ).alias("grp")
-    sized = df.select(grp, F.col(id_col), F.col(tokens_col))
+    # A NULL id would md5 to a NULL group and reach pack_group as a
+    # NaN grp (int() crash inside the executor); packing has no sane
+    # placement for an unidentifiable document, so drop NULL ids up
+    # front — deterministic, and documented here rather than a
+    # deep-in-UDF TypeError.
+    sized = df.filter(F.col(id_col).isNotNull()).select(
+        grp, F.col(id_col), F.col(tokens_col)
+    )
 
     def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(

@@ -46,16 +46,17 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """NULL (not a crash) for a zero vector: Spark 4's default ANSI mode
-    turns /0 into a job-killing exception, and a padding/all-zero
-    embedding shouldn't take down a top-k scan — a NULL sim sorts LAST
+    """-inf (not a crash, not NULL) for a zero vector: Spark 4's default
+    ANSI mode turns /0 into a job-killing exception, and a padding/
+    all-zero embedding shouldn't take down a top-k scan. -inf sorts LAST
     under desc ranking, so it only surfaces when a query has fewer than
-    k real candidates (consumers doing arithmetic on ``sim`` must still
-    null-check). The numpy path maps the same case to -inf so both
-    paths rank it identically; neither value ever reaches a
+    k real candidates — and it is the SAME sentinel the numpy batch path
+    emits, so the two brute_force_topk code paths are value-identical
+    for identical input (r8 advice: NULL-vs--inf divergence surprised
+    consumers diffing outputs). Neither value ever reaches a
     fixture-gated oracle."""
     denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom != 0, dot(a, b) / denom)
+    return F.when(denom != 0, dot(a, b) / denom).otherwise(F.lit(float("-inf")))
 
 
 def brute_force_topk(
@@ -139,10 +140,11 @@ def _brute_force_topk_numpy(
                     np.linalg.norm(mat, axis=1)[:, None] * q_norm[None, :]
                 )
             # Zero (padding) vectors: NaN here, but Spark's desc window
-            # orders NaN FIRST — a zero vector would win the global rank
-            # while the Column path's NULL ranks it last. -inf keeps the
-            # two paths agreeing: ranked last, surfaced only when a query
-            # has fewer than k real candidates (r8 review).
+            # orders NaN FIRST — a zero vector would win the global rank.
+            # -inf matches the Column path's cosine() sentinel exactly
+            # (value-identical outputs, not just rank-identical): ranked
+            # last, surfaced only when a query has fewer than k real
+            # candidates (r8 review + r9 advice).
             sims[~np.isfinite(sims)] = -np.inf
             out_q, out_n, out_s = [], [], []
             for j, qid in enumerate(q_ids):
@@ -584,6 +586,7 @@ def binary_hamming_topk(
     shortlist: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prune_salts: int = 32,
 ) -> DataFrame:
     """Two-stage binary ANN: Hamming shortlist over packed sign codes
     (bit_count(xor) per word, all JVM codegen), then exact-cosine
@@ -593,12 +596,24 @@ def binary_hamming_topk(
     tiebreak).
 
     Scale shape: stage 1 scores CODES only — the corpus vectors never
-    enter the candidate stream, so the shortlist window shuffles
+    enter the candidate stream, so the shortlist windows shuffle
     3-scalar rows; stage 2 broadcast-joins the tiny
     (queries × shortlist) survivor set back onto the corpus to fetch
     just the vectors it reranks. At 100 TB the packed codes are the
     resident index (32× smaller than the vectors) and only
-    shortlist·|queries| full vectors are ever read twice."""
+    shortlist·|queries| full vectors are ever read twice.
+
+    The shortlist is a TWO-LEVEL top-k (r9 advice): a single window
+    partitioned by query_id alone would sort each query's full
+    |corpus|-sized candidate set in one task — a per-query straggler at
+    scale. Level 1 ranks within (query_id, salt) groups — each
+    ~|corpus|/prune_salts rows — and keeps ``shortlist`` per group;
+    level 2 ranks the ≤ prune_salts·shortlist survivors per query.
+    The salt is a deterministic hash of neighbor_id and the order
+    (hamming asc, neighbor_id asc) is total, so any per-group
+    top-shortlist union is a superset of the global top-shortlist:
+    the final result is identical to the single-window form. Size
+    ``prune_salts`` ~ corpus partition count at scale."""
     n_words = (dim + 31) // 32
     c = _packed_codes(corpus, dim, id_col, vec_col, "n")
     q = _packed_codes(queries, dim, id_col, vec_col, "q")
@@ -611,6 +626,16 @@ def binary_hamming_topk(
         F.col("nid").alias("neighbor_id"),
         hamming.cast("int").alias("hamming"),
     )
+    if prune_salts and prune_salts > 1:
+        w_pre = Window.partitionBy("query_id", "salt").orderBy(
+            F.asc("hamming"), F.asc("neighbor_id")
+        )
+        cand = (
+            cand.withColumn("salt", F.pmod(F.hash("neighbor_id"), F.lit(prune_salts)))
+            .withColumn("prank", F.row_number().over(w_pre))
+            .filter(F.col("prank") <= shortlist)
+            .drop("salt", "prank")
+        )
     w_short = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
     short = cand.withColumn("srank", F.row_number().over(w_short)).filter(
         F.col("srank") <= shortlist

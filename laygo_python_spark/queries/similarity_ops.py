@@ -1259,8 +1259,8 @@ def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     p AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS i, v FROM e)
     SELECT vec_id, CAST((i - 1) // 32 AS INT) AS word,
-           sum(CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << CAST((i - 1) % 32 AS INT))
-                    ELSE 0 END) AS code
+           CAST(sum(CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << CAST((i - 1) % 32 AS INT))
+                    ELSE 0 END) AS BIGINT) AS code
     FROM p GROUP BY vec_id, (i - 1) // 32
     """,
 )

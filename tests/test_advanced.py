@@ -397,3 +397,19 @@ def test_pack_sequences_grouped_parameter_sweep_differential(spark):
             for bin_id, tot, n in _ffd_reference([t for t, _ in items], budget, max_open):
                 expect.append((g, bin_id, tot, n))
         assert got == sorted(expect), (budget, n_groups, max_open)
+
+
+def test_pack_sequences_grouped_null_ids_dropped(spark):
+    # r9 advice: a NULL id md5s to a NULL group and used to crash
+    # int(grp) inside the executor — unidentifiable docs are dropped
+    # deterministically instead.
+    from laygo_python_spark.operators.packing import pack_sequences_grouped
+
+    df = spark.createDataFrame(
+        [(1, 9), (None, 3), (3, 9), (None, 1)], "doc_id long, n_tokens long"
+    )
+    got = sorted(
+        (r["bin_id"], r["total_tokens"], r["n_docs"])
+        for r in pack_sequences_grouped(df, budget=10, n_groups=1).collect()
+    )
+    assert got == [(1, 9, 1), (2, 9, 1)]  # the two NULL-id docs are gone

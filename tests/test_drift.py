@@ -219,3 +219,22 @@ def test_bin_col_rejects_degenerate_edges(spark):
 
     with pytest.raises(ValueError, match="hi > lo"):
         bin_col(F.lit(1.0), 5.0, 5.0, 4)
+
+
+def test_sentinel_valued_reals_do_not_merge_with_nulls(spark):
+    # r9 advice: a feed that sentinel-encodes its NULLs upstream (real
+    # "__null__" strings) must count separately from actual NULLs —
+    # escape-doubling keeps the mapping injective.
+    from laygo_python_spark.operators.drift import NULL_CATEGORY, categorical_counts
+
+    df = spark.createDataFrame(
+        [(None,)] * 3 + [(NULL_CATEGORY,)] * 2 + [(NULL_CATEGORY * 2,)] + [("a",)],
+        "src string",
+    )
+    got = {r["bin"]: r["cnt"] for r in categorical_counts(df, "src", []).collect()}
+    assert got == {
+        NULL_CATEGORY: 3,          # actual NULLs
+        NULL_CATEGORY * 2: 2,      # real sentinel strings, escaped once
+        NULL_CATEGORY * 3: 1,      # real double-sentinel, escaped once more
+        "a": 1,
+    }

@@ -142,3 +142,38 @@ def test_no_unbounded_global_window(spark, sf_dir, name):
         pytest.skip("window frame bounded by construction (see allowlist)")
     bad = _unbounded_global_windows(QUERIES[name](spark, sf_dir))
     assert not bad, f"{name}: partition-less Window over unbounded input: {bad}"
+
+
+# ---------------------------------------------------------------------------
+# Oracle output-dtype lint: the driver's gate fetches the DuckDB side
+# through pandas (`rel.df()`), where HUGEINT and DECIMAL render as
+# float64 while Spark's BIGINT renders as int64 — value-identical rows
+# then hash differently (CORRECTNESS_r08 embedding_binary_quantize:
+# a bare integer `sum(...)` promoted to HUGEINT was the round's only
+# red). DuckDB promotes every integer `sum()` this way, so the repo's
+# convention is `CAST(sum(...) AS BIGINT)`; this lint type-checks every
+# oracle (plan only, no execution) and rejects any output type outside
+# the kinds Spark can emit identically through the pandas path.
+_ORACLE_OK_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN"}
+
+
+def test_oracle_output_dtypes():
+    import duckdb
+
+    from laygo_python_spark.session import TABLES
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    bad = []
+    for name, sql in sorted(ORACLES.items()):
+        rel = con.sql(sql)
+        for c, ty in zip(rel.columns, rel.types):
+            base = str(ty).split("(")[0]
+            if base not in _ORACLE_OK_TYPES:
+                bad.append(f"{name}.{c}: {ty}")
+    assert not bad, (
+        "oracle output columns with pandas-divergent DuckDB types "
+        f"(HUGEINT/DECIMAL/DATE/... — cast them in the oracle SQL): {bad}"
+    )

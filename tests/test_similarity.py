@@ -914,17 +914,23 @@ def test_binary_hamming_topk_recovers_planted_near_dups(spark):
     assert top1 == {0: 40, 1: 41, 2: 42}
 
 
-def test_cosine_zero_vector_yields_null_not_crash(spark):
+def test_cosine_zero_vector_yields_neginf_not_crash(spark):
     # ANSI mode turns /0 into an exception; a zero (padding) embedding
-    # must rank last via NULL sim, not kill the scan.
+    # must rank last via the -inf sentinel, not kill the scan — and the
+    # sentinel must be the SAME VALUE in both code paths (r9 advice:
+    # NULL-vs--inf divergence between Column and numpy paths).
     from laygo_python_spark.operators.similarity import brute_force_topk
 
     rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    out = brute_force_topk(df, df.filter("vec_id = 0"), k=2).collect()
-    got = {r["neighbor_id"]: r["sim"] for r in out}
-    assert got[1] is None  # the zero vector scored NULL, ranked last
-    assert got[2] is not None
+    got_by_path = {}
+    for vectorized in (False, True):
+        out = brute_force_topk(df, df.filter("vec_id = 0"), k=2, vectorized=vectorized).collect()
+        got = {r["neighbor_id"]: r["sim"] for r in out}
+        assert got[1] == float("-inf")  # zero vector: -inf, ranked last
+        assert got[2] == pytest.approx(2 ** -0.5)
+        got_by_path[vectorized] = got
+    assert got_by_path[False] == pytest.approx(got_by_path[True])  # value-identical paths
 
 
 def test_zero_vector_ranks_last_in_both_topk_paths(spark):
@@ -939,3 +945,21 @@ def test_zero_vector_ranks_last_in_both_topk_paths(spark):
     top_col = [r["neighbor_id"] for r in sorted(col_path, key=lambda r: r["rank"])]
     top_np = [r["neighbor_id"] for r in sorted(np_path, key=lambda r: r["rank"])]
     assert top_col == top_np == [3, 2]  # the zero vector (id 1) never wins
+
+
+def test_binary_hamming_topk_pre_prune_is_result_identical(spark):
+    # r9 advice: the two-level salted shortlist (which bounds the
+    # per-query window task at scale) must return EXACTLY the single-
+    # window result — the salt only splits the first-level groups, and
+    # (hamming asc, neighbor_id asc) is a total order.
+    from laygo_python_spark.operators.similarity import binary_hamming_topk
+
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((60, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 4")
+    kw = dict(dim=64, k=3, shortlist=8)
+    pruned = sorted(map(tuple, binary_hamming_topk(df, q, prune_salts=5, **kw).collect()))
+    single = sorted(map(tuple, binary_hamming_topk(df, q, prune_salts=0, **kw).collect()))
+    assert pruned == single and len(single) == 12

@@ -64,8 +64,13 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = list(sdf.columns)
+            # Fetch through pandas like the driver's canonicalizer does on
+            # BOTH sides: a nullable Spark bigint renders float64 here just
+            # as DuckDB's does, so int-vs-float render drift only appears
+            # where it would for the driver (e.g. a bare HUGEINT sum).
+            spdf = sdf.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+            scols = list(spdf.columns)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             failures += 1
@@ -75,13 +80,29 @@ def main() -> int:
             continue
         try:
             rel = con.sql(oracles[name])
-            drows = rel.fetchall()
-            dcols = list(rel.columns)
+            # Fetch through pandas, NOT fetchall(): the driver's gate
+            # canonicalizes pandas frames, where DuckDB HUGEINT/DECIMAL
+            # render as float64 while fetchall() yields Python ints —
+            # fetchall() masked the CORRECTNESS_r08 embedding_binary_quantize
+            # red (float '6.0' vs int '6' hash differently downstream).
+            ddf = rel.df()
+            drows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
+            dcols = list(ddf.columns)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             failures += 1
             continue
         problems = []
+        # Dtype-kind divergence: an integer Spark column vs a float-rendered
+        # DuckDB column (HUGEINT sum promotion) is a guaranteed driver hash
+        # mismatch even when values are equal.
+        for c in scols:
+            if c in ddf.columns:
+                sk, dk = spdf[c].dtype.kind, ddf[c].dtype.kind
+                if {sk, dk} == {"i", "f"}:
+                    problems.append(
+                        f"dtype kind divergence on {c!r}: spark {spdf[c].dtype} vs duckdb {ddf[c].dtype}"
+                    )
         # Driver-canonicalizer contract: oracle queries must emit scalar
         # columns only (pandas sort_values crashes on array/map cells —
         # CORRECTNESS_r07 embedding_pca_project). Mirror of the
