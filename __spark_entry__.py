@@ -33,48 +33,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Driver-rotation steering (round 8): the correctness gate checks the
-# FIRST 50 entries of queries() per round. After r7 every catalog name
-# has appeared in some driver rotation; this round fronts (a) every
-# query whose CODE or ORACLE changed in r8 — embedding_pca_project
-# (the one r7 ERR, scalar-output fix), pack_sequences_bins (newly
-# oracle-gated grouped packing), compression_ratio_score (newly
-# oracle-gated planted payloads), q21_waiting_suppliers /
-# order_priority_check / top_returning_customers (plan rewrites),
-# hll_relational_daily_users (rho rewrite) — then (b) FRESHNESS: the
-# names whose latest driver check is r01–r04, plus r05-checked names
-# whose operators changed in r6–r8 (pagerank layout, dedup defaults,
-# python datasource). After this round no name's latest driver check
-# is older than r05. Everything is also verified locally every round
-# (tools/verify_oracle.py, committed as ORACLE_FULL_r*.txt). Recompute
-# per round from the CORRECTNESS_r*.json union.
+# Driver-rotation steering (round 9): the correctness gate checks the
+# FIRST 50 entries of queries() per round. This round fronts (a) every
+# query whose CODE or ORACLE changed in r9 — embedding_binary_quantize
+# (the one r8 red: bare integer sum promoted to HUGEINT; oracle now
+# CASTs to BIGINT per the repo convention), ann_binary_rerank_topk
+# (salted two-level shortlist), the cosine()-consuming family (-inf
+# zero-vector sentinel), dedup_cluster_representatives (Arrow edge
+# fetch), pack_sequences_bins (NULL-id guard) — then (b) FRESHNESS:
+# all 37 names whose latest driver check is r05, topping up with the
+# oldest r06 names. After this round no catalog name's latest driver
+# check is older than r06. Everything is also verified locally every
+# round (tools/verify_oracle.py, which now reproduces the gate's
+# pandas dtype path exactly). Recompute per round from the
+# CORRECTNESS_r*.json union.
 _ROTATION_FRONT = [
-    # r8-new queries (never driver-checked) and r8-changed code/oracles
+    # r9-changed code/oracles
     "embedding_binary_quantize", "ann_binary_rerank_topk",
-    "psi_value_drift", "stream_drift_monitor",
-    "embedding_pca_project", "pack_sequences_bins",
-    "compression_ratio_score", "q21_waiting_suppliers",
-    "hll_relational_daily_users",
-    # latest check r01
-    "cube_order_stats", "customer_order_distribution", "grouped_zscore",
-    "grouping_sets_revenue", "idle_customers", "large_quantity_orders",
-    "parts_above_avg_price", "promo_revenue_share", "region_market_share",
-    "running_sum_per_customer", "supplier_part_counts",
-    "top_returning_customers", "unpivot_lineitem_metrics",
-    # latest check r02
-    "distinct_flags", "events_json_k_by_type", "events_json_schema_parse",
-    "except_all_statuses", "hourly_event_stats", "intersect_nations",
-    "order_priority_check", "pivot_status_qty", "rollup_qty",
-    "router_order_tiers", "sessionize_users",
-    # latest check r03/r04
-    "anti_join_customers", "semi_join_customers", "top_k_orders",
-    "window_top3_per_customer",
-    # latest check r05, code touched since
-    "pagerank_supplier_part", "ppr_similar_to_suppliers",
-    "bfs_hops_supplier_part", "kcore_supplier_part", "triangle_count_coparts",
-    "python_datasource_events", "dedup_minhash_lsh", "dedup_minhash_verified",
-    "dedup_cluster_representatives", "dedup_incremental_lsh",
-    "dedup_index_append", "dedup_index_compact", "dedup_simhash",
+    "embedding_cosine_topk", "embedding_cosine_topk_fast",
+    "embedding_near_dups", "embedding_prototypicality",
+    "embedding_pca_topk", "dedup_semantic",
+    "dedup_cluster_representatives", "pack_sequences_bins",
+    # latest check r05 (all 37)
+    "array_functions", "asof_join_last_error", "assign_global_ids",
+    "benford_first_digit", "bloom_new_customers", "bloom_prune_join",
+    "catch_rows_salvage", "cogroup_order_reconcile", "cohort_retention",
+    "curation_pipeline", "date_functions", "dedup_new_vs_seen",
+    "dedup_simhash_index_append", "filter_map", "flatten_words",
+    "funnel_stages", "interval_join_click_errors", "loop_double",
+    "map_batches_zscore", "map_type_roundtrip", "math_functions",
+    "minhash_signature_sample", "ngram_jaccard_pairs",
+    "q1_pricing_summary", "q3_shipping_priority", "reduce_sum",
+    "reference_workload", "regex_functions", "revenue_by_nation",
+    "rolling_7d_revenue", "salted_heavy_hitters", "stratified_sample",
+    "string_functions", "tfidf_top_terms", "union_keys",
+    "weighted_sample_topk", "window_rank_functions",
+    # top-up: oldest r06 names
+    "ann_lsh_topk", "ann_pq_topk", "ann_ivfpq_topk",
 ]
 
 
