@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from laygo_python_spark.operators.ivf import _assign_cells, train_centroids
-from laygo_python_spark.operators.similarity import cosine
+from laygo_python_spark.operators.similarity import dot, l2_norm
 
 
 def semantic_dedup(
@@ -74,12 +74,33 @@ def semantic_dedup(
 
         rn = F.row_number().over(Window.partitionBy("cell").orderBy("sd_id"))
         pair_src = a.withColumn("_rn", rn).filter(F.col("_rn") <= max_cluster).drop("_rn")
-    left = pair_src.select("cell", F.col("sd_id").alias("a_id"), F.col("v").alias("va"))
-    right = pair_src.select("cell", F.col("sd_id").alias("b_id"), F.col("v").alias("vb"))
+    # Norms are hoisted OUT of the pair join — computed once per ROW
+    # (n folds) instead of once per PAIR (O(Σ c_i²) folds; higher-order
+    # array folds are interpreted, never codegen, so this was ~2/3 of
+    # the pair filter's cost — the r8 bench regression). The sim value
+    # below is bit-identical to cosine(): same dot fold, and
+    # l2_norm(a)*l2_norm(b) is the same two sqrt results multiplied in
+    # the same order, so the oracle's threshold comparison can't flip.
+    left = pair_src.select(
+        "cell",
+        F.col("sd_id").alias("a_id"),
+        F.col("v").alias("va"),
+        l2_norm(F.col("v")).alias("na"),
+    )
+    right = pair_src.select(
+        "cell",
+        F.col("sd_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        l2_norm(F.col("v")).alias("nb"),
+    )
+    denom = F.col("na") * F.col("nb")
+    sim = F.when(denom != 0, dot(F.col("va"), F.col("vb")) / denom).otherwise(
+        F.lit(float("-inf"))
+    )
     dups = (
         left.join(right, "cell")
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= F.lit(float(threshold)))
+        .filter(sim >= F.lit(float(threshold)))
         .select(F.col("b_id").alias("dup_id"))
         .distinct()
     )
