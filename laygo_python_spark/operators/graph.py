@@ -53,15 +53,30 @@ def bfs_hops(
     frontier, so total work is O(|E| * rounds-touched), not
     O(|E| * max_hops).
     """
+    from pyspark.sql import Observation
+
+    spark = edges.sparkSession
+
+    def _persistent_ids() -> set[int]:
+        return {int(i) for i in dict(spark.sparkContext._jsc.getPersistentRDDs())}
+
+    def _release(ids: set[int]) -> None:
+        live = dict(spark.sparkContext._jsc.getPersistentRDDs())
+        for i, rdd in live.items():
+            if int(i) in ids:
+                rdd.unpersist(False)
+
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
         .repartition("src")
         .persist()
     )
+    pre = _persistent_ids()
     visited = (
         sources.select(F.col(node).alias("node")).distinct().withColumn("hops", F.lit(0))
     ).localCheckpoint(eager=True)
+    prev_pins = _persistent_ids() - pre
     frontier = visited
     try:
         for k in range(1, max_hops + 1):
@@ -73,13 +88,26 @@ def bfs_hops(
                 .join(visited.select("node"), "node", "left_anti")
                 .withColumn("hops", F.lit(k))
             )
-            # One checkpoint materializes BOTH the new frontier and the
-            # grown visited set; take(1) on the checkpointed frontier is
-            # then a metadata-cheap early-exit probe.
-            frontier = nxt.localCheckpoint(eager=True)
-            if not frontier.take(1):
+            # ONE job per hop (r9; was frontier-checkpoint + take(1)
+            # probe + visited-checkpoint = 3): the grown visited set
+            # checkpoints with the new-frontier size riding as an
+            # observed metric — the early-exit probe costs nothing —
+            # and the next frontier is a metadata-cheap hops==k slice
+            # of the materialized blocks. Superseded visited snapshots
+            # release eagerly (same discipline as kcore/CC below —
+            # at scale each snapshot is |V| rows of executor storage).
+            obs = Observation(f"bfs_frontier_h{k}")
+            before = _persistent_ids()
+            visited = (
+                visited.unionByName(nxt)
+                .observe(obs, F.sum((F.col("hops") == k).cast("long")).alias("n"))
+                .localCheckpoint(eager=True)
+            )
+            _release(prev_pins)
+            prev_pins = _persistent_ids() - before
+            if not obs.get["n"]:
                 break
-            visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+            frontier = visited.filter(F.col("hops") == k)
     finally:
         e.unpersist()
     return visited
@@ -160,6 +188,7 @@ def kcore(
     rounds: int | None = None,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """k-core peeling: repeatedly delete nodes of degree < k (with their
     edges) until the graph stabilizes — the standard dense-subgraph /
@@ -229,11 +258,25 @@ def kcore(
 
             obs = Observation(f"kcore_edges_r{r}")
             survivors = survivors.observe(obs, F.count(F.lit(1)).alias("n"))
-        before = _persistent_ids()
-        nxt = survivors.localCheckpoint(eager=True)
-        _release(prev_pins)
-        prev_pins = _persistent_ids() - before
-        e = nxt
+        # Fixed-rounds mode may UNROLL several rounds into one job
+        # (checkpoint_every=k, or 0 = never): each unchecked round's
+        # three e-legs (deg + both semi-joins) become ReusedExchange
+        # nodes in the merged plan, so the work stays linear while the
+        # per-round job/scheduling floor disappears (r9: one merged job
+        # for 3 rounds measured ~40% faster at sf0.1 than 3 checkpoint
+        # jobs). Fixpoint mode always materializes — the Observation
+        # needs an action per round.
+        must_ckpt = rounds is None or (
+            checkpoint_every and r % checkpoint_every == 0
+        )
+        if must_ckpt:
+            before = _persistent_ids()
+            nxt = survivors.localCheckpoint(eager=True)
+            _release(prev_pins)
+            prev_pins = _persistent_ids() - before
+            e = nxt
+        else:
+            e = survivors
         if rounds is not None:
             if r >= rounds:
                 break

@@ -104,13 +104,24 @@ def pagerank(
             .persist()
         )
     pins = [e, nodes_raw]
-    n = nodes_raw.count()
-    if n == 0:
-        # Empty edge list (e.g. an upstream filter matched nothing):
-        # empty ranks, not a driver-side ZeroDivisionError.
-        for p_ in pins:
-            p_.unpersist()
-        return nodes_raw.withColumn("pr", F.lit(0.0))
+    n = None
+    if sources is None:
+        # |V| seeds the uniform teleport/init literals. Personalized
+        # mode never divides by it (mass is 1/n_s over the source set),
+        # so skipping the count there saves one whole driver job per
+        # call (r9: the scheduling floor, not data volume, dominates
+        # iterative ops at small SF; an A/B of folding this count into
+        # the round jobs as a broadcast 1-row aggregate measured SLOWER
+        # — the per-round broadcast-cross stage costs more than the one
+        # count job saves, and the count also pre-materializes the edge
+        # layout off the loop's critical path).
+        n = nodes_raw.count()
+        if n == 0:
+            # Empty edge list (e.g. an upstream filter matched nothing):
+            # empty ranks, not a driver-side ZeroDivisionError.
+            for p_ in pins:
+                p_.unpersist()
+            return nodes_raw.withColumn("pr", F.lit(0.0))
     nodes = nodes_raw
     if sources is None:
         if sparse:
@@ -148,7 +159,15 @@ def pagerank(
             # caller gets ONLY pr > 0 nodes.
             base_rows = src_set.select(
                 "node", F.lit((1.0 - damping) / n_s).alias("pr")
-            ).localCheckpoint(eager=True)
+            )
+            if checkpoint_every:
+                base_rows = base_rows.localCheckpoint(eager=True)
+            # checkpoint_every=0 (the unrolled-loop mode): skip the
+            # base_rows materialization job too — its subtree is one
+            # broadcast semi-join over the persisted node set, deduped
+            # to a ReusedExchange inside the single merged round job
+            # (r9: every driver job saved is ~0.4-0.8 s of scheduling
+            # floor at small SF; at scale the join is map-side anyway).
             ranks = src_set.select("node", F.lit(1.0 / n_s).alias("pr"))
             try:
                 for it in range(iterations):

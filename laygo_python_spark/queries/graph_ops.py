@@ -83,12 +83,15 @@ def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding to 8 decimals absorbs float-sum ordering differences
     between engines."""
     edges = _sp_edges(_t(spark, sf_dir, "lineitem"), "pagerank_supplier_part")
-    # checkpoint_every=2: measured sweet spot at sf0.1 (r6) — every
-    # round (5 checkpoint jobs) pays scheduling, never (one mega-job)
-    # pays replanning; min-of-4 walls 0→5.09 s, 1→4.60, 2→4.45, 5→4.90.
+    # checkpoint_every=0: with the r8 one-pass edge layout the 5-round
+    # loop collapses into the final-round job (every rank-vector
+    # exchange is a ReusedExchange in the merged plan), so the r6 sweet
+    # spot inverted — r9 min-of-4 under quiesce: ce=2 3.88 s, ce=3
+    # 3.61, ce=0 3.56. Long loops (≥ ~10 rounds) should still
+    # checkpoint (lineage/planner growth; see operators/pagerank.py).
     # symmetric=True: _sp_edges symmetrizes, so the node set is deg's
     # key column (r7 — saves the union-distinct shuffle).
-    return pagerank(edges, iterations=5, checkpoint_every=2, symmetric=True).select(
+    return pagerank(edges, iterations=5, checkpoint_every=0, symmetric=True).select(
         "node", F.round("pr", 8).alias("pr")
     )
 
@@ -188,7 +191,10 @@ def kcore_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same bounded-iteration trick as pagerank/bfs above; the
     operator's rounds=None mode peels to the true fixpoint."""
     edges = _sp_edges(_t(spark, sf_dir, "lineitem"), "kcore_supplier_part")
-    return kcore(edges, k=3, rounds=3)
+    # checkpoint_every=0: the 3 fixed peel rounds unroll into one job —
+    # the per-round e-legs dedup to ReusedExchange nodes (r9 min-of-4
+    # under quiesce: 2.83 s per-round-checkpointed → 2.32 s unrolled).
+    return kcore(edges, k=3, rounds=3, checkpoint_every=0)
 
 
 _PPR_ITER = """
