@@ -696,14 +696,22 @@ def minhash_index_write(index: dict[str, DataFrame], path: str) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
-def minhash_index_read(spark, path: str) -> dict[str, DataFrame]:
+def minhash_index_read(spark, path: str, params: dict | None = None) -> dict[str, DataFrame]:
     """Open a stored index. The on-disk layout is APPEND-ONLY
     (``minhash_index_append`` never rewrites a file), so the logical
     tables are derived here: ``reps`` min-reduces the appended per-batch
     rep rows, and ``bands`` anti-joins the ``dropped`` bucket list —
     rows of a bucket that tripped the cap in a LATER append stay in the
-    parquet but never reach a matcher."""
-    row = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    parquet but never reach a matcher.
+
+    ``params``: a caller that already read the params row (an
+    append+read sequence, or the streaming ingest loop reopening per
+    batch) passes it to skip the parquet-collect job (~0.3 s of driver
+    scheduling at small SF). Append never mutates params, so a cached
+    row can't go stale."""
+    row = params if params is not None else (
+        spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    )
     params = {k: row[k] for k in ("shingle_n", "num_hashes", "bands", "seed", "hash_fn")}
     params["max_bucket"] = row.get("max_bucket", 1000)
     dropped = _read_or_empty(spark, f"{path}/dropped", "band_key long")
@@ -788,10 +796,16 @@ def minhash_index_append(
     if batch_id is not None and _batch_already_applied(spark, path, batch_id):
         return {"applied": False, "membership": 0, "reps": 0, "bands": 0, "dropped": 0}
     # Pinned once: the signature pass feeds membership, reps and the
-    # band derivation (see minhash_index) — and every derived frame
-    # below is pinned BEFORE any write, because the writes append into
-    # the very directories those frames read (lazy evaluation would
-    # otherwise re-scan mid-append state).
+    # band derivation (see minhash_index) — and every frame below is
+    # pinned or cache-backed BEFORE any write, because the writes
+    # append into the very directories those frames read (lazy
+    # evaluation would otherwise re-scan mid-append state). The fresh
+    # batch's Python shingle pass is persist()ed, not checkpointed —
+    # its materialization then RIDES the `combined` checkpoint job
+    # below instead of costing a separate driver job (r9; the cache is
+    # released after the writes), while the precomputed-sig path keeps
+    # whatever pinning the caller chose.
+    sig_pin = None
     sig = precomputed_sig
     if sig is None:
         sig = _minhash_sig_keys(
@@ -803,9 +817,20 @@ def minhash_index_append(
             row["bands"],
             row["seed"],
             row["hash_fn"],
-        ).localCheckpoint(eager=True)
+        ).persist()
+        sig_pin = sig
     new_membership = sig.select(F.col(id_col).alias("doc_id"), "sig_key")
-    reps_add = new_membership.groupBy("sig_key").agg(F.min("doc_id").alias("rep"))
+    # ONE groupBy serves both the reps rows and the fresh-signature
+    # derivation (r9; dropDuplicates + a separate reps groupBy was two
+    # identical sig_key exchanges). Docs sharing a sig_key have the
+    # SAME signature, hence identical band_keys — any() is
+    # deterministic here, and in-array duplicate band keys (two bands
+    # hashing alike) dedup via array_distinct instead of a global
+    # distinct shuffle over the exploded pairs.
+    per_sig = sig.groupBy("sig_key").agg(
+        F.min(id_col).alias("rep"), F.any_value("band_keys").alias("band_keys")
+    )
+    reps_add = per_sig.select("sig_key", "rep")
     existing_sigs = spark.read.parquet(f"{path}/reps").select("sig_key")
     dropped_cur = _read_or_empty(spark, f"{path}/dropped", "band_key long")
     # ONE pinned frame carries both the band rows AND each band's cap
@@ -814,10 +839,8 @@ def minhash_index_append(
     # sequential job barriers where one suffices; the self-referencing
     # count rides the same job via in-job exchange reuse).
     new_band_rows = (
-        sig.dropDuplicates(["sig_key"])
-        .join(existing_sigs, "sig_key", "left_anti")
-        .select("sig_key", F.explode("band_keys").alias("band_key"))
-        .distinct()
+        per_sig.join(existing_sigs, "sig_key", "left_anti")
+        .select("sig_key", F.explode(F.array_distinct("band_keys")).alias("band_key"))
         .join(dropped_cur, "band_key", "left_anti")
         .select("sig_key", "band_key")  # USING-join reordered; parquet appends by name
     )
@@ -832,27 +855,37 @@ def minhash_index_append(
         "band_key",
         (F.coalesce(F.col("cur"), F.lit(0)) + F.col("add") > max_bucket).alias("__drop"),
     )
-    combined = new_band_rows.join(verdict, "band_key").localCheckpoint(eager=True)
+    # The per-bucket verdict table is |touched buckets| rows — broadcast
+    # it back onto the band rows rather than paying a band_key exchange.
+    combined = new_band_rows.join(F.broadcast(verdict), "band_key").localCheckpoint(
+        eager=True
+    )
     newly_dropped = combined.filter(F.col("__drop")).select("band_key").distinct()
     band_append = combined.filter(~F.col("__drop")).select("sig_key", "band_key")
-    # Four appends into distinct dirs, all from pinned frames — issued
-    # concurrently; the replay marker stays strictly AFTER them (it is
-    # the at-least-once commit point).
-    _concurrent_actions(
-        lambda: new_membership.write.mode("append").parquet(f"{path}/membership"),
-        lambda: reps_add.write.mode("append").parquet(f"{path}/reps"),
-        lambda: band_append.write.mode("append").parquet(f"{path}/bands"),
-        lambda: newly_dropped.write.mode("append").parquet(f"{path}/dropped"),
-    )
-    if batch_id is not None:
-        local_rows_df(spark, [(int(batch_id),)], "batch_id long").coalesce(1).write.mode(
-            "append"
-        ).parquet(f"{path}/applied_batches")
-    if not stats:
-        return {"applied": True}
-    return {"applied": True, **_appended_counts(
-        membership=new_membership, reps=reps_add, bands=band_append, dropped=newly_dropped
-    )}
+    # Four appends into distinct dirs, all from pinned/cached frames
+    # (sig's cache filled during the combined checkpoint; nothing below
+    # reads a directory being appended) — issued concurrently; the
+    # replay marker stays strictly AFTER them (it is the at-least-once
+    # commit point).
+    try:
+        _concurrent_actions(
+            lambda: new_membership.write.mode("append").parquet(f"{path}/membership"),
+            lambda: reps_add.write.mode("append").parquet(f"{path}/reps"),
+            lambda: band_append.write.mode("append").parquet(f"{path}/bands"),
+            lambda: newly_dropped.write.mode("append").parquet(f"{path}/dropped"),
+        )
+        if batch_id is not None:
+            local_rows_df(spark, [(int(batch_id),)], "batch_id long").coalesce(
+                1
+            ).write.mode("append").parquet(f"{path}/applied_batches")
+        if not stats:
+            return {"applied": True}
+        return {"applied": True, **_appended_counts(
+            membership=new_membership, reps=reps_add, bands=band_append, dropped=newly_dropped
+        )}
+    finally:
+        if sig_pin is not None:
+            sig_pin.unpersist()
 
 
 def minhash_index_compact(spark, path: str, stats: bool = True) -> dict[str, int]:

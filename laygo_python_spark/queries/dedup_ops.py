@@ -578,8 +578,11 @@ def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copytree(tmpl, path)
         day2 = docs.filter(F.col("doc_id") % 3 == 1)
         probe = docs.filter(F.col("doc_id") % 3 == 2)
-        dedup.minhash_index_append(spark, path, day2, batch_id=1, stats=False)
-        stored = dedup.minhash_index_read(spark, path)
+        # params are read ONCE and passed through append + read — each
+        # skipped re-read is a whole driver job of scheduling floor (r9)
+        prow = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+        dedup.minhash_index_append(spark, path, day2, batch_id=1, stats=False, params=prow)
+        stored = dedup.minhash_index_read(spark, path, params=prow)
         return dedup.minhash_match_incremental(probe, stored).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -610,9 +613,10 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copytree(tmpl, path)
         day2 = docs.filter(F.col("doc_id") % 3 == 1)
         probe = docs.filter(F.col("doc_id") % 3 == 2)
-        dedup.minhash_index_append(spark, path, day2, batch_id=1, stats=False)
+        prow = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+        dedup.minhash_index_append(spark, path, day2, batch_id=1, stats=False, params=prow)
         dedup.minhash_index_compact(spark, path, stats=False)
-        stored = dedup.minhash_index_read(spark, path)
+        stored = dedup.minhash_index_read(spark, path, params=prow)
         return dedup.minhash_match_incremental(probe, stored).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

@@ -153,10 +153,18 @@ def incremental_dedup_processor(
     """
     from laygo_python_spark.operators import dedup
 
+    # Params are immutable for the life of an index (append never
+    # rewrites them), so the first batch's read is cached across the
+    # loop — each later micro-batch skips one params-collect job.
+    _params_cache: dict = {}
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         new = batch_df.filter(new_filter) if new_filter is not None else batch_df
-        stored = dedup.minhash_index_read(spark, index_path)
+        stored = dedup.minhash_index_read(
+            spark, index_path, params=_params_cache.get("row")
+        )
         p = stored["params"]
+        _params_cache["row"] = p
         # ONE Python pass per micro-batch: the pinned signature frame
         # feeds BOTH the match and (anti-joined down to the accepted
         # docs) the index append — the pre-r7 shape shingled the batch
@@ -165,10 +173,15 @@ def incremental_dedup_processor(
             new, "doc_id", "text",
             p["shingle_n"], p["num_hashes"], p["bands"], p["seed"], p["hash_fn"],
         ).localCheckpoint(eager=True)
-        matches = dedup.minhash_match_incremental(
-            new, stored, precomputed_sig=sig
-        ).localCheckpoint(eager=True)
-        matches.write.mode("overwrite").parquet(f"{matches_path}/batch_id={batch_id}")
+        # The sink write IS the materialization: the accepted-set
+        # anti-join below reads the landed partition back instead of
+        # paying a separate checkpoint job per batch (r9). The partition
+        # is batch-private (overwritten wholesale on replay), so the
+        # read-back can never see another batch's rows.
+        dedup.minhash_match_incremental(new, stored, precomputed_sig=sig).write.mode(
+            "overwrite"
+        ).parquet(f"{matches_path}/batch_id={batch_id}")
+        matches = spark.read.parquet(f"{matches_path}/batch_id={batch_id}")
         accepted_sig = sig.join(
             matches.select(F.col("doc_id_new").alias("doc_id")).distinct(),
             "doc_id",
