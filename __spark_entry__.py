@@ -48,7 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # pandas dtype path exactly). Recompute per round from the
 # CORRECTNESS_r*.json union.
 _ROTATION_FRONT = [
-    # r9-changed code/oracles
+    # r9-new query (never driver-checked) and r9-changed code/oracles
+    "leakage_safe_split",
     "embedding_binary_quantize", "ann_binary_rerank_topk",
     "embedding_cosine_topk", "embedding_cosine_topk_fast",
     "embedding_near_dups", "embedding_prototypicality",
@@ -69,7 +70,7 @@ _ROTATION_FRONT = [
     "string_functions", "tfidf_top_terms", "union_keys",
     "weighted_sample_topk", "window_rank_functions",
     # top-up: oldest r06 names
-    "ann_lsh_topk", "ann_pq_topk", "ann_ivfpq_topk",
+    "ann_lsh_topk", "ann_pq_topk",
 ]
 
 

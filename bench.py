@@ -118,6 +118,8 @@ HEADLINE = [
     "embedding_binary_quantize",
     "ann_binary_rerank_topk",
     "psi_value_drift",
+    # r9 addition: the leakage-safe (cluster-atomic) train/eval split.
+    "leakage_safe_split",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

@@ -2153,3 +2153,59 @@ def simhash_match_incremental(
         .select("doc_id_new", "doc_id_seen", F.col("hamming").cast("integer"))
     )
     return cross.unionByName(same)
+
+
+def cluster_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    train_pct: int = 90,
+    id_col: str = "doc_id",
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+) -> DataFrame:
+    """(id, cluster, split) — LEAKAGE-SAFE train/eval split: near-
+    duplicate CLUSTERS are atomic, so no eval document has a near-copy
+    in train. A plain per-document hash split (hash_split_train_eval)
+    leaks through near-duplicates — a boilerplate variant of a training
+    document landing in eval scores artificially well, the classic
+    contamination the dedup literature warns about (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"). Here
+    the split key is the CLUSTER label (min member id via
+    ``connected_components`` over the candidate ``pairs``; unpaired
+    documents are their own singleton cluster), so every member hashes
+    to the same side by construction.
+
+    The hash is the repo's engine-portable md5 bucket (same convention
+    as hash_split_train_eval): split never changes under repartition,
+    re-run, or corpus growth — new singletons hash independently, and a
+    new member joining an existing cluster inherits the cluster's side
+    (unless it LOWERS the min id: re-clustering a grown corpus is a new
+    split universe, which is true of any cluster-keyed scheme).
+
+    Scale shape: pair discovery is the caller's bucketed LSH/Jaccard
+    machinery; CC is the checkpointed fixpoint (or driver union-find
+    below the edge threshold); the split itself is a map-only hash over
+    the |V|-row label table joined back to docs — one broadcast-able
+    join on the id, no extra shuffle beyond CC's own.
+    """
+    edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    cc = connected_components(edges, src="s", dst="d")
+    labeled = (
+        docs.select(F.col(id_col))
+        .join(cc, docs[id_col] == cc["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster"),
+        )
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("cluster").cast("string")), 1, 6), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    return labeled.select(
+        id_col,
+        "cluster",
+        F.when(bucket < train_pct, "train").otherwise("eval").alias("split"),
+    )

@@ -112,3 +112,49 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("scaled") / F.col("z"), 6).alias("temp_share"),
         F.round((F.col("scaled") / F.col("z")) / F.col("raw_share"), 6).alias("upsample_factor"),
     )
+
+
+@query(
+    "leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE tok AS (SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS g
+                 FROM documents),
+    grams AS (SELECT doc_id, g,
+                     count(*) OVER (PARTITION BY doc_id) AS n_grams
+              FROM tok),
+    prs AS (
+      SELECT a.doc_id AS pa, b.doc_id AS pb
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING CAST(count(*) AS DOUBLE)
+             / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.95),
+    edges AS (SELECT pa AS s, pb AS d FROM prs UNION ALL SELECT pb, pa FROM prs),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, r.label FROM edges e JOIN reach r ON r.node = e.s),
+    cl AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           CAST(COALESCE(cl.cluster, d.doc_id) AS BIGINT) AS cluster,
+           CASE WHEN (('0x' || substring(md5(CAST(COALESCE(cl.cluster, d.doc_id) AS VARCHAR)), 1, 6))::BIGINT % 100) < 90
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-proof 90/10 split (operators/dedup.cluster_split):
+    near-duplicate documents (exact-Jaccard >= 0.95 pairs → connected
+    components) are split as ATOMIC clusters keyed by the cluster
+    label, so an eval document can never have a near-copy in train —
+    the leak a per-document hash split (hash_split_train_eval) permits
+    by construction. The oracle replays pair discovery, transitive
+    closure (recursive CTE), the singleton fallback, and the identical
+    md5 bucket per CLUSTER — every (doc_id, cluster, split) row is
+    hash-gated, which proves both the clustering and that members
+    co-locate (a split mismatch anywhere would flip a row)."""
+    from laygo_python_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.95)
+    return dedup.cluster_split(docs, pairs)

@@ -470,3 +470,44 @@ def test_cc_driver_path_equals_distributed_path(spark):
     }
     assert fast == dist
     assert dist_stats.get("rounds", 1) > 0  # the distributed path actually ran
+
+
+def test_cluster_split_colocates_near_duplicates(spark):
+    # The leakage guard itself: every member of a near-dup cluster gets
+    # the cluster's split — planted copies can never straddle train/eval,
+    # while the naive per-doc hash split DOES leak on the same corpus
+    # (differential proof the operator earns its keep).
+    from pyspark.sql import functions as F
+
+    from laygo_python_spark.operators.dedup import cluster_split, ngram_jaccard_pairs
+    from laygo_python_spark.queries.sampling_ops import hash_bucket
+
+    base = [(i, f"unique text body number {i} with tail {i * 7}") for i in range(40)]
+    # plant 10 near-dup groups of 3 copies each (ids 100+, identical text)
+    planted = [(100 + g * 3 + j, f"duplicated payload group {g}") for g in range(10) for j in range(3)]
+    df = spark.createDataFrame(base + planted, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(df, n=1, threshold=0.95)
+    out = cluster_split(df, pairs).collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())  # atomic clusters
+    planted_clusters = {r["cluster"] for r in out if r["doc_id"] >= 100}
+    assert len(planted_clusters) == 10  # each group is one cluster, label = min id
+    assert planted_clusters == {100 + g * 3 for g in range(10)}
+    # Differential at 50/50 (where per-doc straddling is near-certain):
+    # the naive split leaks on at least one planted group; cluster_split
+    # at the same percentage still cannot, by construction.
+    naive = {
+        r["doc_id"]: ("train" if r["b"] < 50 else "eval")
+        for r in df.select("doc_id", hash_bucket(F.col("doc_id")).alias("b")).collect()
+    }
+    leaked = any(
+        len({naive[100 + g * 3 + j] for j in range(3)}) > 1 for g in range(10)
+    )
+    assert leaked  # the hazard is real on this corpus
+    out50 = cluster_split(df, pairs, train_pct=50).collect()
+    by_cluster50: dict = {}
+    for r in out50:
+        by_cluster50.setdefault(r["cluster"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster50.values())  # — and absent here
