@@ -48,8 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # pandas dtype path exactly). Recompute per round from the
 # CORRECTNESS_r*.json union.
 _ROTATION_FRONT = [
-    # r9-new query (never driver-checked) and r9-changed code/oracles
-    "leakage_safe_split",
+    # r9-new queries (never driver-checked) and r9-changed code/oracles
+    "leakage_safe_split", "bm25_topk_docs",
     "embedding_binary_quantize", "ann_binary_rerank_topk",
     "embedding_cosine_topk", "embedding_cosine_topk_fast",
     "embedding_near_dups", "embedding_prototypicality",
@@ -70,7 +70,7 @@ _ROTATION_FRONT = [
     "string_functions", "tfidf_top_terms", "union_keys",
     "weighted_sample_topk", "window_rank_functions",
     # top-up: oldest r06 names
-    "ann_lsh_topk", "ann_pq_topk",
+    "ann_lsh_topk",
 ]
 
 

@@ -118,8 +118,10 @@ HEADLINE = [
     "embedding_binary_quantize",
     "ann_binary_rerank_topk",
     "psi_value_drift",
-    # r9 addition: the leakage-safe (cluster-atomic) train/eval split.
+    # r9 additions: the leakage-safe (cluster-atomic) train/eval split
+    # and the BM25 lexical-retrieval probe.
     "leakage_safe_split",
+    "bm25_topk_docs",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

@@ -582,3 +582,41 @@ def compression_ratio_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", cls.alias("ratio_class")).withColumn(
         "keep", F.col("ratio_class") == "prose"
     )
+
+
+@query(
+    "bm25_topk_docs",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM tok WHERE term IN ('join', 'hash', 'scan') GROUP BY doc_id, term),
+    dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), stats s
+      GROUP BY tf.doc_id)
+    SELECT doc_id, round(score, 6) AS score
+    FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for the query {join, hash, scan}
+    (operators/retrieval.py) — the lexical-retrieval complement of the
+    embedding-ANN family: corpus probes, label-seed expansion, keyword
+    contamination checks. Cost is proportional to the query terms'
+    POSTINGS (the explode filters to the query vocabulary before any
+    shuffle); N/avgdl ride as a broadcast 1-row aggregate and the
+    ranking plans as TakeOrderedAndProject, so no global sort and no
+    |corpus|-row window anywhere. The DuckDB oracle replays
+    tokenization, tf/df, the non-negative idf, and the k1/b length
+    normalization arithmetic exactly; both engines rank on the
+    round(6) score with doc_id tiebreak, so rank flips from last-ulp
+    double drift are impossible."""
+    from laygo_python_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), ["join", "hash", "scan"], k=10)
