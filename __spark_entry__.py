@@ -50,8 +50,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _ROTATION_FRONT = [
     # r9-new queries (never driver-checked) and r9-changed code/oracles
     "leakage_safe_split", "bm25_topk_docs",
+    "bpe_merge_pairs", "bpe_token_compression",
     "embedding_binary_quantize", "ann_binary_rerank_topk",
-    "embedding_cosine_topk", "embedding_cosine_topk_fast",
+    "embedding_cosine_topk",
     "embedding_near_dups", "embedding_prototypicality",
     "embedding_pca_topk", "dedup_semantic",
     "dedup_cluster_representatives", "pack_sequences_bins",
@@ -69,8 +70,6 @@ _ROTATION_FRONT = [
     "rolling_7d_revenue", "salted_heavy_hitters", "stratified_sample",
     "string_functions", "tfidf_top_terms", "union_keys",
     "weighted_sample_topk", "window_rank_functions",
-    # top-up: oldest r06 names
-    "ann_lsh_topk",
 ]
 
 

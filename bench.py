@@ -118,10 +118,13 @@ HEADLINE = [
     "embedding_binary_quantize",
     "ann_binary_rerank_topk",
     "psi_value_drift",
-    # r9 additions: the leakage-safe (cluster-atomic) train/eval split
-    # and the BM25 lexical-retrieval probe.
+    # r9 additions: the leakage-safe (cluster-atomic) train/eval split,
+    # the BM25 lexical-retrieval probe, and BPE tokenizer induction
+    # (pair statistic + train-then-segment compression).
     "leakage_safe_split",
     "bm25_topk_docs",
+    "bpe_merge_pairs",
+    "bpe_token_compression",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

@@ -620,3 +620,79 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from laygo_python_spark.operators.retrieval import bm25_topk
 
     return bm25_topk(_t(spark, sf_dir, "documents"), ["join", "hash", "scan"], k=10)
+
+
+@query(
+    "bpe_merge_pairs",
+    oracle="""
+    WITH wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                WHERE length(word) > 0 GROUP BY word),
+    bg AS (SELECT unnest(list_transform(range(1, length(word)),
+                                        i -> substring(word, CAST(i AS INT), 2))) AS pair,
+                  n
+           FROM wc)
+    SELECT pair, CAST(sum(n) AS BIGINT) AS n
+    FROM bg GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-1 BPE statistic (operators/bpe.pair_counts): corpus-wide
+    adjacent character-pair frequencies weighted by word count — the
+    aggregate a tokenizer trainer greedily merges. The bigram explode
+    runs over the DISTINCT word table (orders of magnitude smaller than
+    the corpus; the classic trainer shape), everything is JVM string
+    ops, and the top-20 plans as TakeOrderedAndProject. DuckDB replays
+    tokenization, word counts, the in-word bigram unnest, and the
+    weighted sum exactly — integer-valued, so the gate is hash-exact."""
+    from laygo_python_spark.operators.bpe import pair_counts
+
+    return (
+        pair_counts(_t(spark, sf_dir, "documents"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@query(
+    "bpe_token_compression",
+    oracle="""
+    WITH wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                WHERE length(word) > 0 GROUP BY word),
+    bg AS (SELECT unnest(list_transform(range(1, length(word)),
+                                        i -> substring(word, CAST(i AS INT), 2))) AS pair,
+                  n
+           FROM wc),
+    best AS (SELECT pair FROM bg GROUP BY pair
+             ORDER BY sum(n) DESC, pair LIMIT 1),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    SELECT t.doc_id,
+           CAST(sum(length(t.word)
+                    - (length(t.word) - length(replace(t.word, b.pair, ''))) / 2
+               ) AS INT) AS n_tokens
+    FROM tok t, best b
+    GROUP BY t.doc_id
+    """,
+)
+def bpe_token_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply, end to end: ``bpe_train`` (distributed word
+    counts, driver merge loop — the published greedy algorithm with a
+    deterministic count-then-lexicographic tie-break) learns the first
+    merge, ``bpe_segment`` re-tokenizes every document with it, and the
+    output is the per-document token count — the corpus-compression
+    measurement that sizes a vocabulary. The oracle independently
+    re-derives the winning pair in SQL and counts non-overlapping
+    in-word occurrences via length-of-replace (the same left-to-right
+    semantics as both the trainer's merge scan and the segmenter's JVM
+    replace), so a hash match certifies trainer and segmenter agree
+    with a declarative replay of the algorithm. Deeper merge lists are
+    pytest-pinned differentially (tests/test_bpe.py) — round 2+ merge
+    decisions depend on round-1 resegmentation, which SQL cannot
+    express without unrolling per-round string rewrites."""
+    from laygo_python_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=1)
+    return bpe_segment(docs, merges)
