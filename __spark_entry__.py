@@ -49,6 +49,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json union.
 _ROTATION_FRONT = [
     # r9-new queries (never driver-checked) and r9-changed code/oracles
+    "dsir_select_docs", "hard_negative_mining",
+    "diversity_coreset_assign", "knn_label_vote", "zipf_law_fit",
     "leakage_safe_split", "bm25_topk_docs",
     "bpe_merge_pairs", "bpe_token_compression",
     "embedding_binary_quantize", "ann_binary_rerank_topk",
@@ -57,19 +59,22 @@ _ROTATION_FRONT = [
     "embedding_pca_topk", "dedup_semantic",
     "dedup_cluster_representatives", "pack_sequences_bins",
     # latest check r05 (all 37)
-    "array_functions", "asof_join_last_error", "assign_global_ids",
+    "asof_join_last_error", "assign_global_ids",
     "benford_first_digit", "bloom_new_customers", "bloom_prune_join",
     "catch_rows_salvage", "cogroup_order_reconcile", "cohort_retention",
-    "curation_pipeline", "date_functions", "dedup_new_vs_seen",
+    "curation_pipeline", "dedup_new_vs_seen",
     "dedup_simhash_index_append", "filter_map", "flatten_words",
     "funnel_stages", "interval_join_click_errors", "loop_double",
-    "map_batches_zscore", "map_type_roundtrip", "math_functions",
+    "map_batches_zscore", "map_type_roundtrip",
     "minhash_signature_sample", "ngram_jaccard_pairs",
     "q1_pricing_summary", "q3_shipping_priority", "reduce_sum",
-    "reference_workload", "regex_functions", "revenue_by_nation",
+    "reference_workload", "revenue_by_nation",
     "rolling_7d_revenue", "salted_heavy_hitters", "stratified_sample",
-    "string_functions", "tfidf_top_terms", "union_keys",
+    "tfidf_top_terms", "union_keys",
     "weighted_sample_topk", "window_rank_functions",
+    # (array/date/math/regex/string_functions roll to the r10 front —
+    # displaced by the five r9-new selection_ops queries; they are
+    # untouched since their r05 green and stay locally verified.)
 ]
 
 

@@ -58,6 +58,7 @@ def load_all() -> None:
         relational5,
         relational6,
         sampling_ops,
+        selection_ops,
         similarity_ops,
         stats_ops,
         stringsim_ops,

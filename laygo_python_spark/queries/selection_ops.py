@@ -1,0 +1,291 @@
+"""Data-selection & embedding-curation operators — the model-targeted
+half of a training-data pipeline: importance-resampled quality selection
+(DSIR), hard-negative mining for contrastive training, farthest-point
+diversity coresets, kNN label propagation, and Zipf-fit corpus health.
+
+Reference-parity note: the reference engine (laygo,
+transformers/transformer.py) stops at map/filter/reduce — this family is
+capability uplift per SURVEY.md §2.6/§7, same posture as the dedup/ANN
+modules. Every query here is hash-gated against a DuckDB replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from laygo_python_spark.queries import query
+from laygo_python_spark.session import read_table as _t
+
+_DSIR_ORACLE = """
+    WITH tok AS (SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS g
+                 FROM documents),
+    tb AS (SELECT doc_id, source,
+                  (('0x' || substring(md5(g), 1, 8))::BIGINT % 128) AS bucket
+           FROM tok),
+    raw AS (SELECT bucket, count(*) AS c_raw FROM tb GROUP BY bucket),
+    tgt AS (SELECT bucket, count(*) AS c_tgt FROM tb WHERE source = 'src0' GROUP BY bucket),
+    n_raw AS (SELECT CAST(sum(c_raw) AS DOUBLE) AS n_raw FROM raw),
+    n_tgt AS (SELECT CAST(coalesce(sum(c_tgt), 0) AS DOUBLE) AS n_tgt FROM tgt),
+    lr AS (SELECT raw.bucket,
+                  ln((coalesce(tgt.c_tgt, 0) + 1) / (n_tgt.n_tgt + 128.0))
+                  - ln((raw.c_raw + 1) / (n_raw.n_raw + 128.0)) AS lw
+           FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, n_raw, n_tgt),
+    db AS (SELECT doc_id, bucket, count(*) AS cnt FROM tb GROUP BY doc_id, bucket),
+    w AS (SELECT doc_id,
+                 CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                 round(sum(cnt * lw), 6) AS log_weight
+          FROM db JOIN lr ON db.bucket = lr.bucket GROUP BY doc_id),
+    top AS (SELECT * FROM w ORDER BY log_weight DESC, doc_id LIMIT 100)
+    SELECT doc_id, n_tokens, log_weight,
+           CAST(row_number() OVER (ORDER BY log_weight DESC, doc_id) AS INT) AS rank
+    FROM top
+"""
+
+
+@query("dsir_select_docs", oracle=_DSIR_ORACLE)
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/dsir.py; Xie et al. 2023,
+    arXiv:2302.03169): fit two add-1-smoothed bag-of-hashed-ngrams
+    multinomials — target = the 'src0' slice, raw = the full corpus —
+    and keep the 100 documents with the highest log importance weight
+    sum_tokens log(p_target/p_raw). The hashed feature uses the repo's
+    md5-prefix convention so both engines bucket identically; weights
+    round to 6 decimals BEFORE ranking (round-then-rank: a last-ulp
+    summation difference cannot flip the selection), id tiebreak.
+
+    Scale: token explode is map-local; both model fits collapse to 128
+    bucket rows; the only data-sized shuffle carries (doc, bucket, cnt);
+    the selection plans as TakeOrderedAndProject."""
+    from laygo_python_spark.operators.dsir import dsir_select_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select_topk(docs, F.col("source") == "src0", k=100)
+
+
+_HARD_NEG_ORACLE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 5),
+    s AS (SELECT q.vec_id AS query_id, q.label AS query_label,
+                 c.vec_id AS neighbor_id, c.label AS neighbor_label,
+                 list_cosine_similarity(q.v, c.v) AS sim
+          FROM q JOIN e c ON c.vec_id <> q.vec_id AND c.label <> q.label),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, query_label, neighbor_id, neighbor_label, sim,
+           CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10
+"""
+
+
+@query("hard_negative_mining", oracle=_HARD_NEG_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    anchor, the top-10 most-similar vectors with a DIFFERENT label —
+    the negatives that sit closest to the decision boundary and carry
+    the most gradient signal. The label-mismatch predicate is applied
+    BEFORE ranking (a post-filter would under-fill the negative set).
+    Same broadcast-score-rank shape as embedding_cosine_topk with the
+    label inequality fused into the join condition; the sequential-fold
+    cosine is bit-identical across engines, so raw sims gate exactly."""
+    from laygo_python_spark.operators.similarity import as_double_array, cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        as_double_array("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        as_double_array("embedding").alias("cv"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("neighbor_label") != F.col("query_label")),
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+def _fps_oracle(k: int = 8) -> str:
+    """Chained-CTE replay of greedy farthest-point sampling: step 0 is
+    the min id; each later step cross-joins the 1-row previous center,
+    refreshes the ROUNDED running min squared distance, and takes the
+    (mind desc, id asc) argmax. The diff vector is materialized once per
+    step so the squared distance is list_dot_product(dv, dv) — the same
+    index-order fold Spark's zip_with/aggregate computes."""
+    sq = (
+        "list_transform(range(1, len({a}.v) + 1), i -> {a}.v[i] - {c}.v[i])"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        f"dd0 AS (SELECT e.vec_id, e.v, {sq.format(a='e', c='c')} AS dv FROM e, c0 c)",
+        "m0 AS (SELECT vec_id, v, round(list_dot_product(dv, dv), 6) AS mind FROM dd0)",
+    ]
+    for s in range(1, k):
+        p = s - 1
+        parts.append(
+            f"c{s} AS (SELECT vec_id, v FROM m{p} ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        if s < k - 1:
+            parts.append(
+                f"dd{s} AS (SELECT m.vec_id, m.v, m.mind, "
+                f"{sq.format(a='m', c='c')} AS dv FROM m{p} m, c{s} c)"
+            )
+            parts.append(
+                f"m{s} AS (SELECT vec_id, v, "
+                "least(mind, round(list_dot_product(dv, dv), 6)) AS mind "
+                f"FROM dd{s})"
+            )
+    centers = " UNION ALL ".join(f"SELECT vec_id, v FROM c{s}" for s in range(k))
+    parts.append(f"cen AS ({centers})")
+    parts.append(
+        "adv AS (SELECT e.vec_id, cen.vec_id AS center_id, "
+        + sq.format(a="e", c="cen")
+        + " AS dv FROM e, cen)"
+    )
+    parts.append(
+        "ad AS (SELECT vec_id, center_id, round(list_dot_product(dv, dv), 6) AS dist FROM adv)"
+    )
+    parts.append(
+        "r AS (SELECT vec_id, center_id, dist, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY dist, center_id) AS rn FROM ad)"
+    )
+    return (
+        ",\n    ".join(parts)
+        + "\n    SELECT vec_id, center_id, dist FROM r WHERE rn = 1"
+    )
+
+
+@query("diversity_coreset_assign", oracle=_fps_oracle(8))
+def diversity_coreset_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-point diversity coreset (operators/coreset.py — Gonzalez
+    greedy k-center, k=8, seed = min id) plus nearest-center assignment
+    of every vector. Every (vec_id, center_id, dist) row is hash-gated,
+    which pins the WHOLE greedy trajectory: a wrong pick at any step
+    re-labels a big slice of the assignment. Distances are rounded
+    BEFORE the running min / argmax (round-then-rank), so the greedy
+    choices depend only on values both engines compute identically.
+    Scale: k scans (one per round) + one map-local assignment pass;
+    driver state is k (id, vector) pairs; no pairwise matrix."""
+    from laygo_python_spark.operators.coreset import (
+        assign_to_centers,
+        farthest_point_sample,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centers = farthest_point_sample(emb, k=8)
+    return assign_to_centers(emb, centers)
+
+
+_KNN_VOTE_ORACLE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 25 = 0),
+    c AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
+    s AS (SELECT q.vec_id AS query_id, q.label AS true_label,
+                 c.vec_id AS nid, c.label AS nl,
+                 list_cosine_similarity(q.v, c.v) AS sim
+          FROM q, c),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, nid) AS rnk
+          FROM s),
+    v AS (SELECT query_id, true_label, nl AS predicted_label,
+                 count(*) AS votes
+          FROM r WHERE rnk <= 5 GROUP BY query_id, true_label, nl),
+    w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY votes DESC, predicted_label) AS vr
+          FROM v)
+    SELECT query_id, true_label, predicted_label, CAST(votes AS BIGINT) AS votes
+    FROM w WHERE vr = 1
+"""
+
+
+@query("knn_label_vote", oracle=_KNN_VOTE_ORACLE)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation (k=5, cosine): predict a held-out slice's
+    labels by majority vote of the nearest labeled vectors — the
+    weak-supervision / auto-labeling primitive (and, against the true
+    labels also emitted, an embedding-quality probe: high kNN agreement
+    means the space separates the classes). Held-out slice = every 25th
+    id, so the query side stays a bounded fraction at any SF. Vote ties
+    break (votes desc, label asc); neighbor ties break on id — both
+    deterministic cross-engine."""
+    from laygo_python_spark.operators.similarity import as_double_array, cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        as_double_array("embedding").alias("qv"),
+    )
+    c = emb.filter(F.col("vec_id") % 25 != 0).select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nl"),
+        as_double_array("embedding").alias("cv"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "true_label", "nid", "nl", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nid"))
+    top = scored.withColumn("rnk", F.row_number().over(rw)).filter(F.col("rnk") <= 5)
+    votes = top.groupBy("query_id", "true_label", F.col("nl").alias("predicted_label")).agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    vw = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("predicted_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .drop("vr")
+    )
+
+
+_ZIPF_ORACLE = """
+    WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS g FROM documents),
+    f AS (SELECT g, count(*) AS c FROM tok GROUP BY g),
+    top AS (SELECT g, c FROM f ORDER BY c DESC, g LIMIT 100),
+    r AS (SELECT g, c, row_number() OVER (ORDER BY c DESC, g) AS rnk FROM top)
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
+           round(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS zipf_intercept,
+           round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS r2
+    FROM r
+"""
+
+
+@query("zipf_law_fit", oracle=_ZIPF_ORACLE)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-100 word frequencies: slope /
+    intercept / R² of log-frequency on log-rank — the classic corpus
+    health check (natural text slopes near -1; synthetic, templated, or
+    spam-heavy corpora bend the curve). The top slice is taken with
+    orderBy+limit (TakeOrderedAndProject — no global sort at corpus
+    vocab scale); only the 100 survivors enter the rank window and the
+    one-row regression aggregate. Ranks tiebreak on the word so both
+    engines number identical orderings."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("g"))
+    f = tok.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    top = f.orderBy(F.desc("c"), F.asc("g")).limit(100)
+    rnk = F.row_number().over(Window.orderBy(F.desc("c"), F.asc("g")))
+    r = top.select(F.log(F.col("c").cast("double")).alias("lc"),
+                   F.log(rnk.cast("double")).alias("lr"))
+    return r.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.regr_slope("lc", "lr"), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept("lc", "lr"), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2("lc", "lr"), 6).alias("r2"),
+    )

@@ -50,6 +50,10 @@ _KNOWN_BNLJ = {
     # compressed-domain analog of the cosine baseline's broadcast scan;
     # sub-linear variants are the LSH/IVF families
     "ann_binary_rerank_topk",
+    # exact negative mining: the label-mismatch predicate is non-equi by
+    # design (it must see EVERY cross-label pair), fused into the same
+    # broadcast-the-anchors exhaustive scan as embedding_cosine_topk
+    "hard_negative_mining",
 }
 
 # Arrow-batched Python surfaces (mapInPandas/applyInPandas/cogroup) are
