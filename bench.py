@@ -125,6 +125,14 @@ HEADLINE = [
     "bm25_topk_docs",
     "bpe_merge_pairs",
     "bpe_token_compression",
+    # r9 data-selection family: DSIR importance resampling, contrastive
+    # hard-negative mining, the farthest-point diversity coreset
+    # (iterative — benched so its per-round job floor stays visible),
+    # and kNN label propagation.
+    "dsir_select_docs",
+    "hard_negative_mining",
+    "diversity_coreset_assign",
+    "knn_label_vote",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite
