@@ -87,14 +87,27 @@ def dsir_log_weights(
         extra_cols=("__is_target",),
     )
 
+    # ONE pass over the token stream: collapse to per-(doc, bucket)
+    # counts immediately (map-side partials make the shuffle carry at
+    # most docs x buckets rows, never the raw tokens), and pin the
+    # result — the two model fits AND the per-doc fold all derive from
+    # this compact frame, so without the pin each would re-run the
+    # explode + md5 over the full corpus (measured 3x the token pass at
+    # 1M docs / 30M tokens in tools/selection_scale_smoke.py).
+    db = (
+        tb.groupBy(id_col, "__is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
     # Model fits: bucket histograms (<= `buckets` rows each) + scalar
     # token totals. Smoothed log-ratio per bucket; raw covers every
     # bucket any document touches, so a left join from raw is total.
-    raw = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    raw = db.groupBy("bucket").agg(F.sum("cnt").alias("c_raw"))
     tgt = (
-        tb.filter(F.col("__is_target"))
+        db.filter(F.col("__is_target"))
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c_tgt"))
+        .agg(F.sum("cnt").alias("c_tgt"))
     )
     n_raw = raw.agg(F.sum("c_raw").cast("double").alias("n_raw"))
     n_tgt = tgt.agg(
@@ -118,7 +131,6 @@ def dsir_log_weights(
 
     # Per-doc bucket counts -> one broadcast join against the tiny
     # log-ratio table -> per-doc fold.
-    db = tb.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("cnt"))
     return (
         db.join(F.broadcast(lr), "bucket")
         .groupBy(id_col)

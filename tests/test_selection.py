@@ -135,6 +135,27 @@ def test_fps_assignment_covers_every_point(spark, sf_dir):
         assert self_rows[cid]["dist"] == 0.0
 
 
+def test_fps_vectorized_matches_fold_path(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fold = farthest_point_sample(emb, k=5)
+    fast = farthest_point_sample(emb, k=5, vectorized=True)
+    assert [c[0] for c in fast] == [c[0] for c in fold]
+
+
+def test_assign_vectorized_matches_fold_path(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centers = farthest_point_sample(emb, k=4)
+    fold = {r["vec_id"]: (r["center_id"], r["dist"])
+            for r in assign_to_centers(emb, centers).collect()}
+    fast = {r["vec_id"]: (r["center_id"], r["dist"])
+            for r in assign_to_centers(emb, centers, vectorized=True).collect()}
+    assert set(fold) == set(fast)
+    mismatch = [k for k in fold if fold[k][0] != fast[k][0]]
+    assert not mismatch
+    for k in fold:
+        assert fast[k][1] == pytest.approx(fold[k][1], abs=2e-6)
+
+
 def test_knn_vote_tiebreak_prefers_smaller_label(spark, sf_dir, monkeypatch):
     from laygo_python_spark.queries.selection_ops import knn_label_vote
 
