@@ -51,6 +51,7 @@ _ROTATION_FRONT = [
     # r9-new queries (never driver-checked) and r9-changed code/oracles
     "dsir_select_docs", "hard_negative_mining",
     "diversity_coreset_assign", "knn_label_vote", "zipf_law_fit",
+    "sparse_tfidf_cosine_topk",
     "leakage_safe_split", "bm25_topk_docs",
     "bpe_merge_pairs", "bpe_token_compression",
     "embedding_binary_quantize", "ann_binary_rerank_topk",
@@ -71,10 +72,11 @@ _ROTATION_FRONT = [
     "reference_workload", "revenue_by_nation",
     "rolling_7d_revenue", "salted_heavy_hitters", "stratified_sample",
     "tfidf_top_terms", "union_keys",
-    "weighted_sample_topk", "window_rank_functions",
-    # (array/date/math/regex/string_functions roll to the r10 front —
-    # displaced by the five r9-new selection_ops queries; they are
-    # untouched since their r05 green and stay locally verified.)
+    "weighted_sample_topk",
+    # (array/date/math/regex/string_functions + window_rank_functions
+    # roll to the r10 front — displaced by the six r9-new selection/
+    # sparse-retrieval queries; they are untouched since their r05
+    # green and stay locally verified.)
 ]
 
 

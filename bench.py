@@ -133,6 +133,9 @@ HEADLINE = [
     "hard_negative_mining",
     "diversity_coreset_assign",
     "knn_label_vote",
+    # ... and the embedding-free sparse retrieval plan (inverted-index
+    # TF-IDF cosine).
+    "sparse_tfidf_cosine_topk",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

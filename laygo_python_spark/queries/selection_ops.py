@@ -253,6 +253,56 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPARSE_COSINE_ORACLE = """
+    WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+                 FROM documents),
+    tf AS (SELECT doc_id,
+                  (('0x' || substring(md5(tok), 1, 8))::BIGINT % 1024) AS bucket,
+                  count(*) AS tf
+           FROM tok GROUP BY doc_id, bucket),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    dfq AS (SELECT bucket, count(*) AS df FROM tf GROUP BY bucket),
+    v AS (SELECT tf.doc_id, tf.bucket,
+                 CAST(tf.tf AS DOUBLE) * (ln((n.n + 1) / (dfq.df + 1)) + 1.0) AS w
+          FROM tf JOIN dfq USING (bucket), n),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM v GROUP BY doc_id),
+    q AS (SELECT doc_id AS query_id, bucket, w AS qw FROM v WHERE doc_id < 5),
+    dots AS (SELECT q.query_id, c.doc_id AS neighbor_id, sum(q.qw * c.w) AS dot
+             FROM v c JOIN q ON c.bucket = q.bucket AND c.doc_id <> q.query_id
+             GROUP BY q.query_id, c.doc_id),
+    scored AS (SELECT d.query_id, d.neighbor_id,
+                      round(d.dot / (qn.norm * cn.norm), 6) AS sim
+               FROM dots d
+               JOIN norms qn ON qn.doc_id = d.query_id
+               JOIN norms cn ON cn.doc_id = d.neighbor_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10
+"""
+
+
+@query("sparse_tfidf_cosine_topk", oracle=_SPARSE_COSINE_ORACLE)
+def sparse_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document similarity WITHOUT embeddings (operators/sparsesim.py):
+    hashed TF-IDF sparse vectors (feature hashing, 1024 buckets,
+    md5-prefix convention) scored through the classical inverted-index
+    cosine — postings equi-join on the bucket, so work is
+    sum_bucket(|q| x |c| postings), never a dense vector scan; norms
+    and the probe set ride as broadcasts. The IR-native complement of
+    embedding_cosine_topk (dense) and bm25_topk_docs (probabilistic
+    lexical): this is the plan shape that still works when the vector
+    space is the vocabulary itself. Sims round to 6 before ranking
+    (round-then-rank, id tiebreak)."""
+    from laygo_python_spark.operators.sparsesim import hashed_tfidf, sparse_cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    vecs = hashed_tfidf(docs, buckets=1024)
+    probes = docs.select("doc_id").filter(F.col("doc_id") < 5)
+    return sparse_cosine_topk(vecs, probes, k=10)
+
+
 _ZIPF_ORACLE = """
     WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS g FROM documents),
     f AS (SELECT g, count(*) AS c FROM tok GROUP BY g),

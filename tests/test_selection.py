@@ -167,6 +167,72 @@ def test_knn_vote_tiebreak_prefers_smaller_label(spark, sf_dir, monkeypatch):
     assert all(1 <= r["votes"] <= 5 for r in rows)
 
 
+def test_sparse_tfidf_cosine_matches_pure_python(spark):
+    from laygo_python_spark.operators.sparsesim import hashed_tfidf, sparse_cosine_topk
+
+    corpus = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta delta"),
+        (2, "zig zag zog"),
+        (3, "alpha alpha beta"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    vecs = hashed_tfidf(docs, buckets=256)
+    probes = docs.select("doc_id").filter("doc_id = 0")
+    got = {
+        r["neighbor_id"]: r["sim"]
+        for r in sparse_cosine_topk(vecs, probes, k=4).collect()
+    }
+
+    # pure-python reference
+    n = len(corpus)
+    tf: dict[tuple[int, int], int] = {}
+    for d, text in corpus:
+        for t in text.split(" "):
+            b = _md5_bucket(t, 256)
+            tf[(d, b)] = tf.get((d, b), 0) + 1
+    df: dict[int, int] = {}
+    for (d, b) in tf:
+        df[b] = df.get(b, 0) + 1
+    w = {k: v * (math.log((n + 1) / (df[k[1]] + 1)) + 1.0) for k, v in tf.items()}
+    import collections
+
+    vec = collections.defaultdict(dict)
+    for (d, b), x in w.items():
+        vec[d][b] = x
+
+    def cos(a, b):
+        dot = sum(vec[a].get(k, 0.0) * vec[b][k] for k in vec[b])
+        na = math.sqrt(sum(x * x for x in vec[a].values()))
+        nb = math.sqrt(sum(x * x for x in vec[b].values()))
+        return dot / (na * nb)
+
+    # doc 2 (zig zag zog) shares no bucket with doc 0: the inverted
+    # join never pairs them — correct sparse semantics (cos = 0, and a
+    # zero-overlap doc can't be a top-k hit), so it is ABSENT.
+    assert cos(0, 2) == 0.0 and 2 not in got
+    for d in (1, 3):
+        assert got[d] == pytest.approx(cos(0, d), abs=1e-6)
+    # doc 3 (alpha alpha beta) is closer to doc 0 than doc 1
+    assert got[3] > got[1]
+
+
+def test_sparse_tfidf_max_df_drops_stop_buckets(spark):
+    from laygo_python_spark.operators.sparsesim import hashed_tfidf
+
+    docs = spark.createDataFrame(
+        [(0, "the alpha"), (1, "the beta"), (2, "the gamma"), (3, "the delta")],
+        "doc_id long, text string",
+    )
+    full = hashed_tfidf(docs, buckets=512)
+    pruned = hashed_tfidf(docs, buckets=512, max_df_frac=0.9)
+    the_b = _md5_bucket("the", 512)
+    assert full.filter(F.col("bucket") == the_b).count() == 4
+    assert pruned.filter(F.col("bucket") == the_b).count() == 0
+    # each doc keeps its distinctive term's bucket
+    assert pruned.count() == 4
+
+
 def test_zipf_fit_on_planted_power_law(spark):
     # freq(rank) = round(1000 / rank): slope of ln f on ln rank ~= -1
     rows = []
