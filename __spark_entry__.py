@@ -49,6 +49,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json union.
 _ROTATION_FRONT = [
     # r9-new queries (never driver-checked) and r9-changed code/oracles
+    "rrf_hybrid_topk", "retrieval_eval_ndcg",
+    "k_anonymity_audit", "l_diversity_audit",
+    "label_propagation_communities", "decontaminate_semantic",
+    "stream_heavy_hitters",
     "dsir_select_docs", "hard_negative_mining",
     "diversity_coreset_assign", "knn_label_vote", "zipf_law_fit",
     "sparse_tfidf_cosine_topk",

@@ -136,6 +136,17 @@ HEADLINE = [
     # ... and the embedding-free sparse retrieval plan (inverted-index
     # TF-IDF cosine).
     "sparse_tfidf_cosine_topk",
+    # r9 late additions: hybrid retrieval (RRF fusion + the nDCG/MRR
+    # eval loop), semantic decontamination, synchronous-LPA community
+    # detection (iterative — benched to keep its round floor visible),
+    # governance audits, and the streaming Misra-Gries monitor.
+    "rrf_hybrid_topk",
+    "retrieval_eval_ndcg",
+    "decontaminate_semantic",
+    "label_propagation_communities",
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "stream_heavy_hitters",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

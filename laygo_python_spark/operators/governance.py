@@ -1,0 +1,98 @@
+"""Data-governance audits — k-anonymity and l-diversity over
+quasi-identifier groupings, the privacy-review pass a training-data
+pipeline runs before a corpus (or a telemetry join) ships: find the
+identifier combinations whose groups are small enough to re-identify a
+person, and the groups whose sensitive attribute is effectively
+disclosed because it barely varies.
+
+Definitions are the published ones (Sweeney 2002, k-anonymity;
+Machanavasjhala et al. 2006, l-diversity): a table is k-anonymous under
+a quasi-identifier (QI) tuple if every QI equivalence class has >= k
+rows, and l-diverse for a sensitive column if every class contains >= l
+distinct sensitive values.
+
+Scale shape: both audits are ONE partial+final aggregation over the QI
+columns — map-side combine compresses each partition to its distinct QI
+groups, the shuffle carries (QI, partial count / partial distinct-set)
+only, and the flagged output is by construction the SMALL tail of the
+group-size distribution. l-diversity uses exact count(distinct) per
+group, which Spark plans as a two-phase expand — for very wide sensitive
+domains swap in approx_count_distinct at the call site.
+
+Reference parity: the reference engine (ringoldsdev/laygo-python) has no
+governance surface; this is uplift in the corpus-tooling family
+(SURVEY.md §2.6/§7 posture, same as the dedup/ANN modules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _qi_cols(quasi_cols: list[str | Column]) -> list[Column]:
+    if not quasi_cols:
+        raise ValueError("governance: need at least one quasi-identifier column")
+    return [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+
+
+def k_anonymity_violations(
+    df: DataFrame,
+    quasi_cols: list[str | Column],
+    k: int = 5,
+) -> DataFrame:
+    """QI groups with fewer than ``k`` rows — the re-identifiable
+    classes. Returns one row per violating group: the QI columns plus
+    ``group_size``. NULL QI values group together (standard audit
+    posture: NULL is itself a disclosure bucket)."""
+    cols = _qi_cols(quasi_cols)
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )
+
+
+def k_anonymity_summary(
+    df: DataFrame,
+    quasi_cols: list[str | Column],
+    k: int = 5,
+) -> DataFrame:
+    """One-row audit certificate: the table's achieved k (min group
+    size), group counts, and the rows-at-risk total under threshold
+    ``k``. This is the number that goes in the release report; the
+    per-group detail is ``k_anonymity_violations``."""
+    cols = _qi_cols(quasi_cols)
+    sizes = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("group_size"))
+    return sizes.agg(
+        F.min("group_size").cast("long").alias("achieved_k"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("group_size") < k, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("groups_below_k"),
+        F.sum(F.when(F.col("group_size") < k, F.col("group_size")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_at_risk"),
+    )
+
+
+def l_diversity_violations(
+    df: DataFrame,
+    quasi_cols: list[str | Column],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """QI groups whose sensitive column takes fewer than ``l`` distinct
+    values — attribute disclosure even when the group is large enough to
+    pass k-anonymity. Returns the QI columns plus ``group_size`` and
+    ``distinct_sensitive``. NULL sensitive values are excluded from the
+    distinct count (count(distinct) semantics in both engines)."""
+    cols = _qi_cols(quasi_cols)
+    return (
+        df.groupBy(*cols)
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct(sensitive_col).cast("long").alias("distinct_sensitive"),
+        )
+        .filter(F.col("distinct_sensitive") < l)
+    )

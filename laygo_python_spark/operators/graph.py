@@ -286,3 +286,89 @@ def kcore(
                 break
             n_edges = n_next
     return e.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007): every node starts in its own community
+    (label = node id); each round, a node adopts the label that is most
+    FREQUENT among its neighbors, smallest label on ties. Returns
+    ``(node, label)`` after ``rounds`` rounds.
+
+    Determinism: the classic async/random-tie LPA is famously
+    non-deterministic — this is the synchronous variant with a
+    count-desc-then-label-asc argmax, so the trajectory is a pure
+    function of the graph and ``rounds``, and a fixed round count makes
+    it exactly SQL-expressible by unrolling (the same trick that
+    oracle-gates PageRank/BFS/k-core).
+
+    Scale shape per round: one hash join of the edge list against the
+    |V|-row label table (both sides partitioned on the join key — at
+    scale pre-partition the edge list on ``src`` once and every round
+    reuses that layout), one (dst, label) count aggregation with
+    map-side combine, and one per-node argmax window over the
+    (node, distinct-neighbor-label) frame — rows in that window are
+    bounded by the node's distinct neighbor labels, never the corpus.
+    Rounds checkpoint on the kcore/connected-components release
+    discipline so round r never replans rounds 1..r-1; LPA on huge
+    graphs typically stabilizes in a handful of rounds (the published
+    experiments use ~5).
+    """
+    if rounds < 1:
+        raise ValueError(f"label_propagation: rounds must be >= 1, got {rounds}")
+    from pyspark.sql import Window
+
+    half = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
+        F.col("s") != F.col("d")
+    )
+    sym = half.unionByName(
+        half.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+
+    spark = edges.sparkSession
+
+    def _persistent_ids() -> set[int]:
+        return {int(i) for i in dict(spark.sparkContext._jsc.getPersistentRDDs())}
+
+    def _release(ids: set[int]) -> None:
+        live = dict(spark.sparkContext._jsc.getPersistentRDDs())
+        for i, rdd in live.items():
+            if int(i) in ids:
+                rdd.unpersist(False)
+
+    pre = _persistent_ids()
+    e = sym.localCheckpoint(eager=True)
+    edge_pins = _persistent_ids() - pre
+    labels = e.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    prev_pins: set[int] = set()
+    for r in range(1, rounds + 1):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+        nxt = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        if checkpoint_every and r % checkpoint_every == 0 and r < rounds:
+            before = _persistent_ids()
+            nxt = nxt.localCheckpoint(eager=True)
+            _release(prev_pins)
+            prev_pins = _persistent_ids() - before
+        labels = nxt
+    # prev_pins (the final checkpointed round) and edge_pins still back
+    # the returned plan — they are NOT releasable here. Only superseded
+    # intermediate rounds were released above, right after each newer
+    # checkpoint materialized.
+    return labels

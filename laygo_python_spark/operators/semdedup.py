@@ -112,3 +112,63 @@ def semantic_dedup(
             F.col("dup_id").isNull().alias("keep"),
         )
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_out: str = "eval_id",
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic complement of the
+    n-gram overlap check (dedup.decontaminate_ngram_overlap): flag every
+    corpus item whose cosine similarity to ANY held-out eval item meets
+    ``threshold``, reporting the closest eval item and the similarity.
+    Paraphrased benchmark leakage survives lexical decontamination; this
+    is the published mitigation (e.g. the embedding-similarity decontam
+    in open LLM data pipelines).
+
+    Returns (id, eval_id, sim) for flagged corpus rows only.
+
+    Scale shape — this is the INTENTIONAL broadcast nested-loop exact
+    scan, same posture as the brute-force ANN baseline and
+    hard-negative mining: eval benchmarks are tiny (10^3-10^5 rows) next
+    to a 100 TB corpus, so the eval side broadcasts, the corpus never
+    shuffles, and the per-corpus-row argmax collapses map-side into a
+    partial max(struct) aggregation — the shuffle carries one
+    (id, best-struct) row per FLAGGED-OR-NOT corpus row pre-combined per
+    partition, never the |corpus|x|eval| pair frame. For recall-relaxed
+    speed at extreme scale, pre-prune candidates with the SRP-bucketed
+    path and exact-verify the survivors here.
+    """
+    from laygo_python_spark.operators.similarity import as_double_array, cosine
+
+    q = F.broadcast(
+        evalset.select(
+            F.col(id_col).alias("__eid"), as_double_array(vec_col).alias("__ev")
+        )
+    )
+    c = corpus.select(F.col(id_col), as_double_array(vec_col).alias("__cv"))
+    sim = cosine(F.col("__cv"), F.col("__ev"))
+    # argmax(sim, then min eval id) as ONE partial-aggregatable max:
+    # struct ordering is (sim asc, -eid asc), so max = highest sim,
+    # smallest eval id on ties.
+    best = (
+        c.join(q, F.lit(True))
+        .select(
+            id_col,
+            F.struct(sim.alias("s"), (-F.col("__eid")).alias("neg_eid")).alias("t"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("t").alias("t"))
+    )
+    return (
+        best.filter(F.col("t.s") >= threshold)
+        .select(
+            id_col,
+            (-F.col("t.neg_eid")).alias(eval_id_out),
+            F.col("t.s").alias("sim"),
+        )
+    )

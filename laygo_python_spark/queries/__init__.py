@@ -47,6 +47,7 @@ def load_all() -> None:
         dedup_ops,
         graph_ops,
         functions_ops,
+        governance_ops,
         ids_ops,
         interval_ops,
         mixing_ops,
@@ -57,6 +58,7 @@ def load_all() -> None:
         relational4,
         relational5,
         relational6,
+        retrieval_ops,
         sampling_ops,
         selection_ops,
         similarity_ops,

@@ -243,3 +243,53 @@ def ppr_similar_to_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, iterations=3, checkpoint_every=0, sources=sources, symmetric=True, sparse=True
     )
     return out.select("node", F.round("pr", 9).alias("pr")).filter(F.col("pr") > 0)
+
+
+_LPA_ROUND = """
+    v{k} AS (
+        SELECT e.dst AS node, l.label, count(*) AS n
+        FROM edges e JOIN l{j} l ON e.src = l.node
+        GROUP BY e.dst, l.label
+    ),
+    l{k} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY n DESC, label) AS rn
+            FROM v{k})
+        WHERE rn = 1
+    )"""
+
+_LPA_ORACLE = (
+    """
+    WITH half AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 100000 AS p FROM lineitem),
+    edges AS (SELECT s AS src, p AS dst FROM half UNION ALL SELECT p, s FROM half),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),"""
+    + ",".join(_LPA_ROUND.format(k=k, j=k - 1) for k in range(1, 3))
+    + """
+    SELECT node, label FROM l2 ORDER BY node
+    """
+)
+
+
+@query("label_propagation_communities", oracle=_LPA_ORACLE)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (operators/graph.label_propagation; Raghavan et al. 2007) on the
+    supplier<->part co-supply graph: 2 rounds, every node adopting its
+    neighbors' most frequent label with a count-desc-then-min-label
+    tie-break. The deterministic synchronous variant is what makes a
+    famously random algorithm exactly SQL-expressible — the oracle
+    unrolls both rounds as join+argmax CTEs (the same trick that gates
+    PageRank/BFS/k-core) and every (node, label) assignment row is
+    hash-gated, not just a summary.
+
+    Scale: each round is one edges⋈labels hash join (pre-partition the
+    edge list on src once at scale and every round reuses the layout),
+    one counting aggregation with map-side combine, and one per-node
+    argmax window bounded by the node's distinct neighbor labels;
+    rounds localCheckpoint on the kcore release discipline."""
+    from laygo_python_spark.operators.graph import label_propagation
+
+    edges = _sp_edges(_t(spark, sf_dir, "lineitem"), "label_propagation_communities")
+    return label_propagation(edges, rounds=2).orderBy("node")

@@ -339,3 +339,47 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("lc", "lr"), 6).alias("zipf_intercept"),
         F.round(F.regr_r2("lc", "lr"), 6).alias("r2"),
     )
+
+
+@query(
+    "decontaminate_semantic",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ev AS (SELECT vec_id AS eval_id, v FROM e WHERE vec_id % 25 = 0),
+    co AS (SELECT vec_id, v FROM e WHERE vec_id % 25 <> 0),
+    s AS (SELECT co.vec_id, ev.eval_id,
+                 list_cosine_similarity(co.v, ev.v) AS sim
+          FROM co JOIN ev ON TRUE),
+    b AS (SELECT vec_id, eval_id, sim,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, eval_id) AS rn
+          FROM s)
+    SELECT vec_id, eval_id, sim FROM b
+    WHERE rn = 1 AND sim >= 0.38
+    ORDER BY vec_id
+    """,
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (operators/semdedup.semantic_contamination): the eval slice is
+    every 25th vector, and any other corpus vector whose cosine to an
+    eval vector reaches 0.38 is flagged with its closest eval item —
+    the semantic complement of decontaminate_ngram_overlap, which
+    paraphrased leakage walks straight past. (The fixture embeddings
+    are near-orthogonal, max pairwise sim ≈ 0.51, so the threshold
+    sits where flags exist; production thresholds are ~0.9.)
+
+    Scale: the eval side broadcasts (benchmarks are tiny next to a
+    100 TB corpus), the corpus never shuffles, and the per-row argmax
+    folds map-side into one partial max(struct) aggregation. The
+    oracle replays scoring, the argmax tie-break, and the threshold;
+    sims ride raw (bit-exact sequential-fold cosine, the
+    embedding_cosine_topk precedent)."""
+    from laygo_python_spark.operators.semdedup import semantic_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_contamination(
+        emb.filter(F.col("vec_id") % 25 != 0),
+        emb.filter(F.col("vec_id") % 25 == 0),
+        threshold=0.38,
+    ).orderBy("vec_id")

@@ -361,3 +361,66 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "stream_heavy_hitters",
+    oracle="""
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt
+    FROM part GROUP BY p_brand
+    HAVING count(*) >= 0.03 * (SELECT count(*) FROM part)
+    """,
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING heavy-hitter discovery (streaming/mg_summary_processor):
+    the part table arrives as a file stream, every micro-batch lands its
+    ≤k-row Misra-Gries summary as a batch_id-keyed parquet partition
+    (replay = overwrite = exactly-once), and the candidate set is the
+    read-time merge of the stored partials — raw history is never
+    re-read, which is what lets the monitor run forever at ingest rates.
+    Candidates then get one exact lake-side recount (broadcast semi-join,
+    map-side hash bounded by the candidate list), making the final
+    answer EXACT — so this streaming sketch plan shares the plain GROUP
+    BY/HAVING oracle with its batch twin mg_heavy_hitters_brands: a
+    bounded stream processed to completion must equal the batch answer
+    (the MG merge guarantee holds under any batch split; multi-batch
+    equivalence is pinned by tests/test_heavyhitters.py with a forced
+    4-file split)."""
+    import shutil
+    import tempfile
+
+    from laygo_python_spark.operators.heavyhitters import mg_merge
+    from laygo_python_spark.session import read_table
+    from laygo_python_spark.streaming import mg_summary_processor
+
+    min_freq, k = 0.03, 66
+    part = read_table(spark, sf_dir, "part")
+    raw_schema = spark.read.parquet(f"{sf_dir}/part.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "part.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    scratch = tempfile.mkdtemp(prefix="stream_mg_")
+    try:
+        process = mg_summary_processor("p_brand", k, f"{scratch}/summaries")
+        q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        partials = spark.read.parquet(f"{scratch}/summaries").select("p_brand", "cnt")
+        candidates = mg_merge(partials, "p_brand", k=k).select("p_brand")
+        n_tot = part.agg(F.count(F.lit(1)).alias("n_tot"))
+        return (
+            part.join(F.broadcast(candidates), "p_brand", "left_semi")
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .crossJoin(F.broadcast(n_tot))
+            .filter(F.col("cnt") >= F.col("n_tot") * min_freq)
+            .select("p_brand", "cnt")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

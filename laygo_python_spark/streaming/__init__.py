@@ -225,3 +225,27 @@ def drift_histogram_processor(
         hist.write.mode("overwrite").parquet(f"{hist_path}/batch_id={batch_id}")
 
     return process
+
+
+def mg_summary_processor(key: str, k: int, summary_path: str):
+    """``foreachBatch`` body for streaming heavy-hitter discovery: per
+    micro-batch, reduce the batch to its ≤k-row Misra-Gries summary
+    (operators/heavyhitters — per-partition bounded counters, one
+    KB-scale merge) and land it as ``{summary_path}/batch_id=N``.
+
+    MG summaries are MERGEABLE with the n/(k+1) guarantee preserved
+    under ANY merge tree (Agarwal et al., PODS 2012), so the stored
+    partials fold into a corpus-level candidate set at read time
+    without ever re-reading raw history — the same
+    partials-then-merge contract as drift_histogram_processor, with
+    the same exactly-once story (a replayed batch OVERWRITES its own
+    partition)."""
+    from laygo_python_spark.operators.heavyhitters import mg_merge, mg_summarize
+
+    def process(batch_df, batch_id: int) -> None:
+        summary = mg_merge(mg_summarize(batch_df, key, k=k), key, k=k)
+        summary.withColumnRenamed("est", "cnt").write.mode("overwrite").parquet(
+            f"{summary_path}/batch_id={batch_id}"
+        )
+
+    return process

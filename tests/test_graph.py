@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from itertools import combinations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from laygo_python_spark.operators.graph import bfs_hops, triangle_count
@@ -166,3 +168,57 @@ def test_kcore_validation(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with _pytest.raises(ValueError, match="k must be"):
         kcore(df, k=0)
+
+
+# ------------------------------------------------- label propagation
+
+
+def test_label_propagation_two_components_converge(spark):
+    from laygo_python_spark.operators.graph import label_propagation
+
+    # two triangles, disjoint: each converges to its own min label.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(edges, rounds=2).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_majority_wins_over_min(spark):
+    from laygo_python_spark.operators.graph import label_propagation
+
+    # node 100 has neighbors {2, 3, 4}; after round 1 all three carry
+    # label 1 (hub 1 connects them)... build a direct majority case:
+    # neighbors of 50 are {7, 8, 9}; 7 and 8 are mutually connected so
+    # keep each other's min, 9 is isolated otherwise.
+    edges = spark.createDataFrame(
+        [(7, 8), (50, 7), (50, 8), (50, 9)], "src long, dst long"
+    )
+    one = {r["node"]: r["label"] for r in label_propagation(edges, rounds=1).collect()}
+    # round 1: 50's neighbor labels are {7, 8, 9} -> tie -> min = 7;
+    # 7's neighbors {8, 50} -> min 8; 8's -> {7,50} -> 7; 9's -> {50} -> 50
+    assert one == {50: 7, 7: 8, 8: 7, 9: 50}
+    two = {r["node"]: r["label"] for r in label_propagation(edges, rounds=2).collect()}
+    # round 2: 50 sees labels {8 (from 7), 7 (from 8), 50 (from 9)} ->
+    # tie of singletons -> 7; 9 sees only 50's label 7 -> 7.
+    assert two[9] == 7 and two[50] == 7
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    from laygo_python_spark.operators.graph import label_propagation
+
+    edges = [(i, i + 1) for i in range(1, 30)] + [(5, 25), (2, 17)]
+    a = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    b = spark.createDataFrame(edges, "src long, dst long").repartition(13)
+    ra = sorted(map(tuple, label_propagation(a, rounds=3).collect()))
+    rb = sorted(map(tuple, label_propagation(b, rounds=3).collect()))
+    assert ra == rb
+
+
+def test_label_propagation_validation(spark):
+    from laygo_python_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="rounds"):
+        label_propagation(edges, rounds=0)

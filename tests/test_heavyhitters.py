@@ -85,3 +85,71 @@ def test_validation(spark):
         mg_heavy_hitters(df, "key", min_freq=1.5)
     with pytest.raises(ValueError, match="cannot guarantee"):
         mg_heavy_hitters(df, "key", min_freq=0.01, k=10)
+
+
+def test_stream_multi_batch_equals_batch(spark, tmp_path):
+    """A bounded stream of MG summary partials, merged at read time and
+    recounted, equals the one-shot batch heavy hitters — under a FORCED
+    4-file multi-batch split (maxFilesPerTrigger=1), so the mergeable-
+    summaries guarantee is exercised across real micro-batch boundaries."""
+    from laygo_python_spark.streaming import mg_summary_processor
+
+    df = _zipfish(spark, 4)
+    src = tmp_path / "src"
+    # 4 parquet files -> 4 micro-batches
+    df.repartition(4).write.parquet(str(src))
+    n_files = len([p for p in src.glob("*.parquet")])
+    assert n_files >= 4
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    summaries = tmp_path / "summaries"
+    process = mg_summary_processor("key", k=40, summary_path=str(summaries))
+    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    # one partial per micro-batch landed
+    batch_dirs = {p.name for p in summaries.glob("batch_id=*")}
+    assert len(batch_dirs) == n_files
+
+    min_freq = 0.05
+    partials = spark.read.parquet(str(summaries)).select("key", "cnt")
+    candidates = mg_merge(partials, "key", k=40).select("key")
+    n_tot = df.count()
+    got = {
+        (r["key"], r["cnt"])
+        for r in df.join(F.broadcast(candidates), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= n_tot * min_freq)
+        .collect()
+    }
+    want = {
+        (r["key"], r["cnt"])
+        for r in df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= n_tot * min_freq)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_replayed_batch_overwrites_partition(spark, tmp_path):
+    """Exactly-once under foreachBatch replay: re-running a batch id
+    lands in the SAME partition (overwrite), so the merged candidate
+    set is unchanged by replays."""
+    from laygo_python_spark.streaming import mg_summary_processor
+
+    df = _zipfish(spark, 2)
+    summaries = tmp_path / "s"
+    process = mg_summary_processor("key", k=40, summary_path=str(summaries))
+    process(df, 0)
+    once = sorted(map(tuple, spark.read.parquet(str(summaries)).collect()))
+    process(df, 0)  # replay
+    twice = sorted(map(tuple, spark.read.parquet(str(summaries)).collect()))
+    assert once == twice

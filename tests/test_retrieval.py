@@ -77,3 +77,91 @@ def test_bm25_topk_plans_as_take_ordered(spark, sf_dir):
 
     plan = physical_plan(bm25_topk(read_table(spark, sf_dir, "documents"), ["join"], k=10))
     assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
+
+
+# ---------------------------------------------------------------- RRF
+
+
+def test_rrf_fuse_known_values(spark):
+    from laygo_python_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    den = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank int")
+    rows = {r["doc_id"]: r for r in rrf_fuse([lex, den], k=10).collect()}
+    assert rows[2]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    assert rows[2]["n_lists"] == 2
+    assert rows[1]["rrf_score"] == round(1 / 61, 6)
+    assert rows[4]["n_lists"] == 1
+    # doc 2 (in both lists) outranks everything
+    assert rows[2]["rank"] == 1
+    # tie between doc 1 (lex rank 1) and doc 4 (dense... 1/61 vs 1/62):
+    # doc 1 at 1/61 beats doc 4 at 1/62, doc 3 last
+    assert rows[1]["rank"] == 2 and rows[4]["rank"] == 3 and rows[3]["rank"] == 4
+
+
+def test_rrf_fuse_tie_breaks_on_id(spark):
+    from laygo_python_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(7, 1), (3, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (7, 2)], "doc_id long, rank int")
+    out = rrf_fuse([a, b], k=10).collect()
+    # identical fused scores -> lower doc_id first
+    assert [r["doc_id"] for r in out] == [3, 7]
+    assert out[0]["rrf_score"] == out[1]["rrf_score"]
+
+
+def test_rrf_fuse_validation(spark):
+    from laygo_python_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one ranking"):
+        rrf_fuse([])
+
+
+def test_ranking_metrics_known_values(spark):
+    import math
+
+    from laygo_python_spark.operators.retrieval import ranking_metrics
+
+    # ranked list: ranks 1..3 with relevance 0, 2, 1; one unranked doc
+    # with relevance 3 (belongs in the ideal head).
+    ranking = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "doc_id long, rank int")
+    rel = spark.createDataFrame([(11, 2), (12, 1), (99, 3)], "doc_id long, rel int")
+    row = ranking_metrics(ranking, rel, k=3).collect()[0]
+    dcg = (2**2 - 1) / math.log2(3) + (2**1 - 1) / math.log2(4)
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) + (2**1 - 1) / math.log2(4)
+    assert row["dcg"] == pytest.approx(dcg, abs=1e-6)
+    assert row["idcg"] == pytest.approx(idcg, abs=1e-6)
+    assert row["ndcg"] == pytest.approx(dcg / idcg, abs=1e-6)
+    assert row["mrr"] == pytest.approx(1 / 2, abs=1e-6)  # first relevant at rank 2
+    assert row["p_at_k"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_ranking_metrics_perfect_ranking(spark):
+    from laygo_python_spark.operators.retrieval import ranking_metrics
+
+    ranking = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    rel = spark.createDataFrame([(1, 3), (2, 1)], "doc_id long, rel int")
+    row = ranking_metrics(ranking, rel, k=2).collect()[0]
+    assert row["ndcg"] == pytest.approx(1.0, abs=1e-9)
+    assert row["mrr"] == 1.0 and row["p_at_k"] == 1.0
+
+
+def test_ranking_metrics_nothing_relevant(spark):
+    from laygo_python_spark.operators.retrieval import ranking_metrics
+
+    ranking = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    rel = spark.createDataFrame([], "doc_id long, rel int")
+    row = ranking_metrics(ranking, rel, k=2).collect()[0]
+    assert row["dcg"] == 0.0 and row["mrr"] == 0.0 and row["p_at_k"] == 0.0
+    # no judgments at all -> idcg undefined (NULL), pinned not invented
+    assert row["idcg"] is None and row["ndcg"] is None
+
+
+def test_with_rank_orders_and_tiebreaks(spark):
+    from laygo_python_spark.operators.retrieval import with_rank
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 3.0), (3, 2.0)], "doc_id long, score double"
+    )
+    out = with_rank(df).orderBy("rank").collect()
+    assert [(r["doc_id"], r["rank"]) for r in out] == [(2, 1), (1, 2), (3, 3)]

@@ -88,3 +88,51 @@ def test_deterministic_across_runs(spark):
     a = sorted(map(tuple, semantic_dedup(df, 0.4, centroids=cent).collect()))
     b = sorted(map(tuple, semantic_dedup(df, 0.4, centroids=cent).collect()))
     assert a == b
+
+
+# --------------------------------------------- semantic contamination
+
+
+def test_semantic_contamination_flags_planted_leak(spark):
+    from laygo_python_spark.operators.semdedup import semantic_contamination
+
+    dim = 4
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.99, 0.01, 0.0, 0.0]),   # leak of eval 100
+            (2, [0.0, 0.0, 1.0, 0.0]),     # orthogonal to both
+            (3, [0.0, 0.98, 0.0, 0.02]),   # leak of eval 101
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["eval_id"], r["sim"])
+        for r in semantic_contamination(corpus, ev, threshold=0.9).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1][0] == 100 and got[1][1] > 0.99
+    assert got[3][0] == 101 and got[3][1] > 0.97
+
+
+def test_semantic_contamination_tie_breaks_min_eval_id(spark):
+    from laygo_python_spark.operators.semdedup import semantic_contamination
+
+    v = [0.5, 0.5, 0.0]
+    ev = spark.createDataFrame(
+        [(200, v), (100, v)], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame([(1, v)], "vec_id long, embedding array<double>")
+    rows = semantic_contamination(corpus, ev, threshold=0.5).collect()
+    assert len(rows) == 1 and rows[0]["eval_id"] == 100
+
+
+def test_semantic_contamination_empty_below_threshold(spark):
+    from laygo_python_spark.operators.semdedup import semantic_contamination
+
+    ev = spark.createDataFrame([(9, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame([(1, [0.0, 1.0])], "vec_id long, embedding array<double>")
+    assert semantic_contamination(corpus, ev, threshold=0.5).count() == 0
