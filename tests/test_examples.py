@@ -98,3 +98,19 @@ def test_incremental_analytics(spark):
 
 def test_migration_http_worker(spark):
     assert ex.http_worker(spark) == [2, 4, 6, 8, 10]
+
+
+def test_retrieval_stack_end_to_end(spark, sf_dir):
+    from examples.retrieval_stack import run as rs_run
+
+    stats = rs_run(spark, sf_dir)
+    assert stats["n_lex"] == 20 and stats["n_dense"] == 20
+    # fusion returns a full, deduplicated top-10
+    assert len(stats["fused_ids"]) == 10
+    assert len(set(stats["fused_ids"])) == 10
+    # the judgment table is derived from the same corpus the lexical
+    # leg retrieves from, so the fused list must contain relevant docs
+    assert 0.0 < stats["ndcg"] <= 1.0
+    assert 0.0 < stats["mrr"] <= 1.0
+    assert stats["p_at_k"] > 0.0
+    assert stats["n_contaminated"] >= 0

@@ -54,6 +54,18 @@ _KNOWN_BNLJ = {
     # design (it must see EVERY cross-label pair), fused into the same
     # broadcast-the-anchors exhaustive scan as embedding_cosine_topk
     "hard_negative_mining",
+    # dense leg of the hybrid fusion = brute_force_topk's intentional
+    # broadcast-the-queries exhaustive scan (the fusion itself is
+    # O(N·k) over the retriever heads)
+    "rrf_hybrid_topk",
+    # both rankings (full-dim and 16-dim prefix) are the same
+    # intentional exact-baseline scan; the truncated leg is the 4x
+    # byte saving being measured
+    "embedding_matryoshka_recall",
+    # eval embeddings broadcast against the corpus by design — eval
+    # sets are tiny next to the corpus, and the per-row argmax folds
+    # map-side into a partial max(struct) aggregation
+    "decontaminate_semantic",
 }
 
 # Arrow-batched Python surfaces (mapInPandas/applyInPandas/cogroup) are
