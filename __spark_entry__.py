@@ -34,10 +34,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-rotation steering (round 9): the correctness gate checks the
-# FIRST 50 entries of queries() per round. Priority order: (a) the 9
+# FIRST 50 entries of queries() per round. Priority order: (a) the 10
 # r9-late queries never driver-checked (hybrid retrieval, governance,
 # LPA, semantic decontam, streaming MG, Matryoshka recall,
-# padding-waste bucketing); (b) every query whose CODE or
+# padding-waste bucketing, entity-resolution clusters); (b) every
+# query whose CODE or
 # ORACLE changed in r9 — embedding_binary_quantize (the one r8 red:
 # bare integer sum promoted to HUGEINT; oracle now CASTs to BIGINT per
 # the repo convention), ann_binary_rerank_topk (salted two-level
@@ -45,8 +46,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # sentinel), dedup_cluster_representatives (Arrow edge fetch),
 # pack_sequences_bins (NULL-id guard), plus the six r9 selection/
 # sparse-retrieval queries; (c) FRESHNESS: the names whose latest
-# driver check is r05. (a)+(b) = 28, so the first 22 of the 31 stale
-# names fit this round; the last 9 (reference_workload →
+# driver check is r05. (a)+(b) = 29, so the first 21 of the 31 stale
+# names fit this round; the last 10 (reduce_sum →
 # weighted_sample_topk) roll to the r10 front — untouched since their
 # r05 green and locally verified every round (tools/verify_oracle.py,
 # which reproduces the gate's pandas dtype path exactly). Recompute
@@ -57,7 +58,7 @@ _ROTATION_FRONT = [
     "k_anonymity_audit", "l_diversity_audit",
     "label_propagation_communities", "decontaminate_semantic",
     "stream_heavy_hitters", "embedding_matryoshka_recall",
-    "padding_waste_bucketing",
+    "padding_waste_bucketing", "entity_resolution_clusters",
     "dsir_select_docs", "hard_negative_mining",
     "diversity_coreset_assign", "knn_label_vote", "zipf_law_fit",
     "sparse_tfidf_cosine_topk",

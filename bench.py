@@ -149,6 +149,7 @@ HEADLINE = [
     "stream_heavy_hitters",
     "embedding_matryoshka_recall",
     "padding_waste_bucketing",
+    "entity_resolution_clusters",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite
