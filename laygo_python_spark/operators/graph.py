@@ -294,6 +294,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 1,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan,
     Albert & Kumara 2007): every node starts in its own community
@@ -327,9 +328,17 @@ def label_propagation(
     half = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
         F.col("s") != F.col("d")
     )
-    sym = half.unionByName(
-        half.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).distinct()
+    # assume_symmetric skips the re-symmetrize + distinct shuffle when
+    # the caller's edge list is already a symmetric distinct set (e.g.
+    # graph_ops._sp_edges) — symmetrizing twice is a wasted full-edge
+    # distinct at every call.
+    sym = (
+        half
+        if assume_symmetric
+        else half.unionByName(
+            half.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        ).distinct()
+    )
 
     spark = edges.sparkSession
 

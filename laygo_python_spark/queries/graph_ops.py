@@ -292,4 +292,6 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     from laygo_python_spark.operators.graph import label_propagation
 
     edges = _sp_edges(_t(spark, sf_dir, "lineitem"), "label_propagation_communities")
-    return label_propagation(edges, rounds=2).orderBy("node")
+    # _sp_edges already returns the symmetric distinct edge set — skip
+    # the operator's own symmetrize+distinct shuffle.
+    return label_propagation(edges, rounds=2, assume_symmetric=True).orderBy("node")
