@@ -313,9 +313,10 @@ def label_propagation(
     |V|-row label table (both sides partitioned on the join key — at
     scale pre-partition the edge list on ``src`` once and every round
     reuses that layout), one (dst, label) count aggregation with
-    map-side combine, and one per-node argmax window over the
-    (node, distinct-neighbor-label) frame — rows in that window are
-    bounded by the node's distinct neighbor labels, never the corpus.
+    map-side combine, and the per-node argmax as one
+    partial-aggregatable max(struct(n, -label)) — no sort window
+    anywhere. Round 1 under the identity init is computed as a single
+    min(neighbor) aggregation (all vote counts are provably 1).
     Rounds checkpoint on the kcore/connected-components release
     discipline so round r never replans rounds 1..r-1; LPA on huge
     graphs typically stabilizes in a handful of rounds (the published
@@ -323,7 +324,6 @@ def label_propagation(
     """
     if rounds < 1:
         raise ValueError(f"label_propagation: rounds must be >= 1, got {rounds}")
-    from pyspark.sql import Window
 
     half = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
         F.col("s") != F.col("d")
@@ -353,30 +353,37 @@ def label_propagation(
 
     pre = _persistent_ids()
     e = sym.localCheckpoint(eager=True)
-    edge_pins = _persistent_ids() - pre
-    labels = e.select(F.col("s").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
+    edge_pins = _persistent_ids() - pre  # noqa: F841 — documents what stays pinned
+    # Round 1 under the identity init is pure algebra: every neighbor
+    # carries a distinct label (its own id), so all vote counts are 1
+    # and the count-desc/min-label argmax degenerates to min(neighbor)
+    # — one aggregation, no join, no argmax. Exactly the synchronous
+    # update, one round cheaper.
+    labels = e.groupBy(F.col("d").alias("node")).agg(F.min("s").alias("label"))
     prev_pins: set[int] = set()
-    for r in range(1, rounds + 1):
+    for r in range(2, rounds + 1):
+        if checkpoint_every and (r - 1) % checkpoint_every == 0:
+            before = _persistent_ids()
+            labels = labels.localCheckpoint(eager=True)
+            _release(prev_pins)
+            prev_pins = _persistent_ids() - before
         votes = (
             e.join(labels.withColumnRenamed("node", "s"), "s")
             .groupBy(F.col("d").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+        # argmax (count desc, label asc) as ONE partial-aggregatable
+        # max(struct): max = highest n, then smallest label via the
+        # negated field — cheaper than a row_number window (no
+        # per-partition sort, map-side combine after the vote agg).
         nxt = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            votes.select("node", F.struct(F.col("n"), (-F.col("label")).alias("neg")).alias("t"))
+            .groupBy("node")
+            .agg(F.max("t").alias("t"))
+            .select("node", (-F.col("t.neg")).alias("label"))
         )
-        if checkpoint_every and r % checkpoint_every == 0 and r < rounds:
-            before = _persistent_ids()
-            nxt = nxt.localCheckpoint(eager=True)
-            _release(prev_pins)
-            prev_pins = _persistent_ids() - before
         labels = nxt
-    # prev_pins (the final checkpointed round) and edge_pins still back
+    # prev_pins (the last checkpointed round) and edge_pins still back
     # the returned plan — they are NOT releasable here. Only superseded
     # intermediate rounds were released above, right after each newer
     # checkpoint materialized.

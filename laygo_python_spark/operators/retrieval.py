@@ -181,8 +181,10 @@ def ranking_metrics(
     corpus-sized — the ideal-DCG side reduces it with a
     TakeOrderedAndProject top-k (per-partition heaps, no global sort)
     and the join side broadcasts the k-row ranking, so nothing
-    corpus-sized shuffles. Standard formulas (Järvelin & Kekäläinen
-    2002): gain = 2^rel - 1, discount = log2(rank + 1)."""
+    corpus-sized shuffles. ``relevance`` must be unique per id (a
+    judgment table) — duplicate ids would double-join ranked rows.
+    Standard formulas (Järvelin & Kekäläinen 2002): gain = 2^rel - 1,
+    discount = log2(rank + 1)."""
     ranked = ranking.select(id_col, "rank").join(
         relevance.select(id_col, rel_col), id_col, "left"
     )
