@@ -150,6 +150,7 @@ HEADLINE = [
     "embedding_matryoshka_recall",
     "padding_waste_bucketing",
     "entity_resolution_clusters",
+    "cms_join_size_estimate",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

@@ -196,3 +196,34 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key: str, d: int | None = N
         .groupBy(key)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-size / inner-product estimate from two stored CMS sketches
+    (AMS-style: |A ⋈ B on k| = Σ_k fA(k)·fB(k); the CMS estimate is
+    min over rows i of Σ_bucket cntA(i,b)·cntB(i,b) — a one-sided
+    OVERCOUNT with error ≤ (e/w)·N_A·N_B, Cormode & Muthukrishnan
+    2005). This is the query-planning primitive: "how big would this
+    join be?" answered from two ≤ d×w-row artifacts without touching
+    either table — at 100 TB the sketches are maintained incrementally
+    (cms_build_sharded + cms_merge) and the estimate costs a
+    KB-scale join.
+
+    Geometries must match (d, w, hash_fn ride on the sketches and are
+    verified, same contract as cms_merge). Returns one row
+    ``(est bigint)``. Buckets present in only one sketch contribute 0
+    (inner join drops them — their product is 0)."""
+    da, wa, ha = _geometry(a, "cms_inner_product(a)")
+    db, wb, hb = _geometry(b, "cms_inner_product(b)")
+    if (da, wa, ha) != (db, wb, hb):
+        raise ValueError(
+            f"cms_inner_product: incompatible sketch geometries "
+            f"({da},{wa},{ha}) vs ({db},{wb},{hb})"
+        )
+    prod = (
+        a.select("i", "bucket", F.col("cnt").alias("ca"))
+        .join(b.select("i", "bucket", F.col("cnt").alias("cb")), ["i", "bucket"])
+        .groupBy("i")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("s"))
+    )
+    return prod.agg(F.min("s").cast("long").alias("est"))

@@ -380,3 +380,71 @@ def hll_relational_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").alias("day"), F.round("est", 1).alias("est_distinct")
     )
     return per_day.unionByName(merged)
+
+
+@query(
+    "cms_join_size_estimate",
+    oracle="""
+    WITH od AS (SELECT CAST(o_orderdate AS DATE)::VARCHAR AS k, count(*) AS n
+                FROM orders GROUP BY k),
+    ld AS (SELECT CAST(l_shipdate AS DATE)::VARCHAR AS k, count(*) AS n
+           FROM lineitem GROUP BY k),
+    pa AS (SELECT i, (('0x'||substr(md5(k), 8*i+1, 8))::BIGINT % 8192) AS bucket,
+                  CAST(sum(n) AS BIGINT) AS cnt
+           FROM od, unnest([0,1,2,3]) AS t(i) GROUP BY i, bucket),
+    pb AS (SELECT i, (('0x'||substr(md5(k), 8*i+1, 8))::BIGINT % 8192) AS bucket,
+                  CAST(sum(n) AS BIGINT) AS cnt
+           FROM ld, unnest([0,1,2,3]) AS t(i) GROUP BY i, bucket),
+    ip AS (SELECT pa.i, sum(pa.cnt * pb.cnt) AS s
+           FROM pa JOIN pb USING (i, bucket) GROUP BY pa.i),
+    est AS (SELECT CAST(min(s) AS BIGINT) AS est_join_size FROM ip),
+    ex AS (SELECT CAST(sum(od.n * ld.n) AS BIGINT) AS exact_join_size
+           FROM od JOIN ld USING (k))
+    SELECT est_join_size, exact_join_size,
+           round((est_join_size - exact_join_size)
+                 / CAST(exact_join_size AS DOUBLE), 6) AS rel_overcount
+    FROM est, ex
+    """,
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from sketches (operators/
+    cms.cms_inner_product): |orders ⋈ lineitem ON order-day = ship-day|
+    estimated as the CMS inner product of the two day-frequency
+    sketches — the query-planner primitive ("how big would this join
+    be?") answered from two ≤ d×w-row stored artifacts without
+    touching either fact table; the estimate is a one-sided overcount
+    with error ≤ (e/w)·N_A·N_B. The exact twin rides along only as the
+    self-check column (computing it is what the sketch avoids at
+    100 TB). Sketches build from pre-aggregated per-day counts (the
+    combiner shrinks each side to its distinct days before hashing)
+    with the md5-sliced probe family, so the oracle replays BOTH
+    counter matrices, the per-row inner products, the min, and the
+    exact per-day product sum."""
+    from laygo_python_spark.operators.cms import cms_build, cms_inner_product
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.to_date("l_shipdate").cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sk_o = cms_build(o, "k", d=4, w=8192, weight="n", hash_fn="md5")
+    sk_l = cms_build(li, "k", d=4, w=8192, weight="n", hash_fn="md5")
+    est = cms_inner_product(sk_o, sk_l).select(F.col("est").alias("est_join_size"))
+    exact = (
+        o.join(li.withColumnRenamed("n", "nl"), "k")
+        .agg(F.sum(F.col("n") * F.col("nl")).cast("long").alias("exact_join_size"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_size",
+        "exact_join_size",
+        F.round(
+            (F.col("est_join_size") - F.col("exact_join_size"))
+            / F.col("exact_join_size").cast("double"),
+            6,
+        ).alias("rel_overcount"),
+    )

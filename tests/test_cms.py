@@ -160,3 +160,35 @@ def test_cms_merge_pre_hash_fn_sketch_backcompat(spark):
     # Genuinely mixed families still raise — with a readable message.
     with pytest.raises(ValueError, match="mixed sketch geometries"):
         cms_merge(cms_build(a, "k", d=3, w=64), cms_build(b, "k", d=3, w=64, hash_fn="md5"))
+
+
+def test_inner_product_bounds_and_geometry(spark):
+    from laygo_python_spark.operators.cms import cms_build, cms_inner_product
+
+    a = spark.createDataFrame([(f"k{i % 7}",) for i in range(140)], "key string")
+    b = spark.createDataFrame([(f"k{i % 5}",) for i in range(50)], "key string")
+    sa = cms_build(a, "key", d=4, w=4096, hash_fn="md5")
+    sb = cms_build(b, "key", d=4, w=4096, hash_fn="md5")
+    est = cms_inner_product(sa, sb).collect()[0]["est"]
+    # exact: keys k0..k4 shared, 20 per key in a, 10 per key in b
+    exact = 5 * 20 * 10
+    assert est >= exact  # one-sided
+    assert est <= exact + 4 * (140 * 50) // 4096 + 1  # eps*Na*Nb slack
+
+    import pytest as _pytest
+
+    sc = cms_build(b, "key", d=4, w=8192, hash_fn="md5")
+    with _pytest.raises(ValueError, match="incompatible sketch geometries"):
+        cms_inner_product(sa, sc)
+
+
+def test_inner_product_disjoint_keys_near_zero(spark):
+    from laygo_python_spark.operators.cms import cms_build, cms_inner_product
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "key string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "key string")
+    sa = cms_build(a, "key", d=4, w=8192, hash_fn="md5")
+    sb = cms_build(b, "key", d=4, w=8192, hash_fn="md5")
+    est = cms_inner_product(sa, sb).collect()[0]["est"]
+    # true inner product is 0; only hash collisions contribute
+    assert 0 <= est <= 5
