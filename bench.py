@@ -151,6 +151,7 @@ HEADLINE = [
     "padding_waste_bucketing",
     "entity_resolution_clusters",
     "cms_join_size_estimate",
+    "hll_key_overlap",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

@@ -448,3 +448,93 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_overcount"),
     )
+
+
+@query(
+    "hll_key_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL),
+    b AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey IS NOT NULL),
+    h AS (SELECT 'a' AS side, ('0x'||substr(md5(k::VARCHAR),1,15))::BIGINT AS hv FROM a
+          UNION ALL
+          SELECT 'b', ('0x'||substr(md5(k::VARCHAR),1,15))::BIGINT FROM b),
+    reg AS (SELECT side, hv >> 48 AS idx,
+                   CASE WHEN (hv & 281474976710655) = 0 THEN 49
+                        ELSE 49 - length(format('{:b}', hv & 281474976710655)) END AS rho0
+            FROM h),
+    regs AS (SELECT side, idx, max(rho0) AS rho FROM reg GROUP BY side, idx),
+    allregs AS (
+      SELECT side, idx, rho FROM regs
+      UNION ALL
+      SELECT 'u', idx, max(rho) FROM regs GROUP BY idx),
+    agg AS (SELECT side, sum(power(2.0, -rho)) AS s, count(*) AS nz
+            FROM allregs GROUP BY side),
+    est AS (SELECT side,
+                   round(CASE WHEN ((0.7213/(1+1.079/4096))*4096*4096/(s + (4096-nz))) <= 10240.0
+                               AND nz < 4096
+                              THEN 4096 * ln(4096.0/(4096-nz))
+                              ELSE (0.7213/(1+1.079/4096))*4096*4096/(s + (4096-nz)) END, 1)
+                     AS e
+            FROM agg),
+    wide AS (SELECT max(CASE WHEN side = 'a' THEN e END) AS est_orders_keys,
+                    max(CASE WHEN side = 'b' THEN e END) AS est_customer_keys,
+                    max(CASE WHEN side = 'u' THEN e END) AS est_union
+             FROM est),
+    exact AS (SELECT CAST(count(*) AS BIGINT) AS exact_overlap FROM a JOIN b USING (k))
+    SELECT est_orders_keys, est_customer_keys, est_union,
+           round(est_orders_keys + est_customer_keys - est_union, 1) AS est_overlap,
+           exact_overlap,
+           round(abs(est_orders_keys + est_customer_keys - est_union - exact_overlap)
+                 / exact_overlap, 4) AS rel_err
+    FROM wide, exact
+    """,
+)
+def hll_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key OVERLAP estimation from stored HLL register tables
+    (operators/hll.py): |keys(orders) ∩ keys(customer)| by
+    inclusion-exclusion — est(A) + est(B) − est(A ∪ B), where the union
+    estimate comes from the max-lattice register merge, never a key
+    join. The planning companion to cms_join_size_estimate: CMS
+    predicts the JOIN SIZE (frequency inner product), this predicts how
+    many DISTINCT keys actually match — together they answer "is this
+    join worth bucketing / runtime-filtering?" from KB-scale artifacts.
+    In TPC-H only ~2/3 of customers ever order, so the overlap is a
+    real subset, not a tautology. The exact twin rides along as the
+    self-check column; md5-60 register family so the oracle recomputes
+    registers, the lattice merge, both estimators, and the
+    inclusion-exclusion to the rounded decimal."""
+    from laygo_python_spark.operators.hll import hll_build, hll_estimate_by
+
+    a = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    b = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    ska = hll_build(a, "k", p=12, hash_fn="md5").withColumn("side", F.lit("a"))
+    skb = hll_build(b, "k", p=12, hash_fn="md5").withColumn("side", F.lit("b"))
+    both = ska.unionByName(skb)
+    merged = (
+        both.groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+        .withColumns({"p": F.lit(12), "hash_fn": F.lit("md5"), "side": F.lit("u")})
+    )
+    est = hll_estimate_by(both.unionByName(merged), ["side"]).select(
+        "side", F.round("est", 1).alias("e")
+    )
+    wide = est.groupBy().agg(
+        F.max(F.when(F.col("side") == "a", F.col("e"))).alias("est_orders_keys"),
+        F.max(F.when(F.col("side") == "b", F.col("e"))).alias("est_customer_keys"),
+        F.max(F.when(F.col("side") == "u", F.col("e"))).alias("est_union"),
+    )
+    exact = (
+        a.join(b, "k", "left_semi")
+        .agg(F.countDistinct("k").cast("long").alias("exact_overlap"))
+    )
+    ovl = F.col("est_orders_keys") + F.col("est_customer_keys") - F.col("est_union")
+    return wide.crossJoin(F.broadcast(exact)).select(
+        "est_orders_keys",
+        "est_customer_keys",
+        "est_union",
+        F.round(ovl, 1).alias("est_overlap"),
+        "exact_overlap",
+        F.round(F.abs(ovl - F.col("exact_overlap")) / F.col("exact_overlap"), 4).alias(
+            "rel_err"
+        ),
+    )

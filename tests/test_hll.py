@@ -159,3 +159,27 @@ def test_hll_merge_pre_hash_fn_sketch_backcompat(spark):
     # Mixed genuine families still raise, None-safely formatted.
     with pytest.raises(ValueError, match="mixed HLL hash families"):
         hll_merge(legacy, hll_build(b, "k", p=10, hash_fn="md5"))
+
+
+def test_key_overlap_inclusion_exclusion(spark):
+    """est(A) + est(B) - est(A∪B) approximates |A ∩ B| within HLL error
+    (~1.04/sqrt(m) per estimate, compounded by the subtraction)."""
+    from laygo_python_spark.operators.hll import hll_build, hll_estimate_by
+
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 3000).select(F.col("id").alias("k"))        # 0..2999
+    b = spark.range(2000, 6000).select(F.col("id").alias("k"))     # 2000..5999
+    ska = hll_build(a, "k", p=12, hash_fn="md5").withColumn("side", F.lit("a"))
+    skb = hll_build(b, "k", p=12, hash_fn="md5").withColumn("side", F.lit("b"))
+    both = ska.unionByName(skb)
+    merged = (
+        both.groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+        .withColumns({"p": F.lit(12), "hash_fn": F.lit("md5"), "side": F.lit("u")})
+    )
+    est = {r["side"]: r["est"] for r in hll_estimate_by(both.unionByName(merged), ["side"]).collect()}
+    overlap = est["a"] + est["b"] - est["u"]
+    # true overlap = 1000; allow compounded 3-estimate error (~5% of
+    # the union scale, 6000 * 0.05 = 300)
+    assert abs(overlap - 1000) < 300, (overlap, est)
