@@ -226,4 +226,12 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("i")
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("s"))
     )
-    return prod.agg(F.min("s").cast("long").alias("est"))
+    # A hash row with NO shared buckets has inner-product sum 0 — the
+    # inner join drops it, and min over the surviving (collision-only)
+    # rows would OVERESTIMATE a disjoint-key pair. Re-attach all d rows
+    # with coalesce(0) so absent rows vote 0 (hypothesis-caught:
+    # tests/test_properties.py).
+    spark = a.sparkSession
+    rows_i = spark.range(da).select(F.col("id").cast("int").alias("i"))
+    full = rows_i.join(prod, "i", "left").select(F.coalesce(F.col("s"), F.lit(0)).alias("s"))
+    return full.agg(F.min("s").cast("long").alias("est"))

@@ -395,8 +395,10 @@ def hll_relational_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb AS (SELECT i, (('0x'||substr(md5(k), 8*i+1, 8))::BIGINT % 8192) AS bucket,
                   CAST(sum(n) AS BIGINT) AS cnt
            FROM ld, unnest([0,1,2,3]) AS t(i) GROUP BY i, bucket),
-    ip AS (SELECT pa.i, sum(pa.cnt * pb.cnt) AS s
-           FROM pa JOIN pb USING (i, bucket) GROUP BY pa.i),
+    ipj AS (SELECT pa.i, sum(pa.cnt * pb.cnt) AS s
+            FROM pa JOIN pb USING (i, bucket) GROUP BY pa.i),
+    ip AS (SELECT coalesce(ipj.s, 0) AS s
+           FROM unnest([0,1,2,3]) AS t(i) LEFT JOIN ipj ON ipj.i = t.i),
     est AS (SELECT CAST(min(s) AS BIGINT) AS est_join_size FROM ip),
     ex AS (SELECT CAST(sum(od.n * ld.n) AS BIGINT) AS exact_join_size
            FROM od JOIN ld USING (k))

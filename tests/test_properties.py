@@ -319,3 +319,67 @@ def test_arrow_batch_size_invariance(spark, sf_dir):
     assert results[1] == results[7] == results[1000]
     # and the family actually did something: salvage dropped the %97 rows
     assert len(results[7][1]) == 500 - len([v for v in range(-250, 250) if v % 97 == 0])
+
+
+# ---------------------------------------------------------------------------
+# r9 sketch / fusion estimator properties
+
+
+keys = st.lists(
+    st.integers(min_value=0, max_value=40), min_size=1, max_size=80
+)
+
+
+@given(ka=keys, kb=keys, parts=st.integers(min_value=1, max_value=5))
+@SET
+def test_cms_inner_product_one_sided_and_bounded(spark, ka, kb, parts):
+    """CMS inner product NEVER undercounts the true frequency inner
+    product, and overcounts by at most d collisions' worth of
+    (e/w)·Na·Nb — under randomized multisets AND partitioning."""
+    from laygo_python_spark.operators.cms import cms_build, cms_inner_product
+
+    a = spark.createDataFrame([(f"k{v}",) for v in ka], "key string").repartition(parts)
+    b = spark.createDataFrame([(f"k{v}",) for v in kb], "key string").repartition(parts)
+    sa = cms_build(a, "key", d=4, w=2048, hash_fn="md5")
+    sb = cms_build(b, "key", d=4, w=2048, hash_fn="md5")
+    est = cms_inner_product(sa, sb).collect()[0]["est"]
+    from collections import Counter
+
+    ca, cb = Counter(ka), Counter(kb)
+    exact = sum(ca[k] * cb[k] for k in ca)
+    assert est >= exact
+    assert est <= exact + 3 * (len(ka) * len(kb)) // 2048 + 1
+
+
+@given(
+    docs=st.lists(st.integers(min_value=0, max_value=9999), min_size=1, max_size=30, unique=True),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@SET
+def test_rrf_fuse_is_input_order_invariant(spark, docs, seed):
+    """Fused scores/ranks depend only on the (id, rank) SETS, not on row
+    order or list order — shuffling both must reproduce the output."""
+    import random
+
+    from laygo_python_spark.operators.retrieval import rrf_fuse
+
+    r1 = [(d, i + 1) for i, d in enumerate(docs)]
+    rng = random.Random(seed)
+    docs2 = docs[:]
+    rng.shuffle(docs2)
+    r2 = [(d, i + 1) for i, d in enumerate(docs2)]
+
+    def fuse(lists):
+        frames = [
+            spark.createDataFrame(rows, "doc_id long, rank int") for rows in lists
+        ]
+        return sorted(
+            (r["doc_id"], r["rrf_score"], r["n_lists"], r["rank"])
+            for r in rrf_fuse(frames, k=len(docs)).collect()
+        )
+
+    shuffled1, shuffled2 = r1[:], r2[:]
+    rng.shuffle(shuffled1)
+    rng.shuffle(shuffled2)
+    assert fuse([r1, r2]) == fuse([shuffled1, shuffled2])  # row order
+    assert fuse([r1, r2]) == fuse([r2, r1])  # list order
