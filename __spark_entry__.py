@@ -34,19 +34,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-rotation steering (round 9): the correctness gate checks the
-# FIRST 50 entries of queries() per round. Priority order: (a) the 12
+# FIRST 50 entries of queries() per round. Priority order: (a) the 13
 # r9-late queries never driver-checked (hybrid retrieval, governance,
 # LPA, semantic decontam, streaming MG, Matryoshka recall,
 # padding-waste bucketing, entity-resolution clusters, CMS join-size
-# estimation, HLL key-overlap); (b) every query whose CODE or ORACLE changed in r9 — embedding_binary_quantize (the one r8 red:
+# estimation, HLL key-overlap, t-closeness); (b) every query whose CODE or ORACLE changed in r9 — embedding_binary_quantize (the one r8 red:
 # bare integer sum promoted to HUGEINT; oracle now CASTs to BIGINT per
 # the repo convention), ann_binary_rerank_topk (salted two-level
 # shortlist), the cosine()-consuming family (-inf zero-vector
 # sentinel), dedup_cluster_representatives (Arrow edge fetch),
 # pack_sequences_bins (NULL-id guard), plus the six r9 selection/
 # sparse-retrieval queries; (c) FRESHNESS: the names whose latest
-# driver check is r05. (a)+(b) = 31, so the first 19 of the 31 stale
-# names fit this round; the last 12 (ngram_jaccard_pairs →
+# driver check is r05. (a)+(b) = 32, so the first 18 of the 31 stale
+# names fit this round; the last 13 (minhash_signature_sample →
 # weighted_sample_topk) roll to the r10 front — untouched since their
 # r05 green and locally verified every round (tools/verify_oracle.py,
 # which reproduces the gate's pandas dtype path exactly). Recompute
@@ -54,7 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _ROTATION_FRONT = [
     # r9-new queries (never driver-checked) and r9-changed code/oracles
     "rrf_hybrid_topk", "retrieval_eval_ndcg",
-    "k_anonymity_audit", "l_diversity_audit",
+    "k_anonymity_audit", "l_diversity_audit", "t_closeness_audit",
     "label_propagation_communities", "decontaminate_semantic",
     "stream_heavy_hitters", "embedding_matryoshka_recall",
     "padding_waste_bucketing", "entity_resolution_clusters",

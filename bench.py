@@ -152,6 +152,7 @@ HEADLINE = [
     "entity_resolution_clusters",
     "cms_join_size_estimate",
     "hll_key_overlap",
+    "t_closeness_audit",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

@@ -96,3 +96,62 @@ def l_diversity_violations(
         )
         .filter(F.col("distinct_sensitive") < l)
     )
+
+
+def t_closeness_violations(
+    df: DataFrame,
+    quasi_cols: list[str | Column],
+    sensitive_col: str,
+    t: float = 0.3,
+) -> DataFrame:
+    """QI groups whose sensitive-attribute distribution sits further
+    than ``t`` (total-variation distance, the categorical instance of
+    t-closeness's EMD — Li, Li & Venkatasubramanian 2007) from the
+    table-wide distribution: even an l-diverse group leaks when its mix
+    is SKEWED relative to the population ("this group is 90% one
+    diagnosis"). Returns the QI columns plus ``group_size`` and
+    ``tvd`` (rounded to 6; the threshold compares the rounded value so
+    the flag set is engine-exact).
+
+    Scale shape: the global distribution is one tiny broadcast
+    aggregate; per-(group, sensitive) counts are one partial+final
+    aggregation; the zero-fill grid is |groups| × |sensitive domain|
+    built by cross-joining the GROUP table (already aggregated, small)
+    with the broadcast domain — raw rows are never touched again; the
+    TVD fold is one aggregation over the grid. NULL sensitive values
+    are excluded on BOTH the global and group sides (count-distinct
+    semantics, mirroring l_diversity)."""
+    cols = _qi_cols(quasi_cols)
+    base = df.filter(F.col(sensitive_col).isNotNull())
+    tot = base.count()
+    if tot == 0:
+        raise ValueError("t_closeness_violations: no non-NULL sensitive rows")
+    global_p = F.broadcast(
+        base.groupBy(sensitive_col).agg(
+            (F.count(F.lit(1)) / F.lit(float(tot))).alias("__p")
+        )
+    )
+    grp = base.groupBy(*cols).agg(F.count(F.lit(1)).alias("group_size"))
+    gs = base.groupBy(*cols, F.col(sensitive_col)).agg(F.count(F.lit(1)).alias("__n"))
+    qi_names = [df.select(c).columns[0] for c in cols]
+    grid = (
+        grp.crossJoin(global_p)
+        .join(gs, [*qi_names, sensitive_col], "left")
+        .select(
+            *qi_names,
+            "group_size",
+            (
+                F.abs(
+                    F.coalesce(F.col("__n"), F.lit(0))
+                    / F.col("group_size").cast("double")
+                    - F.col("__p")
+                )
+            ).alias("__d"),
+        )
+    )
+    return (
+        grid.groupBy(*qi_names, "group_size")
+        .agg(F.round(F.lit(0.5) * F.sum("__d"), 6).alias("tvd"))
+        .filter(F.col("tvd") >= t)
+        .select(*qi_names, "group_size", "tvd")
+    )

@@ -84,3 +84,52 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         l=3,
     ).orderBy("c_nationkey", "bal_bucket")
+
+
+@query(
+    "t_closeness_audit",
+    oracle="""
+    WITH c AS (SELECT c_nationkey,
+                      CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+                      c_mktsegment AS s
+               FROM customer WHERE c_mktsegment IS NOT NULL),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM c),
+    gp AS (SELECT s, count(*) / (SELECT n FROM tot) AS p FROM c GROUP BY s),
+    grp AS (SELECT c_nationkey, bal_bucket, CAST(count(*) AS BIGINT) AS group_size
+            FROM c GROUP BY c_nationkey, bal_bucket),
+    gs AS (SELECT c_nationkey, bal_bucket, s, count(*) AS n
+           FROM c GROUP BY c_nationkey, bal_bucket, s),
+    grid AS (SELECT g.c_nationkey, g.bal_bucket, g.group_size, gp.p,
+                    coalesce(gs.n, 0) AS n
+             FROM grp g CROSS JOIN gp
+             LEFT JOIN gs ON gs.c_nationkey = g.c_nationkey
+                         AND gs.bal_bucket = g.bal_bucket AND gs.s = gp.s),
+    tvd AS (SELECT c_nationkey, bal_bucket, group_size,
+                   round(0.5 * sum(abs(n / CAST(group_size AS DOUBLE) - p)), 6) AS tvd
+            FROM grid GROUP BY c_nationkey, bal_bucket, group_size)
+    SELECT c_nationkey, bal_bucket, group_size, tvd
+    FROM tvd WHERE tvd >= 0.3
+    ORDER BY c_nationkey, bal_bucket
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness violations (Li, Li & Venkatasubramanian 2007) — the
+    third leg of the privacy triad: QI groups (nation, balance
+    kilobucket) whose market-segment distribution sits >= 0.3
+    total-variation distance from the table-wide mix. A group can pass
+    k-anonymity AND l-diversity and still leak ("this group is 90% one
+    segment"); this is the audit that catches it. Distribution work
+    happens entirely on aggregates: global mix = one broadcast
+    5-row aggregate, group mix = one partial+final aggregation, the
+    zero-fill grid is |groups| x |domain| over already-aggregated
+    frames, and the TVD fold compares on the round(6) value so the
+    flag set is engine-exact."""
+    from laygo_python_spark.operators.governance import t_closeness_violations
+
+    cust = _t(spark, sf_dir, "customer")
+    return t_closeness_violations(
+        cust.select("c_nationkey", "c_mktsegment", _bal_bucket().alias("bal_bucket")),
+        ["c_nationkey", "bal_bucket"],
+        "c_mktsegment",
+        t=0.3,
+    ).orderBy("c_nationkey", "bal_bucket")

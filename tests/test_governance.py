@@ -79,3 +79,31 @@ def test_governance_validation(spark):
         k_anonymity_violations(df, [], k=3)
     with pytest.raises(ValueError, match="quasi-identifier"):
         l_diversity_violations(df, [], "condition")
+
+
+def test_t_closeness_flags_skewed_group(spark):
+    from laygo_python_spark.operators.governance import t_closeness_violations
+
+    # global mix: 50/50 flu/cold; group 'skew' is 100% flu (TVD 0.5),
+    # group 'even' mirrors the population (TVD 0).
+    rows = [("skew", "flu")] * 4 + [("even", "flu")] * 2 + [("even", "cold")] * 2 + [
+        ("rest", "cold")
+    ] * 2
+    df = spark.createDataFrame(rows, "grp string, cond string")
+    got = {r["grp"]: r["tvd"] for r in t_closeness_violations(df, ["grp"], "cond", t=0.2).collect()}
+    assert "even" not in got
+    assert got["skew"] == pytest.approx(0.4, abs=1e-6)  # |1-0.6|/2 + |0-0.4|/2
+    assert got["rest"] == pytest.approx(0.6, abs=1e-6)
+
+
+def test_t_closeness_null_sensitive_excluded_and_empty_raises(spark):
+    from laygo_python_spark.operators.governance import t_closeness_violations
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("b", "x")], "grp string, cond string"
+    )
+    # single non-NULL condition -> every group matches the global mix
+    assert t_closeness_violations(df, ["grp"], "cond", t=0.01).count() == 0
+    nulls = spark.createDataFrame([("a", None)], "grp string, cond string")
+    with pytest.raises(ValueError, match="no non-NULL sensitive rows"):
+        t_closeness_violations(nulls, ["grp"], "cond")
