@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-rotation steering (round 9): the correctness gate checks the
-# FIRST 50 entries of queries() per round. Priority order: (a) the 13
+# FIRST 50 entries of queries() per round. Priority order: (a) the 14
 # r9-late queries never driver-checked (hybrid retrieval, governance,
 # LPA, semantic decontam, streaming MG, Matryoshka recall,
 # padding-waste bucketing, entity-resolution clusters, CMS join-size
@@ -45,8 +45,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # sentinel), dedup_cluster_representatives (Arrow edge fetch),
 # pack_sequences_bins (NULL-id guard), plus the six r9 selection/
 # sparse-retrieval queries; (c) FRESHNESS: the names whose latest
-# driver check is r05. (a)+(b) = 32, so the first 18 of the 31 stale
-# names fit this round; the last 13 (minhash_signature_sample →
+# driver check is r05. (a)+(b) = 33, so the first 17 of the 31 stale
+# names fit this round; the last 14 (map_type_roundtrip →
 # weighted_sample_topk) roll to the r10 front — untouched since their
 # r05 green and locally verified every round (tools/verify_oracle.py,
 # which reproduces the gate's pandas dtype path exactly). Recompute
@@ -55,6 +55,7 @@ _ROTATION_FRONT = [
     # r9-new queries (never driver-checked) and r9-changed code/oracles
     "rrf_hybrid_topk", "retrieval_eval_ndcg",
     "k_anonymity_audit", "l_diversity_audit", "t_closeness_audit",
+    "k_anonymity_certificate",
     "label_propagation_communities", "decontaminate_semantic",
     "stream_heavy_hitters", "embedding_matryoshka_recall",
     "padding_waste_bucketing", "entity_resolution_clusters",

@@ -153,6 +153,7 @@ HEADLINE = [
     "cms_join_size_estimate",
     "hll_key_overlap",
     "t_closeness_audit",
+    "k_anonymity_certificate",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

@@ -133,3 +133,35 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         t=0.3,
     ).orderBy("c_nationkey", "bal_bucket")
+
+
+@query(
+    "k_anonymity_certificate",
+    oracle="""
+    WITH g AS (SELECT c_nationkey, c_mktsegment,
+                      CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+                      count(*) AS n
+               FROM customer GROUP BY c_nationkey, c_mktsegment, bal_bucket)
+    SELECT CAST(min(n) AS BIGINT) AS achieved_k,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(*) FILTER (n < 5) AS BIGINT) AS groups_below_k,
+           CAST(coalesce(sum(n) FILTER (n < 5), 0) AS BIGINT) AS rows_at_risk
+    FROM g
+    """,
+)
+def k_anonymity_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row release certificate
+    (operators/governance.k_anonymity_summary): the table's ACHIEVED k
+    (min QI-group size), total groups, and the group/row counts below
+    the k=5 bar — the number that goes in a data-release report, next
+    to the per-group detail its sibling k_anonymity_audit emits. One
+    partial+final aggregation then a 4-expression fold over the group
+    table."""
+    from laygo_python_spark.operators.governance import k_anonymity_summary
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_summary(
+        cust.select("c_nationkey", "c_mktsegment", _bal_bucket().alias("bal_bucket")),
+        ["c_nationkey", "c_mktsegment", "bal_bucket"],
+        k=5,
+    )
