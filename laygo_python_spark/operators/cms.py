@@ -220,9 +220,20 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
             f"cms_inner_product: incompatible sketch geometries "
             f"({da},{wa},{ha}) vs ({db},{wb},{hb})"
         )
+    # Accumulate in DECIMAL(38,0), not BIGINT (r9 advice): the inner
+    # product is bounded by N_A·N_B — two 1e12-count sketches already
+    # exceed int64, and Spark's non-ANSI bigint sum would wrap silently
+    # into a meaningless (possibly negative) estimate. decimal(19,0) ×
+    # decimal(19,0) → decimal(38,0) covers any pair of int64-total
+    # sketches; the final cast back to the bigint output contract is
+    # ANSI-checked (an estimate beyond int64 errors loudly instead of
+    # wrapping).
     prod = (
-        a.select("i", "bucket", F.col("cnt").alias("ca"))
-        .join(b.select("i", "bucket", F.col("cnt").alias("cb")), ["i", "bucket"])
+        a.select("i", "bucket", F.col("cnt").cast("decimal(19,0)").alias("ca"))
+        .join(
+            b.select("i", "bucket", F.col("cnt").cast("decimal(19,0)").alias("cb")),
+            ["i", "bucket"],
+        )
         .groupBy("i")
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("s"))
     )

@@ -120,7 +120,12 @@ def t_closeness_violations(
     with the broadcast domain — raw rows are never touched again; the
     TVD fold is one aggregation over the grid. NULL sensitive values
     are excluded on BOTH the global and group sides (count-distinct
-    semantics, mirroring l_diversity)."""
+    semantics, mirroring l_diversity). NULL QUASI-identifier values are
+    a group of their own (k_anonymity's "NULL is its own disclosure
+    bucket" posture), so the grid join uses null-safe equality on every
+    QI column — a plain equi-join would orphan a NULL-QI group from its
+    own per-sensitive counts and report a spurious max-skew tvd (r9
+    advice)."""
     cols = _qi_cols(quasi_cols)
     base = df.filter(F.col(sensitive_col).isNotNull())
     tot = base.count()
@@ -134,9 +139,17 @@ def t_closeness_violations(
     grp = base.groupBy(*cols).agg(F.count(F.lit(1)).alias("group_size"))
     gs = base.groupBy(*cols, F.col(sensitive_col)).agg(F.count(F.lit(1)).alias("__n"))
     qi_names = [df.select(c).columns[0] for c in cols]
+    gs_r = gs.select(
+        *[F.col(n).alias(f"__r_{n}") for n in qi_names],
+        F.col(sensitive_col).alias("__r_sens"),
+        "__n",
+    )
+    join_cond = F.col(sensitive_col).eqNullSafe(F.col("__r_sens"))
+    for n in qi_names:
+        join_cond = join_cond & F.col(n).eqNullSafe(F.col(f"__r_{n}"))
     grid = (
         grp.crossJoin(global_p)
-        .join(gs, [*qi_names, sensitive_col], "left")
+        .join(gs_r, join_cond, "left")
         .select(
             *qi_names,
             "group_size",

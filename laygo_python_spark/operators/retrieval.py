@@ -177,16 +177,21 @@ def ranking_metrics(
     local-reorder nDCG), nDCG@k, MRR (first rank with rel > 0), and
     P@k (fraction of the k with rel > 0). One row out.
 
-    ``ranking`` is a top-k head (tiny); ``relevance`` may be
-    corpus-sized — the ideal-DCG side reduces it with a
-    TakeOrderedAndProject top-k (per-partition heaps, no global sort)
-    and the join side broadcasts the k-row ranking, so nothing
-    corpus-sized shuffles. ``relevance`` must be unique per id (a
-    judgment table) — duplicate ids would double-join ranked rows.
+    ``ranking`` is filtered to rank <= k INSIDE this function (r9
+    advice: a caller passing a longer ranking previously got DCG@N vs
+    IDCG@k, letting nDCG exceed 1 and mislabeling P@k), so every metric
+    is @k by construction; ``relevance`` may be corpus-sized — the
+    ideal-DCG side reduces it with a TakeOrderedAndProject top-k
+    (per-partition heaps, no global sort) and the join side broadcasts
+    the ≤k-row ranking, so nothing corpus-sized shuffles. ``relevance``
+    must be unique per id (a judgment table) — duplicate ids would
+    double-join ranked rows.
     Standard formulas (Järvelin & Kekäläinen 2002): gain = 2^rel - 1,
     discount = log2(rank + 1)."""
-    ranked = ranking.select(id_col, "rank").join(
-        relevance.select(id_col, rel_col), id_col, "left"
+    ranked = (
+        ranking.filter(F.col("rank") <= k)
+        .select(id_col, "rank")
+        .join(relevance.select(id_col, rel_col), id_col, "left")
     )
     gain = F.pow(F.lit(2.0), F.coalesce(F.col(rel_col), F.lit(0)).cast("double")) - 1.0
     # log2 spelled as ln(x)/ln(2) in BOTH engines (one libm call and one

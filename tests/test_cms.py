@@ -192,3 +192,34 @@ def test_inner_product_disjoint_keys_near_zero(spark):
     est = cms_inner_product(sa, sb).collect()[0]["est"]
     # true inner product is 0; only hash collisions contribute
     assert 0 <= est <= 5
+
+
+def test_inner_product_accumulates_past_int64(spark):
+    """The inner-product sum accumulates in DECIMAL(38,0) (r9 advice):
+    two sketches whose counter products exceed int64 must NOT wrap into
+    a negative/garbage estimate. Build both sides with a weight of 2^33
+    on the same single key: the true inner product per hash row is
+    2^66, far past int64."""
+    from laygo_python_spark.operators.cms import cms_build, cms_inner_product
+
+    big = 1 << 33
+    df = spark.createDataFrame([("k", big)], "key string, n long")
+    sk = cms_build(df, "key", d=2, w=64, weight="n", hash_fn="md5")
+    # est bigint would overflow -> the decimal path must raise loudly on
+    # the final contract cast rather than wrap silently.
+    import pyspark.errors
+
+    with pytest.raises(Exception) as exc:
+        cms_inner_product(sk, sk).collect()
+    assert "overflow" in str(exc.value).lower() or "cast" in str(exc.value).lower()
+
+
+def test_inner_product_decimal_matches_small_values(spark):
+    from laygo_python_spark.operators.cms import cms_build, cms_inner_product
+
+    a = spark.createDataFrame([("x",), ("x",), ("y",)], "key string")
+    b = spark.createDataFrame([("x",), ("y",), ("y",)], "key string")
+    sa = cms_build(a, "key", d=4, w=4096, hash_fn="md5")
+    sb = cms_build(b, "key", d=4, w=4096, hash_fn="md5")
+    # wide sketch, no collisions: estimate == exact inner product 2*1 + 1*2 = 4
+    assert cms_inner_product(sa, sb).collect()[0]["est"] == 4

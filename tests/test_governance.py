@@ -107,3 +107,21 @@ def test_t_closeness_null_sensitive_excluded_and_empty_raises(spark):
     nulls = spark.createDataFrame([("a", None)], "grp string, cond string")
     with pytest.raises(ValueError, match="no non-NULL sensitive rows"):
         t_closeness_violations(nulls, ["grp"], "cond")
+
+
+def test_t_closeness_null_qi_group_joins_its_own_counts(spark):
+    """A NULL-QI group must match its own per-sensitive counts (null-safe
+    grid join, r9 advice): a perfectly population-mirroring NULL group
+    has tvd 0, not the spurious 0.5 an equi-join would report."""
+    from laygo_python_spark.operators.governance import t_closeness_violations
+
+    rows = (
+        [(None, "flu")] * 2 + [(None, "cold")] * 2   # NULL group: 50/50 = global mix
+        + [("a", "flu")] * 2 + [("a", "cold")] * 2   # same mix
+        + [("b", "flu")] * 4                         # 100% flu vs global 2/3 -> tvd 1/3
+    )
+    df = spark.createDataFrame(rows, "grp string, cond string")
+    # NULL and 'a' are both 50/50 vs global (2/3, 1/3): tvd 1/6 < t=0.2.
+    got = {r["grp"]: r["tvd"] for r in t_closeness_violations(df, ["grp"], "cond", t=0.2).collect()}
+    assert None not in got and "a" not in got
+    assert got == {"b": pytest.approx(1 / 3, abs=1e-6)}

@@ -165,3 +165,27 @@ def test_with_rank_orders_and_tiebreaks(spark):
     )
     out = with_rank(df).orderBy("rank").collect()
     assert [(r["doc_id"], r["rank"]) for r in out] == [(2, 1), (1, 2), (3, 3)]
+
+
+def test_ranking_metrics_filters_ranking_to_k(spark):
+    """Metrics are @k by construction (r9 advice): a ranking longer than
+    k must be truncated inside the function, so nDCG cannot exceed 1 and
+    P@k counts exactly k slots."""
+    import math
+
+    from laygo_python_spark.operators.retrieval import ranking_metrics
+
+    # 4 ranked docs, k=2: ranks 3-4 (both relevant) must NOT count.
+    ranking = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 4)], "doc_id long, rank int"
+    )
+    rel = spark.createDataFrame([(2, 1), (3, 3), (4, 2)], "doc_id long, rel int")
+    row = ranking_metrics(ranking, rel, k=2).collect()[0]
+    dcg = (2**1 - 1) / math.log2(3)                       # only rank-2 doc counts
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3)
+    assert row["dcg"] == pytest.approx(dcg, abs=1e-6)
+    assert row["idcg"] == pytest.approx(idcg, abs=1e-6)
+    assert row["ndcg"] == pytest.approx(dcg / idcg, abs=1e-6)
+    assert row["ndcg"] <= 1.0
+    assert row["p_at_k"] == pytest.approx(1 / 2, abs=1e-6)  # 1 relevant of k=2
+    assert row["mrr"] == pytest.approx(1 / 2, abs=1e-6)
