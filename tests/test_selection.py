@@ -256,3 +256,46 @@ def test_zipf_fit_on_planted_power_law(spark):
     )
     slope = r.agg(F.regr_slope("lc", "lr")).collect()[0][0]
     assert slope == pytest.approx(-1.0, abs=0.02)
+
+
+def test_ann_knn_label_vote_matches_exact_on_separated_blobs(spark):
+    """On wide-margin clusters LSH recall is ~1, so the ANN-routed vote
+    must agree with an exact vote — any disagreement is a routing bug,
+    not ANN approximation. Also pins the scale contract: the routed
+    query produces one prediction per query with votes in [1, 5]."""
+    from laygo_python_spark.operators.similarity import lsh_bucketed_topk
+    from pyspark.sql import Window
+
+    dim, n, n_labels = 16, 400, 4
+    base = spark.range(n).select(F.col("id").alias("vec_id"))
+    lab = F.pmod(F.col("vec_id"), F.lit(n_labels))
+    comps = []
+    for d in range(dim):
+        jitter = F.pmod(F.hash(F.col("vec_id") * (d + 1)), F.lit(1000)) / 10000.0
+        comps.append(F.when(lab == d % n_labels, F.lit(1.0) + jitter).otherwise(jitter))
+    emb = base.select(
+        "vec_id",
+        F.array(*comps).alias("embedding"),
+        F.concat(F.lit("L"), lab.cast("string")).alias("label"),
+    ).localCheckpoint(eager=True)
+
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    c = emb.filter(F.col("vec_id") % 25 != 0)
+    top = lsh_bucketed_topk(c, q, k=5, n_planes=4, n_tables=8, dim=dim)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        top.join(
+            labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("label", "nl"),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    vw = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("nl"))
+    got = {
+        r["query_id"]: r["nl"]
+        for r in votes.withColumn("vr", F.row_number().over(vw)).filter("vr = 1").collect()
+    }
+    truth = {r["vec_id"]: r["label"] for r in q.select("vec_id", "label").collect()}
+    assert got and set(got) == set(truth)
+    assert all(got[k] == truth[k] for k in got)
