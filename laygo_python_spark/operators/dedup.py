@@ -738,6 +738,8 @@ def minhash_index_append(
     stats: bool = True,
     precomputed_sig: DataFrame | None = None,
     params: dict | None = None,
+    return_view: bool = False,
+    background_writes: bool = False,
 ) -> dict[str, int | bool]:
     """Fold an accepted batch INTO the stored index — the missing half of
     the incremental story: without it a daily pipeline re-builds the
@@ -787,14 +789,37 @@ def minhash_index_append(
     the accepted subset) passes the pinned ``_minhash_sig_keys`` frame
     — restricted to the docs to append — and the index's params dict;
     the append then runs ZERO Python passes (integer joins + writes
-    only) and skips the params parquet probe."""
+    only) and skips the params parquet probe.
+
+    ``return_view=True`` adds a ``"view"`` entry: the POST-append
+    logical index (same dict shape as ``minhash_index_read``), built
+    from the pre-write file listings (Spark pins a parquet scan's file
+    list at DataFrame-creation time) unioned with the in-memory batch
+    frames — so a caller that appends-then-matches skips the re-read
+    AND, with ``background_writes=True``, overlaps the match with the
+    table writes: the writes+marker run on a worker thread and the
+    returned ``"wait"`` callable joins them (call it before relying on
+    the on-disk artifact; exceptions surface there). View ≡
+    read-after-append is pytest-pinned (tests/test_index_append.py).
+    The batch frames ride localCheckpoint blocks that outlive this
+    call — a long-running loop should quiesce between batches.
+    ``background_writes`` requires ``stats=False`` (the counts would
+    otherwise race the writes)."""
+    if background_writes and stats:
+        raise ValueError("minhash_index_append: background_writes requires stats=False")
+    if background_writes and not return_view:
+        raise ValueError("minhash_index_append: background_writes requires return_view=True")
     if params is not None:
         row = dict(params)
     else:
         row = spark.read.parquet(f"{path}/params").collect()[0].asDict()
     max_bucket = row.get("max_bucket", 1000)
     if batch_id is not None and _batch_already_applied(spark, path, batch_id):
-        return {"applied": False, "membership": 0, "reps": 0, "bands": 0, "dropped": 0}
+        out: dict = {"applied": False, "membership": 0, "reps": 0, "bands": 0, "dropped": 0}
+        if return_view:
+            out["view"] = minhash_index_read(spark, path, params=row)
+            out["wait"] = lambda: None
+        return out
     # Pinned once: the signature pass feeds membership, reps and the
     # band derivation (see minhash_index) — and every frame below is
     # pinned or cache-backed BEFORE any write, because the writes
@@ -817,8 +842,15 @@ def minhash_index_append(
             row["bands"],
             row["seed"],
             row["hash_fn"],
-        ).persist()
-        sig_pin = sig
+        )
+        if return_view:
+            # View mode: the batch frames must outlive this call (the
+            # caller's match reads them after we return), so pin with
+            # checkpoint blocks instead of a persist we'd have to leak.
+            sig = sig.localCheckpoint(eager=True)
+        else:
+            sig = sig.persist()
+            sig_pin = sig
     new_membership = sig.select(F.col(id_col).alias("doc_id"), "sig_key")
     # ONE groupBy serves both the reps rows and the fresh-signature
     # derivation (r9; dropDuplicates + a separate reps groupBy was two
@@ -862,12 +894,42 @@ def minhash_index_append(
     )
     newly_dropped = combined.filter(F.col("__drop")).select("band_key").distinct()
     band_append = combined.filter(~F.col("__drop")).select("sig_key", "band_key")
+    # The post-append logical view is assembled BEFORE any write: the
+    # old-table scans pin their parquet file listings at
+    # DataFrame-creation time (verified behavior), so the view never
+    # double-counts the files the writes are about to land, and the
+    # new-row side reads checkpoint blocks — the view and the writes
+    # are therefore fully independent, which is what lets
+    # ``background_writes`` overlap a caller's match with the commit.
+    view = None
+    if return_view:
+        all_dropped = dropped_cur.unionByName(newly_dropped)
+        view = {
+            "membership": spark.read.parquet(f"{path}/membership").unionByName(
+                new_membership
+            ),
+            "reps": spark.read.parquet(f"{path}/reps")
+            .unionByName(reps_add)
+            .groupBy("sig_key")
+            .agg(F.min("rep").alias("rep")),
+            "bands": spark.read.parquet(f"{path}/bands")
+            .select("sig_key", "band_key")
+            .unionByName(band_append)
+            .join(all_dropped, "band_key", "left_anti")
+            .select("sig_key", "band_key"),
+            "dropped": all_dropped,
+            "params": {
+                **{k: row[k] for k in ("shingle_n", "num_hashes", "bands", "seed", "hash_fn")},
+                "max_bucket": max_bucket,
+            },
+        }
+
     # Four appends into distinct dirs, all from pinned/cached frames
     # (sig's cache filled during the combined checkpoint; nothing below
     # reads a directory being appended) — issued concurrently; the
     # replay marker stays strictly AFTER them (it is the at-least-once
     # commit point).
-    try:
+    def _do_writes() -> None:
         _concurrent_actions(
             lambda: new_membership.write.mode("append").parquet(f"{path}/membership"),
             lambda: reps_add.write.mode("append").parquet(f"{path}/reps"),
@@ -878,11 +940,38 @@ def minhash_index_append(
             local_rows_df(spark, [(int(batch_id),)], "batch_id long").coalesce(
                 1
             ).write.mode("append").parquet(f"{path}/applied_batches")
-        if not stats:
-            return {"applied": True}
-        return {"applied": True, **_appended_counts(
-            membership=new_membership, reps=reps_add, bands=band_append, dropped=newly_dropped
-        )}
+
+    if background_writes:
+        import threading
+
+        err: list[BaseException] = []
+
+        def _runner() -> None:
+            try:
+                _do_writes()
+            except BaseException as exc:  # noqa: BLE001 — surfaced at wait()
+                err.append(exc)
+
+        th = threading.Thread(target=_runner, daemon=True, name="minhash-index-append")
+        th.start()
+
+        def _wait() -> None:
+            th.join()
+            if err:
+                raise err[0]
+
+        return {"applied": True, "view": view, "wait": _wait}
+    try:
+        _do_writes()
+        out = {"applied": True}
+        if return_view:
+            out["view"] = view
+            out["wait"] = lambda: None
+        if stats:
+            out.update(_appended_counts(
+                membership=new_membership, reps=reps_add, bands=band_append, dropped=newly_dropped
+            ))
+        return out
     finally:
         if sig_pin is not None:
             sig_pin.unpersist()

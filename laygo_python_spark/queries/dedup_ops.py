@@ -579,11 +579,23 @@ def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         day2 = docs.filter(F.col("doc_id") % 3 == 1)
         probe = docs.filter(F.col("doc_id") % 3 == 2)
         # params are read ONCE and passed through append + read — each
-        # skipped re-read is a whole driver job of scheduling floor (r9)
+        # skipped re-read is a whole driver job of scheduling floor (r9).
+        # return_view + background_writes (r10): the probe match runs
+        # against the post-append logical view while the table writes
+        # commit on a worker thread — the match never needed the new
+        # FILES, only the new ROWS, and those are checkpoint-pinned.
+        # wait() joins the commit before the scratch dir is removed.
         prow = spark.read.parquet(f"{path}/params").collect()[0].asDict()
-        dedup.minhash_index_append(spark, path, day2, batch_id=1, stats=False, params=prow)
-        stored = dedup.minhash_index_read(spark, path, params=prow)
-        return dedup.minhash_match_incremental(probe, stored).localCheckpoint(eager=True)
+        res = dedup.minhash_index_append(
+            spark, path, day2, batch_id=1, stats=False, params=prow,
+            return_view=True, background_writes=True,
+        )
+        try:
+            return dedup.minhash_match_incremental(probe, res["view"]).localCheckpoint(
+                eager=True
+            )
+        finally:
+            res["wait"]()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

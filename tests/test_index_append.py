@@ -427,3 +427,50 @@ def test_index_template_cached_and_mutation_isolated(spark, tmp_path, monkeypatc
     grown = spark.read.parquet(f"{copy}/membership").count()
     assert grown == len(before) + 5
     shutil.rmtree(t1, ignore_errors=True)
+
+
+def test_minhash_append_view_equals_read_after_append(spark, tmp_path):
+    """return_view's post-append logical view must equal a fresh
+    minhash_index_read AFTER the writes land — across all four tables —
+    and background_writes must commit the same state once wait()ed
+    (the overlap contract the dedup_index_append query relies on)."""
+    day1 = _docs(spark, _uniq(30) + _boiler(5, start=100))
+    day2 = _docs(spark, _uniq(30, start=200) + _boiler(5, start=300))
+    path = str(tmp_path / "idx")
+    dedup.minhash_index_write(dedup.minhash_index(day1, num_hashes=16, bands=4), path)
+    res = dedup.minhash_index_append(
+        spark, path, day2, batch_id=7, stats=False,
+        return_view=True, background_writes=True,
+    )
+    assert res["applied"] and "view" in res
+    view = res["view"]
+    # The view is usable BEFORE wait() — snapshot it now.
+    snapshot = {k: _sorted_rows(view[k]) for k in ("membership", "reps", "bands", "dropped")}
+    res["wait"]()
+    stored = dedup.minhash_index_read(spark, path)
+    for k in ("membership", "reps", "bands", "dropped"):
+        assert snapshot[k] == _sorted_rows(stored[k]), k
+    assert view["params"] == stored["params"]
+    # Replay after commit: marker makes it a no-op, and the view handed
+    # back is the stored (already-applied) state.
+    again = dedup.minhash_index_append(
+        spark, path, day2, batch_id=7, stats=False, return_view=True,
+    )
+    assert not again["applied"]
+    assert _sorted_rows(again["view"]["membership"]) == snapshot["membership"]
+    again["wait"]()
+
+
+def test_minhash_append_background_requires_view_and_no_stats(spark, tmp_path):
+    day1 = _docs(spark, _uniq(5))
+    path = str(tmp_path / "idx")
+    dedup.minhash_index_write(dedup.minhash_index(day1, num_hashes=16, bands=4), path)
+    day2 = _docs(spark, _uniq(5, start=50))
+    with pytest.raises(ValueError, match="stats=False"):
+        dedup.minhash_index_append(
+            spark, path, day2, return_view=True, background_writes=True
+        )
+    with pytest.raises(ValueError, match="return_view=True"):
+        dedup.minhash_index_append(
+            spark, path, day2, stats=False, background_writes=True
+        )
