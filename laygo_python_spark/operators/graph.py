@@ -190,6 +190,22 @@ def kcore(
     dst: str = "dst",
     checkpoint_every: int = 1,
 ) -> DataFrame:
+    """See ``_kcore_impl`` — this wrapper scopes the iterative AQE
+    parallelism floor (operators/_iterloop.py) around the peel loop."""
+    from ._iterloop import loop_parallelism
+
+    with loop_parallelism(edges.sparkSession):
+        return _kcore_impl(edges, k, rounds, src, dst, checkpoint_every)
+
+
+def _kcore_impl(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
     """k-core peeling: repeatedly delete nodes of degree < k (with their
     edges) until the graph stabilizes — the standard dense-subgraph /
     graph-cleanup primitive (a node in the k-core has ≥ k neighbors that
@@ -289,6 +305,24 @@ def kcore(
 
 
 def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 1,
+    assume_symmetric: bool = False,
+) -> DataFrame:
+    """See ``_label_propagation_impl`` — this wrapper scopes the
+    iterative AQE parallelism floor (operators/_iterloop.py)."""
+    from ._iterloop import loop_parallelism
+
+    with loop_parallelism(edges.sparkSession):
+        return _label_propagation_impl(
+            edges, rounds, src, dst, checkpoint_every, assume_symmetric
+        )
+
+
+def _label_propagation_impl(
     edges: DataFrame,
     rounds: int = 2,
     src: str = "src",

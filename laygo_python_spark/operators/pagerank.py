@@ -40,6 +40,31 @@ def pagerank(
     symmetric: bool = False,
     sparse: bool = False,
 ) -> DataFrame:
+    """See ``_pagerank_impl`` — this wrapper only scopes the iterative
+    AQE parallelism floor (operators/_iterloop.py) around the loop's
+    jobs; the final round always materializes inside, so the guard
+    covers every action."""
+    from ._iterloop import loop_parallelism
+
+    with loop_parallelism(edges.sparkSession):
+        return _pagerank_impl(
+            edges, iterations, damping, src, dst, weight,
+            checkpoint_every, sources, symmetric, sparse,
+        )
+
+
+def _pagerank_impl(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    checkpoint_every: int = 1,
+    sources: DataFrame | None = None,
+    symmetric: bool = False,
+    sparse: bool = False,
+) -> DataFrame:
     """Rank nodes of a directed graph given an edge list.
 
     Standard uniform-init power iteration:
@@ -90,7 +115,17 @@ def pagerank(
     from pyspark.sql import Window
 
     raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), wcol.alias("w"))
-    e = raw.withColumn("deg", F.sum("w").over(Window.partitionBy("src"))).persist()
+    # wd = w/deg precomputed INTO the persisted layout (r10): every
+    # round's contribution is then pr·wd — the when-guard and division
+    # run once per edge instead of once per edge per round. deg == 0
+    # (mixed-sign weights summing to zero) would be an ANSI
+    # DIVIDE_BY_ZERO job kill; such a source distributes no mass (null
+    # wd, same treatment as null weights).
+    e = (
+        raw.withColumn("deg", F.sum("w").over(Window.partitionBy("src")))
+        .withColumn("wd", F.when(F.col("deg") != 0, F.col("w") / F.col("deg")))
+        .persist()
+    )
     # The node set derives from the edge cache (map-side dedup + a
     # |V|-row exchange — tiny next to |E|); pinned because personalized
     # dense mode re-reads it every round.
@@ -173,13 +208,9 @@ def pagerank(
                 for it in range(iterations):
                     contrib = e.join(ranks.withColumnRenamed("node", "src"), "src").select(
                         F.col("dst").alias("node"),
-                        # deg == 0 (mixed-sign weights summing to zero) would
-                        # be an ANSI DIVIDE_BY_ZERO job kill — such a source
-                        # distributes no mass (same treatment as null weights).
-                        F.when(
-                            F.col("deg") != 0,
-                            F.lit(damping) * F.col("pr") * F.col("w") / F.col("deg"),
-                        ).alias("pr"),
+                        # wd is null for deg == 0 sources (see layout) —
+                        # they distribute no mass.
+                        (F.lit(damping) * F.col("pr") * F.col("wd")).alias("pr"),
                     )
                     # sum() skips NULLs, so a node holding base mass or any
                     # real contribution is safe — but a node reached ONLY
@@ -227,15 +258,25 @@ def pagerank(
     fold_base = symmetric and sources is None
     try:
         for it in range(iterations):
-            contrib = e.join(ranks.withColumnRenamed("node", "src"), "src").select(
-                F.col("dst").alias("node"),
-                # when-guard: zero-sum weights make deg exactly 0 — an ANSI
-                # DIVIDE_BY_ZERO job kill; treat like the null-weight case
-                # (no contribution; coalesce below lands on the teleport base).
-                F.when(
-                    F.col("deg") != 0, F.col("pr") * F.col("w") / F.col("deg")
-                ).alias("c"),
-            )
+            if it == 0 and sources is None:
+                # Round-1 algebraic fold (r10; same family as LPA's
+                # round-1 shortcut): uniform init makes pr0 the CONSTANT
+                # 1/n, so the rank join is vacuous — round 1's
+                # contribution is (1/n)·Σ wd straight off the edge
+                # layout, one aggregation, no join. Saves a full
+                # join+shuffle round of the loop; identical arithmetic
+                # (oracle replays all 5 rounds and still hash-matches).
+                contrib = e.select(
+                    F.col("dst").alias("node"), (F.lit(1.0 / n) * F.col("wd")).alias("c")
+                )
+            else:
+                contrib = e.join(ranks.withColumnRenamed("node", "src"), "src").select(
+                    F.col("dst").alias("node"),
+                    # wd is null for deg == 0 sources (zero-sum weights;
+                    # see layout) — no contribution; the coalesce below
+                    # lands on the teleport base.
+                    (F.col("pr") * F.col("wd")).alias("c"),
+                )
             if fold_base:
                 # coalesce matches the dense path: a node whose incoming
                 # contributions are ALL null (null/zero weights make deg
