@@ -33,61 +33,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Driver-rotation steering (round 9): the correctness gate checks the
-# FIRST 50 entries of queries() per round. Priority order: (a) the 14
-# r9-late queries never driver-checked (hybrid retrieval, governance,
-# LPA, semantic decontam, streaming MG, Matryoshka recall,
-# padding-waste bucketing, entity-resolution clusters, CMS join-size
-# estimation, HLL key-overlap, t-closeness); (b) every query whose CODE or ORACLE changed in r9 — embedding_binary_quantize (the one r8 red:
-# bare integer sum promoted to HUGEINT; oracle now CASTs to BIGINT per
-# the repo convention), ann_binary_rerank_topk (salted two-level
-# shortlist), the cosine()-consuming family (-inf zero-vector
-# sentinel), dedup_cluster_representatives (Arrow edge fetch),
-# pack_sequences_bins (NULL-id guard), plus the six r9 selection/
-# sparse-retrieval queries; (c) FRESHNESS: the names whose latest
-# driver check is r05. (a)+(b) = 33, so the first 17 of the 31 stale
-# names fit this round; the last 14 (map_type_roundtrip →
-# weighted_sample_topk) roll to the r10 front — untouched since their
-# r05 green and locally verified every round (tools/verify_oracle.py,
-# which reproduces the gate's pandas dtype path exactly). Recompute
-# per round from the CORRECTNESS_r*.json union.
+# Driver-rotation steering (round 10): the correctness gate checks the
+# FIRST 50 entries of queries() per round. Priority order this round:
+# (a) FRESHNESS FIRST (r9 verdict ask #1) — all 20 names whose latest
+# driver check is r05, including §2-core reduce_sum/union_keys; after
+# this round no catalog name's latest driver row is older than r6;
+# (b) the 6 r10-new queries (ANN-routed kNN vote, DP noisy counts,
+# token-budget curation, mergeable moments, quality buckets, dedup
+# savings report); (c) every query whose CODE changed in r10 —
+# t_closeness_audit (null-safe QI grid join), retrieval_eval_ndcg
+# (rank<=k filter), cms_join_size_estimate (DECIMAL accumulate),
+# ann_binary_rerank_topk (auto-gated pre-prune), the index-append
+# family (view/background-writes path), and the iterative graph family
+# (wd layout + round-1 fold + AQE parallelism floor); (d) fill to 50
+# with the oldest r6-stale names (TPC-H sweep shapes + 2 ANN).
+# Recompute per round from the CORRECTNESS_r*.json union.
 _ROTATION_FRONT = [
-    # r9-new queries (never driver-checked) and r9-changed code/oracles
-    "rrf_hybrid_topk", "retrieval_eval_ndcg",
-    "k_anonymity_audit", "l_diversity_audit", "t_closeness_audit",
-    "k_anonymity_certificate",
-    "label_propagation_communities", "decontaminate_semantic",
-    "stream_heavy_hitters", "embedding_matryoshka_recall",
-    "padding_waste_bucketing", "entity_resolution_clusters",
-    "cms_join_size_estimate", "hll_key_overlap",
-    "dsir_select_docs", "hard_negative_mining",
-    "diversity_coreset_assign", "knn_label_vote", "zipf_law_fit",
-    "sparse_tfidf_cosine_topk",
-    "leakage_safe_split", "bm25_topk_docs",
-    "bpe_merge_pairs", "bpe_token_compression",
-    "embedding_binary_quantize", "ann_binary_rerank_topk",
-    "embedding_cosine_topk",
-    "embedding_near_dups", "embedding_prototypicality",
-    "embedding_pca_topk", "dedup_semantic",
-    "dedup_cluster_representatives", "pack_sequences_bins",
-    # latest check r05 (all 37)
-    "asof_join_last_error", "assign_global_ids",
-    "benford_first_digit", "bloom_new_customers", "bloom_prune_join",
-    "catch_rows_salvage", "cogroup_order_reconcile", "cohort_retention",
-    "curation_pipeline", "dedup_new_vs_seen",
-    "dedup_simhash_index_append", "filter_map", "flatten_words",
-    "funnel_stages", "interval_join_click_errors", "loop_double",
-    "map_batches_zscore", "map_type_roundtrip",
-    "minhash_signature_sample", "ngram_jaccard_pairs",
+    # (a) latest check r05 — all 20
+    "array_functions", "date_functions", "map_type_roundtrip",
+    "math_functions", "minhash_signature_sample", "ngram_jaccard_pairs",
     "q1_pricing_summary", "q3_shipping_priority", "reduce_sum",
-    "reference_workload", "revenue_by_nation",
+    "reference_workload", "regex_functions", "revenue_by_nation",
     "rolling_7d_revenue", "salted_heavy_hitters", "stratified_sample",
-    "tfidf_top_terms", "union_keys",
-    "weighted_sample_topk",
-    # (array/date/math/regex/string_functions + window_rank_functions
-    # roll to the r10 front — displaced by the six r9-new selection/
-    # sparse-retrieval queries; they are untouched since their r05
-    # green and stay locally verified.)
+    "string_functions", "tfidf_top_terms", "union_keys",
+    "weighted_sample_topk", "window_rank_functions",
+    # (b) r10-new
+    "ann_knn_label_vote", "dp_noisy_counts", "token_budget_select",
+    "moments_merge_shards", "quality_bucket_report",
+    "dedup_savings_report",
+    # (c) r10-changed code
+    "t_closeness_audit", "retrieval_eval_ndcg", "cms_join_size_estimate",
+    "ann_binary_rerank_topk", "dedup_index_append", "dedup_index_compact",
+    "stream_incremental_dedup", "pagerank_supplier_part",
+    "ppr_similar_to_suppliers", "kcore_supplier_part",
+    "label_propagation_communities",
+    # (d) r6-stale fill (13 of 40; the rest stay r6 — within policy)
+    "q2_top_supplier_per_nation", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_volume_shipping", "q9_product_profit",
+    "q11_important_part_revenue", "q12_late_shipment_priorities",
+    "q15_top_supplier", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q20_excess_shippers",
+    "ann_lsh_topk", "embedding_cosine_topk_fast",
 ]
 
 

@@ -156,8 +156,17 @@ HEADLINE = [
     "k_anonymity_certificate",
     # r10 additions: the ANN-routed kNN label vote (the scale path for
     # knn_label_vote — benched so the shortlist plan's cost stays
-    # visible next to its exact twin).
+    # visible next to its exact twin), the DP noisy-count release, the
+    # distributed-prefix-sum token-budget curation, mergeable moments,
+    # fixed-edge quality buckets, and the dedup-savings report (CC
+    # clustering + size join — iterative, benched to keep its round
+    # floor visible).
     "ann_knn_label_vote",
+    "dp_noisy_counts",
+    "token_budget_select",
+    "moments_merge_shards",
+    "quality_bucket_report",
+    "dedup_savings_report",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

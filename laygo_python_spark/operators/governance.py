@@ -168,3 +168,55 @@ def t_closeness_violations(
         .filter(F.col("tvd") >= t)
         .select(*qi_names, "group_size", "tvd")
     )
+
+
+def dp_laplace_counts(
+    df: DataFrame,
+    keys: list[str],
+    epsilon: float = 1.0,
+    salt: str = "dp",
+    suppress_below: float | None = None,
+) -> DataFrame:
+    """Differentially-private-STYLE count release: per-group counts plus
+    Laplace(1/ε) noise, the sensitivity-1 histogram mechanism (Dwork et
+    al. 2006). Noise is derived DETERMINISTICALLY from md5(salt ⊕ key)
+    via the inverse Laplace CDF — u ∈ (0,1) from the hash's first 32
+    bits, noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) — so the release is
+    REPLAYABLE and oracle-gateable.
+
+    HONESTY CAVEAT (read before production use): hash-derived noise is
+    pseudo-random given the (public) salt, so this is a demonstration of
+    the release MECHANICS (calibration, suppression, post-processing
+    shape), not a cryptographic DP guarantee — an adversary who knows
+    the salt can subtract the noise exactly. A production release swaps
+    the hash for a CSPRNG draw (same formula), which is non-replayable
+    by design. Same documented-fake posture as the multimodal synthetic
+    codecs.
+
+    ``suppress_below``: drop released rows whose NOISY count falls under
+    the threshold (suppression decided on the noisy value is
+    post-processing and costs no extra ε; deciding on the TRUE count
+    would leak). Scale: one partial+final aggregation; the noise is a
+    map-side expression over the |groups| result."""
+    if epsilon <= 0:
+        raise ValueError(f"dp_laplace_counts: epsilon must be > 0, got {epsilon}")
+    grp = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__true"))
+    key_str = F.concat_ws(
+        "\x1f", F.lit(salt), *[F.col(k).cast("string") for k in keys]
+    )
+    h = F.conv(F.substring(F.md5(key_str), 1, 8), 16, 10).cast("long") % F.lit(1000000)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(1000000.0)
+    t = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / epsilon)
+        * F.signum(t)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(t))
+    )
+    out = grp.select(
+        *keys,
+        F.round(F.col("__true") + noise, 6).alias("noisy_count"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    )
+    if suppress_below is not None:
+        out = out.filter(F.col("noisy_count") >= float(suppress_below))
+    return out

@@ -661,3 +661,66 @@ def dedup_simhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         return dedup.simhash_match_incremental(probe, stored).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "dedup_savings_report",
+    oracle="""
+    WITH RECURSIVE tok AS (SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS g
+                 FROM documents),
+    grams AS (SELECT doc_id, g,
+                     count(*) OVER (PARTITION BY doc_id) AS n_grams
+              FROM tok),
+    pairs AS (
+      SELECT a.doc_id AS pa, b.doc_id AS pb
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING CAST(count(*) AS DOUBLE)
+             / (any_value(a.n_grams) + any_value(b.n_grams) - count(*)) >= 0.95),
+    edges AS (SELECT pa AS s, pb AS d FROM pairs UNION ALL SELECT pb, pa FROM pairs),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, r.label FROM edges e JOIN reach r ON r.node = e.s),
+    cl AS (SELECT node AS doc_id, min(label) AS cluster FROM reach GROUP BY node),
+    m AS (SELECT d.doc_id, d.n_chars,
+                 coalesce(cl.cluster, d.doc_id) AS cluster
+          FROM documents d LEFT JOIN cl USING (doc_id))
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster) AS BIGINT) AS n_kept,
+           CAST(count(*) - count(DISTINCT cluster) AS BIGINT) AS n_dropped,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(CASE WHEN doc_id = cluster THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_kept,
+           round(1.0 - sum(CASE WHEN doc_id = cluster THEN n_chars ELSE 0 END)
+                 / CAST(sum(n_chars) AS DOUBLE), 6) AS savings_pct
+    FROM m
+    """,
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup economics, the before-you-run-it report: exact-Jaccard
+    near-dup clusters (>= 0.95, connected components) joined back to
+    document sizes — how many documents and how many CHARACTERS a
+    keep-the-representative dedup would drop. The representative is the
+    min-id member (cluster label), singletons keep themselves via the
+    left-join coalesce; the oracle replays clustering as a recursive
+    CTE and the savings arithmetic exactly. This is the number that
+    justifies (or kills) a 100 TB dedup run before paying for it."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.95)
+    cl = dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("cluster").cast("long").alias("cluster")
+    )
+    m = docs.select("doc_id", "n_chars").join(cl, "doc_id", "left").select(
+        "doc_id", "n_chars", F.coalesce("cluster", "doc_id").alias("cluster")
+    )
+    kept_chars = F.sum(F.when(F.col("doc_id") == F.col("cluster"), F.col("n_chars")).otherwise(F.lit(0)))
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("cluster").cast("long").alias("n_kept"),
+        (F.count(F.lit(1)) - F.countDistinct("cluster")).cast("long").alias("n_dropped"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        kept_chars.cast("long").alias("chars_kept"),
+        F.round(F.lit(1.0) - kept_chars / F.sum("n_chars").cast("double"), 6).alias("savings_pct"),
+    )

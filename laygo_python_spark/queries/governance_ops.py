@@ -165,3 +165,39 @@ def k_anonymity_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_nationkey", "c_mktsegment", "bal_bucket"],
         k=5,
     )
+
+
+@query(
+    "dp_noisy_counts",
+    oracle="""
+    WITH g AS (SELECT o_orderpriority AS k, count(*) AS c FROM orders
+               GROUP BY o_orderpriority),
+    n AS (SELECT k, c,
+                 ((('0x' || substring(md5('dp' || chr(31) || k), 1, 8))::BIGINT
+                   % 1000000) + 0.5) / 1000000.0 AS u
+          FROM g),
+    r AS (SELECT k,
+                 c + (-1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) AS nc
+          FROM n)
+    SELECT k AS o_orderpriority, round(nc, 6) AS noisy_count,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM r
+    ORDER BY o_orderpriority
+    """,
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private-style histogram release
+    (operators/governance.dp_laplace_counts): order counts by priority
+    plus Laplace(1/ε) noise at ε=1, the sensitivity-1 counting
+    mechanism. Noise derives deterministically from md5(salt⊕key)
+    through the inverse Laplace CDF, so DuckDB replays the released
+    values exactly — the gate certifies calibration and post-processing,
+    while the operator docstring states plainly that replayable noise is
+    a mechanics demonstration, not a cryptographic guarantee (production
+    swaps in a CSPRNG draw)."""
+    from laygo_python_spark.operators.governance import dp_laplace_counts
+
+    orders = _t(spark, sf_dir, "orders")
+    return dp_laplace_counts(orders, ["o_orderpriority"], epsilon=1.0).orderBy(
+        "o_orderpriority"
+    )

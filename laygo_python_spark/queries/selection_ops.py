@@ -484,3 +484,59 @@ def ann_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vw = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("predicted_label"))
     return votes.withColumn("vr", F.row_number().over(vw)).filter(F.col("vr") == 1).drop("vr")
+
+
+_TOKEN_BUDGET_ORACLE = """
+    WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+                 FROM documents),
+    st AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct
+           FROM tok GROUP BY doc_id),
+    r AS (SELECT doc_id, n_tokens,
+                 CAST(n_distinct AS DOUBLE) / n_tokens AS ratio FROM st),
+    c AS (SELECT doc_id, n_tokens, ratio,
+                 sum(n_tokens) OVER (ORDER BY ratio DESC, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum
+          FROM r)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(ratio, 6) AS ratio, CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= 30000
+"""
+
+
+@query("token_budget_select", oracle=_TOKEN_BUDGET_ORACLE)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget curation (operators/budget.py): fill a
+    30k-token training budget with the documents of highest lexical
+    density (distinct-token ratio — an exact int/int double, so the
+    greedy order is engine-identical), taking the prefix whose running
+    token total fits. The running total is the SCALABLE form — range
+    repartition + per-partition sums + broadcast offsets + one Arrow
+    cumsum pass (assign_sequential_ids' skeleton), never a
+    single-partition window; the DuckDB oracle replays it as the
+    classic OVER (ORDER BY ...) prefix sum, certifying the distributed
+    prefix-sum against the declarative one."""
+    from laygo_python_spark.operators.budget import greedy_budget_select
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("w"))
+    st = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_distinct"),
+    )
+    r = st.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("ratio"),
+    )
+    out = greedy_budget_select(
+        r,
+        [F.col("ratio").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        budget=30000,
+        out_col="cum_tokens",
+    )
+    return out.select(
+        "doc_id", "n_tokens", F.round("ratio", 6).alias("ratio"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )

@@ -565,3 +565,37 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bins=10,
         keys=["event_type"],
     )
+
+
+@query(
+    "moments_merge_shards",
+    oracle="""
+    WITH sh AS (SELECT source, count(*) AS n,
+                       sum(CAST(n_chars AS DOUBLE)) AS s,
+                       var_pop(CAST(n_chars AS DOUBLE)) * count(*) AS m2
+                FROM documents GROUP BY source),
+    g AS (SELECT sum(n) AS nn, sum(s) AS ss,
+                 sum(m2) + sum(s * s / n) AS m2s
+          FROM sh)
+    SELECT CAST(nn AS BIGINT) AS n_rows,
+           round(ss / nn, 6) AS mean,
+           round((m2s - ss * ss / nn) / nn, 4) AS var_pop
+    FROM g
+    """,
+)
+def moments_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable second-order statistics (operators/moments.py): each
+    source shard emits a three-number (n, sum, M2) summary; the global
+    mean/variance folds from the summaries alone — the Chan-Golub-
+    LeVeque merge that lets 100 TB corpus stats cost one |shards|-row
+    aggregation instead of a re-scan (the same mergeability contract as
+    the HLL/CMS sketches). The oracle replays the identical shard-then-
+    merge formula, so the gate certifies the merge algebra; merged ≡
+    direct var_pop is pinned separately in tests/test_moments.py."""
+    from laygo_python_spark.operators.moments import merge_moments, shard_moments
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shard_moments(docs, "n_chars", "source")
+    return merge_moments(sh).select(
+        "n_rows", F.round("mean", 6).alias("mean"), F.round("var_pop", 4).alias("var_pop")
+    )

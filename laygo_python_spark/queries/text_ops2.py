@@ -696,3 +696,57 @@ def bpe_token_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=1)
     return bpe_segment(docs, merges)
+
+
+@query(
+    "quality_bucket_report",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+                 FROM documents),
+    st AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct
+           FROM tok GROUP BY doc_id),
+    q AS (SELECT doc_id, n_tokens,
+                 CAST(n_distinct AS DOUBLE) / n_tokens AS q FROM st),
+    b AS (SELECT doc_id, n_tokens, q,
+                 least(CAST(floor(q * 10) AS INT), 9) AS bucket FROM q)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(CAST(n_tokens AS DOUBLE)), 6) AS avg_tokens,
+           round(avg(q), 6) AS avg_q,
+           round(min(q), 6) AS min_q, round(max(q), 6) AS max_q
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def quality_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score bucket report — the corpus-curation dashboard row:
+    documents bucketed by lexical density (distinct-token ratio, an
+    exact int/int double) into FIXED-WIDTH 0.1 buckets, with per-bucket
+    counts and token mass. Fixed edges, not ntile: decile cuts would
+    need a global sort (the accidental one-task window), while fixed
+    buckets are one partial+final aggregation at any scale — the same
+    fixed-edge posture as operators/drift.py. Downstream: pick the
+    ablation threshold by reading this table, then filter on q."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("w"))
+    st = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_distinct"),
+    )
+    q = st.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("q"),
+    )
+    b = q.withColumn(
+        "bucket", F.least(F.floor(F.col("q") * 10).cast("int"), F.lit(9))
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias("avg_tokens"),
+            F.round(F.avg("q"), 6).alias("avg_q"),
+            F.round(F.min("q"), 6).alias("min_q"),
+            F.round(F.max("q"), 6).alias("max_q"),
+        )
+        .orderBy("bucket")
+    )

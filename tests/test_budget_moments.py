@@ -1,0 +1,115 @@
+"""operators/budget.py (distributed prefix sums / greedy budget select),
+operators/moments.py (mergeable moments), and
+operators/governance.dp_laplace_counts (deterministic Laplace release).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from laygo_python_spark.operators.budget import greedy_budget_select, running_total
+from laygo_python_spark.operators.moments import merge_moments, shard_moments
+
+
+def test_running_total_matches_sequential(spark):
+    rows = [(i, (i * 37) % 11 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = {
+        r["id"]: r["cum_weight"]
+        for r in running_total(df, [F.col("id").asc()], "w").collect()
+    }
+    acc = 0
+    for i, w in rows:
+        acc += w
+        assert out[i] == acc, i
+
+
+def test_running_total_descending_order_and_float(spark):
+    rows = [(i, float(i % 7) + 0.5) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {
+        r["id"]: r["cum_weight"]
+        for r in running_total(df, [F.col("id").desc()], "w").collect()
+    }
+    acc = 0.0
+    for i in sorted(range(100), reverse=True):
+        acc += float(i % 7) + 0.5
+        assert got[i] == pytest.approx(acc, rel=1e-12)
+
+
+def test_greedy_budget_select_prefix_property(spark):
+    rows = [(i, 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    kept = sorted(
+        r["id"] for r in greedy_budget_select(df, [F.col("id").asc()], "w", budget=255).collect()
+    )
+    # 25 rows of weight 10 fit in 255 (cum of row 25 = 250; row 26 = 260)
+    assert kept == list(range(25))
+
+
+def test_greedy_budget_never_splits_nor_reorders(spark):
+    # weights vary; the kept set must be exactly the maximal prefix
+    rows = [(i, (i % 3) * 5 + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = greedy_budget_select(df, [F.col("id").asc()], "w", budget=40).collect()
+    ids = sorted(r["id"] for r in out)
+    assert ids == list(range(len(ids)))  # a prefix, no holes
+    assert sum((i % 3) * 5 + 1 for i in ids) <= 40
+    nxt = len(ids)
+    assert sum((i % 3) * 5 + 1 for i in ids) + ((nxt % 3) * 5 + 1) > 40
+
+
+def test_moments_merge_equals_direct(spark):
+    rows = [(i % 5, float((i * 31) % 97)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "shard int, x double")
+    got = merge_moments(shard_moments(df, "x", "shard")).collect()[0]
+    xs = [x for _, x in rows]
+    n = len(xs)
+    mean = sum(xs) / n
+    var = sum((x - mean) ** 2 for x in xs) / n
+    assert got["n_rows"] == n
+    assert got["mean"] == pytest.approx(mean, rel=1e-12)
+    assert got["var_pop"] == pytest.approx(var, rel=1e-9)
+
+
+def test_moments_single_row_shard(spark):
+    df = spark.createDataFrame([(0, 1.0), (1, 5.0), (1, 7.0)], "shard int, x double")
+    got = merge_moments(shard_moments(df, "x", "shard")).collect()[0]
+    xs = [1.0, 5.0, 7.0]
+    mean = sum(xs) / 3
+    var = sum((x - mean) ** 2 for x in xs) / 3
+    assert got["mean"] == pytest.approx(mean) and got["var_pop"] == pytest.approx(var)
+
+
+def test_dp_laplace_counts_noise_calibration(spark):
+    """Noise is Laplace(1/eps)-shaped and deterministic: same input ->
+    identical release; eps doubling halves the noise magnitude."""
+    from laygo_python_spark.operators.governance import dp_laplace_counts
+
+    rows = [(f"k{i % 20}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string")
+    r1 = {r["k"]: r["noisy_count"] for r in dp_laplace_counts(df, ["k"], epsilon=1.0).collect()}
+    r1b = {r["k"]: r["noisy_count"] for r in dp_laplace_counts(df, ["k"], epsilon=1.0).collect()}
+    assert r1 == r1b  # replayable
+    r2 = {r["k"]: r["noisy_count"] for r in dp_laplace_counts(df, ["k"], epsilon=2.0).collect()}
+    for k in r1:
+        n1, n2 = r1[k] - 20, r2[k] - 20  # true count is 20 everywhere
+        if abs(n1) > 1e-9:
+            assert n2 == pytest.approx(n1 / 2, rel=1e-4)  # eps x2 -> noise /2
+    # different salt -> different noise (not keyed to the count)
+    r3 = {r["k"]: r["noisy_count"] for r in dp_laplace_counts(df, ["k"], salt="other").collect()}
+    assert any(abs(r3[k] - r1[k]) > 1e-9 for k in r1)
+
+
+def test_dp_laplace_counts_suppression_and_validation(spark):
+    from laygo_python_spark.operators.governance import dp_laplace_counts
+
+    df = spark.createDataFrame([("a",)] * 50 + [("b",)] * 2, "k string")
+    out = dp_laplace_counts(df, ["k"], epsilon=1.0, suppress_below=10.0)
+    keys = {r["k"] for r in out.collect()}
+    assert "a" in keys and "b" not in keys
+    with pytest.raises(ValueError, match="epsilon"):
+        dp_laplace_counts(df, ["k"], epsilon=0.0)
