@@ -10,6 +10,7 @@ from laygo_python_spark.plans import (
     count_exchanges,
     has_broadcast_join,
     has_pushed_filters,
+    physical_plan,
     scan_read_schema,
 )
 from laygo_python_spark.session import read_table
@@ -205,3 +206,51 @@ def test_local_rows_df_is_jvm_local_relation(spark):
     empty = local_rows_df(spark, [], "band_key long")
     assert empty.schema.simpleString() == "struct<band_key:bigint>"
     assert empty.count() == 0
+
+
+def test_token_budget_select_has_no_single_partition_window(spark, sf_dir):
+    """The prefix sum must be the distributed form (range partition +
+    offsets + Arrow cumsum), never `sum() OVER (ORDER BY ...)` on one
+    task: no SinglePartition exchange and no Window node anywhere in
+    the plan."""
+    from laygo_python_spark.queries.selection_ops import token_budget_select
+
+    plan = physical_plan(token_budget_select(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+
+
+def test_quality_bucket_report_is_fixed_edge_aggregation(spark, sf_dir):
+    """Fixed 0.1-wide buckets: one partial+final aggregation per level,
+    no Window/ntile (a decile cut would need a one-task global sort)."""
+    from laygo_python_spark.queries.text_ops2 import quality_bucket_report
+
+    plan = physical_plan(quality_bucket_report(spark, sf_dir))
+    assert "Window" not in plan and "ntile" not in plan
+
+
+def test_dp_noisy_counts_is_single_aggregation(spark, sf_dir):
+    from laygo_python_spark.queries.governance_ops import dp_noisy_counts
+
+    df = dp_noisy_counts(spark, sf_dir)
+    # scan -> partial agg -> exchange -> final agg (+ the output sort)
+    assert count_exchanges(df) <= 2
+    assert "udf" not in physical_plan(df).lower()
+
+
+def test_ann_knn_label_vote_broadcasts_query_side_only(spark, sf_dir):
+    """The routed vote's broadcasts are the query bucket keys and the
+    shortlist-derived label fetches — never the `% 25 != 0` corpus
+    branch (the exact twin's scale killer)."""
+    from laygo_python_spark.queries.selection_ops import ann_knn_label_vote
+
+    plan = physical_plan(ann_knn_label_vote(spark, sf_dir))
+    for i, ln in enumerate(plan.splitlines()):
+        if "% 25) != 0" in ln or "% 25) <> 0" in ln:
+            # walk UP: no enclosing BroadcastExchange may own this line
+            depth = len(ln) - len(ln.lstrip(" :+-*"))
+            for up in reversed(plan.splitlines()[:i]):
+                d = len(up) - len(up.lstrip(" :+-*"))
+                if d < depth:
+                    assert "BroadcastExchange" not in up
+                    depth = d
