@@ -114,3 +114,17 @@ def test_retrieval_stack_end_to_end(spark, sf_dir):
     assert 0.0 < stats["mrr"] <= 1.0
     assert stats["p_at_k"] > 0.0
     assert stats["n_contaminated"] >= 0
+
+
+def test_curation_budget_end_to_end(spark, sf_dir):
+    from examples.curation_budget import TOKEN_BUDGET, run as cb_run
+
+    stats = cb_run(spark, sf_dir)
+    assert 0 < stats["n_after_dedup"] <= stats["n_docs"]
+    assert sum(stats["bucket_counts"].values()) == stats["n_after_dedup"]
+    assert 0 < stats["n_selected"] <= stats["n_after_dedup"]
+    # the budget bound held: mean * n is the selected token mass
+    assert stats["selected_token_mean"] * stats["n_selected"] <= TOKEN_BUDGET
+    assert stats["selected_token_var"] >= 0.0
+    # one released row per source present in the selection
+    assert len(stats["released_mix"]) >= 1
