@@ -383,3 +383,51 @@ def test_rrf_fuse_is_input_order_invariant(spark, docs, seed):
     rng.shuffle(shuffled2)
     assert fuse([r1, r2]) == fuse([shuffled1, shuffled2])  # row order
     assert fuse([r1, r2]) == fuse([r2, r1])  # list order
+
+
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=60),
+    parts=st.integers(min_value=1, max_value=7),
+)
+@SET
+def test_running_total_matches_python_prefix_sum(spark, weights, parts):
+    """running_total under randomized weights AND partition counts ==
+    the sequential prefix sum (the distributed-prefix-sum soundness
+    property: offsets + local cumsums compose to the global order)."""
+    from laygo_python_spark.operators.budget import running_total
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id long, w long").repartition(parts)
+    got = {
+        r["id"]: r["cum_weight"]
+        for r in running_total(df, [F.col("id").asc()], "w", num_partitions=parts).collect()
+    }
+    acc = 0
+    for i, w in rows:
+        acc += w
+        assert got[i] == acc
+
+
+@given(
+    shards=st.lists(
+        st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SET
+def test_moments_merge_matches_direct(spark, shards):
+    """Shard-then-merge moments == direct whole-data moments for any
+    sharding (the CGL merge identity, exact in reals)."""
+    from laygo_python_spark.operators.moments import merge_moments, shard_moments
+
+    rows = [(si, float(x)) for si, xs in enumerate(shards) for x in xs]
+    df = spark.createDataFrame(rows, "shard int, x double")
+    got = merge_moments(shard_moments(df, "x", "shard")).collect()[0]
+    xs = [x for _, x in rows]
+    n = len(xs)
+    mean = sum(xs) / n
+    var = sum((x - mean) ** 2 for x in xs) / n
+    assert got["n_rows"] == n
+    assert abs(got["mean"] - mean) < 1e-9 + 1e-9 * abs(mean)
+    assert abs(got["var_pop"] - var) < 1e-7 + 1e-7 * abs(var)
