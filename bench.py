@@ -167,6 +167,9 @@ HEADLINE = [
     "moments_merge_shards",
     "quality_bucket_report",
     "dedup_savings_report",
+    # ... and the streaming twin of the mergeable-moments contract
+    # (per-batch (n, sum, M2) partials, read-time CGL fold).
+    "stream_moments_merge",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

@@ -34,17 +34,25 @@ def shard_moments(
     )
 
 
-def merge_moments(shards: DataFrame) -> DataFrame:
-    """Fold a (n, s, m2) shard table into one global (n_rows, mean,
-    var_pop) row — the read side of the mergeable-summary contract."""
-    return shards.agg(
+def merge_moments_by(shards: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold a (…keys, n, s, m2) shard table into one (…keys, n_rows,
+    mean, var_pop) row per key group — the read side of the
+    mergeable-summary contract. ``keys=[]`` gives the global fold."""
+    agg = shards.groupBy(*keys).agg(
         F.sum("n").alias("__n"),
         F.sum("s").alias("__s"),
         (F.sum("m2") + F.sum(F.col("s") * F.col("s") / F.col("n"))).alias("__m2s"),
-    ).select(
+    )
+    return agg.select(
+        *keys,
         F.col("__n").cast("long").alias("n_rows"),
         (F.col("__s") / F.col("__n")).alias("mean"),
         ((F.col("__m2s") - F.col("__s") * F.col("__s") / F.col("__n")) / F.col("__n")).alias(
             "var_pop"
         ),
     )
+
+
+def merge_moments(shards: DataFrame) -> DataFrame:
+    """Global fold of a (n, s, m2) shard table — see merge_moments_by."""
+    return merge_moments_by(shards, [])

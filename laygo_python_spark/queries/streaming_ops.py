@@ -424,3 +424,65 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "stream_moments_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS n_rows,
+           round(avg(value), 6) AS mean,
+           round(var_pop(value), 6) AS var_pop
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING mergeable statistics (streaming/
+    moments_summary_processor): events arrive as a file stream, every
+    micro-batch lands its per-event-type (n, sum, M2) three-number
+    summary as a batch_id-keyed parquet partition (replay = overwrite =
+    exactly-once), and the corpus-level mean/variance is the read-time
+    Chan-Golub-LeVeque fold of the stored partials
+    (operators/moments.merge_moments_by) — raw history is never
+    re-read, so the monitor runs forever at ingest rates with
+    |event_types| rows of state per batch. A bounded stream processed
+    to completion must equal the batch aggregate exactly (the merge is
+    exact in reals, and multi-batch ≡ single-batch is pinned in
+    tests/test_budget_moments.py with a forced file split)."""
+    import shutil
+    import tempfile
+
+    from laygo_python_spark.operators.moments import merge_moments_by
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    scratch = tempfile.mkdtemp(prefix="stream_moments_")
+    try:
+        from laygo_python_spark.streaming import moments_summary_processor
+
+        process = moments_summary_processor("value", ["event_type"], f"{scratch}/summaries")
+        q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        partials = spark.read.parquet(f"{scratch}/summaries").select(
+            "event_type", "n", "s", "m2"
+        )
+        return (
+            merge_moments_by(partials, ["event_type"])
+            .select(
+                "event_type", "n_rows",
+                F.round("mean", 6).alias("mean"),
+                F.round("var_pop", 6).alias("var_pop"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -249,3 +249,32 @@ def mg_summary_processor(key: str, k: int, summary_path: str):
         )
 
     return process
+
+
+def moments_summary_processor(value: str, keys: list[str], summary_path: str):
+    """``foreachBatch`` body for streaming mergeable statistics: per
+    micro-batch, reduce the batch to one (…keys, n, sum, M2) row per
+    key group (operators/moments.shard_moments — exact, three numbers
+    per group) and land it as ``{summary_path}/batch_id=N``.
+
+    Moment summaries merge EXACTLY under any merge tree (Chan-Golub-
+    LeVeque), so the stored partials fold into corpus-level mean/
+    variance at read time without re-reading raw history — the same
+    partials-then-merge contract as mg_summary_processor, with the same
+    exactly-once story (a replayed batch OVERWRITES its own
+    partition). The per-batch aggregation mirrors
+    operators/moments.shard_moments (NULL values excluded up front)
+    with the stream's keys as the grouping."""
+
+    def process(batch_df, batch_id: int) -> None:
+        import pyspark.sql.functions as F
+
+        base = batch_df.filter(F.col(value).isNotNull())
+        per_key = base.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value).cast("double")).alias("s"),
+            (F.var_pop(F.col(value).cast("double")) * F.count(F.lit(1))).alias("m2"),
+        )
+        per_key.write.mode("overwrite").parquet(f"{summary_path}/batch_id={batch_id}")
+
+    return process

@@ -113,3 +113,51 @@ def test_dp_laplace_counts_suppression_and_validation(spark):
     assert "a" in keys and "b" not in keys
     with pytest.raises(ValueError, match="epsilon"):
         dp_laplace_counts(df, ["k"], epsilon=0.0)
+
+
+def test_stream_moments_multibatch_equals_batch(spark, tmp_path):
+    """The streaming partials-then-merge answer must be IDENTICAL under
+    any batch split: land the same rows as 4 files (4 micro-batches)
+    and as 1 file, and compare the merged moments."""
+    import pyspark.sql.functions as F
+
+    from laygo_python_spark.operators.moments import merge_moments_by
+    from laygo_python_spark.streaming import moments_summary_processor
+
+    rows = [(i, f"t{i % 3}", float((i * 17) % 23)) for i in range(400)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    results = {}
+    for tag, nfiles in (("multi", 4), ("single", 1)):
+        src = str(tmp_path / f"src_{tag}")
+        df.repartition(nfiles).write.mode("overwrite").parquet(src)
+        summaries = str(tmp_path / f"sum_{tag}")
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                moments_summary_processor("value", ["event_type"], summaries)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        merged = merge_moments_by(
+            spark.read.parquet(summaries).select("event_type", "n", "s", "m2"),
+            ["event_type"],
+        )
+        results[tag] = {
+            r["event_type"]: (r["n_rows"], round(r["mean"], 9), round(r["var_pop"], 7))
+            for r in merged.collect()
+        }
+    assert results["multi"] == results["single"]
+    # and both equal the direct batch aggregate
+    direct = {
+        r["event_type"]: (r["n"], round(r["m"], 9), round(r["v"], 7))
+        for r in df.groupBy("event_type")
+        .agg(F.count("value").alias("n"), F.avg("value").alias("m"), F.var_pop("value").alias("v"))
+        .collect()
+    }
+    assert results["single"] == direct
