@@ -486,3 +486,93 @@ def stream_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+_STREAM_QSKETCH_ORACLE = """
+    WITH ev AS (SELECT value FROM events WHERE value IS NOT NULL),
+    b AS (SELECT CAST(round(ln(value + 1.0) / ln(1.02)) AS INT) AS bucket FROM ev),
+    h AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM h),
+    cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h),
+    qv AS (SELECT unnest(CAST([0.5, 0.95, 0.99] AS DOUBLE[])) AS q),
+    picked AS (SELECT q, min(bucket) AS bucket
+               FROM qv, cum, t WHERE cum >= ceil(q * total) GROUP BY q),
+    ex AS (SELECT quantile_cont(value, 0.5) AS e50, quantile_cont(value, 0.95) AS e95,
+                  quantile_cont(value, 0.99) AS e99 FROM ev),
+    exact AS (SELECT 0.5::DOUBLE AS q, e50 AS exact FROM ex
+              UNION ALL SELECT 0.95::DOUBLE, e95 FROM ex
+              UNION ALL SELECT 0.99::DOUBLE, e99 FROM ex)
+    SELECT p.q, round(exp(p.bucket * ln(1.02)) - 1.0, 4) AS est,
+           round(x.exact, 4) AS exact,
+           round(abs((exp(p.bucket * ln(1.02)) - 1.0) - x.exact) / x.exact, 4) AS rel_err
+    FROM picked p JOIN exact x ON p.q = x.q
+    ORDER BY p.q
+"""
+
+
+@query("stream_value_quantiles", oracle=_STREAM_QSKETCH_ORACLE)
+def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quantile monitoring (streaming/qsketch_summary_processor):
+    events arrive as a file stream, every micro-batch lands its
+    log-bucketed histogram partial (≤ a few hundred rows) batch_id-keyed
+    (replay = overwrite = exactly-once), and the p50/p95/p99 answer is
+    the read-time counter merge + cumulative pick
+    (operators/qsketch) — raw history is never re-read. Counter
+    addition is exact in integers, so a bounded stream processed to
+    completion shares the BATCH sketch oracle verbatim: DuckDB replays
+    the buckets, the cumulative pick, the geometric midpoints, and the
+    exact twins."""
+    import shutil
+    import tempfile
+
+    from laygo_python_spark.operators.qsketch import qsketch_merge, qsketch_quantiles
+    from laygo_python_spark.session import read_table
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    scratch = tempfile.mkdtemp(prefix="stream_qsketch_")
+    try:
+        from laygo_python_spark.streaming import qsketch_summary_processor
+
+        process = qsketch_summary_processor("value", f"{scratch}/summaries", gamma=1.02)
+        q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        partials = spark.read.parquet(f"{scratch}/summaries").select("bucket", "cnt", "gamma")
+        merged = qsketch_merge(partials)
+        qs = [0.5, 0.95, 0.99]
+        est = qsketch_quantiles(merged, qs)
+        ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+        exact = (
+            ev.agg(*[F.percentile("value", F.lit(qq)).alias(f"e{int(qq * 100)}") for qq in qs])
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(F.lit(qq).alias("q"), F.col(f"e{int(qq * 100)}").alias("exact"))
+                            for qq in qs
+                        ]
+                    )
+                ).alias("x")
+            )
+            .select("x.q", "x.exact")
+        )
+        return (
+            est.join(exact, "q")
+            .select(
+                "q",
+                F.round("est", 4).alias("est"),
+                F.round("exact", 4).alias("exact"),
+                F.round(F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 4).alias("rel_err"),
+            )
+            .orderBy("q")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -278,3 +278,21 @@ def moments_summary_processor(value: str, keys: list[str], summary_path: str):
         per_key.write.mode("overwrite").parquet(f"{summary_path}/batch_id={batch_id}")
 
     return process
+
+
+def qsketch_summary_processor(value: str, summary_path: str, gamma: float = 1.02):
+    """``foreachBatch`` body for streaming quantile monitoring: per
+    micro-batch, reduce the batch to its log-bucketed histogram
+    (operators/qsketch.qsketch_build — ≤ a few hundred (bucket, cnt,
+    gamma) rows however large the batch) and land it as
+    ``{summary_path}/batch_id=N``. Counter addition makes the partials
+    exactly mergeable (same contract as mg/moments processors; replay =
+    overwrite = exactly-once)."""
+    from laygo_python_spark.operators.qsketch import qsketch_build
+
+    def process(batch_df, batch_id: int) -> None:
+        qsketch_build(batch_df, value, gamma=gamma).write.mode("overwrite").parquet(
+            f"{summary_path}/batch_id={batch_id}"
+        )
+
+    return process
