@@ -167,9 +167,11 @@ HEADLINE = [
     "moments_merge_shards",
     "quality_bucket_report",
     "dedup_savings_report",
-    # ... and the streaming twin of the mergeable-moments contract
-    # (per-batch (n, sum, M2) partials, read-time CGL fold).
+    # ... and the streaming twins of the mergeable-summary contracts
+    # (per-batch partials, read-time fold): moments and log-bucket
+    # quantiles.
     "stream_moments_merge",
+    "stream_value_quantiles",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite
