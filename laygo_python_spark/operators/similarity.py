@@ -210,6 +210,7 @@ def _with_bucket_keys(
     seed: int,
     id_col: str,
     vec_col: str,
+    include_vec: bool = True,
 ) -> DataFrame:
     """(id, vec double[], bkey) with one row per (row, table) — the
     standard multi-table LSH keying (a pair is a candidate if it
@@ -220,7 +221,15 @@ def _with_bucket_keys(
     (batch × dim) @ (dim × L·k) projection is a single matmul, then bits
     pack per table. (A Column-algebra form built L·k·dim-literal
     expression trees that never enter codegen — measured ~10 s of
-    analysis+interpretation at 500 rows vs ~1 s here.)"""
+    analysis+interpretation at 500 rows vs ~1 s here.)
+
+    ``include_vec=False`` emits (id, bkey) ONLY — 16 bytes/row instead
+    of the L-times-replicated double[dim] payload. The direct search
+    paths use it and fetch vectors at rerank time for just the
+    candidate survivors (the binary_hamming_topk discipline: score
+    keys, read vectors once for the shortlist); the stored-index
+    writers keep the vectors in the buckets, where partition pruning
+    makes the co-located payload the point."""
     import numpy as np
     import pandas as pd
 
@@ -237,24 +246,26 @@ def _with_bucket_keys(
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)  # (n, dim)
             bits = (mat @ all_planes) > 0  # (n, L·k)
             ids, vecs, keys = [], [], []
-            mat_rows = mat.tolist()  # float64 — same as cast(float as double)
+            mat_rows = mat.tolist() if include_vec else None  # float64 — same as cast(float as double)
             for t in range(n_tables):
                 sig = (bits[:, t * n_planes : (t + 1) * n_planes] * weights).sum(axis=1)
                 # table-scoped bucket key, disjoint across tables
                 keys.append(sig + (t << 32))
                 ids.append(pdf[id_col].to_numpy())
-                vecs.extend(mat_rows)
-            yield pd.DataFrame(
-                {
-                    id_out: np.concatenate(ids),
-                    vec_out: vecs,
-                    "bkey": np.concatenate(keys),
-                }
-            )
+                if include_vec:
+                    vecs.extend(mat_rows)
+            cols = {id_out: np.concatenate(ids)}
+            if include_vec:
+                cols[vec_out] = vecs
+            cols["bkey"] = np.concatenate(keys)
+            yield pd.DataFrame(cols)
 
-    return df.select(id_col, vec_col).mapInPandas(
-        run, schema=f"{id_out} long, {vec_out} array<double>, bkey long"
+    schema = (
+        f"{id_out} long, {vec_out} array<double>, bkey long"
+        if include_vec
+        else f"{id_out} long, bkey long"
     )
+    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
 
 
 def _score_topk(candidates, k: int):
@@ -286,14 +297,34 @@ def lsh_bucketed_topk(
     candidate join is bucket-local and the scored set is a small
     fraction of the corpus. Deduplication across tables happens on
     (query_id, neighbor_id) before scoring so each candidate is scored
-    exactly once."""
-    c = _with_bucket_keys(corpus, "neighbor_id", "cv", dim, n_planes, n_tables, seed, id_col, vec_col)
-    q = _with_bucket_keys(queries, "query_id", "qv", dim, n_planes, n_tables, seed, id_col, vec_col)
-    candidates = (
-        c.join(F.broadcast(q), "bkey")
+    exactly once.
+
+    r10 shape: the bucket stream carries KEYS ONLY (16 bytes/row) —
+    the L-times-replicated double[dim] payload never enters the
+    candidate join; vectors are fetched once per surviving candidate
+    by joining the shortlist back onto the corpus/query frames (the
+    binary_hamming_topk discipline). Same rows out (pytest equivalence
+    with srp_search_indexed unchanged)."""
+    ck = _with_bucket_keys(
+        corpus, "neighbor_id", "cv", dim, n_planes, n_tables, seed, id_col, vec_col,
+        include_vec=False,
+    )
+    qk = _with_bucket_keys(
+        queries, "query_id", "qv", dim, n_planes, n_tables, seed, id_col, vec_col,
+        include_vec=False,
+    )
+    cand_ids = (
+        ck.join(F.broadcast(qk), "bkey")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv"))
+    qv = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv"))
+    candidates = (
+        cv.join(F.broadcast(cand_ids), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", "qv", "cv")
     )
     return _score_topk(candidates, k)
 
@@ -317,10 +348,17 @@ def embedding_near_dups(
     n_planes must GROW with corpus size (buckets ≈ 2^k per table;
     occupancy ≈ n/2^k). k=8/L=4 suits ~10^4 docs; at 10^8 use k≈16 and
     recover recall with more tables. Near-dup targets (sim ≥ 0.9,
-    p ≈ 0.86) keep 1-(1-p^k)^L high even at k=16, L=8 (≈0.74)."""
-    c = _with_bucket_keys(corpus, id_col, "v", dim, n_planes, n_tables, seed, id_col, vec_col)
+    p ≈ 0.86) keep 1-(1-p^k)^L high even at k=16, L=8 (≈0.74).
+
+    r10 shape: the bucket self-join runs over (id, bkey) rows only;
+    the candidate pair list then fetches each side's vector once (see
+    lsh_bucketed_topk — same keys-only discipline)."""
+    c = _with_bucket_keys(
+        corpus, id_col, "v", dim, n_planes, n_tables, seed, id_col, vec_col,
+        include_vec=False,
+    )
     a, b = c.alias("a"), c.alias("b")
-    return (
+    pair_ids = (
         a.join(
             b,
             (F.col("a.bkey") == F.col("b.bkey")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -328,10 +366,14 @@ def embedding_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("vec_id_a"),
             F.col(f"b.{id_col}").alias("vec_id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
         )
         .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    va = corpus.select(F.col(id_col).alias("vec_id_a"), as_double_array(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("vec_id_b"), as_double_array(vec_col).alias("vb"))
+    return (
+        va.join(F.broadcast(pair_ids), "vec_id_a")
+        .join(vb, "vec_id_b")
         .select("vec_id_a", "vec_id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
