@@ -57,23 +57,25 @@ _ROTATION_FRONT = [
     "rolling_7d_revenue", "salted_heavy_hitters", "stratified_sample",
     "string_functions", "tfidf_top_terms", "union_keys",
     "weighted_sample_topk", "window_rank_functions",
-    # (b) r10-new
+    # (b) r10-new (all 8 — incl. the late streaming mergeable-summary
+    # twins)
     "ann_knn_label_vote", "dp_noisy_counts", "token_budget_select",
     "moments_merge_shards", "quality_bucket_report",
-    "dedup_savings_report",
-    # (c) r10-changed code
+    "dedup_savings_report", "stream_moments_merge",
+    "stream_value_quantiles",
+    # (c) r10-changed code (ann_lsh_topk + embedding_near_dups moved
+    # here late-round: the keys-only LSH restructure touched them)
     "t_closeness_audit", "retrieval_eval_ndcg", "cms_join_size_estimate",
     "ann_binary_rerank_topk", "dedup_index_append", "dedup_index_compact",
     "stream_incremental_dedup", "pagerank_supplier_part",
     "ppr_similar_to_suppliers", "kcore_supplier_part",
-    "label_propagation_communities",
-    # (d) r6-stale fill (13 of 40; the rest stay r6 — within policy)
+    "label_propagation_communities", "ann_lsh_topk",
+    "embedding_near_dups",
+    # (d) r6-stale fill (9 of 40; the rest stay r6 — within policy)
     "q2_top_supplier_per_nation", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_volume_shipping", "q9_product_profit",
     "q11_important_part_revenue", "q12_late_shipment_priorities",
     "q15_top_supplier", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q20_excess_shippers",
-    "ann_lsh_topk", "embedding_cosine_topk_fast",
 ]
 
 

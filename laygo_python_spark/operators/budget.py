@@ -61,8 +61,12 @@ def running_total(
 
     fields = ordered.schema.fields
     w_type = dict((f.name, f.dataType.simpleString()) for f in fields)[weight_col]
+    # The running total is WIDENED regardless of the weight type: an
+    # int weight column whose cumulative total passes 2^31 would fail
+    # the pandas->Arrow safe cast mid-job under the narrow type.
+    out_type = "double" if w_type in ("float", "double") else "long"
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
-    schema += f", {out_col} {w_type}"
+    schema += f", {out_col} {out_type}"
 
     def run(batches):
         from pyspark import TaskContext
@@ -72,7 +76,18 @@ def running_total(
         for pdf in batches:
             if not len(pdf):
                 continue
-            c = pdf[weight_col].cumsum() + acc_local
+            w = pdf[weight_col]
+            # NULL weights fail LOUDLY: Arrow surfaces them as NaN, the
+            # carry (acc_local) would go NaN and silently poison every
+            # later batch of this partition — a partial, order-dependent
+            # wrong answer. The offsets job (F.sum skips NULLs) can't
+            # see them either, so raising here is the only safe contract.
+            if w.isna().any():
+                raise ValueError(
+                    f"running_total: NULL in weight column {weight_col!r} — "
+                    "filter or impute weights before the prefix sum"
+                )
+            c = w.cumsum() + acc_local
             acc_local = int(c.iloc[-1]) if str(c.dtype).startswith("int") else float(c.iloc[-1])
             pdf[out_col] = c
             yield pdf

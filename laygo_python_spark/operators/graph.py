@@ -190,12 +190,18 @@ def kcore(
     dst: str = "dst",
     checkpoint_every: int = 1,
 ) -> DataFrame:
-    """See ``_kcore_impl`` — this wrapper scopes the iterative AQE
-    parallelism floor (operators/_iterloop.py) around the peel loop."""
-    from ._iterloop import loop_parallelism
-
-    with loop_parallelism(edges.sparkSession):
-        return _kcore_impl(edges, k, rounds, src, dst, checkpoint_every)
+    """Thin alias of ``_kcore_impl``. DELIBERATELY NOT wrapped in the
+    iterative AQE parallelism floor (operators/_iterloop.py): k-core's
+    fixed-rounds mode merges all peel rounds into the CALLER's single
+    action, so covering it would require an eager checkpoint inside the
+    guard — and the A/B (r10, min-of-6 at sf0.1) measured
+    parallelismFirst NEUTRAL for the merged peel (2.72 → 2.83 s
+    session-wide) while the forced materialization cost +0.35 s. The
+    fixpoint mode (rounds=None) materializes per round under the
+    session default, which the same A/B showed is fine for this
+    shrinking-edge-set shape. pagerank/label_propagation keep the guard
+    — their rank/label joins measurably serialize without it."""
+    return _kcore_impl(edges, k, rounds, src, dst, checkpoint_every)
 
 
 def _kcore_impl(
@@ -313,13 +319,16 @@ def label_propagation(
     assume_symmetric: bool = False,
 ) -> DataFrame:
     """See ``_label_propagation_impl`` — this wrapper scopes the
-    iterative AQE parallelism floor (operators/_iterloop.py)."""
+    iterative AQE parallelism floor (operators/_iterloop.py). The
+    result materializes EAGERLY inside the guard (same rationale as
+    kcore's wrapper: the flag is execution-time, so the final rounds
+    must run before the restore)."""
     from ._iterloop import loop_parallelism
 
     with loop_parallelism(edges.sparkSession):
         return _label_propagation_impl(
             edges, rounds, src, dst, checkpoint_every, assume_symmetric
-        )
+        ).localCheckpoint(eager=True)
 
 
 def _label_propagation_impl(

@@ -319,10 +319,16 @@ def lsh_bucketed_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # cand_ids is occupancy-sized (grows with the corpus at fixed
+    # n_planes), so it is NEVER broadcast — the vector fetch is a plain
+    # distributed join on ids (AQE promotes it to broadcast at runtime
+    # when it happens to be small). Only the query-side frames ride
+    # broadcasts: that is the operator's contract (queries = a bounded
+    # probe set).
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv"))
     qv = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv"))
     candidates = (
-        cv.join(F.broadcast(cand_ids), "neighbor_id")
+        cv.join(cand_ids, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
         .select("query_id", "neighbor_id", "qv", "cv")
     )
@@ -369,10 +375,14 @@ def embedding_near_dups(
         )
         .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
+    # pair_ids is occupancy-quadratic (the whole reason the bucket
+    # self-join exists) — NEVER broadcast it; both vector fetches are
+    # plain distributed id joins (AQE may promote small ones at
+    # runtime).
     va = corpus.select(F.col(id_col).alias("vec_id_a"), as_double_array(vec_col).alias("va"))
     vb = corpus.select(F.col(id_col).alias("vec_id_b"), as_double_array(vec_col).alias("vb"))
     return (
-        va.join(F.broadcast(pair_ids), "vec_id_a")
+        va.join(pair_ids, "vec_id_a")
         .join(vb, "vec_id_b")
         .select("vec_id_a", "vec_id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
         .filter(F.col("sim") >= threshold)
@@ -679,7 +689,18 @@ def binary_hamming_topk(
         hamming.cast("int").alias("hamming"),
     )
     if prune_salts is None:
-        n_parts = corpus.rdd.getNumPartitions()
+        # Job-free width probe: leaf input-file count, NOT
+        # .rdd.getNumPartitions() — under AQE the RDD conversion forces
+        # the upstream query stages to execute just to finalize a
+        # partition count (hidden double execution for any non-scan
+        # corpus). inputFiles() walks the logical plan's leaf relations
+        # without running anything; a corpus wide enough to straggle a
+        # per-query sort is many files at the leaf whatever happens
+        # in between.
+        try:
+            n_parts = len(corpus.inputFiles())
+        except Exception:  # noqa: BLE001 — no file leaves (memory/stream input)
+            n_parts = 0
         prune_salts = min(256, 2 * n_parts) if n_parts > 8 else 0
     if prune_salts and prune_salts > 1:
         w_pre = Window.partitionBy("query_id", "salt").orderBy(

@@ -161,3 +161,18 @@ def test_stream_moments_multibatch_equals_batch(spark, tmp_path):
         .collect()
     }
     assert results["single"] == direct
+
+
+def test_running_total_rejects_null_weights_and_widens_ints(spark):
+    from laygo_python_spark.operators.budget import running_total
+
+    # NULL weight -> loud error, not NaN poisoning
+    df = spark.createDataFrame([(0, 1), (1, None), (2, 3)], "id long, w int")
+    with pytest.raises(Exception, match="NULL in weight column"):
+        running_total(df, [F.col("id").asc()], "w").collect()
+    # int weights widen to long: cumulative totals past 2^31 must not
+    # fail the Arrow safe cast
+    big = spark.createDataFrame([(i, 2**30) for i in range(8)], "id long, w int")
+    out = running_total(big, [F.col("id").asc()], "w")
+    assert dict(out.dtypes)["cum_weight"] == "bigint"
+    assert max(r["cum_weight"] for r in out.collect()) == 8 * 2**30
