@@ -20,7 +20,12 @@ default.
 
 Runtime-conf note: the flag is read at EXECUTION time, so the guard
 must cover the loop's actions (checkpoints / final materialization),
-not just plan construction — every user below wraps its whole body.
+not just plan construction — users either checkpoint their final
+round inside the guard (pagerank) or materialize the returned frame
+eagerly before the restore (label_propagation). k-core deliberately
+does NOT use the guard: its merged peel measured neutral under the
+flag and the eager materialization it would need cost more than it
+saved (see kcore's docstring).
 """
 
 from __future__ import annotations
