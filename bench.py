@@ -172,6 +172,9 @@ HEADLINE = [
     # quantiles.
     "stream_moments_merge",
     "stream_value_quantiles",
+    # ... and the privacy-shaped release over merged streaming count
+    # partials (noise once at release time).
+    "stream_dp_release",
 ]
 
 # All 22 TPC-H shapes (SURVEY §2.13 row 1), timed as ONE composite

@@ -198,9 +198,28 @@ def dp_laplace_counts(
     post-processing and costs no extra ε; deciding on the TRUE count
     would leak). Scale: one partial+final aggregation; the noise is a
     map-side expression over the |groups| result."""
-    if epsilon <= 0:
-        raise ValueError(f"dp_laplace_counts: epsilon must be > 0, got {epsilon}")
     grp = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__true"))
+    return dp_laplace_release(grp, keys, "__true", epsilon, salt, suppress_below)
+
+
+def dp_laplace_release(
+    counts: DataFrame,
+    keys: list[str],
+    count_col: str,
+    epsilon: float = 1.0,
+    salt: str = "dp",
+    suppress_below: float | None = None,
+) -> DataFrame:
+    """Apply the Laplace(1/ε) release to an ALREADY-AGGREGATED counts
+    table — the form an incremental pipeline needs: partial counts
+    merge exactly (counter linearity) across batches/shards, and the
+    noise is drawn ONCE at release time over the merged totals (noise
+    per partial would add L noises of the same scale — a looser, wrong
+    calibration). Same deterministic inverse-CDF draw and honesty
+    caveat as ``dp_laplace_counts`` (which is now a thin groupBy +
+    release)."""
+    if epsilon <= 0:
+        raise ValueError(f"dp_laplace_release: epsilon must be > 0, got {epsilon}")
     key_str = F.concat_ws(
         "\x1f", F.lit(salt), *[F.col(k).cast("string") for k in keys]
     )
@@ -212,9 +231,9 @@ def dp_laplace_counts(
         * F.signum(t)
         * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(t))
     )
-    out = grp.select(
+    out = counts.select(
         *keys,
-        F.round(F.col("__true") + noise, 6).alias("noisy_count"),
+        F.round(F.col(count_col) + noise, 6).alias("noisy_count"),
         F.lit(float(epsilon)).alias("epsilon"),
     )
     if suppress_below is not None:

@@ -576,3 +576,68 @@ def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "stream_dp_release",
+    oracle="""
+    WITH g AS (SELECT event_type AS k, count(*) AS c FROM events
+               GROUP BY event_type),
+    n AS (SELECT k, c,
+                 ((('0x' || substring(md5('dp' || chr(31) || k), 1, 8))::BIGINT
+                   % 1000000) + 0.5) / 1000000.0 AS u
+          FROM g),
+    r AS (SELECT k,
+                 c + (-1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) AS nc
+          FROM n)
+    SELECT k AS event_type, round(nc, 6) AS noisy_count,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM r
+    ORDER BY event_type
+    """,
+)
+def stream_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-shaped STREAMING telemetry release: events arrive as a
+    file stream, every micro-batch lands its per-event-type count
+    partial batch_id-keyed (streaming/counts_summary_processor; replay
+    = overwrite = exactly-once), and the release is the read-time
+    counter fold + ONE Laplace(1/ε) draw over the merged totals
+    (operators/governance.dp_laplace_release — noise at release time,
+    not per partial: L per-batch draws would be a looser, wrong
+    calibration). Counter addition is exact, so a bounded stream
+    processed to completion shares dp_noisy_counts' oracle shape over
+    the batch GROUP BY. The deterministic-noise honesty caveat rides on
+    the operator docstring."""
+    import shutil
+    import tempfile
+
+    from laygo_python_spark.operators.governance import dp_laplace_release
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    scratch = tempfile.mkdtemp(prefix="stream_dp_")
+    try:
+        from laygo_python_spark.streaming import counts_summary_processor
+
+        process = counts_summary_processor(["event_type"], f"{scratch}/summaries")
+        q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        merged = (
+            spark.read.parquet(f"{scratch}/summaries")
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n"))
+        )
+        return (
+            dp_laplace_release(merged, ["event_type"], "n", epsilon=1.0)
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -296,3 +296,23 @@ def qsketch_summary_processor(value: str, summary_path: str, gamma: float = 1.02
         )
 
     return process
+
+
+def counts_summary_processor(keys: list[str], summary_path: str):
+    """``foreachBatch`` body for streaming count telemetry: per
+    micro-batch, one (…keys, n) row per key group lands
+    batch_id-keyed (replay = overwrite = exactly-once). Counter
+    linearity makes the partials exactly mergeable — the lightest
+    member of the mergeable-summary family (mg / moments / qsketch
+    processors), and the input a privacy-shaped release folds at
+    read time (operators/governance.dp_laplace_release draws the
+    noise ONCE over the merged totals)."""
+
+    def process(batch_df, batch_id: int) -> None:
+        import pyspark.sql.functions as F
+
+        batch_df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(f"{summary_path}/batch_id={batch_id}")
+
+    return process

@@ -176,3 +176,22 @@ def test_running_total_rejects_null_weights_and_widens_ints(spark):
     out = running_total(big, [F.col("id").asc()], "w")
     assert dict(out.dtypes)["cum_weight"] == "bigint"
     assert max(r["cum_weight"] for r in out.collect()) == 8 * 2**30
+
+
+def test_dp_release_on_merged_counts_equals_counts_form(spark):
+    """dp_laplace_release over a pre-aggregated counts table must equal
+    dp_laplace_counts over the raw rows — the refactor contract that
+    lets streaming partials fold before ONE release-time draw."""
+    from laygo_python_spark.operators.governance import (
+        dp_laplace_counts,
+        dp_laplace_release,
+    )
+
+    rows = [(f"k{i % 7}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "k string")
+    direct = {r["k"]: r["noisy_count"] for r in dp_laplace_counts(df, ["k"]).collect()}
+    counts = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    via_release = {
+        r["k"]: r["noisy_count"] for r in dp_laplace_release(counts, ["k"], "n").collect()
+    }
+    assert direct == via_release
