@@ -30,26 +30,50 @@ saved (see kcore's docstring).
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 _KEY = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+
+# Concurrency: the guard mutates a SESSION-global SQL conf, so two
+# overlapping guards on threads sharing the SparkSession would race the
+# set/restore — one guard's restore could clobber the other's set.
+# Every guard sets the SAME value ("true"), so a refcount fixes it
+# exactly: the FIRST entry saves the prior value and sets the flag, the
+# LAST exit restores — overlapping guards compose instead of clobbering.
+# What the refcount can NOT protect is UNRELATED work sharing the
+# session (e.g. a one-shot relational query on a sibling driver thread)
+# briefly running under parallelism-first coalescing — harmless for
+# correctness, performance-only, but callers mixing iterative loops
+# with latency-critical concurrent queries should scope the loop via
+# ``spark.newSession()`` (same SparkContext, independent SQL conf).
+_lock = threading.Lock()
+_depth = 0
+_saved: str | None = None
 
 
 @contextmanager
 def loop_parallelism(spark):
     """Within the block, AQE never coalesces below cluster parallelism."""
-    try:
-        old = spark.conf.get(_KEY)
-    except Exception:  # noqa: BLE001 — unset/unavailable: nothing to restore
-        old = None
-    spark.conf.set(_KEY, "true")
+    global _depth, _saved
+    with _lock:
+        if _depth == 0:
+            try:
+                _saved = spark.conf.get(_KEY)
+            except Exception:  # noqa: BLE001 — unset: nothing to restore
+                _saved = None
+            spark.conf.set(_KEY, "true")
+        _depth += 1
     try:
         yield
     finally:
-        if old is None:
-            try:
-                spark.conf.unset(_KEY)
-            except Exception:  # noqa: BLE001
-                pass
-        else:
-            spark.conf.set(_KEY, old)
+        with _lock:
+            _depth -= 1
+            if _depth == 0:
+                if _saved is None:
+                    try:
+                        spark.conf.unset(_KEY)
+                    except Exception:  # noqa: BLE001
+                        pass
+                else:
+                    spark.conf.set(_KEY, _saved)

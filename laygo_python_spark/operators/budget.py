@@ -87,7 +87,12 @@ def running_total(
                     f"running_total: NULL in weight column {weight_col!r} — "
                     "filter or impute weights before the prefix sum"
                 )
-            c = w.cumsum() + acc_local
+            # Accumulate in the WIDENED dtype: the Arrow batch delivers
+            # the source width (int32 for a Spark int column), and a
+            # partition whose local total passes 2^31 would wrap inside
+            # cumsum BEFORE the offset add — the final cast to long then
+            # succeeds on the wrapped values, a silent wrong answer.
+            c = w.astype("float64" if out_type == "double" else "int64").cumsum() + acc_local
             acc_local = int(c.iloc[-1]) if str(c.dtype).startswith("int") else float(c.iloc[-1])
             pdf[out_col] = c
             yield pdf

@@ -220,8 +220,18 @@ def dp_laplace_release(
     release)."""
     if epsilon <= 0:
         raise ValueError(f"dp_laplace_release: epsilon must be > 0, got {epsilon}")
+    # NULL keys get an explicit sentinel: concat_ws silently DROPS null
+    # components and their separators, so ('a', NULL) and (NULL, 'a')
+    # would hash identically and receive the SAME noise — correlated
+    # noise across distinct released rows. chr(0) can't collide with a
+    # cast-to-string value.
     key_str = F.concat_ws(
-        "\x1f", F.lit(salt), *[F.col(k).cast("string") for k in keys]
+        "\x1f",
+        F.lit(salt),
+        *[
+            F.coalesce(F.col(k).cast("string"), F.lit("\x00null"))
+            for k in keys
+        ],
     )
     h = F.conv(F.substring(F.md5(key_str), 1, 8), 16, 10).cast("long") % F.lit(1000000)
     u = (h.cast("double") + F.lit(0.5)) / F.lit(1000000.0)

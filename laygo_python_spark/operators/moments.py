@@ -9,10 +9,21 @@ re-scan. This is the same mergeability discipline as the HLL/CMS/
 Misra-Gries sketches (operators/hll.py, cms.py), instantiated for
 second-order statistics.
 
-Merge identity used (all-at-once, not pairwise):
-  N = Σnᵢ,  S = Σsᵢ,  mean = S/N
-  M2 = ΣM2ᵢ + Σ(sᵢ²/nᵢ) − S²/N        (since Σnᵢ(mᵢ−m)² = Σsᵢ²/nᵢ − S²/N)
+Merge identity used (two-pass, CENTERED on the grand mean):
+  N = Σnᵢ,  S = Σsᵢ,  m̄ = S/N
+  M2 = ΣM2ᵢ + Σ nᵢ·(sᵢ/nᵢ − m̄)²
   var_pop = M2/N
+
+The algebraically-equivalent one-pass form ΣM2ᵢ + Σsᵢ²/nᵢ − S²/N is
+catastrophically cancelling when mean ≫ std (token counts, payment
+amounts): the two large terms agree in their leading ~(mean/std)²
+relative digits, so float64 loses that many digits of M2 and can go
+NEGATIVE at scale. Centering first makes every term O(n·var) — no
+cancellation, variance provably ≥ ΣM2ᵢ ≥ 0 — at the cost of one extra
+tiny aggregation over the |shards|-row summary table (the shard table
+is summary-scale by contract, so the second pass is noise). Pinned by
+the mean/std ≤ 1e6 and 1e9-offset property tests in
+tests/test_budget_moments.py.
 """
 
 from __future__ import annotations
@@ -37,19 +48,39 @@ def shard_moments(
 def merge_moments_by(shards: DataFrame, keys: list[str]) -> DataFrame:
     """Fold a (…keys, n, s, m2) shard table into one (…keys, n_rows,
     mean, var_pop) row per key group — the read side of the
-    mergeable-summary contract. ``keys=[]`` gives the global fold."""
-    agg = shards.groupBy(*keys).agg(
-        F.sum("n").alias("__n"),
-        F.sum("s").alias("__s"),
-        (F.sum("m2") + F.sum(F.col("s") * F.col("s") / F.col("n"))).alias("__m2s"),
+    mergeable-summary contract. ``keys=[]`` gives the global fold.
+
+    n=0 rows are filtered (an empty shard contributes nothing):
+    ``shard_moments`` never emits them, but this is the documented read
+    side for USER-SUPPLIED/stored partials tables, where an n=0 row
+    would divide by zero — a job kill under ANSI mode, a silently
+    nulled M2 contribution otherwise.
+
+    Two aggregations: pass 1 folds the grand (N, S, m̄) per key group;
+    pass 2 re-reads the shard table with m̄ broadcast-joined on and
+    folds the CENTERED spread Σnᵢ(mᵢ−m̄)² (see module docstring for why
+    centering, not the one-pass identity). Both passes scan only the
+    |shards|-row summary table; the broadcast side is one row per key
+    group."""
+    shards = shards.filter(F.col("n") > 0)
+    totals = shards.groupBy(*keys).agg(
+        F.sum("n").alias("__n"), F.sum("s").alias("__s")
+    ).withColumn("__mean", F.col("__s") / F.col("__n"))
+    if keys:
+        joined = shards.join(F.broadcast(totals), keys)
+    else:
+        joined = shards.crossJoin(F.broadcast(totals))
+    d = F.col("s") / F.col("n") - F.col("__mean")
+    agg = joined.groupBy(*keys).agg(
+        F.first("__n").alias("__n"),
+        F.first("__mean").alias("__mean"),
+        (F.sum("m2") + F.sum(F.col("n") * d * d)).alias("__m2c"),
     )
     return agg.select(
         *keys,
         F.col("__n").cast("long").alias("n_rows"),
-        (F.col("__s") / F.col("__n")).alias("mean"),
-        ((F.col("__m2s") - F.col("__s") * F.col("__s") / F.col("__n")) / F.col("__n")).alias(
-            "var_pop"
-        ),
+        F.col("__mean").alias("mean"),
+        (F.col("__m2c") / F.col("__n")).alias("var_pop"),
     )
 
 

@@ -173,7 +173,8 @@ def k_anonymity_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (SELECT o_orderpriority AS k, count(*) AS c FROM orders
                GROUP BY o_orderpriority),
     n AS (SELECT k, c,
-                 ((('0x' || substring(md5('dp' || chr(31) || k), 1, 8))::BIGINT
+                 ((('0x' || substring(md5('dp' || chr(31)
+                       || coalesce(k, chr(0) || 'null')), 1, 8))::BIGINT
                    % 1000000) + 0.5) / 1000000.0 AS u
           FROM g),
     r AS (SELECT k,

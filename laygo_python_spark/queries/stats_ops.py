@@ -574,13 +574,15 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                        sum(CAST(n_chars AS DOUBLE)) AS s,
                        var_pop(CAST(n_chars AS DOUBLE)) * count(*) AS m2
                 FROM documents GROUP BY source),
-    g AS (SELECT sum(n) AS nn, sum(s) AS ss,
-                 sum(m2) + sum(s * s / n) AS m2s
-          FROM sh)
-    SELECT CAST(nn AS BIGINT) AS n_rows,
-           round(ss / nn, 6) AS mean,
-           round((m2s - ss * ss / nn) / nn, 4) AS var_pop
-    FROM g
+    g AS (SELECT sum(n) AS nn, sum(s) AS ss FROM sh),
+    c AS (SELECT sum(sh.m2)
+                 + sum(sh.n * (sh.s / sh.n - g.ss / g.nn)
+                            * (sh.s / sh.n - g.ss / g.nn)) AS m2c
+          FROM sh, g)
+    SELECT CAST(g.nn AS BIGINT) AS n_rows,
+           round(g.ss / g.nn, 6) AS mean,
+           round(c.m2c / g.nn, 4) AS var_pop
+    FROM g, c
     """,
 )
 def moments_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:

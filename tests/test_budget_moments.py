@@ -195,3 +195,75 @@ def test_dp_release_on_merged_counts_equals_counts_form(spark):
         r["k"]: r["noisy_count"] for r in dp_laplace_release(counts, ["k"], "n").collect()
     }
     assert direct == via_release
+
+
+def test_running_total_int32_within_partition_overflow(spark):
+    """r10 advice (budget.py): the per-partition cumsum must accumulate
+    in the WIDENED dtype. int32 weights whose LOCAL cumulative total
+    passes 2^31 in a single partition would wrap silently inside
+    pandas cumsum before the offset add — the widening test above only
+    exercised cross-partition offsets (1 row per partition)."""
+    n = 5
+    big = spark.createDataFrame([(i, 2**30) for i in range(n)], "id long, w int")
+    out = running_total(big, [F.col("id").asc()], "w", num_partitions=1)
+    vals = sorted(r["cum_weight"] for r in out.collect())
+    assert vals == [(i + 1) * 2**30 for i in range(n)]
+    assert all(v > 0 for v in vals[2:])  # a wrap would go negative
+
+
+@pytest.mark.parametrize("offset", [1e6, 1e9])
+def test_moments_merge_stable_at_mean_much_greater_than_std(spark, offset):
+    """r10 verdict ask #5: the one-pass merge identity ΣM2ᵢ + Σsᵢ²/nᵢ −
+    S²/N cancels catastrophically at mean ≫ std and can go NEGATIVE;
+    the centered two-pass merge must recover var_pop to full float64
+    accuracy (and never below ΣM2ᵢ ≥ 0) even at a 1e9 offset with
+    unit-scale spread."""
+    rows = [(i % 16, offset + (i % 7) - 3.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "shard int, x double")
+    got = merge_moments(shard_moments(df, "x", "shard")).collect()[0]
+    direct = df.agg(
+        F.count("x").alias("n"), F.avg("x").alias("m"), F.var_pop("x").alias("v")
+    ).collect()[0]
+    assert got["n_rows"] == direct["n"]
+    assert got["mean"] == pytest.approx(direct["m"], rel=1e-12)
+    assert got["var_pop"] >= 0.0
+    # rel 1e-6, not 1e-12: the residual error is the (n, s, M2) summary
+    # FORMAT's — s = Σx carries the mean at ~1e-16·offset absolute, so
+    # mᵢ−m̄ is only good to ~1e-7 at offset 1e9. The centered merge adds
+    # nothing on top (the old one-pass form was off by ~1e17 RELATIVE
+    # here — negative variance).
+    assert got["var_pop"] == pytest.approx(direct["v"], rel=1e-6)
+
+
+def test_moments_merge_ignores_empty_shards(spark):
+    """r10 advice (moments.py): merge_moments_by is the read side for
+    user-supplied/stored partials tables, where an n=0 row previously
+    divided by zero. An empty shard must contribute nothing."""
+    from laygo_python_spark.operators.moments import merge_moments_by
+
+    sh = spark.createDataFrame(
+        [("a", 3, 30.0, 2.0), ("a", 0, 0.0, 0.0), ("b", 2, 10.0, 8.0)],
+        "k string, n long, s double, m2 double",
+    )
+    got = {r["k"]: r for r in merge_moments_by(sh, ["k"]).collect()}
+    assert got["a"]["n_rows"] == 3
+    assert got["a"]["mean"] == pytest.approx(10.0)
+    assert got["a"]["var_pop"] == pytest.approx(2.0 / 3)
+    assert got["b"]["var_pop"] == pytest.approx(4.0)
+
+
+def test_dp_release_null_keys_get_distinct_noise(spark):
+    """r10 advice (governance.py): concat_ws drops NULL components, so
+    ('a', NULL) and (NULL, 'a') previously hashed identically and drew
+    the SAME noise. With the NULL sentinel they must differ, and NULL
+    keys must flow through (not collapse or error)."""
+    from laygo_python_spark.operators.governance import dp_laplace_release
+
+    counts = spark.createDataFrame(
+        [("a", None, 100), (None, "a", 100), ("a", "a", 100)],
+        "k1 string, k2 string, n int",
+    )
+    out = dp_laplace_release(counts, ["k1", "k2"], "n").collect()
+    assert len(out) == 3
+    noises = [r["noisy_count"] - 100 for r in out]
+    assert len({round(x, 6) for x in noises}) == 3
