@@ -33,49 +33,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Driver-rotation steering (round 10): the correctness gate checks the
+# Driver-rotation steering (round 11): the correctness gate checks the
 # FIRST 50 entries of queries() per round. Priority order this round:
-# (a) FRESHNESS FIRST (r9 verdict ask #1) — all 20 names whose latest
-# driver check is r05, including §2-core reduce_sum/union_keys; after
-# this round no catalog name's latest driver row is older than r6;
-# (b) the 6 r10-new queries (ANN-routed kNN vote, DP noisy counts,
-# token-budget curation, mergeable moments, quality buckets, dedup
-# savings report); (c) every query whose CODE changed in r10 —
-# t_closeness_audit (null-safe QI grid join), retrieval_eval_ndcg
-# (rank<=k filter), cms_join_size_estimate (DECIMAL accumulate),
-# ann_binary_rerank_topk (auto-gated pre-prune), the index-append
-# family (view/background-writes path), and the iterative graph family
-# (wd layout + round-1 fold + AQE parallelism floor); (d) fill to 50
-# with the oldest r6-stale names (TPC-H sweep shapes + 2 ANN).
-# Recompute per round from the CORRECTNESS_r*.json union.
+# (a) stream_dp_release FIRST — the ONE catalog name with no driver
+# CORRECTNESS row ever (r10 verdict ask #2; landed post-rotation last
+# round, judge-verified green);
+# (b) FRESHNESS (ask #7) — all 30 remaining names whose latest driver
+# row is r6; after this round no catalog name's latest row is older
+# than r7;
+# (c) every query whose CODE changed in r11 — the DP release family
+# (NULL-sentinel key hashing), mergeable moments (centered two-pass
+# merge + n=0 guard), token-budget curation (widened-dtype cumsum),
+# the index-append family (non-daemon background writes), and the
+# iterative graph family (refcounted AQE guard);
+# (d) fill to 50 with the oldest r7 names (alphabetical prefix of the
+# 47-name r7 cohort). Recompute per round from CORRECTNESS_r*.json.
 _ROTATION_FRONT = [
-    # (a) latest check r05 — all 20
-    "array_functions", "date_functions", "map_type_roundtrip",
-    "math_functions", "minhash_signature_sample", "ngram_jaccard_pairs",
-    "q1_pricing_summary", "q3_shipping_priority", "reduce_sum",
-    "reference_workload", "regex_functions", "revenue_by_nation",
-    "rolling_7d_revenue", "salted_heavy_hitters", "stratified_sample",
-    "string_functions", "tfidf_top_terms", "union_keys",
-    "weighted_sample_topk", "window_rank_functions",
-    # (b) r10-new (all 8 — incl. the late streaming mergeable-summary
-    # twins)
-    "ann_knn_label_vote", "dp_noisy_counts", "token_budget_select",
-    "moments_merge_shards", "quality_bucket_report",
-    "dedup_savings_report", "stream_moments_merge",
-    "stream_value_quantiles",
-    # (c) r10-changed code (ann_lsh_topk + embedding_near_dups moved
-    # here late-round: the keys-only LSH restructure touched them)
-    "t_closeness_audit", "retrieval_eval_ndcg", "cms_join_size_estimate",
-    "ann_binary_rerank_topk", "dedup_index_append", "dedup_index_compact",
-    "stream_incremental_dedup", "pagerank_supplier_part",
-    "ppr_similar_to_suppliers", "kcore_supplier_part",
-    "label_propagation_communities", "ann_lsh_topk",
-    "embedding_near_dups",
-    # (d) r6-stale fill (9 of 40; the rest stay r6 — within policy)
-    "q2_top_supplier_per_nation", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_volume_shipping", "q9_product_profit",
-    "q11_important_part_revenue", "q12_late_shipment_priorities",
-    "q15_top_supplier", "q17_small_quantity_revenue",
+    # (a) never-gated
+    "stream_dp_release",
+    # (b) latest check r06 — all 30
+    "ann_ivf_topk", "ann_ivfpq_index_topk", "ann_ivfpq_topk",
+    "ann_pq_topk", "ann_srp_index_add", "cms_heavy_hitters",
+    "embedding_cosine_topk_fast", "embedding_int8_quantize",
+    "embedding_label_centroids", "hash_split_train_eval",
+    "histogram_order_totals", "latest_order_per_customer",
+    "mg_heavy_hitters_brands", "multimodal_audio_stats",
+    "multimodal_decode_dims", "multimodal_decode_features",
+    "multimodal_g711_stats", "multimodal_mjpg_stats",
+    "multimodal_payload_meta", "multimodal_resize_stats",
+    "multimodal_video_stats", "price_quantiles_by_status",
+    "q19_disjunctive_revenue", "q20_excess_shippers",
+    "qsketch_value_quantiles", "temperature_mix_weights",
+    "time_rollup_event_value", "training_mix_weights",
+    "trend_per_event_type", "winsorize_order_totals",
+    # (c) r11-changed code
+    "dp_noisy_counts", "moments_merge_shards", "stream_moments_merge",
+    "token_budget_select", "dedup_index_append", "dedup_index_compact",
+    "stream_incremental_dedup", "dedup_incremental_lsh",
+    "pagerank_supplier_part", "ppr_similar_to_suppliers",
+    "kcore_supplier_part", "label_propagation_communities",
+    # (d) r7 fill (7 of 47; the rest stay r7 — within policy)
+    "acf_daily_value", "bigram_lm_xent", "bigram_pmi_collocations",
+    "char_entropy_score", "chi2_segment_priority", "chunk_dedup_spans",
+    "cusum_changepoint_daily",
 ]
 
 

@@ -193,3 +193,54 @@ def test_oracle_output_dtypes():
         "oracle output columns with pandas-divergent DuckDB types "
         f"(HUGEINT/DECIMAL/DATE/... — cast them in the oracle SQL): {bad}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape regression gate (r10 verdict ask #6): PLAN_AUDIT.md is a
+# generated report a human triages; nothing STOPPED a future edit from
+# silently adding a single-partition hazard between triages. This test
+# diffs every query's (exchanges, broadcasts, python_stages,
+# single_partition, windows) tuple against the committed baseline
+# (tests/plan_baseline.json) and fails on any WORSENING — an intentional
+# plan change regenerates the baseline via tools/gen_plan_baseline.py
+# and carries the triage in its commit message. Improvements pass (and
+# are worth a baseline refresh, but must not break the suite).
+_BASELINE_METRICS = ("exchanges", "broadcasts", "python_stages", "single_partition", "windows")
+
+
+def test_plan_shape_baseline(spark, sf_dir):
+    import json
+    import os
+
+    from tools.plan_audit import audit_one
+
+    path = os.path.join(os.path.dirname(__file__), "plan_baseline.json")
+    with open(path) as f:
+        baseline = json.load(f)
+
+    regressions: list[str] = []
+    missing: list[str] = []
+    for name in _SWEEP:
+        if name not in baseline:
+            missing.append(name)
+            continue
+        row = audit_one(name, QUERIES[name], spark)
+        if row is None or "error" in row:
+            regressions.append(f"{name}: plan build failed: {row and row.get('error')}")
+            continue
+        worse = {
+            m: (baseline[name][m], row[m])
+            for m in _BASELINE_METRICS
+            if row[m] > baseline[name][m]
+        }
+        if worse:
+            regressions.append(f"{name}: {worse}")
+    assert not missing, (
+        "queries absent from tests/plan_baseline.json — run "
+        f"tools/gen_plan_baseline.py and commit the triaged diff: {missing}"
+    )
+    assert not regressions, (
+        "plan-shape WORSENED vs tests/plan_baseline.json (metric: "
+        "(baseline, now)). If intentional, regenerate via "
+        f"tools/gen_plan_baseline.py and triage in the commit: {regressions}"
+    )
