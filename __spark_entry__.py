@@ -72,10 +72,12 @@ _ROTATION_FRONT = [
     "stream_incremental_dedup", "dedup_incremental_lsh",
     "pagerank_supplier_part", "ppr_similar_to_suppliers",
     "kcore_supplier_part", "label_propagation_communities",
-    # (d) r7 fill (7 of 47; the rest stay r7 — within policy)
+    # (e) r11-NEW — must gate this round (the stream_dp_release lesson:
+    # a post-rotation landing goes ungated for a full round)
+    "ann_index_rebuild_economics",
+    # (d) r7 fill (6 of 47; the rest stay r7 — within policy)
     "acf_daily_value", "bigram_lm_xent", "bigram_pmi_collocations",
     "char_entropy_score", "chi2_segment_priority", "chunk_dedup_spans",
-    "cusum_changepoint_daily",
 ]
 
 

@@ -175,6 +175,10 @@ HEADLINE = [
     # ... and the privacy-shaped release over merged streaming count
     # partials (noise once at release time).
     "stream_dp_release",
+    # r11 addition: stored-IVF retrain economics (per-cell appended
+    # fraction + distortion inflation over the committed centroids —
+    # the maintenance-scheduler read that pairs with ivf_index_stats).
+    "ann_index_rebuild_economics",
 ]
 
 # The iterative graph family, timed as ONE composite `graph_trio_total`

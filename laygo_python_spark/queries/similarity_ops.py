@@ -1394,3 +1394,117 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def _rebuild_econ_oracle(k_cells: int = 16) -> str:
+    """Replay of ann_index_rebuild_economics: assignment ties order by
+    the operator's d2a = ||c||²−2x·c (||x||² cancels in the argmin);
+    the distortion uses the TRUE squared distance."""
+    from laygo_python_spark.operators.ann_artifacts import IVF_PATH
+
+    return f"""WITH {_ann_key_ctes()},
+    cent AS (SELECT a.cell, a.centroid FROM read_parquet('{IVF_PATH}') a, key
+             WHERE a.k = {k_cells} AND a.n_corpus = key.nc AND a.sig = key.ks),
+    d AS (SELECT e.vec_id, c.cell,
+                 list_dot_product(c.centroid, c.centroid)
+                 - 2*list_dot_product(e.v, c.centroid) AS d2a,
+                 list_dot_product(e.v, e.v)
+                 - 2*list_dot_product(e.v, c.centroid)
+                 + list_dot_product(c.centroid, c.centroid) AS d2
+          FROM e, cent c),
+    assign AS (SELECT vec_id, cell, d2 FROM (
+        SELECT vec_id, cell, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2a, cell) AS rn
+        FROM d) WHERE rn = 1),
+    g AS (SELECT cell,
+                 CAST(sum(CASE WHEN vec_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                 CAST(sum(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_appended,
+                 avg(CASE WHEN vec_id % 3 <> 0 THEN d2 END) AS base_d2,
+                 avg(CASE WHEN vec_id % 3 = 0 THEN d2 END) AS app_d2
+          FROM assign GROUP BY cell),
+    r AS (SELECT CAST(cell AS INT) AS cell, n_base, n_appended,
+                 round(CAST(n_appended AS DOUBLE) / (n_base + n_appended), 6) AS appended_frac,
+                 round(base_d2, 6) AS base_d2_mean,
+                 round(app_d2, 6) AS app_d2_mean,
+                 round(app_d2 / base_d2, 6) AS distortion_ratio
+          FROM g)
+    SELECT *, coalesce(appended_frac > 0.5, FALSE)
+              OR coalesce(distortion_ratio > 1.25, FALSE) AS retrain
+    FROM r ORDER BY cell"""
+
+
+@query("ann_index_rebuild_economics", oracle=_rebuild_econ_oracle())
+def ann_index_rebuild_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-IVF rebuild economics — WHEN does append-degradation
+    justify a retrain (r10 verdict stretch #8b; pairs with
+    operators/ivf.ivf_index_stats' skew alert): centroids were trained
+    at a snapshot, the corpus keeps growing via ivf_index_add-style
+    appends (simulated deterministically: vec_id % 3 == 0 is the
+    appended batch), and each appended vector is quantized to the
+    NEAREST EXISTING cell — so cell balance and quantization distortion
+    only degrade between retrains. Emits the per-cell decision inputs a
+    maintenance scheduler reads: base/appended populations, appended
+    fraction, mean true quantization distortion ||x−c||² per class, the
+    appended/base distortion inflation ratio, and the derived retrain
+    flag (appended_frac > 0.5 — the index no longer represents its
+    training snapshot — OR distortion_ratio > 1.25 — appends land
+    measurably farther from the frozen centroids than the data they
+    were trained on).
+
+    Scale shape: one Arrow-batched assignment pass (a (batch×dim)@
+    (dim×k) matmul per batch — the ivf_topk path), a broadcast join
+    against the k-row centroid frame for the distance expression, one
+    partial+final aggregation to k rows. No all-pairs anything; at
+    100 TB the assignment pass is the same map-only scan an
+    ivf_index_add pays, so the audit rides a scheduled append for free.
+    Searches at the COMMITTED centroid artifact (artifacts/ann/), which
+    is what makes the trained state oracle-replayable (ann_ivf_topk's
+    idiom); corpora without an artifact train live (rows-only
+    semantics)."""
+    from laygo_python_spark.operators.ann_artifacts import load_ivf_centroids
+    from laygo_python_spark.operators.ivf import _assign_cells, train_centroids
+    from laygo_python_spark.session import local_rows_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = load_ivf_centroids(sf_dir, k=16)
+    if cent is None:
+        cent = train_centroids(emb, 16)
+    assign = _assign_cells(emb, cent, "vec_id", "v", "vec_id", "embedding", n_probe=1)
+    cent_df = local_rows_df(
+        spark,
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)],
+        "cell int, centroid array<double>",
+    )
+
+    def dot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    rows = assign.join(F.broadcast(cent_df), "cell").select(
+        "cell",
+        "vec_id",
+        (dot("v", "v") - 2 * dot("v", "centroid") + dot("centroid", "centroid")).alias("d2"),
+    )
+    g = rows.groupBy("cell").agg(
+        F.sum(F.when(F.col("vec_id") % 3 != 0, 1).otherwise(0)).cast("long").alias("n_base"),
+        F.sum(F.when(F.col("vec_id") % 3 == 0, 1).otherwise(0)).cast("long").alias("n_appended"),
+        F.avg(F.when(F.col("vec_id") % 3 != 0, F.col("d2"))).alias("base_d2"),
+        F.avg(F.when(F.col("vec_id") % 3 == 0, F.col("d2"))).alias("app_d2"),
+    )
+    r = g.select(
+        "cell",
+        "n_base",
+        "n_appended",
+        F.round(
+            F.col("n_appended").cast("double") / (F.col("n_base") + F.col("n_appended")), 6
+        ).alias("appended_frac"),
+        F.round("base_d2", 6).alias("base_d2_mean"),
+        F.round("app_d2", 6).alias("app_d2_mean"),
+        F.round(F.col("app_d2") / F.col("base_d2"), 6).alias("distortion_ratio"),
+    )
+    return r.withColumn(
+        "retrain",
+        F.coalesce(F.col("appended_frac") > F.lit(0.5), F.lit(False))
+        | F.coalesce(F.col("distortion_ratio") > F.lit(1.25), F.lit(False)),
+    ).orderBy("cell")
