@@ -175,10 +175,14 @@ HEADLINE = [
     # ... and the privacy-shaped release over merged streaming count
     # partials (noise once at release time).
     "stream_dp_release",
-    # r11 addition: stored-IVF retrain economics (per-cell appended
+    # r11 additions: stored-IVF retrain economics (per-cell appended
     # fraction + distortion inflation over the committed centroids —
-    # the maintenance-scheduler read that pairs with ivf_index_stats).
+    # the maintenance-scheduler read that pairs with ivf_index_stats),
+    # and the streaming HLL distinct-user monitor (per-batch register
+    # partials, read-time max-lattice fold — completes the mergeable-
+    # summary streaming family).
     "ann_index_rebuild_economics",
+    "stream_hll_users",
 ]
 
 # The iterative graph family, timed as ONE composite `graph_trio_total`

@@ -642,3 +642,82 @@ def stream_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "stream_hll_users",
+    oracle="""
+    WITH ev AS (SELECT event_type, user_id FROM events
+                WHERE user_id IS NOT NULL),
+    h AS (SELECT event_type,
+                 ('0x'||substr(md5(user_id::VARCHAR),1,15))::BIGINT AS hv
+          FROM ev),
+    reg AS (SELECT event_type, hv >> 48 AS idx,
+                   CASE WHEN (hv & 281474976710655) = 0 THEN 49
+                        ELSE 49 - length(format('{:b}', hv & 281474976710655))
+                   END AS rho0
+            FROM h),
+    regs AS (SELECT event_type, idx, max(rho0) AS rho
+             FROM reg GROUP BY event_type, idx),
+    agg AS (SELECT event_type, sum(power(2.0, -rho)) AS s, count(*) AS nz
+            FROM regs GROUP BY event_type)
+    SELECT event_type,
+           round(CASE WHEN ((0.7213/(1+1.079/4096))*4096*4096/(s + (4096-nz))) <= 10240.0
+                       AND nz < 4096
+                      THEN 4096 * ln(4096.0/(4096-nz))
+                      ELSE (0.7213/(1+1.079/4096))*4096*4096/(s + (4096-nz)) END, 1)
+             AS est_distinct
+    FROM agg ORDER BY event_type
+    """,
+)
+def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distinct-user monitoring (streaming/
+    hll_summary_processor): events arrive as a file stream, every
+    micro-batch lands its per-event-type HyperLogLog register table
+    (≤ |types|·2^12 rows of state per batch, however large the batch)
+    as a batch_id-keyed parquet partition, and the per-type distinct
+    estimate is the read-time max-lattice fold of the stored partials
+    (operators/hll.hll_estimate_by) — raw history is never re-read.
+    Completes the mergeable-summary streaming family (moments,
+    log-bucket quantiles, Misra-Gries, CMS → now cardinality).
+
+    Register max is order- AND batch-independent, so a bounded stream
+    processed to completion equals the single-pass sketch EXACTLY —
+    DuckDB replays the md5 60-bit hash family, register build, merge
+    and the bias-corrected estimate end-to-end (the
+    hll_relational_daily_users idiom over the streaming store)."""
+    import shutil
+    import tempfile
+
+    from laygo_python_spark.operators.hll import hll_estimate_by
+    from laygo_python_spark.streaming import hll_summary_processor
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, user_id long")
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    scratch = tempfile.mkdtemp(prefix="stream_hll_")
+    try:
+        process = hll_summary_processor(
+            "user_id", "event_type", f"{scratch}/summaries", p=12, hash_fn="md5"
+        )
+        q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        partials = spark.read.parquet(f"{scratch}/summaries")
+        merged = partials.groupBy("shard", "idx", "p").agg(F.max("rho").alias("rho"))
+        return (
+            hll_estimate_by(merged, ["shard"])
+            .select(
+                F.col("shard").alias("event_type"),
+                F.round("est", 1).alias("est_distinct"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

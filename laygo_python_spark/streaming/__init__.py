@@ -280,6 +280,29 @@ def moments_summary_processor(value: str, keys: list[str], summary_path: str):
     return process
 
 
+def hll_summary_processor(
+    key: str, shard, summary_path: str, p: int = 12, hash_fn: str = "md5"
+):
+    """``foreachBatch`` body for streaming distinct-count monitoring:
+    per micro-batch, reduce the batch to its per-shard HyperLogLog
+    register table (operators/hll.hll_build_sharded — ≤ |shards|·2^p
+    rows however large the batch) and land it as
+    ``{summary_path}/batch_id=N``. Registers merge under max (a
+    lattice), so the stored partials fold into per-shard distinct
+    estimates at read time without re-reading raw history, and the fold
+    is ORDER-FREE — any batch arrival order, any merge tree, same
+    registers. Replay = overwrite = exactly-once, same contract as the
+    mg/moments/qsketch processors."""
+    from laygo_python_spark.operators.hll import hll_build_sharded
+
+    def process(batch_df, batch_id: int) -> None:
+        hll_build_sharded(batch_df, key, shard, p=p, hash_fn=hash_fn).write.mode(
+            "overwrite"
+        ).parquet(f"{summary_path}/batch_id={batch_id}")
+
+    return process
+
+
 def qsketch_summary_processor(value: str, summary_path: str, gamma: float = 1.02):
     """``foreachBatch`` body for streaming quantile monitoring: per
     micro-batch, reduce the batch to its log-bucketed histogram

@@ -321,3 +321,53 @@ def test_watermark_drops_late_rows(spark):
     # 1899 s < its end, the append-mode finalization contract.
     assert counts["1970-01-01T00:16:40"] >= 500, counts
     assert "1970-01-01T00:25:00" not in counts, counts
+
+
+def test_stream_hll_multibatch_equals_single_pass(spark, tmp_path):
+    """streaming/hll_summary_processor: the max-lattice fold of stored
+    per-batch register tables must be IDENTICAL under any batch split
+    (registers merge under max — order- and batch-free), and equal the
+    one-pass sharded sketch over the same rows."""
+    import pyspark.sql.functions as F
+
+    from laygo_python_spark.operators.hll import hll_build_sharded, hll_estimate_by
+    from laygo_python_spark.streaming import hll_summary_processor
+
+    rows = [(i, f"t{i % 3}", (i * 13) % 97) for i in range(500)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, user_id long")
+    results = {}
+    for tag, nfiles in (("multi", 5), ("single", 1)):
+        src = str(tmp_path / f"src_{tag}")
+        df.repartition(nfiles).write.mode("overwrite").parquet(src)
+        summaries = str(tmp_path / f"sum_{tag}")
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                hll_summary_processor("user_id", "event_type", summaries, p=12, hash_fn="md5")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        merged = (
+            spark.read.parquet(summaries)
+            .groupBy("shard", "idx", "p")
+            .agg(F.max("rho").alias("rho"))
+        )
+        results[tag] = {
+            r["shard"]: round(r["est"], 6)
+            for r in hll_estimate_by(merged, ["shard"]).collect()
+        }
+    assert results["multi"] == results["single"]
+    one_pass = {
+        r["shard"]: round(r["est"], 6)
+        for r in hll_estimate_by(
+            hll_build_sharded(df, "user_id", "event_type", p=12, hash_fn="md5"),
+            ["shard"],
+        ).collect()
+    }
+    assert results["single"] == one_pass
