@@ -75,9 +75,10 @@ _ROTATION_FRONT = [
     # (e) r11-NEW — must gate this round (the stream_dp_release lesson:
     # a post-rotation landing goes ungated for a full round)
     "ann_index_rebuild_economics", "stream_hll_users",
-    # (d) r7 fill (5 of 47; the rest stay r7 — within policy)
+    "lsh_threshold_tuning",
+    # (d) r7 fill (4 of 47; the rest stay r7 — within policy)
     "acf_daily_value", "bigram_lm_xent", "bigram_pmi_collocations",
-    "char_entropy_score", "chi2_segment_priority",
+    "char_entropy_score",
 ]
 
 

@@ -183,6 +183,10 @@ HEADLINE = [
     # summary streaming family).
     "ann_index_rebuild_economics",
     "stream_hll_users",
+    # ... and the banding precision/recall tuning curve vs exact
+    # 3-gram Jaccard ground truth (the parameter-commit measurement
+    # for the LSH dedup family).
+    "lsh_threshold_tuning",
 ]
 
 # The iterative graph family, timed as ONE composite `graph_trio_total`

@@ -59,10 +59,18 @@ def _minhash_sample_oracle() -> str:
     return f"WITH {_minhash_sig_cte(8, doc_filter=' AND doc_id < 20')}\n    {sel}"
 
 
-def _minhash_lsh_oracle(num_hashes: int = 128, bands: int = 32, max_bucket: int = 1000) -> str:
-    """Faithful to the OPERATOR CONTRACT, including the ``max_bucket``
-    skew guard: same-signature doc pairs always emit with n_bands =
-    ``bands`` (immune to the cap, exactly as the signature-dedup path
+def _minhash_lsh_pairs_ctes(
+    num_hashes: int = 128,
+    bands: int = 32,
+    max_bucket: int = 1000,
+    doc_filter: str = "",
+) -> str:
+    """CTE chain (beginning with ``_minhash_sig_cte``'s toks/sh/sig)
+    ending in ``lsh_pairs(doc_id_a, doc_id_b, n_bands)`` — shared by the
+    LSH discovery oracle and the threshold-tuning oracle. Faithful to
+    the OPERATOR CONTRACT, including the ``max_bucket`` skew guard:
+    same-signature doc pairs always emit with n_bands = ``bands``
+    (immune to the cap, exactly as the signature-dedup path
     guarantees); cross-signature pairs count only band buckets holding
     between 2 and ``max_bucket`` DISTINCT signatures — a capless
     all-pairs oracle would report a false mismatch on any corpus where
@@ -75,7 +83,7 @@ def _minhash_lsh_oracle(num_hashes: int = 128, bands: int = 32, max_bucket: int 
         for b in range(bands)
     )
     all_slots = ", ".join(f"s{i}" for i in range(num_hashes))
-    return f"""WITH {_minhash_sig_cte(num_hashes)},
+    return f"""{_minhash_sig_cte(num_hashes, doc_filter=doc_filter)},
     sg AS (SELECT doc_id, concat_ws(',', {all_slots}) AS fsig FROM sig),
     band_docs AS (
       {band_sel}),
@@ -95,9 +103,15 @@ def _minhash_lsh_oracle(num_hashes: int = 128, bands: int = 32, max_bucket: int 
     same_pairs AS (
       SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
              CAST({bands} AS BIGINT) AS n_bands
-      FROM sg a JOIN sg b ON a.fsig = b.fsig AND a.doc_id < b.doc_id)
-    SELECT doc_id_a, doc_id_b, n_bands FROM cross_pairs
-    UNION ALL SELECT doc_id_a, doc_id_b, n_bands FROM same_pairs"""
+      FROM sg a JOIN sg b ON a.fsig = b.fsig AND a.doc_id < b.doc_id),
+    lsh_pairs AS (
+      SELECT doc_id_a, doc_id_b, n_bands FROM cross_pairs
+      UNION ALL SELECT doc_id_a, doc_id_b, n_bands FROM same_pairs)"""
+
+
+def _minhash_lsh_oracle(num_hashes: int = 128, bands: int = 32, max_bucket: int = 1000) -> str:
+    return f"""WITH {_minhash_lsh_pairs_ctes(num_hashes, bands, max_bucket)}
+    SELECT doc_id_a, doc_id_b, n_bands FROM lsh_pairs"""
 
 
 def _simhash_oracle(bits: int = 60, max_hamming: int = 3, max_bucket: int = 2000) -> str:
@@ -723,4 +737,111 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("chars_total"),
         kept_chars.cast("long").alias("chars_kept"),
         F.round(F.lit(1.0) - kept_chars / F.sum("n_chars").cast("double"), 6).alias("savings_pct"),
+    )
+
+
+def _lsh_tuning_oracle(
+    num_hashes: int = 128,
+    bands: int = 32,
+    max_bucket: int = 1000,
+    jaccard_threshold: float = 0.8,
+) -> str:
+    """Replay of lsh_threshold_tuning: the LSH pair stream over the
+    deterministic half-corpus tuning sample (shared CTEs, doc_id % 2 =
+    0), exact 3-gram Jaccard ground truth straight off the same ``sh``
+    shingle CTE the signatures hash, then the min-bands grid fold."""
+    return f"""WITH {_minhash_lsh_pairs_ctes(num_hashes, bands, max_bucket,
+                                   doc_filter=' AND doc_id % 2 = 0')},
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    truth AS (SELECT da, db FROM inter
+              JOIN counts ca ON da = ca.doc_id
+              JOIN counts cb ON db = cb.doc_id
+              WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {jaccard_threshold}),
+    nt AS (SELECT count(*) AS n_true FROM truth),
+    grid AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS min_bands),
+    stats AS (SELECT g.min_bands,
+                     count(*) AS n_candidates,
+                     sum(CASE WHEN t.da IS NOT NULL THEN 1 ELSE 0 END) AS tp
+              FROM grid g
+              JOIN lsh_pairs p ON p.n_bands >= g.min_bands
+              LEFT JOIN truth t ON t.da = p.doc_id_a AND t.db = p.doc_id_b
+              GROUP BY 1)
+    SELECT CAST(s.min_bands AS INT) AS min_bands,
+           CAST(s.n_candidates AS BIGINT) AS n_candidates,
+           CAST(nt.n_true AS BIGINT) AS n_true_pairs,
+           CAST(s.tp AS BIGINT) AS true_positives,
+           round(CAST(s.tp AS DOUBLE) / s.n_candidates, 6) AS precision,
+           round(CAST(s.tp AS DOUBLE) / nt.n_true, 6) AS recall
+    FROM stats s, nt ORDER BY min_bands"""
+
+
+@query("lsh_threshold_tuning", oracle=_lsh_tuning_oracle())
+def lsh_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning report — the measurement a dedup engineer reads before
+    committing banding parameters to a 100 TB run: for the production
+    MinHash(128) + LSH(32×4) candidate stream, precision and recall
+    against EXACT 3-gram Jaccard ≥ 0.8 ground truth, evaluated at every
+    practical "require ≥ m matching bands" acceptance threshold
+    (m ∈ {1, 2, 4, 8, 16, 32}). Raising m trades recall for precision
+    along the S-curve P(≥m bands) = f(jaccard); this emits the measured
+    curve instead of the textbook approximation, on the corpus itself.
+
+    Scale shape: the candidate stream is the O(candidates) banding join
+    (never all-pairs); ground truth is the prefix-filter AllPairs exact
+    join (operators/dedup.ngram_jaccard_pairs — a gate-scale/sampled
+    audit input at 100 TB, the same honesty posture as knn_label_vote's
+    exact twin); the grid fold is a broadcast of SIX threshold rows
+    against the candidate stream. The oracle replays signatures,
+    banding, the bucket cap, the exact Jaccard join and the grid fold
+    end-to-end."""
+    from laygo_python_spark.session import local_rows_df
+
+    # Deterministic half-corpus tuning sample (doc_id % 2 == 0): exact
+    # ground truth is inherently quadratic-ish even under the prefix
+    # filter, and parameter tuning is a SAMPLED measurement at 100 TB —
+    # both the candidate stream and the truth set see the same sample,
+    # so precision/recall are internally consistent. Eager checkpoint:
+    # truth feeds BOTH the grid fold and the n_true denominator — two
+    # actions that would otherwise recompute the exact join.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    cands = dedup.minhash_lsh_candidates(
+        docs, shingle_n=3, num_hashes=128, bands=32, hash_fn="md5"
+    )
+    truth = (
+        dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+        .select("doc_id_a", "doc_id_b", F.lit(1).alias("__t"))
+        .localCheckpoint(eager=True)
+    )
+    marked = cands.join(truth, ["doc_id_a", "doc_id_b"], "left")
+    grid = local_rows_df(
+        spark, [(m,) for m in (1, 2, 4, 8, 16, 32)], "min_bands int"
+    )
+    stats = (
+        F.broadcast(grid)
+        .join(marked, marked["n_bands"] >= F.col("min_bands"))
+        .groupBy("min_bands")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.coalesce(F.col("__t"), F.lit(0))).cast("long").alias("true_positives"),
+        )
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    return (
+        stats.crossJoin(F.broadcast(nt))
+        .select(
+            "min_bands",
+            "n_candidates",
+            "n_true_pairs",
+            "true_positives",
+            F.round(
+                F.col("true_positives").cast("double") / F.col("n_candidates"), 6
+            ).alias("precision"),
+            F.round(
+                F.col("true_positives").cast("double") / F.col("n_true_pairs"), 6
+            ).alias("recall"),
+        )
+        .orderBy("min_bands")
     )

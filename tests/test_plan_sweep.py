@@ -35,6 +35,10 @@ _EXECUTING = {
 # corpus and the broadcast is self-limiting (the blocked/prefix paths
 # join on equi keys and never NLJ).
 _KNOWN_BNLJ = {
+    # the min-bands grid join: SIX broadcast threshold rows fanned
+    # against the O(candidates) LSH pair stream (n_bands >= m is
+    # inherently non-equi); bounded by construction
+    "lsh_threshold_tuning",
     "embedding_cosine_topk",
     "embedding_cosine_topk_fast",
     "embedding_near_dups",
