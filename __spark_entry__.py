@@ -75,10 +75,9 @@ _ROTATION_FRONT = [
     # (e) r11-NEW — must gate this round (the stream_dp_release lesson:
     # a post-rotation landing goes ungated for a full round)
     "ann_index_rebuild_economics", "stream_hll_users",
-    "lsh_threshold_tuning",
-    # (d) r7 fill (4 of 47; the rest stay r7 — within policy)
+    "lsh_threshold_tuning", "stream_weighted_sample",
+    # (d) r7 fill (3 of 47; the rest stay r7 — within policy)
     "acf_daily_value", "bigram_lm_xent", "bigram_pmi_collocations",
-    "char_entropy_score",
 ]
 
 

@@ -187,6 +187,10 @@ HEADLINE = [
     # 3-gram Jaccard ground truth (the parameter-commit measurement
     # for the LSH dedup family).
     "lsh_threshold_tuning",
+    # ... and the streaming weighted reservoir sample (per-batch ES-key
+    # top-k partials, read-time re-selection — the sampling corner of
+    # the mergeable-summary streaming family).
+    "stream_weighted_sample",
 ]
 
 # The iterative graph family, timed as ONE composite `graph_trio_total`

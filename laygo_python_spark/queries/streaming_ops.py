@@ -721,3 +721,66 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "stream_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             round(-ln((1.0 + (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000))
+                       / 1000001.0) / n_chars, 9) AS es_key
+      FROM documents)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, es_key, rn FROM (
+      SELECT *, row_number() OVER (ORDER BY es_key, doc_id) AS rn FROM keyed)
+    WHERE rn <= 50
+    """,
+)
+def stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING weighted sampling without replacement (streaming/
+    es_sample_summary_processor): documents arrive as a file stream,
+    every micro-batch lands its k smallest Efraimidis-Spirakis keys
+    (k rows of state per batch, however large the batch), and the
+    corpus-level weighted sample is the read-time top-k over the stored
+    partials — ES keys merge under selection exactly, so a bounded
+    stream processed to completion equals the batch sampler
+    (weighted_sample_topk) row for row, which is precisely the oracle
+    this query shares with it. Completes the sampling corner of the
+    mergeable-summary streaming family (moments, quantiles, heavy
+    hitters, cardinality, DP release → now weighted reservoir)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from laygo_python_spark.streaming import es_sample_summary_processor
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    scratch = tempfile.mkdtemp(prefix="stream_essample_")
+    try:
+        process = es_sample_summary_processor(
+            "n_chars", ["doc_id", "source", "n_chars"], f"{scratch}/summaries", k=50
+        )
+        q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        partials = spark.read.parquet(f"{scratch}/summaries").select(
+            "doc_id", "source", "n_chars", "es_key"
+        )
+        top = partials.orderBy("es_key", "doc_id").limit(50)
+        w = Window.orderBy("es_key", "doc_id")
+        return (
+            top.withColumn("rn", F.row_number().over(w))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

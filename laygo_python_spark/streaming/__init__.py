@@ -303,6 +303,46 @@ def hll_summary_processor(
     return process
 
 
+def es_sample_summary_processor(
+    weight_col: str, keep_cols: list[str], summary_path: str, k: int = 50
+):
+    """``foreachBatch`` body for streaming weighted sampling WITHOUT
+    replacement: per micro-batch, keep the k smallest Efraimidis-
+    Spirakis keys (es_key = −ln(u)/w with hash-derived u — reproducible
+    across runs/engines, see queries/mixing_ops.weighted_sample_topk)
+    and land them as ``{summary_path}/batch_id=N``. ES keys merge under
+    top-k (a selection lattice): the global weighted sample is EXACTLY
+    the k smallest keys across all batches, so the read side re-selects
+    top-k over ≤ batches·k stored partial rows and never re-reads raw
+    history. Replay = overwrite = exactly-once, same contract as the
+    other summary processors.
+
+    The first keep_col doubles as the hash key and the deterministic
+    tiebreak, so it must be a unique id."""
+    id_col = keep_cols[0]
+
+    def process(batch_df, batch_id: int) -> None:
+        import pyspark.sql.functions as F
+
+        u = (
+            1.0
+            + F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+                ).cast("long"),
+                F.lit(1000000),
+            )
+        ) / 1000001.0
+        keyed = batch_df.filter(F.col(weight_col) > 0).select(
+            *keep_cols, F.round(-F.log(u) / F.col(weight_col), 9).alias("es_key")
+        )
+        keyed.orderBy("es_key", id_col).limit(k).write.mode("overwrite").parquet(
+            f"{summary_path}/batch_id={batch_id}"
+        )
+
+    return process
+
+
 def qsketch_summary_processor(value: str, summary_path: str, gamma: float = 1.02):
     """``foreachBatch`` body for streaming quantile monitoring: per
     micro-batch, reduce the batch to its log-bucketed histogram

@@ -371,3 +371,59 @@ def test_stream_hll_multibatch_equals_single_pass(spark, tmp_path):
         ).collect()
     }
     assert results["single"] == one_pass
+
+
+def test_stream_es_sample_multibatch_equals_batch_topk(spark, tmp_path):
+    """streaming/es_sample_summary_processor: top-k over stored per-batch
+    ES-key partials must be IDENTICAL under any batch split (selection
+    is a lattice) and equal the direct batch top-k over the same rows."""
+    import pyspark.sql.functions as F
+
+    from laygo_python_spark.streaming import es_sample_summary_processor
+
+    rows = [(i, f"s{i % 4}", (i * 7) % 90 + 10) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+    def es_key(col_id="doc_id", w="n_chars"):
+        u = (
+            1.0
+            + F.pmod(
+                F.conv(F.substring(F.md5(F.col(col_id).cast("string")), 1, 8), 16, 10).cast("long"),
+                F.lit(1000000),
+            )
+        ) / 1000001.0
+        return F.round(-F.log(u) / F.col(w), 9)
+
+    direct = [
+        (r["doc_id"], r["es_key"])
+        for r in df.select("doc_id", es_key().alias("es_key"))
+        .orderBy("es_key", "doc_id")
+        .limit(20)
+        .collect()
+    ]
+    results = {}
+    for tag, nfiles in (("multi", 4), ("single", 1)):
+        src = str(tmp_path / f"src_{tag}")
+        df.repartition(nfiles).write.mode("overwrite").parquet(src)
+        summaries = str(tmp_path / f"sum_{tag}")
+        stream = (
+            spark.readStream.schema("doc_id long, source string, n_chars long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                es_sample_summary_processor("n_chars", ["doc_id", "source", "n_chars"], summaries, k=20)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        results[tag] = [
+            (r["doc_id"], r["es_key"])
+            for r in spark.read.parquet(summaries)
+            .orderBy("es_key", "doc_id")
+            .limit(20)
+            .collect()
+        ]
+    assert results["multi"] == results["single"] == direct
