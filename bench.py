@@ -396,9 +396,12 @@ def main() -> None:
     per_query_load: dict[str, list[float]] = {}
     mid = len(names) // 2
     for i, name in enumerate(names):
-        if i == mid and calib:
-            quiesce(spark, deep=True)
-            calib["mid"] = calibration_probe(spark)
+        if i == mid:
+            try:
+                quiesce(spark, deep=True)
+                calib["mid"] = calibration_probe(spark)
+            except Exception as exc:  # noqa: BLE001 — a probe must never kill the run
+                print(f"# calibration probe failed: {type(exc).__name__}: {exc}", file=sys.stderr)
         quiesce(spark, deep=True)
         l_before = _load1()
         try:
@@ -480,12 +483,11 @@ def main() -> None:
             per_query["graph_trio_total"] = -1.0
             per_query_mean["graph_trio_total"] = -1.0
 
-    if calib:
-        try:
-            quiesce(spark, deep=True)
-            calib["end"] = calibration_probe(spark)
-        except Exception as exc:  # noqa: BLE001
-            print(f"# calibration probe failed: {type(exc).__name__}: {exc}", file=sys.stderr)
+    try:
+        quiesce(spark, deep=True)
+        calib["end"] = calibration_probe(spark)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# calibration probe failed: {type(exc).__name__}: {exc}", file=sys.stderr)
 
     if iso > 0:
         per_query["reference_workload_isolated"] = iso

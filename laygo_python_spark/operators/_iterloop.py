@@ -36,44 +36,50 @@ from contextlib import contextmanager
 _KEY = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
 
 # Concurrency: the guard mutates a SESSION-global SQL conf, so two
-# overlapping guards on threads sharing the SparkSession would race the
+# overlapping guards on threads sharing a SparkSession would race the
 # set/restore — one guard's restore could clobber the other's set.
 # Every guard sets the SAME value ("true"), so a refcount fixes it
 # exactly: the FIRST entry saves the prior value and sets the flag, the
 # LAST exit restores — overlapping guards compose instead of clobbering.
-# What the refcount can NOT protect is UNRELATED work sharing the
-# session (e.g. a one-shot relational query on a sibling driver thread)
-# briefly running under parallelism-first coalescing — harmless for
-# correctness, performance-only, but callers mixing iterative loops
-# with latency-critical concurrent queries should scope the loop via
+# The refcount is keyed PER SESSION (guards on independent sessions —
+# the spark.newSession() isolation pattern — must not share a depth
+# counter, or the second session's conf would never be set and the
+# restore could land on the wrong session). What the refcount can NOT
+# protect is UNRELATED work sharing the same session briefly running
+# under parallelism-first coalescing — harmless for correctness,
+# performance-only; callers mixing iterative loops with
+# latency-critical concurrent queries should scope the loop via
 # ``spark.newSession()`` (same SparkContext, independent SQL conf).
 _lock = threading.Lock()
-_depth = 0
-_saved: str | None = None
+_state: dict[int, list] = {}  # id(session) -> [depth, saved_value]
 
 
 @contextmanager
 def loop_parallelism(spark):
     """Within the block, AQE never coalesces below cluster parallelism."""
-    global _depth, _saved
+    sid = id(spark)
     with _lock:
-        if _depth == 0:
+        st = _state.get(sid)
+        if st is None:
             try:
-                _saved = spark.conf.get(_KEY)
+                saved = spark.conf.get(_KEY)
             except Exception:  # noqa: BLE001 — unset: nothing to restore
-                _saved = None
+                saved = None
             spark.conf.set(_KEY, "true")
-        _depth += 1
+            st = _state[sid] = [0, saved]
+        st[0] += 1
     try:
         yield
     finally:
         with _lock:
-            _depth -= 1
-            if _depth == 0:
-                if _saved is None:
+            st = _state[sid]
+            st[0] -= 1
+            if st[0] == 0:
+                del _state[sid]
+                if st[1] is None:
                     try:
                         spark.conf.unset(_KEY)
                     except Exception:  # noqa: BLE001
                         pass
                 else:
-                    spark.conf.set(_KEY, _saved)
+                    spark.conf.set(_KEY, st[1])

@@ -952,20 +952,21 @@ def minhash_index_append(
             except BaseException as exc:  # noqa: BLE001 — surfaced at wait()
                 err.append(exc)
 
-        # NON-daemon + atexit join: a daemon thread can be killed by
-        # interpreter shutdown mid-append, leaving partial parquet files
-        # with no replay marker — silently widening the at-least-once
-        # duplicate-replay window far beyond the synchronous path. A
-        # caller that skips wait() still gets the commit drained before
-        # exit; skipping wait() only defers error surfacing, not the
-        # durability of the appends.
-        import atexit
-
+        # NON-daemon: a daemon thread can be killed by interpreter
+        # shutdown mid-append, leaving partial parquet files with no
+        # replay marker — silently widening the at-least-once
+        # duplicate-replay window far beyond the synchronous path.
+        # daemon=False alone guarantees the drain: CPython's
+        # threading._shutdown joins non-daemon threads BEFORE exit (no
+        # atexit hook needed — and a per-call atexit registration would
+        # pin each batch's thread + captured frames for the process
+        # lifetime in a foreachBatch ingest loop). A caller that skips
+        # wait() still gets the commit drained before exit; skipping
+        # wait() only defers error surfacing, not durability.
         th = threading.Thread(
             target=_runner, daemon=False, name="minhash-index-append"
         )
         th.start()
-        atexit.register(th.join)
 
         def _wait() -> None:
             th.join()

@@ -67,7 +67,25 @@ def merge_moments_by(shards: DataFrame, keys: list[str]) -> DataFrame:
         F.sum("n").alias("__n"), F.sum("s").alias("__s")
     ).withColumn("__mean", F.col("__s") / F.col("__n"))
     if keys:
-        joined = shards.join(F.broadcast(totals), keys)
+        # NULL-SAFE equi-join (eqNullSafe), not a plain key join: groupBy
+        # emits a row for a NULL key group, and a plain join would never
+        # match it back — silently dropping the group's moments (NULL
+        # keys are realistic in user-supplied partials, e.g. source
+        # unset). Totals keys are renamed so the join condition is
+        # unambiguous and the duplicates drop cleanly.
+        tot = totals.select(
+            *[F.col(k).alias(f"__tk_{i}") for i, k in enumerate(keys)],
+            "__n",
+            "__s",
+            "__mean",
+        )
+        cond = None
+        for i, k in enumerate(keys):
+            c = shards[k].eqNullSafe(F.col(f"__tk_{i}"))
+            cond = c if cond is None else (cond & c)
+        joined = shards.join(F.broadcast(tot), cond).drop(
+            *[f"__tk_{i}" for i in range(len(keys))]
+        )
     else:
         joined = shards.crossJoin(F.broadcast(totals))
     d = F.col("s") / F.col("n") - F.col("__mean")

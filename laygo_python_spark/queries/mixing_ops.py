@@ -109,19 +109,25 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
 
 
-@query(
-    "weighted_sample_topk",
-    oracle="""
+# Shared by weighted_sample_topk (batch) and stream_weighted_sample
+# (per-batch ES-key partials, read-time re-selection) — ONE constant so
+# the two samplers can never drift onto inconsistent ground truths.
+# WHERE n_chars > 0: the positive-weight precondition both samplers
+# enforce — es_key = −ln(u)/w is undefined at w ≤ 0 (and a NULL weight
+# would sort NULLS FIRST in Spark but NULLS LAST in DuckDB).
+ES_SAMPLE_ORACLE = """
     WITH keyed AS (
       SELECT doc_id, source, n_chars,
              round(-ln((1.0 + (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000))
                        / 1000001.0) / n_chars, 9) AS es_key
-      FROM documents)
+      FROM documents WHERE n_chars > 0)
     SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, es_key, rn FROM (
       SELECT *, row_number() OVER (ORDER BY es_key, doc_id) AS rn FROM keyed)
     WHERE rn <= 50
-    """,
-)
+    """
+
+
+@query("weighted_sample_topk", oracle=ES_SAMPLE_ORACLE)
 def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling WITHOUT replacement, distributed: the
     Efraimidis-Spirakis exponential-rank trick — key = -ln(u)/w, keep the
@@ -134,7 +140,9 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars, so longer docs are proportionally likelier — the corpus
     re-weighting primitive. es_key rounds to 9 so ln() ulp differences
     can't flip the cross-engine rank (doc_id breaks residual ties)."""
-    docs = _t(spark, sf_dir, "documents")
+    # n_chars > 0: the shared positive-weight precondition (see
+    # ES_SAMPLE_ORACLE) — matches the streaming twin's per-batch filter.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = (
         1.0
         + F.pmod(

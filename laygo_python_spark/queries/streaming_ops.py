@@ -723,19 +723,10 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
-@query(
-    "stream_weighted_sample",
-    oracle="""
-    WITH keyed AS (
-      SELECT doc_id, source, n_chars,
-             round(-ln((1.0 + (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000))
-                       / 1000001.0) / n_chars, 9) AS es_key
-      FROM documents)
-    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, es_key, rn FROM (
-      SELECT *, row_number() OVER (ORDER BY es_key, doc_id) AS rn FROM keyed)
-    WHERE rn <= 50
-    """,
-)
+from laygo_python_spark.queries.mixing_ops import ES_SAMPLE_ORACLE  # noqa: E402
+
+
+@query("stream_weighted_sample", oracle=ES_SAMPLE_ORACLE)
 def stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING weighted sampling without replacement (streaming/
     es_sample_summary_processor): documents arrive as a file stream,

@@ -267,3 +267,21 @@ def test_dp_release_null_keys_get_distinct_noise(spark):
     assert len(out) == 3
     noises = [r["noisy_count"] - 100 for r in out]
     assert len({round(x, 6) for x in noises}) == 3
+
+
+def test_moments_merge_preserves_null_key_group(spark):
+    """r11 review: pass 2's rejoin must be NULL-SAFE — a plain equi-join
+    never matches a NULL key, silently dropping that group's moments
+    (the old one-pass groupBy emitted it)."""
+    from laygo_python_spark.operators.moments import merge_moments_by
+
+    sh = spark.createDataFrame(
+        [("a", 3, 30.0, 2.0), (None, 2, 10.0, 8.0), (None, 2, 6.0, 2.0)],
+        "k string, n long, s double, m2 double",
+    )
+    got = {r["k"]: r for r in merge_moments_by(sh, ["k"]).collect()}
+    assert set(got) == {"a", None}
+    assert got[None]["n_rows"] == 4
+    assert got[None]["mean"] == pytest.approx(4.0)
+    # centered merge: M2 = (8+2) + 2*(5-4)^2 + 2*(3-4)^2 = 14; var = 3.5
+    assert got[None]["var_pop"] == pytest.approx(3.5)
