@@ -128,3 +128,17 @@ def test_curation_budget_end_to_end(spark, sf_dir):
     assert stats["selected_token_var"] >= 0.0
     # one released row per source present in the selection
     assert len(stats["released_mix"]) >= 1
+
+
+def test_ann_maintenance_end_to_end(spark, sf_dir, tmp_path):
+    from examples.ann_maintenance import run as am_run
+
+    stats = am_run(spark, sf_dir, str(tmp_path / "ivf"))
+    assert stats["n_added"] > 0
+    assert stats["cell_skew"] >= 1.0
+    assert stats["worst_distortion_inflation"] >= 0.0
+    assert 0.0 < stats["worst_appended_frac"] <= 1.0
+    assert isinstance(stats["retrain_recommended"], bool)
+    # compaction is search-identical — the OPTIMIZE contract
+    assert stats["search_identical_after_compact"]
+    assert len(stats["topk_before"]) > 0
