@@ -191,6 +191,10 @@ HEADLINE = [
     # top-k partials, read-time re-selection — the sampling corner of
     # the mergeable-summary streaming family).
     "stream_weighted_sample",
+    # ... and the embedding-distribution drift monitor over committed
+    # IVF cells (PSI/JSD on cell occupancy — the "retrain the index /
+    # re-examine the crawl" alarm that pairs with rebuild economics).
+    "embedding_cell_drift",
 ]
 
 # The iterative graph family, timed as ONE composite `graph_trio_total`

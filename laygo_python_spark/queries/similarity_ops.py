@@ -1508,3 +1508,75 @@ def ann_index_rebuild_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("appended_frac") > F.lit(0.5), F.lit(False))
         | F.coalesce(F.col("distortion_ratio") > F.lit(1.25), F.lit(False)),
     ).orderBy("cell")
+
+
+def _cell_drift_oracle(k_cells: int = 16) -> str:
+    """Replay of embedding_cell_drift: committed-centroid assignment
+    (operator tie-break order), per-cell base/appended counts, then the
+    EPS-floored PSI/JSD fold (operators/drift.drift_from_counts)."""
+    from laygo_python_spark.operators.ann_artifacts import IVF_PATH
+
+    return f"""WITH {_ann_key_ctes()},
+    cent AS (SELECT a.cell, a.centroid FROM read_parquet('{IVF_PATH}') a, key
+             WHERE a.k = {k_cells} AND a.n_corpus = key.nc AND a.sig = key.ks),
+    d AS (SELECT e.vec_id, c.cell,
+                 list_dot_product(c.centroid, c.centroid)
+                 - 2*list_dot_product(e.v, c.centroid) AS d2a
+          FROM e, cent c),
+    assign AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2a, cell) AS rn
+        FROM d) WHERE rn = 1),
+    h AS (SELECT cell,
+                 sum(CASE WHEN vec_id % 3 <> 0 THEN 1 ELSE 0 END) AS cr,
+                 sum(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END) AS cc
+          FROM assign GROUP BY cell),
+    t AS (SELECT CAST(sum(cr) AS BIGINT) AS n_ref,
+                 CAST(sum(cc) AS BIGINT) AS n_cur FROM h),
+    terms AS (SELECT greatest(CAST(cr AS DOUBLE) / t.n_ref, 1e-6) AS p,
+                     greatest(CAST(cc AS DOUBLE) / t.n_cur, 1e-6) AS q,
+                     t.n_ref, t.n_cur
+              FROM h, t)
+    SELECT round(sum((q - p) * ln(q / p)), 6) AS psi,
+           round(sum(0.5 * p * ln(p / ((p + q) / 2))
+                   + 0.5 * q * ln(q / ((p + q) / 2))), 6) AS jsd,
+           n_ref, n_cur
+    FROM terms GROUP BY n_ref, n_cur"""
+
+
+@query("embedding_cell_drift", oracle=_cell_drift_oracle())
+def embedding_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING distribution drift over IVF cells — the monitor that
+    pairs with ann_index_rebuild_economics' distortion audit: the
+    committed centroids induce a fixed 16-way partition of embedding
+    space, so the base corpus (vec_id % 3 != 0) and an appended batch
+    (% 3 == 0) each reduce to a 16-bin cell histogram, and PSI/JSD over
+    those histograms (operators/drift.drift_from_counts — the same fold
+    psi_value_drift runs on scalar bins) quantify WHERE the new data
+    lives relative to the index's training snapshot. PSI > 0.25 on cell
+    occupancy is the canonical "the embedding distribution moved —
+    retrain the index / re-examine the crawl" alarm, and it catches
+    drift the distortion ratio alone can miss (a batch can quantize
+    tightly while concentrating in two cells).
+
+    Scale shape: one Arrow-batched assignment pass per side (rides a
+    scheduled append's scan), two ≤k-row histograms, one fold. The cell
+    histograms are additive partials, so the reference side can be a
+    stored artifact new batches merge into — the sketch mergeability
+    contract."""
+    from laygo_python_spark.operators.ann_artifacts import load_ivf_centroids
+    from laygo_python_spark.operators.drift import drift_from_counts
+    from laygo_python_spark.operators.ivf import _assign_cells, train_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = load_ivf_centroids(sf_dir, k=16)
+    if cent is None:
+        cent = train_centroids(emb, 16)
+    assign = _assign_cells(emb, cent, "vec_id", "v", "vec_id", "embedding", n_probe=1)
+    hist = (
+        assign.groupBy((F.col("vec_id") % 3 == 0).alias("is_app"), F.col("cell").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    base_h = hist.filter(~F.col("is_app")).select("bin", "cnt")
+    cur_h = hist.filter(F.col("is_app")).select("bin", "cnt")
+    return drift_from_counts(base_h, cur_h, keys=[])

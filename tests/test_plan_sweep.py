@@ -109,6 +109,10 @@ def test_no_scale_killers(spark, sf_dir, name):
 # (TakeOrdered first, rank the k survivors). Name-allowed: frames bounded
 # by construction where the bound isn't visible in the plan shape.
 _BOUNDED_WINDOW_QUERIES = {
+    # drift_from_counts' keys=[] global totals window runs over the
+    # merged CELL histograms — ≤ 2·n_centroids (= 32) rows by
+    # construction, never raw vectors.
+    "embedding_cell_drift",
     # qsketch bucket table is <= O(log(range)/log(1+2*eps)) rows
     # (operators/qsketch.py:99) — the cumulative-count window runs over
     # sketch buckets, never raw rows.
