@@ -76,9 +76,9 @@ _ROTATION_FRONT = [
     # a post-rotation landing goes ungated for a full round)
     "ann_index_rebuild_economics", "stream_hll_users",
     "lsh_threshold_tuning", "stream_weighted_sample",
-    "embedding_cell_drift",
-    # (d) r7 fill (2 of 47; the rest stay r7 — within policy)
-    "acf_daily_value", "bigram_lm_xent",
+    "embedding_cell_drift", "budget_waterfill_allocation",
+    # (d) r7 fill (1 of 47; the rest stay r7 — within policy)
+    "acf_daily_value",
 ]
 
 

@@ -195,6 +195,9 @@ HEADLINE = [
     # IVF cells (PSI/JSD on cell occupancy — the "retrain the index /
     # re-examine the crawl" alarm that pairs with rebuild economics).
     "embedding_cell_drift",
+    # ... and water-filling budget allocation across sources (caps
+    # scarce sources, redistributes surplus — the mix-application step).
+    "budget_waterfill_allocation",
 ]
 
 # The iterative graph family, timed as ONE composite `graph_trio_total`

@@ -384,3 +384,125 @@ def padding_waste_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "waste_pct"
         ),
     ).orderBy("strategy")
+
+
+def _waterfill_oracle(rounds: int = 6, budget_frac: float = 0.8) -> str:
+    """Unrolled water-filling replay (the kcore/LPA bounded-iteration
+    idiom): each round recomputes the uncapped weight mass d and the
+    capped token mass ct as 1-row aggregates, then caps every source
+    whose proportional demand exceeds its availability."""
+    parts = [
+        """t AS (SELECT source,
+                 CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE) AS tok,
+                 CAST(1 + (CAST(substring(source, 4) AS INT) % 4) AS DOUBLE) AS w
+          FROM documents GROUP BY source),
+    b AS (SELECT """
+        + str(budget_frac)
+        + """ * sum(tok) AS bud FROM t),
+    s0 AS (SELECT source, tok, w, FALSE AS capped FROM t)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""g{r} AS (SELECT coalesce(sum(CASE WHEN NOT capped THEN w END), 0) AS d,
+                    coalesce(sum(CASE WHEN capped THEN tok END), 0) AS ct
+             FROM s{r - 1}),
+    s{r} AS (SELECT source, tok, w,
+                    (capped OR (g{r}.d > 0
+                                AND (b.bud - g{r}.ct) * w / g{r}.d > tok)) AS capped
+             FROM s{r - 1}, g{r}, b)"""
+        )
+    parts.append(
+        f"""gf AS (SELECT coalesce(sum(CASE WHEN NOT capped THEN w END), 0) AS d,
+                   coalesce(sum(CASE WHEN capped THEN tok END), 0) AS ct
+            FROM s{rounds})"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT source, CAST(tok AS BIGINT) AS avail_tokens,
+           CAST(w AS INT) AS target_weight,
+           round(CASE WHEN capped THEN tok
+                      WHEN gf.d > 0 THEN (b.bud - gf.ct) * w / gf.d
+                      ELSE 0 END, 4) AS alloc_tokens,
+           capped
+    FROM s{rounds}, gf, b ORDER BY source"""
+    )
+
+
+@query("budget_waterfill_allocation", oracle=_waterfill_oracle())
+def budget_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources — the step
+    that APPLIES a target mix (training_mix_weights' output shape) to a
+    finite compute budget: naive alloc = B·wₛ/Σw over-asks scarce
+    sources, so each round caps every source whose proportional demand
+    exceeds its available tokens and redistributes the surplus across
+    the still-uncapped weight mass. With |S| sources the fixpoint needs
+    at most |S| rounds (each round caps ≥1 source or is final); 6
+    unrolled rounds here — the bounded-iteration trick that keeps the
+    whole plan SQL-replayable (kcore/LPA idiom). Target weights are
+    deterministically skewed (w = 1 + source_index % 4) so capping
+    actually exercises at the gate scale; budget = 80% of the corpus.
+
+    Scale shape: ONE corpus scan folds per-source token totals
+    (partial+final agg to |S| rows); every water-filling round is two
+    1-row aggregates + a broadcast crossJoin over the |S|-row frame —
+    the corpus is never rescanned and nothing ever exceeds |S| rows of
+    state. Output: (source, avail_tokens, target_weight, alloc_tokens,
+    capped)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+            .cast("double")
+            .alias("tok")
+        )
+        .withColumn(
+            "w",
+            (1 + F.substring("source", 4, 10).cast("int") % 4).cast("double"),
+        )
+    )
+    bud = t.agg((F.lit(0.8) * F.sum("tok")).alias("bud"))
+    s = t.withColumn("capped", F.lit(False)).crossJoin(F.broadcast(bud))
+    base_cols = ["source", "tok", "w", "capped", "bud"]
+    for _ in range(6):
+        g = s.agg(
+            F.coalesce(F.sum(F.when(~F.col("capped"), F.col("w"))), F.lit(0.0)).alias("d"),
+            F.coalesce(F.sum(F.when(F.col("capped"), F.col("tok"))), F.lit(0.0)).alias("ct"),
+        )
+        s = (
+            s.crossJoin(F.broadcast(g))
+            .withColumn(
+                "capped",
+                F.col("capped")
+                | (
+                    (F.col("d") > 0)
+                    & ((F.col("bud") - F.col("ct")) * F.col("w") / F.col("d") > F.col("tok"))
+                ),
+            )
+            .select(*base_cols)
+        )
+    gf = s.agg(
+        F.coalesce(F.sum(F.when(~F.col("capped"), F.col("w"))), F.lit(0.0)).alias("d"),
+        F.coalesce(F.sum(F.when(F.col("capped"), F.col("tok"))), F.lit(0.0)).alias("ct"),
+    )
+    return (
+        s.crossJoin(F.broadcast(gf))
+        .select(
+            "source",
+            F.col("tok").cast("long").alias("avail_tokens"),
+            F.col("w").cast("int").alias("target_weight"),
+            F.round(
+                F.when(F.col("capped"), F.col("tok"))
+                .when(
+                    F.col("d") > 0,
+                    (F.col("bud") - F.col("ct")) * F.col("w") / F.col("d"),
+                )
+                .otherwise(F.lit(0.0)),
+                4,
+            ).alias("alloc_tokens"),
+            "capped",
+        )
+        .orderBy("source")
+    )
