@@ -76,10 +76,13 @@ def run(spark, sf_dir: str, path: str) -> dict:
     #     centroids (appended ids are the % 3 == 0 batch by step 2)
     cells = spark.read.parquet(f"{path}/cells")
     cent_df = spark.read.parquet(f"{path}/centroids")
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    from laygo_python_spark.operators.similarity import dot
+
+    d2 = (
+        dot(F.col("cv"), F.col("cv"))
+        - 2 * dot(F.col("cv"), F.col("centroid"))
+        + dot(F.col("centroid"), F.col("centroid"))
     )
-    d2 = dot("cv", "cv") - 2 * dot("cv", "centroid") + dot("centroid", "centroid")
     per_cell = (
         cells.join(F.broadcast(cent_df), "cell")
         .select("cell", (F.col("neighbor_id") % 3 == 0).alias("is_app"), d2.alias("d2"))

@@ -386,27 +386,31 @@ def padding_waste_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("strategy")
 
 
-def _waterfill_oracle(rounds: int = 6, budget_frac: float = 0.8) -> str:
+def _waterfill_oracle(rounds: int = 20, budget_frac: float = 0.8) -> str:
     """Unrolled water-filling replay (the kcore/LPA bounded-iteration
     idiom): each round recomputes the uncapped weight mass d and the
     capped token mass ct as 1-row aggregates, then caps every source
-    whose proportional demand exceeds its availability."""
+    whose proportional demand exceeds its availability. Water-filling
+    caps at least one NEW source per non-final round, so ``rounds`` =
+    the corpus's source count is ALWAYS the true fixpoint (extra rounds
+    are no-ops); 20 matches the fixture. The Spark side iterates to the
+    fixpoint directly, so the two agree for any |S| ≤ rounds."""
     parts = [
-        """t AS (SELECT source,
+        """t AS MATERIALIZED (SELECT source,
                  CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE) AS tok,
                  CAST(1 + (CAST(substring(source, 4) AS INT) % 4) AS DOUBLE) AS w
           FROM documents GROUP BY source),
     b AS (SELECT """
         + str(budget_frac)
         + """ * sum(tok) AS bud FROM t),
-    s0 AS (SELECT source, tok, w, FALSE AS capped FROM t)"""
+    s0 AS MATERIALIZED (SELECT source, tok, w, FALSE AS capped FROM t)"""
     ]
     for r in range(1, rounds + 1):
         parts.append(
-            f"""g{r} AS (SELECT coalesce(sum(CASE WHEN NOT capped THEN w END), 0) AS d,
+            f"""g{r} AS MATERIALIZED (SELECT coalesce(sum(CASE WHEN NOT capped THEN w END), 0) AS d,
                     coalesce(sum(CASE WHEN capped THEN tok END), 0) AS ct
              FROM s{r - 1}),
-    s{r} AS (SELECT source, tok, w,
+    s{r} AS MATERIALIZED (SELECT source, tok, w,
                     (capped OR (g{r}.d > 0
                                 AND (b.bud - g{r}.ct) * w / g{r}.d > tok)) AS capped
              FROM s{r - 1}, g{r}, b)"""
@@ -437,21 +441,28 @@ def budget_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     finite compute budget: naive alloc = B·wₛ/Σw over-asks scarce
     sources, so each round caps every source whose proportional demand
     exceeds its available tokens and redistributes the surplus across
-    the still-uncapped weight mass. With |S| sources the fixpoint needs
-    at most |S| rounds (each round caps ≥1 source or is final); 6
-    unrolled rounds here — the bounded-iteration trick that keeps the
-    whole plan SQL-replayable (kcore/LPA idiom). Target weights are
-    deterministically skewed (w = 1 + source_index % 4) so capping
-    actually exercises at the gate scale; budget = 80% of the corpus.
+    the still-uncapped weight mass, iterated TO THE FIXPOINT (each
+    non-final round caps ≥ 1 new source, so ≤ |S| rounds). Target
+    weights are deterministically skewed (w = 1 + source_index % 4) so
+    capping actually exercises at the gate scale; budget = 80% of the
+    corpus.
 
-    Scale shape: ONE corpus scan folds per-source token totals
-    (partial+final agg to |S| rows); every water-filling round is two
-    1-row aggregates + a broadcast crossJoin over the |S|-row frame —
-    the corpus is never rescanned and nothing ever exceeds |S| rows of
-    state. Output: (source, avail_tokens, target_weight, alloc_tokens,
-    capped)."""
+    Scale shape: ONE distributed corpus scan folds per-source token
+    totals (partial+final agg), then the |S|-row summary is collected
+    and the fixpoint runs DRIVER-SIDE — the bounded-small-state idiom
+    of the k-row codebooks/centroids (sources ≈ domains: thousands at
+    most, never corpus-sized). The r11 in-plan spelling (crossJoin per
+    round) referenced the prior frame twice per round — an
+    EXPONENTIALLY growing logical plan (255 broadcast nodes pinned in
+    the plan baseline for a 20-row computation) that also forced a
+    fixed round count; the driver loop is linear, exact (pure IEEE
+    double ops, bit-identical to the oracle's replay), and runs to true
+    convergence. Output: (source, avail_tokens, target_weight,
+    alloc_tokens, capped)."""
+    from laygo_python_spark.session import local_rows_df
+
     docs = _t(spark, sf_dir, "documents")
-    t = (
+    totals = (
         docs.groupBy("source")
         .agg(
             F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
@@ -462,47 +473,44 @@ def budget_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w",
             (1 + F.substring("source", 4, 10).cast("int") % 4).cast("double"),
         )
+        .collect()
     )
-    bud = t.agg((F.lit(0.8) * F.sum("tok")).alias("bud"))
-    s = t.withColumn("capped", F.lit(False)).crossJoin(F.broadcast(bud))
-    base_cols = ["source", "tok", "w", "capped", "bud"]
-    for _ in range(6):
-        g = s.agg(
-            F.coalesce(F.sum(F.when(~F.col("capped"), F.col("w"))), F.lit(0.0)).alias("d"),
-            F.coalesce(F.sum(F.when(F.col("capped"), F.col("tok"))), F.lit(0.0)).alias("ct"),
+    srcs = [(r["source"], float(r["tok"]), float(r["w"])) for r in totals]
+    bud = 0.8 * sum(tok for _, tok, _ in srcs)
+    capped: set[str] = set()
+    while True:
+        d = sum(w for sname, _, w in srcs if sname not in capped)
+        ct = sum(tok for sname, tok, _ in srcs if sname in capped)
+        newly = {
+            sname
+            for sname, tok, w in srcs
+            if sname not in capped and d > 0 and (bud - ct) * w / d > tok
+        }
+        if not newly:
+            break
+        capped |= newly
+    d = sum(w for sname, _, w in srcs if sname not in capped)
+    ct = sum(tok for sname, tok, _ in srcs if sname in capped)
+    rows = [
+        (
+            sname,
+            int(tok),
+            int(w),
+            tok if sname in capped else ((bud - ct) * w / d if d > 0 else 0.0),
+            sname in capped,
         )
-        s = (
-            s.crossJoin(F.broadcast(g))
-            .withColumn(
-                "capped",
-                F.col("capped")
-                | (
-                    (F.col("d") > 0)
-                    & ((F.col("bud") - F.col("ct")) * F.col("w") / F.col("d") > F.col("tok"))
-                ),
-            )
-            .select(*base_cols)
-        )
-    gf = s.agg(
-        F.coalesce(F.sum(F.when(~F.col("capped"), F.col("w"))), F.lit(0.0)).alias("d"),
-        F.coalesce(F.sum(F.when(F.col("capped"), F.col("tok"))), F.lit(0.0)).alias("ct"),
+        for sname, tok, w in srcs
+    ]
+    out = local_rows_df(
+        spark,
+        rows,
+        "source string, avail_tokens long, target_weight int, "
+        "alloc_raw double, capped boolean",
     )
-    return (
-        s.crossJoin(F.broadcast(gf))
-        .select(
-            "source",
-            F.col("tok").cast("long").alias("avail_tokens"),
-            F.col("w").cast("int").alias("target_weight"),
-            F.round(
-                F.when(F.col("capped"), F.col("tok"))
-                .when(
-                    F.col("d") > 0,
-                    (F.col("bud") - F.col("ct")) * F.col("w") / F.col("d"),
-                )
-                .otherwise(F.lit(0.0)),
-                4,
-            ).alias("alloc_tokens"),
-            "capped",
-        )
-        .orderBy("source")
-    )
+    return out.select(
+        "source",
+        "avail_tokens",
+        "target_weight",
+        F.round("alloc_raw", 4).alias("alloc_tokens"),
+        "capped",
+    ).orderBy("source")

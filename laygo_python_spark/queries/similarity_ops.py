@@ -1476,10 +1476,10 @@ def ann_index_rebuild_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell int, centroid array<double>",
     )
 
+    from laygo_python_spark.operators.similarity import dot as _dot
+
     def dot(a: str, b: str):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
+        return _dot(F.col(a), F.col(b))
 
     rows = assign.join(F.broadcast(cent_df), "cell").select(
         "cell",
