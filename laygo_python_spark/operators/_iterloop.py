@@ -65,8 +65,12 @@ def loop_parallelism(spark):
                 saved = spark.conf.get(_KEY)
             except Exception:  # noqa: BLE001 — unset: nothing to restore
                 saved = None
-            spark.conf.set(_KEY, "true")
             st = _state[sid] = [0, saved]
+        # Set on EVERY entry, not just the first (idempotent and cheap):
+        # if anything reset the key between an outer guard's entry and a
+        # nested guard's entry, the inner block must still run with
+        # parallelism-first coalescing (r11 ADVICE).
+        spark.conf.set(_KEY, "true")
         st[0] += 1
     try:
         yield

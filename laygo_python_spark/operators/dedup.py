@@ -963,6 +963,16 @@ def minhash_index_append(
         # lifetime in a foreachBatch ingest loop). A caller that skips
         # wait() still gets the commit drained before exit; skipping
         # wait() only defers error surfacing, not durability.
+        #
+        # KNOWN HANG MODE (deliberate trade, r11 ADVICE): threading.
+        # _shutdown joins non-daemon threads with NO timeout, so a
+        # WEDGED Spark write (dead gateway/cluster) pins interpreter
+        # shutdown until the write errors or the process is killed.
+        # That is the price of the durability guarantee above — a
+        # bounded join would reintroduce the silent-partial-commit
+        # window this thread exists to close. Callers on flaky
+        # clusters should call wait() themselves (interruptible,
+        # surfaces the error) rather than relying on the exit drain.
         th = threading.Thread(
             target=_runner, daemon=False, name="minhash-index-append"
         )
@@ -1258,6 +1268,168 @@ def ngram_containment_pairs(
             F.col("__ida").alias("doc_id_a"),
             F.col("__idb").alias("doc_id_b"),
             cont.alias("containment"),
+        )
+    )
+
+
+def substring_span_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_len: int = 16,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact cross-document duplicated SUBSTRING spans at arbitrary
+    offsets — the Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") modality the doc-level/chunk-level family
+    misses: a 40-token passage pasted mid-document matches no doc hash
+    and can straddle every fixed chunk boundary, yet is exactly the
+    boilerplate a curation run must strip. Reference parity: the
+    reference (laygo) has no dedup at all — this is survey-mandated
+    uplift alongside ``ngram_containment_pairs``.
+
+    Returns one row per MAXIMAL duplicated span per doc pair:
+    (doc_id_a, doc_id_b, start_a, start_b, span_len) with doc_id_a <
+    doc_id_b, 0-based token offsets, span_len >= min_len tokens.
+
+    Shape — never a global suffix array on one node (the single-node
+    spelling of Lee et al. cannot shard): overlapping k-gram postings
+    WITH OFFSETS (doc, pos, xxhash64(gram)) built map-side from one
+    corpus scan; a self-join on the 8-byte fingerprint yields matching
+    k-gram occurrence pairs; and two matches (pa,pb), (pa+1,pb+1) on
+    the same DIAGONAL (pa-pb) of the same doc pair are the same span,
+    so a gaps-and-islands pass per (pair, diagonal) — row_number over
+    pos, group by pos - rn — coalesces runs into maximal spans of
+    token length run + k - 1. Every shuffle carries 8-byte hashes and
+    int offsets, never text; the window partitioning (doc_a, doc_b,
+    diag) is exactly the join output's natural key, so AQE coalesces
+    it onto the join exchange.
+
+    ``max_df`` is the same stop-gram valve as ``ngram_containment_pairs``:
+    a k-gram appearing at d corpus positions fans the self-join d², so
+    boilerplate grams (license headers, markup runs) dominate cost at
+    100 TB. Positions whose fingerprint exceeds max_df occurrences are
+    dropped BEFORE the join; a span interrupted only by a dropped hot
+    gram splits in two (documented semantics change, deterministic and
+    oracle-replayable — not a silent approximation). None = exact."""
+    from pyspark.sql import Window
+
+    w = (
+        _spread_small_input(docs)
+        .select(
+            F.col(id_col).alias("__doc"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__ws"),
+        )
+        .filter(F.size("__ws") >= k)
+    )
+    posts = w.select(
+        "__doc",
+        F.explode(F.expr(f"sequence(0, size(__ws) - {k})")).alias("pos"),
+        "__ws",
+    ).select(
+        "__doc",
+        "pos",
+        F.xxhash64(F.array_join(F.expr(f"slice(__ws, pos + 1, {k})"), " ")).alias("fp"),
+    )
+    if max_df is not None:
+        wdf = Window.partitionBy("fp")
+        posts = (
+            posts.withColumn("__df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    a = posts.select(F.col("__doc").alias("da"), F.col("pos").alias("pa"), "fp")
+    b = posts.select(F.col("__doc").alias("db"), F.col("pos").alias("pb"), "fp")
+    m = a.join(b, "fp").filter(F.col("da") < F.col("db")).drop("fp")
+    diag = (F.col("pa") - F.col("pb")).alias("__diag")
+    wisl = Window.partitionBy("da", "db", "__diag").orderBy("pa")
+    isl = m.select("da", "db", "pa", "pb", diag).withColumn(
+        "__grp", F.col("pa") - F.row_number().over(wisl)
+    )
+    return (
+        isl.groupBy("da", "db", "__diag", "__grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select(
+            F.col("da").alias("doc_id_a"),
+            F.col("db").alias("doc_id_b"),
+            F.col("start_a").cast("int").alias("start_a"),
+            F.col("start_b").cast("int").alias("start_b"),
+            F.col("span_len").cast("int").alias("span_len"),
+        )
+    )
+
+
+def substring_dup_coverage(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-token coverage from ``substring_span_pairs``
+    output — the signal a curation policy actually thresholds on ("drop
+    or strip documents that are >X% corpus-repeated"). Each span marks
+    [start, start+len) token intervals on BOTH participating docs;
+    overlapping intervals on one doc (the same passage shared with many
+    partners) must union, not sum, or coverage exceeds 1.0 — the
+    interval-union sweep is the standard running-max gaps-and-islands:
+    order a doc's intervals by start, an interval opens a new island
+    when its start exceeds the running max end, and covered tokens =
+    Σ per-island (max end - min start).
+
+    Returns (doc_id, n_tokens, dup_tokens, dup_fraction) for EVERY doc
+    (zero coverage included — the policy needs the clean ones too).
+    Shuffle keys are doc ids + int offsets; span counts are tiny
+    relative to the corpus, so the windows ride a per-doc partitioning."""
+    from pyspark.sql import Window
+
+    iv = (
+        spans.select(
+            F.col("doc_id_a").alias("__doc"),
+            F.col("start_a").alias("__s"),
+            (F.col("start_a") + F.col("span_len")).alias("__e"),
+        )
+        .unionByName(
+            spans.select(
+                F.col("doc_id_b").alias("__doc"),
+                F.col("start_b").alias("__s"),
+                (F.col("start_b") + F.col("span_len")).alias("__e"),
+            )
+        )
+    )
+    word = Window.partitionBy("__doc").orderBy("__s", "__e")
+    # Running max of end over PRECEDING rows only: an interval starts a
+    # new island iff it begins past everything already seen.
+    prev_max = F.max("__e").over(word.rowsBetween(Window.unboundedPreceding, -1))
+    isl = iv.withColumn(
+        "__new", F.when(prev_max.isNull() | (F.col("__s") > prev_max), 1).otherwise(0)
+    ).withColumn("__isl", F.sum("__new").over(word))
+    covered = (
+        isl.groupBy("__doc", "__isl")
+        .agg((F.max("__e") - F.min("__s")).alias("__cov"))
+        .groupBy("__doc")
+        .agg(F.sum("__cov").alias("dup_tokens"))
+    )
+    lens = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"),
+    )
+    return (
+        lens.join(covered, "__doc", "left")
+        .select(
+            F.col("__doc").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_fraction"),
         )
     )
 

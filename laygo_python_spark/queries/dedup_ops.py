@@ -845,3 +845,100 @@ def lsh_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("min_bands")
     )
+
+def _substring_span_cte(k: int = 8) -> str:
+    """Shared oracle scaffolding for the substring-span family: replay
+    postings-with-offsets + diagonal gaps-and-islands coalescing in
+    DuckDB window SQL. Fingerprints are md5 here vs xxhash64 in Spark —
+    they never leave either plan, only the grouping matters."""
+    return f"""
+    w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= {k}),
+    g AS (SELECT doc_id, CAST(unnest(range(0, len(ws) - {k} + 1)) AS INT) AS pos, ws
+          FROM w),
+    f AS (SELECT doc_id, pos, md5(array_to_string(ws[pos+1:pos+{k}], ' ')) AS fp
+          FROM g),
+    m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+          FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+    isl AS (SELECT da, db, pa, pb,
+                   pa - row_number() OVER (PARTITION BY da, db, pa - pb
+                                           ORDER BY pa) AS grp
+            FROM m),
+    spans AS (SELECT da, db, min(pa) AS start_a, min(pb) AS start_b,
+                     count(*) + {k} - 1 AS span_len
+              FROM isl GROUP BY da, db, pa - pb, grp)"""
+
+
+@query(
+    "substring_span_dedup",
+    oracle=f"""
+    WITH {_substring_span_cte(8)}
+    SELECT da AS doc_id_a, db AS doc_id_b,
+           CAST(start_a AS INT) AS start_a,
+           CAST(start_b AS INT) AS start_b,
+           CAST(span_len AS INT) AS span_len
+    FROM spans WHERE span_len >= 16
+    ORDER BY doc_id_a, doc_id_b, start_a, start_b""",
+)
+def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated substrings at ARBITRARY token
+    offsets (operators/dedup.substring_span_pairs — the Lee et al. 2022
+    exact-substring modality; see the operator docstring for the
+    postings-with-offsets + diagonal gaps-and-islands shape and why a
+    global suffix array cannot shard). k=8-gram seeds, spans >= 16
+    tokens reported with offsets on both docs. The oracle replays
+    postings, the fingerprint self-join, the per-(pair, diagonal)
+    row_number islands and the run->span coalescing in DuckDB window
+    SQL — any drift in tokenization, offsets, diagonal grouping or the
+    maximality coalescing breaks the hash match."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.substring_span_pairs(docs, k=8, min_len=16).orderBy(
+        "doc_id_a", "doc_id_b", "start_a", "start_b"
+    )
+
+
+@query(
+    "substring_dup_coverage",
+    oracle=f"""
+    WITH {_substring_span_cte(8)},
+    iv AS (SELECT da AS doc_id, start_a AS s, start_a + span_len AS e
+           FROM spans WHERE span_len >= 16
+           UNION ALL
+           SELECT db, start_b, start_b + span_len
+           FROM spans WHERE span_len >= 16),
+    mx AS (SELECT doc_id, s, e,
+                  max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS pm
+           FROM iv),
+    isl2 AS (SELECT doc_id, s, e,
+                    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+             FROM mx),
+    cov AS (SELECT doc_id, CAST(sum(ge - gs) AS BIGINT) AS dup_tokens
+            FROM (SELECT doc_id, grp, max(e) AS ge, min(s) AS gs
+                  FROM isl2 GROUP BY doc_id, grp)
+            GROUP BY doc_id),
+    lens AS (SELECT doc_id,
+                    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+             FROM documents)
+    SELECT l.doc_id,
+           CAST(l.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(coalesce(c.dup_tokens, 0) / CAST(l.n_tokens AS DOUBLE), 6)
+             AS dup_fraction
+    FROM lens l LEFT JOIN cov c USING (doc_id)""",
+)
+def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token coverage from the substring-span
+    pass (operators/dedup.substring_dup_coverage) — the thresholdable
+    curation signal: what fraction of each doc's tokens lies inside
+    SOME cross-document exact span >= 16 tokens. Overlapping spans on a
+    doc union (running-max interval sweep), never sum, so coverage is a
+    true fraction; zero-coverage docs are included because a drop/strip
+    policy needs the clean population too. The oracle replays the span
+    pass plus the interval-union window sweep end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.substring_span_pairs(docs, k=8, min_len=16)
+    return dedup.substring_dup_coverage(docs, spans)

@@ -386,15 +386,25 @@ def padding_waste_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("strategy")
 
 
-def _waterfill_oracle(rounds: int = 20, budget_frac: float = 0.8) -> str:
+# Unrolled oracle rounds. The sf fixtures have 20 sources; 32 leaves
+# headroom (extra rounds are no-ops — see _waterfill_oracle), and the
+# query asserts |S| <= this so fixture growth past it fails LOUDLY
+# instead of as a confusing gate diff (r11 ADVICE).
+_WATERFILL_ORACLE_ROUNDS = 32
+
+
+def _waterfill_oracle(
+    rounds: int = _WATERFILL_ORACLE_ROUNDS, budget_frac: float = 0.8
+) -> str:
     """Unrolled water-filling replay (the kcore/LPA bounded-iteration
     idiom): each round recomputes the uncapped weight mass d and the
     capped token mass ct as 1-row aggregates, then caps every source
     whose proportional demand exceeds its availability. Water-filling
     caps at least one NEW source per non-final round, so ``rounds`` =
     the corpus's source count is ALWAYS the true fixpoint (extra rounds
-    are no-ops); 20 matches the fixture. The Spark side iterates to the
-    fixpoint directly, so the two agree for any |S| ≤ rounds."""
+    are no-ops); the fixtures have 20 sources and rounds=32 gives
+    headroom. The Spark side iterates to the fixpoint directly, so the
+    two agree for any |S| ≤ rounds (enforced in the query)."""
     parts = [
         """t AS MATERIALIZED (SELECT source,
                  CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE) AS tok,
@@ -455,10 +465,14 @@ def budget_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     round) referenced the prior frame twice per round — an
     EXPONENTIALLY growing logical plan (255 broadcast nodes pinned in
     the plan baseline for a 20-row computation) that also forced a
-    fixed round count; the driver loop is linear, exact (pure IEEE
-    double ops, bit-identical to the oracle's replay), and runs to true
-    convergence. Output: (source, avail_tokens, target_weight,
-    alloc_tokens, capped)."""
+    fixed round count; the driver loop is linear and runs to true
+    convergence. The source list is SORTED by name before every float
+    fold so the reduction order is deterministic across partitionings
+    (r11 ADVICE); agreement with the oracle is to the round(·,4)
+    output precision, not claimed bit-exact — a value sitting exactly
+    on the '>' cap boundary could in principle diverge, and the
+    fixtures are checked to sit away from it. Output: (source,
+    avail_tokens, target_weight, alloc_tokens, capped)."""
     from laygo_python_spark.session import local_rows_df
 
     docs = _t(spark, sf_dir, "documents")
@@ -475,7 +489,17 @@ def budget_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
-    srcs = [(r["source"], float(r["tok"]), float(r["w"])) for r in totals]
+    srcs = sorted(
+        ((r["source"], float(r["tok"]), float(r["w"])) for r in totals),
+        key=lambda s: s[0],
+    )
+    if len(srcs) > _WATERFILL_ORACLE_ROUNDS:
+        raise ValueError(
+            f"budget_waterfill_allocation: {len(srcs)} sources exceeds the "
+            f"oracle's {_WATERFILL_ORACLE_ROUNDS} unrolled rounds — regenerate "
+            "the oracle with rounds >= |S| (water-filling caps >=1 new source "
+            "per non-final round, so rounds = |S| is always the fixpoint)"
+        )
     bud = 0.8 * sum(tok for _, tok, _ in srcs)
     capped: set[str] = set()
     while True:

@@ -511,3 +511,120 @@ def test_cluster_split_colocates_near_duplicates(spark):
     for r in out50:
         by_cluster50.setdefault(r["cluster"], set()).add(r["split"])
     assert all(len(s) == 1 for s in by_cluster50.values())  # — and absent here
+
+
+# ---- substring-span dedup (Lee et al. 2022 exact-substring modality) ----
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    """Hand-built corpus with known maximal spans. Tokens are digits of a
+    per-doc counter so nothing matches unless planted.
+
+    - docs 10/11 share an exact 20-token run: positions 5..24 in doc 10,
+      positions 0..19 in doc 11 (doc 11 STARTS with the shared passage).
+    - doc 12 shares a shorter 9-token run with doc 10 (below min_len=16
+      at k=8 -> must NOT be reported, but IS a valid k-gram match).
+    - doc 13 repeats doc 10's passage TWICE (two diagonals -> two spans
+      against doc 10).
+    - doc 14 is unrelated.
+    """
+    shared = [f"S{i}" for i in range(20)]
+    short = [f"T{i}" for i in range(9)]
+
+    def filler(doc, n, tag="f"):
+        return [f"{tag}{doc}_{i}" for i in range(n)]
+
+    rows = [
+        Row(doc_id=10, text=" ".join(filler(10, 5) + shared + short + filler(10, 6, "g"))),
+        Row(doc_id=11, text=" ".join(shared + filler(11, 15))),
+        Row(doc_id=12, text=" ".join(filler(12, 3) + short + filler(12, 20, "g"))),
+        Row(doc_id=13, text=" ".join(shared + filler(13, 4) + shared)),
+        Row(doc_id=14, text=" ".join(filler(14, 30))),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_substring_spans_exact_offsets(span_docs):
+    spans = {
+        (r.doc_id_a, r.doc_id_b, r.start_a, r.start_b, r.span_len)
+        for r in dedup.substring_span_pairs(span_docs, k=8, min_len=16).collect()
+    }
+    assert (10, 11, 5, 0, 20) in spans
+    # doc 13 carries the passage twice -> two diagonals vs doc 10 AND vs 11
+    assert (10, 13, 5, 0, 20) in spans
+    assert (10, 13, 5, 24, 20) in spans
+    assert (11, 13, 0, 0, 20) in spans
+    assert (11, 13, 0, 24, 20) in spans
+    # the 9-token run is discoverable at k=8 but below min_len
+    assert not any(p[:2] == (10, 12) for p in spans)
+    assert not any(14 in p[:2] for p in spans)
+    assert len(spans) == 5
+
+
+def test_substring_spans_min_len_boundary(span_docs):
+    # min_len == span length exactly -> included; one more -> excluded
+    at = dedup.substring_span_pairs(span_docs, k=8, min_len=20).collect()
+    assert {(r.doc_id_a, r.doc_id_b) for r in at} == {(10, 11), (10, 13), (11, 13)}
+    above = dedup.substring_span_pairs(span_docs, k=8, min_len=21).collect()
+    assert above == []
+    # k=8 min_len=9 surfaces the short 9-token run with exact offsets
+    low = {
+        (r.doc_id_a, r.doc_id_b, r.start_a, r.start_b, r.span_len)
+        for r in dedup.substring_span_pairs(span_docs, k=8, min_len=9).collect()
+    }
+    assert (10, 12, 25, 3, 9) in low
+
+
+def test_substring_spans_max_df_drops_boilerplate(spark):
+    # header on EVERY doc; unique plant on one pair. max_df below the
+    # corpus count must drop the header spans but keep the plant.
+    header = [f"H{i}" for i in range(20)]
+    plant = [f"P{i}" for i in range(16)]
+    rows = [
+        Row(doc_id=i, text=" ".join(header + [f"u{i}_{j}" for j in range(10)]))
+        for i in range(6)
+    ]
+    rows += [
+        Row(doc_id=6, text=" ".join(header + plant)),
+        Row(doc_id=7, text=" ".join(header + [f"u7_{j}" for j in range(4)] + plant)),
+    ]
+    df = spark.createDataFrame(rows)
+    unfiltered = dedup.substring_span_pairs(df, k=8, min_len=16).collect()
+    assert any(r.span_len >= 20 for r in unfiltered)  # header found everywhere
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.start_a, r.start_b, r.span_len)
+        for r in dedup.substring_span_pairs(df, k=8, min_len=16, max_df=3).collect()
+    }
+    assert got == {(6, 7, 20, 24, 16)}
+
+
+def test_substring_coverage_unions_overlaps(span_docs):
+    spans = dedup.substring_span_pairs(span_docs, k=8, min_len=16)
+    cov = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_fraction)
+        for r in dedup.substring_dup_coverage(span_docs, spans).collect()
+    }
+    # doc 10's [5,25) interval appears vs BOTH 11 and 13 twice -> unions to 20
+    assert cov[10] == (40, 20, 0.5)
+    assert cov[11] == (35, 20, round(20 / 35, 6))
+    # doc 13: [0,20) and [24,44) from two plants, each matched twice
+    assert cov[13] == (44, 40, round(40 / 44, 6))
+    assert cov[12] == (32, 0, 0.0)
+    assert cov[14] == (30, 0, 0.0)
+
+
+def test_substring_spans_partitioning_invariance(span_docs):
+    base = sorted(
+        map(tuple, dedup.substring_span_pairs(span_docs, k=8, min_len=16).collect())
+    )
+    for parts in (1, 7):
+        got = sorted(
+            map(
+                tuple,
+                dedup.substring_span_pairs(
+                    span_docs.repartition(parts), k=8, min_len=16
+                ).collect(),
+            )
+        )
+        assert got == base
