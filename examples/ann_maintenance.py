@@ -43,6 +43,7 @@ from laygo_python_spark.operators.ivf import (
     ivf_index_stats,
     ivf_index_write,
     ivf_search_indexed,
+    nprobe_recall_curve,
     train_centroids,
 )
 from laygo_python_spark.session import read_table
@@ -103,6 +104,24 @@ def run(spark, sf_dir: str, path: str) -> dict:
         or (econ["worst_appended_frac"] or 0.0) > 0.5
     )
 
+    # 3c) dashboard: the search-time knob — measured recall@k vs
+    #     cells-scanned cost over the n_probe grid at the SAME fixed
+    #     centroids (operators/ivf.nprobe_recall_curve; the
+    #     ivf_nprobe_recall_curve gate query). The operator reads the
+    #     smallest n_probe whose recall clears the serving bar off the
+    #     measured curve instead of guessing from cell counts.
+    RECALL_BAR = 0.95
+    curve = {
+        r["n_probe"]: (r["recall_at_5"], r["avg_scanned"])
+        for r in nprobe_recall_curve(
+            emb, queries, grid=(1, 2, 4, K_CELLS), k=5, centroids=cent
+        ).collect()
+    }
+    n_probe_pick = min(
+        (g for g, (rec, _) in curve.items() if rec >= RECALL_BAR),
+        default=K_CELLS,
+    )
+
     # 4) cheap maintenance runs regardless: collapse append small-files
     before = ivf_search_indexed(spark, path, queries, k=5).collect()
     compact_stats = ivf_index_compact(spark, path)
@@ -117,6 +136,8 @@ def run(spark, sf_dir: str, path: str) -> dict:
         "worst_distortion_inflation": float(econ["worst_inflation"] or 0.0),
         "worst_appended_frac": float(econ["worst_appended_frac"] or 0.0),
         "retrain_recommended": bool(retrain),
+        "nprobe_curve": {g: (round(r, 6), s) for g, (r, s) in sorted(curve.items())},
+        "n_probe_pick": int(n_probe_pick),
         "files_compacted": compact_stats,
         "search_identical_after_compact": key(before) == key(after),
         "topk_before": key(before),

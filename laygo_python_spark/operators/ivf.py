@@ -54,10 +54,14 @@ def _assign_cells(
     id_col: str,
     vec_col: str,
     n_probe: int = 1,
+    rank_out: str | None = None,
 ) -> DataFrame:
     """(id, vec double[], cell) — one row per (vector, probed cell):
     corpus vectors get their single nearest cell, query vectors get
-    their ``n_probe`` nearest (multi-probe search)."""
+    their ``n_probe`` nearest (multi-probe search). ``rank_out`` adds
+    the 1-based probe rank (1 = nearest cell) so a single assignment
+    pass can serve every n_probe <= the requested one — the
+    nprobe_recall_curve one-pass trick."""
     import pandas as pd
 
     cT = centroids.T  # (dim, k)
@@ -78,11 +82,15 @@ def _assign_cells(
             order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]  # (n, n_probe)
             ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
             vecs = [row for row in mat.tolist() for _ in range(n_probe)]
-            yield pd.DataFrame({id_out: ids, vec_out: vecs, "cell": order.reshape(-1)})
+            out = {id_out: ids, vec_out: vecs, "cell": order.reshape(-1)}
+            if rank_out:
+                out[rank_out] = np.tile(np.arange(1, n_probe + 1), len(pdf))
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(
-        run, schema=f"{id_out} long, {vec_out} array<double>, cell int"
-    )
+    schema = f"{id_out} long, {vec_out} array<double>, cell int"
+    if rank_out:
+        schema += f", {rank_out} int"
+    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
 
 
 def ivf_topk(
@@ -115,6 +123,96 @@ def ivf_topk(
         .select("query_id", "neighbor_id", "qv", "cv")
     )
     return _score_topk(candidates, k)
+
+
+def nprobe_recall_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    grid: tuple[int, ...] = (1, 2, 4, 8, 16),
+    k: int = 10,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Measured recall-vs-cost curve over the n_probe grid — the knob an
+    IVF operator must set by MEASUREMENT before a 100 TB run, completing
+    the tuning triptych with lsh_threshold_tuning (banding) and
+    ann_index_rebuild_economics (retrain timing): raising n_probe scans
+    more cells for more recall, and the right setting is read off the
+    measured curve on the corpus itself, not the textbook estimate.
+
+    Returns one row per grid value: (n_probe, n_queries, avg_scanned,
+    recall_at_k) where avg_scanned = mean number of corpus vectors
+    scored per query (the cells-scanned cost) and recall_at_k = fraction
+    of exact brute-force top-k pairs the probed search recovers.
+
+    One-pass shape: ONE ranked assignment of each query to ALL max(grid)
+    nearest cells (probe rank attached — _assign_cells rank_out), one
+    candidate join + cosine scoring, then the |grid|-row broadcast fold
+    replays every threshold from the same scored frame (the
+    lsh_threshold_tuning grid idiom) — never one search per grid point.
+    Ground truth is the exact brute-force top-k (a gate-scale/sampled
+    audit input at 100 TB, the same honesty posture as
+    lsh_threshold_tuning's exact-Jaccard truth set)."""
+    from laygo_python_spark.operators.similarity import brute_force_topk, cosine
+    from ..session import local_rows_df
+
+    if centroids is None:
+        centroids = train_centroids(corpus, n_centroids, vec_col, seed)
+    spark = corpus.sparkSession
+    gmax = min(max(grid), len(centroids))
+    c = _assign_cells(corpus, centroids, "neighbor_id", "cv", id_col, vec_col, n_probe=1)
+    q = _assign_cells(
+        queries, centroids, "query_id", "qv", id_col, vec_col,
+        n_probe=gmax, rank_out="probe_rank",
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probe_rank",
+            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    truth = brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__t")
+    )
+    grid_df = local_rows_df(spark, [(int(g),) for g in grid], "n_probe int")
+    expanded = scored.join(
+        F.broadcast(grid_df), F.col("probe_rank") <= F.col("n_probe")
+    )
+    w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    ranked = expanded.withColumn("__rnk", F.row_number().over(w)).join(
+        F.broadcast(truth), ["query_id", "neighbor_id"], "left"
+    )
+    stats = ranked.groupBy("n_probe").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("__n_scored"),
+        F.sum(
+            F.when((F.col("__rnk") <= k) & F.col("__t").isNotNull(), 1).otherwise(0)
+        ).alias("__hits"),
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("__n_truth"))
+    return (
+        stats.crossJoin(F.broadcast(n_truth))
+        .select(
+            "n_probe",
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.round(
+                F.col("__n_scored") / F.col("n_queries").cast("double"), 6
+            ).alias("avg_scanned"),
+            F.round(
+                F.col("__hits") / F.col("__n_truth").cast("double"), 6
+            ).alias(f"recall_at_{k}"),
+        )
+        .orderBy("n_probe")
+    )
 
 
 def ivf_index_write(

@@ -1580,3 +1580,84 @@ def embedding_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_h = hist.filter(~F.col("is_app")).select("bin", "cnt")
     cur_h = hist.filter(F.col("is_app")).select("bin", "cnt")
     return drift_from_counts(base_h, cur_h, keys=[])
+
+
+def _nprobe_curve_oracle(
+    k_cells: int = 16, n_queries: int = 20, k: int = 10,
+    grid: tuple[int, ...] = (1, 2, 4, 8, 16),
+) -> str:
+    from laygo_python_spark.operators.ann_artifacts import IVF_PATH
+
+    grid_sql = ", ".join(str(g) for g in grid)
+    return f"""WITH {_ann_key_ctes()},
+    cent AS (SELECT a.cell, a.centroid
+             FROM read_parquet('{IVF_PATH}') a, key
+             WHERE a.k = {k_cells} AND a.n_corpus = key.nc AND a.sig = key.ks),
+    d AS (SELECT e.vec_id, c.cell,
+                 list_dot_product(c.centroid, c.centroid)
+                 - 2*list_dot_product(e.v, c.centroid) AS d2
+          FROM e, cent c),
+    assign AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d) WHERE rn = 1),
+    qrank AS (SELECT vec_id AS query_id, cell, rn AS probe_rank FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d WHERE vec_id < {n_queries}) WHERE rn <= {max(grid)}),
+    scored AS (SELECT q.query_id, a.vec_id AS neighbor_id, q.probe_rank,
+                      list_cosine_similarity(x.v, y.v) AS sim
+               FROM qrank q JOIN assign a USING (cell)
+               JOIN e x ON x.vec_id = q.query_id
+               JOIN e y ON y.vec_id = a.vec_id
+               WHERE a.vec_id <> q.query_id),
+    truth AS (SELECT query_id, neighbor_id FROM (
+        SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                   ORDER BY list_cosine_similarity(x.v, y.v) DESC, y.vec_id) AS rn
+        FROM e x JOIN e y ON y.vec_id <> x.vec_id
+        WHERE x.vec_id < {n_queries}) WHERE rn <= {k}),
+    tt AS (SELECT count(*) AS n_truth FROM truth),
+    grid AS (SELECT unnest([{grid_sql}]) AS n_probe),
+    ex AS (SELECT g.n_probe, s.query_id, s.neighbor_id, s.sim,
+                  row_number() OVER (PARTITION BY g.n_probe, s.query_id
+                      ORDER BY s.sim DESC, s.neighbor_id) AS rnk
+           FROM grid g JOIN scored s ON s.probe_rank <= g.n_probe),
+    st AS (SELECT ex.n_probe,
+                  count(DISTINCT ex.query_id) AS n_queries,
+                  count(*) AS n_scored,
+                  sum(CASE WHEN ex.rnk <= {k} AND t.query_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS hits
+           FROM ex LEFT JOIN truth t
+             ON t.query_id = ex.query_id AND t.neighbor_id = ex.neighbor_id
+           GROUP BY ex.n_probe)
+    SELECT CAST(st.n_probe AS INT) AS n_probe,
+           CAST(st.n_queries AS BIGINT) AS n_queries,
+           round(st.n_scored / CAST(st.n_queries AS DOUBLE), 6) AS avg_scanned,
+           round(st.hits / CAST(tt.n_truth AS DOUBLE), 6) AS recall_at_{k}
+    FROM st, tt ORDER BY n_probe"""
+
+
+@query("ivf_nprobe_recall_curve", oracle=_nprobe_curve_oracle())
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10-vs-cost curve for the committed IVF index at
+    n_probe in {1, 2, 4, 8, 16} (operators/ivf.nprobe_recall_curve) —
+    completing the ANN tuning triptych: lsh_threshold_tuning measures
+    the banding knob, ann_index_rebuild_economics measures WHEN to
+    retrain, and this measures the search-time n_probe knob against
+    exact brute-force ground truth on the corpus itself. One ranked
+    cell assignment + one scoring pass serves every grid point (the
+    probe_rank <= n_probe fold); searches at the COMMITTED k=16
+    centroid artifact (artifacts/ann/) so DuckDB replays assignment,
+    probe ranking, scoring, the exact-truth join and the grid fold
+    end-to-end. At 16 cells the n_probe=16 row must read recall 1.0 —
+    the curve's built-in sanity anchor."""
+    from laygo_python_spark.operators.ann_artifacts import load_ivf_centroids
+    from laygo_python_spark.operators.ivf import nprobe_recall_curve, train_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = load_ivf_centroids(sf_dir, k=16)
+    if cent is None:
+        cent = train_centroids(emb, 16)
+    return nprobe_recall_curve(
+        emb, emb.filter(F.col("vec_id") < 20), grid=(1, 2, 4, 8, 16), k=10,
+        centroids=cent,
+    )

@@ -124,3 +124,35 @@ def test_committed_artifact_loader_matches_fixture(spark, sf_dir):
     assert cb is not None and cb.shape == (32, 64, 2)
     assert load_ivf_centroids(sf_dir, k=7) is None
     assert load_ivf_centroids("/nonexistent", k=16) is None
+
+
+def test_nprobe_recall_curve_properties_and_consistency(emb):
+    from laygo_python_spark.operators.ivf import nprobe_recall_curve
+
+    queries = emb.filter("vec_id < 20")
+    cent = train_centroids(emb, n_centroids=8)
+    rows = {
+        r.n_probe: r
+        for r in nprobe_recall_curve(
+            emb, queries, grid=(1, 2, 8), k=10, centroids=cent
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 8}
+    # recall and scanned-cost both monotone in n_probe; full probe = exact
+    assert rows[1].recall_at_10 <= rows[2].recall_at_10 <= rows[8].recall_at_10
+    assert rows[1].avg_scanned < rows[2].avg_scanned < rows[8].avg_scanned
+    assert rows[8].recall_at_10 == 1.0
+    assert all(r.n_queries == 20 for r in rows.values())
+
+    # the curve's n_probe=2 point must equal the recall of an actual
+    # ivf_topk run at the same centroids — the curve measures the real
+    # search path, not a parallel re-implementation
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=10).collect()
+    }
+    ivf2 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=10, n_probe=2, centroids=cent).collect()
+    }
+    assert rows[2].recall_at_10 == round(len(ivf2 & bf) / len(bf), 6)

@@ -39,6 +39,11 @@ _KNOWN_BNLJ = {
     # against the O(candidates) LSH pair stream (n_bands >= m is
     # inherently non-equi); bounded by construction
     "lsh_threshold_tuning",
+    # same grid idiom (FIVE broadcast n_probe rows vs the one-pass
+    # probe-ranked candidate stream; probe_rank <= n_probe is
+    # inherently non-equi) PLUS brute_force_topk's documented exact
+    # ground-truth scan (gate-scale/sampled audit input at 100 TB)
+    "ivf_nprobe_recall_curve",
     "embedding_cosine_topk",
     "embedding_cosine_topk_fast",
     "embedding_near_dups",
