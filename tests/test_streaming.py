@@ -427,3 +427,93 @@ def test_stream_es_sample_multibatch_equals_batch_topk(spark, tmp_path):
             .collect()
         ]
     assert results["multi"] == results["single"] == direct
+
+
+def test_stream_hll_replayed_batch_overwrites_partition(spark, tmp_path):
+    """Exactly-once under foreachBatch replay for the HLL processor:
+    re-running a batch id lands in the SAME batch_id partition
+    (overwrite), so the max-lattice fold — and the estimate — is
+    unchanged by replays (the mg_summary_processor contract, pinned
+    here for the cardinality twin)."""
+    import pyspark.sql.functions as F
+
+    from laygo_python_spark.operators.hll import hll_estimate_by
+    from laygo_python_spark.streaming import hll_summary_processor
+
+    rows = [(i, f"t{i % 3}", (i * 13) % 97) for i in range(500)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, user_id long")
+    summaries = str(tmp_path / "s")
+    process = hll_summary_processor("user_id", "event_type", summaries, p=12, hash_fn="md5")
+    process(df, 0)
+
+    def fold():
+        merged = (
+            spark.read.parquet(summaries)
+            .groupBy("shard", "idx", "p")
+            .agg(F.max("rho").alias("rho"))
+        )
+        return sorted(
+            (r["shard"], round(r["est"], 6))
+            for r in hll_estimate_by(merged, ["shard"]).collect()
+        )
+
+    once = fold()
+    n_rows_once = spark.read.parquet(summaries).count()
+    process(df, 0)  # replay
+    assert fold() == once
+    assert spark.read.parquet(summaries).count() == n_rows_once
+    # one partial dir per distinct batch id, not per invocation
+    assert {p.name for p in (tmp_path / "s").glob("batch_id=*")} == {"batch_id=0"}
+
+
+def test_stream_es_sample_replayed_batch_overwrites_partition(spark, tmp_path):
+    """Exactly-once under foreachBatch replay for the ES-sample
+    processor: a replayed batch id overwrites its own partition, so the
+    read-time top-k selection is unchanged — a double-landed partial
+    would not change SELECTED rows (keys are deterministic) but WOULD
+    double the stored state; both are pinned."""
+    from laygo_python_spark.streaming import es_sample_summary_processor
+
+    rows = [(i, f"s{i % 4}", (i * 7) % 90 + 10) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    summaries = str(tmp_path / "s")
+    process = es_sample_summary_processor(
+        "n_chars", ["doc_id", "source", "n_chars"], summaries, k=20
+    )
+    process(df, 0)
+    once = sorted(map(tuple, spark.read.parquet(summaries).collect()))
+    process(df, 0)  # replay
+    assert sorted(map(tuple, spark.read.parquet(summaries).collect())) == once
+    assert {p.name for p in (tmp_path / "s").glob("batch_id=*")} == {"batch_id=0"}
+
+
+def test_stream_summary_processors_one_partial_per_microbatch(spark, tmp_path):
+    """The heavyhitters-pattern batch-accounting assertion for the r11
+    twins: a forced 4-file split must land exactly one batch_id=N
+    partial per micro-batch for BOTH the HLL and ES-sample processors."""
+    from laygo_python_spark.streaming import (
+        es_sample_summary_processor,
+        hll_summary_processor,
+    )
+
+    erows = [(i, f"t{i % 3}", (i * 13) % 97) for i in range(400)]
+    edf = spark.createDataFrame(erows, "event_id long, event_type string, user_id long")
+    drows = [(i, f"s{i % 4}", (i * 7) % 90 + 10) for i in range(400)]
+    ddf = spark.createDataFrame(drows, "doc_id long, source string, n_chars long")
+    for tag, df, proc in (
+        ("hll", edf, hll_summary_processor("user_id", "event_type", str(tmp_path / "hll_s"), p=12)),
+        ("es", ddf, es_sample_summary_processor("n_chars", ["doc_id", "source", "n_chars"], str(tmp_path / "es_s"), k=10)),
+    ):
+        src = str(tmp_path / f"src_{tag}")
+        df.repartition(4).write.parquet(src)
+        n_files = len(list((tmp_path / f"src_{tag}").glob("*.parquet")))
+        assert n_files >= 4
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream.writeStream.foreachBatch(proc).trigger(availableNow=True).start()
+        q.awaitTermination()
+        dirs = {p.name for p in (tmp_path / f"{tag}_s").glob("batch_id=*")}
+        assert len(dirs) == n_files, (tag, dirs)
