@@ -45,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _ROTATION_FRONT = [
     # r12-NEW — must gate this round
     "substring_span_dedup", "substring_dup_coverage",
-    "ivf_nprobe_recall_curve",
+    "ivf_nprobe_recall_curve", "multimodal_jpeg_arith_stats",
     # latest check r07 — all 46
     "bigram_lm_xent", "bigram_pmi_collocations", "char_entropy_score",
     "chi2_segment_priority", "chunk_dedup_spans",

@@ -12,9 +12,11 @@ approximation (DC bit-append, AC ±1<<Al newcomers with interleaved
 correction bits, EOB runs; T.81 §G.2) — then transforms once.
 
 Scope is the honest production envelope for a feature-extraction
-pipeline: 8-bit Huffman DCT, grayscale or YCbCr with standard sampling
-factors, restart markers supported. Arithmetic coding, 12-bit, and
-lossless/hierarchical modes return None — a real codec's job.
+pipeline: 8-bit DCT (Huffman AND arithmetic entropy coding — SOF9/
+SOF10 dispatch to operators/jpeg_arith.py's T.81 Annex D QM-coder),
+grayscale or YCbCr with standard sampling factors, restart markers
+supported. 12-bit and lossless/hierarchical modes return None — a
+real codec's job.
 ``jpeg_decode_pixels`` never raises on malformed input (executors must
 not die on a crafted payload); it returns None.
 
@@ -141,10 +143,30 @@ def jpeg_decode_pixels(b: bytes | None, max_pixels: int = 4 << 20):
         return None
 
 
-def _decode(b: bytes, max_pixels: int):
+def jpeg_decode_coefficients(b: bytes | None, max_pixels: int = 4 << 20):
+    """Quantized DCT coefficients of an ARITHMETIC-coded JPEG (SOF9/
+    SOF10): {component_index: (block_h, block_w, 64) int32, natural
+    order} — the IDCT-independent surface the arithmetic decoder is
+    verified on (integer-exact against an independent codec's
+    coefficient dump; see tests/fixtures_arith_jpeg.py). None for
+    Huffman streams (verified at pixel level instead) or malformed
+    input."""
+    if b is None:
+        return None
+    b = bytes(b)
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    try:
+        return _decode(b, max_pixels, want="coefs")
+    except Exception:  # noqa: BLE001 — malformed payloads yield None, never raise
+        return None
+
+
+def _decode(b: bytes, max_pixels: int, want: str = "pixels"):
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _Huff] = {}
     huff_ac: dict[int, _Huff] = {}
+    dac: dict = {}
     frame = None
     restart_interval = 0
     i = 2
@@ -176,7 +198,9 @@ def _decode(b: bytes, max_pixels: int):
                 table = _Huff(counts, seg[p + 17 : p + 17 + n])
                 (huff_dc if cls == 0 else huff_ac)[tid] = table
                 p += 17 + n
-        elif code in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+        elif code in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 Huffman sequential, SOF2 Huffman progressive,
+            # SOF9/SOF10 the arithmetic twins (operators/jpeg_arith.py)
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8 or h == 0 or w == 0 or ncomp not in (1, 3):
                 return None
@@ -186,14 +210,41 @@ def _decode(b: bytes, max_pixels: int):
             for c in range(ncomp):
                 cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF, "q": qid})
-            frame = {"h": h, "w": w, "comps": comps, "progressive": code == 0xC2}
-        elif 0xC3 <= code <= 0xCF and code not in (0xC4, 0xC8, 0xCC):
-            return None  # arithmetic/lossless/hierarchical — out of scope
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": code in (0xC2, 0xCA),
+                "arith": code in (0xC9, 0xCA),
+            }
+        elif code == 0xCC:  # DAC: arithmetic conditioning
+            from laygo_python_spark.operators.jpeg_arith import _parse_dac
+
+            _parse_dac(seg, dac)
+        elif 0xC3 <= code <= 0xCF and code != 0xC8:
+            return None  # lossless/hierarchical/12-bit — out of scope
         elif code == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[0:2])
         elif code == 0xDA:  # SOS
             if frame is None:
                 return None
+            if want == "coefs" and not frame["arith"]:
+                return None  # coefficient API is the arith-verification surface
+            if frame["arith"]:
+                from laygo_python_spark.operators import jpeg_arith
+
+                if frame["progressive"]:
+                    return jpeg_arith.decode_progressive(
+                        b, i, qt, frame, dac, restart_interval, want
+                    )
+                ns = seg[0]
+                sel = {}
+                for c in range(ns):
+                    cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                    sel[cid] = (tabs >> 4, tabs & 0xF)
+                return jpeg_arith.decode_sequential(
+                    b, i + 2 + seg_len, frame, sel, qt, dac, restart_interval, want
+                )
             if frame["progressive"]:
                 return _progressive(b, i, qt, huff_dc, huff_ac, frame, restart_interval)
             ns = seg[0]

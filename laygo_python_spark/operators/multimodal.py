@@ -19,8 +19,10 @@ counts into ``frame_sample_plan``; ``avi_decode_frames`` fully decodes
 uncompressed raw-DIB AVIs and MOTION-JPEG via per-chunk Huffman DCT
 decode), and for COMPRESSED AUDIO (G.711 mu-law/A-law and IMA ADPCM
 via ``operators/audio_codecs.py``, dispatched on the WAVE format
-tag). Only payloads needing inter-frame or perceptual entropy codecs
-stay stubbed (arithmetic-coded JPEG, mp3/aac audio, H.264 video).
+tag). Arithmetic-coded JPEG (SOF9/SOF10) decodes via
+``operators/jpeg_arith.py``'s QM-coder. Only payloads needing
+inter-frame or perceptual codecs stay stubbed (mp3/aac audio
+synthesis, H.264 video).
 Everything
 Spark-side is real and tested: the schema contract, the mapInPandas
 batch shape, the partition sizing. ``strict=True`` raises only for

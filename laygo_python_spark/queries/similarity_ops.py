@@ -1661,3 +1661,80 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 20), grid=(1, 2, 4, 8, 16), k=10,
         centroids=cent,
     )
+
+
+def _jpeg_arith_dir() -> str:
+    import os
+
+    from laygo_python_spark.operators.ann_artifacts import ARTIFACT_DIR
+
+    return os.path.join(os.path.dirname(ARTIFACT_DIR), "jpeg_arith")
+
+
+@query(
+    "multimodal_jpeg_arith_stats",
+    oracle=f"""
+    SELECT d.doc_id, e.name,
+           CAST(e.n_components AS INT) AS n_components,
+           e.n_blocks, e.dc_sum, e.coef_abs_sum, e.coef_l0
+    FROM documents d
+    JOIN read_parquet('{_jpeg_arith_dir()}/expected.parquet') e
+      ON e.ord = d.doc_id % 8
+    """,
+)
+def multimodal_jpeg_arith_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic-coded JPEG (SOF9/SOF10) decode certification — closes
+    the codec family's last image stub (operators/jpeg_arith.py, the
+    T.81 QM-coder). The committed payloads (artifacts/jpeg_arith/,
+    tools/gen_arith_jpeg_fixtures.py) were encoded by the SYSTEM
+    libjpeg-turbo, and the committed expected stats are integer
+    aggregates of LIBJPEG'S OWN quantized-coefficient dump — never this
+    repo's decoder — so the hash match certifies the repo's QM decode
+    reproduces an independent codec coefficient-exactly, across both
+    sequential and progressive modes, 4:2:0 subsampling and restart
+    intervals. A single wrong arithmetic decision desynchronizes the
+    whole stream and fails loudly (the UDF raises on decode failure).
+
+    Scale shape: the 8 payloads decode ONCE in one Arrow batch (the
+    heavy work is O(payloads), not O(corpus)); per-doc attachment is a
+    broadcast join on the 8-row stats frame — decode-once-attach-
+    everywhere, the codebook idiom."""
+    import pandas as pd
+
+    from laygo_python_spark.operators.jpeg import jpeg_decode_coefficients
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).cast("int").alias("ord")
+    )
+    pay = spark.read.parquet(f"{_jpeg_arith_dir()}/payloads.parquet")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for ordi, name, payload in zip(pdf["ord"], pdf["name"], pdf["payload"]):
+                coefs = jpeg_decode_coefficients(bytes(payload))
+                if coefs is None:  # codec broke — fail loudly, never skew stats
+                    raise ValueError(f"arithmetic decode failed for {name}")
+                dc = abs_sum = l0 = blocks = 0
+                for arr in coefs.values():
+                    flat = arr.reshape(-1, 64).astype("int64")
+                    blocks += flat.shape[0]
+                    dc += int(flat[:, 0].sum())
+                    abs_sum += int(abs(flat).sum())
+                    l0 += int((flat != 0).sum())
+                rows.append((int(ordi), str(name), len(coefs), blocks, dc, abs_sum, l0))
+            yield pd.DataFrame(
+                rows,
+                columns=["ord", "name", "n_components", "n_blocks", "dc_sum",
+                         "coef_abs_sum", "coef_l0"],
+            )
+
+    stats = pay.mapInPandas(
+        run,
+        schema="ord int, name string, n_components int, n_blocks long, "
+        "dc_sum long, coef_abs_sum long, coef_l0 long",
+    )
+    return docs.join(F.broadcast(stats), "ord").select(
+        "doc_id", "name", "n_components", "n_blocks", "dc_sum",
+        "coef_abs_sum", "coef_l0",
+    )
