@@ -120,10 +120,6 @@ class _ArithDecoder:
         # of small streams (measured on SEQ_GRAY_Q95).
         return 0x00
 
-    def _byte_in(self) -> None:
-        self.c = (self.c + (self._next_byte() << 8)) & 0xFFFFFFFF
-        self.ct = 8
-
     def decode(self, idx: bytearray, mps: bytearray, i: int) -> int:
         """One binary decision in context bin ``i`` of the (idx, mps)
         statistics area (Figures D.17-D.20)."""
