@@ -1313,6 +1313,19 @@ def substring_span_pairs(
     dropped BEFORE the join; a span interrupted only by a dropped hot
     gram splits in two (documented semantics change, deterministic and
     oracle-replayable — not a silent approximation). None = exact."""
+    posts = _substring_postings(docs, id_col, text_col, k, max_df)
+    a = posts.select(F.col("__doc").alias("da"), F.col("pos").alias("pa"), "fp")
+    b = posts.select(F.col("__doc").alias("db"), F.col("pos").alias("pb"), "fp")
+    m = a.join(b, "fp").filter(F.col("da") < F.col("db")).drop("fp")
+    return _spans_from_matches(m, k, min_len)
+
+
+def _substring_postings(
+    docs: DataFrame, id_col: str, text_col: str, k: int, max_df: int | None = None
+) -> DataFrame:
+    """Overlapping k-gram postings WITH OFFSETS: (__doc, pos,
+    fp=xxhash64(gram)) — one row per token position, built map-side
+    from one scan; the shared front end of the substring-span family."""
     from pyspark.sql import Window
 
     w = (
@@ -1339,9 +1352,15 @@ def substring_span_pairs(
             .filter(F.col("__df") <= max_df)
             .drop("__df")
         )
-    a = posts.select(F.col("__doc").alias("da"), F.col("pos").alias("pa"), "fp")
-    b = posts.select(F.col("__doc").alias("db"), F.col("pos").alias("pb"), "fp")
-    m = a.join(b, "fp").filter(F.col("da") < F.col("db")).drop("fp")
+    return posts
+
+
+def _spans_from_matches(m: DataFrame, k: int, min_len: int) -> DataFrame:
+    """Diagonal gaps-and-islands coalescing: matching k-gram occurrence
+    pairs (da, db, pa, pb) — already oriented da < db, one row per
+    (pair, pa, pb) — become maximal spans of token length run + k - 1."""
+    from pyspark.sql import Window
+
     diag = (F.col("pa") - F.col("pb")).alias("__diag")
     wisl = Window.partitionBy("da", "db", "__diag").orderBy("pa")
     isl = m.select("da", "db", "pa", "pb", diag).withColumn(
@@ -1363,6 +1382,126 @@ def substring_span_pairs(
             F.col("span_len").cast("int").alias("span_len"),
         )
     )
+
+
+def substring_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_df: int | None = None,
+) -> dict:
+    """Build the stored side of incremental substring-span dedup: the
+    seen corpus reduced to its positional k-gram postings, PINNED
+    (localCheckpoint) so later matches recompute from integers, never
+    from text — the minhash_index discipline applied to the Lee et al.
+    modality. ``max_df`` (the stop-gram valve) is applied ONCE at build
+    over the seen corpus, like minhash_index's bucket cap.
+
+    At 100 TB the postings table is the substring analog of a suffix
+    array that actually shards: one row per token position, 8-byte
+    fingerprints, bucketable by fp for co-located match joins."""
+    posts = _substring_postings(docs, id_col, text_col, k, max_df).localCheckpoint(
+        eager=True
+    )
+    return {"postings": posts, "params": {"k": k, "max_df": max_df}}
+
+
+def substring_index_write(index: dict, path: str) -> None:
+    """Persist a substring index: postings parquet + 1-row params table
+    (the minhash_index_write shape — checked-rename swap per table)."""
+    from ..session import local_rows_df
+
+    spark = index["postings"].sparkSession
+    _write_swap(index["postings"], f"{path}/postings")
+    p = index["params"]
+    _write_swap(
+        local_rows_df(
+            spark,
+            [(int(p["k"]), -1 if p["max_df"] is None else int(p["max_df"]))],
+            "k int, max_df int",
+        ),
+        f"{path}/params",
+    )
+
+
+def substring_index_read(spark, path: str) -> dict:
+    """Load a stored substring index (lazy — the postings scan prunes
+    to the fp/doc/pos columns the match join needs)."""
+    row = spark.read.parquet(f"{path}/params").first()
+    return {
+        "postings": spark.read.parquet(f"{path}/postings"),
+        "params": {"k": int(row["k"]), "max_df": None if row["max_df"] < 0 else int(row["max_df"])},
+    }
+
+
+def substring_index_append(spark, path: str, new_docs: DataFrame,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           batch_id: int | None = None) -> int:
+    """Grow a stored substring index with a new batch: only the NEW
+    docs are tokenized; their postings land under the index's
+    committed params. ``batch_id`` gives foreachBatch-replay
+    idempotence via the applied_batches marker (the minhash_index_append
+    contract: a replayed id is a no-op). Returns postings rows added
+    (0 on replay). NOTE: an append does NOT re-apply max_df across
+    old+new — boilerplate that only becomes hot across batches is
+    re-capped at the next full rebuild (documented, same trade as the
+    minhash bucket cap)."""
+    from ..session import local_rows_df
+
+    if batch_id is not None and _batch_already_applied(spark, path, batch_id):
+        return 0
+    idx = substring_index_read(spark, path)
+    p = idx["params"]
+    posts = _substring_postings(new_docs, id_col, text_col, p["k"], p["max_df"])
+    n = posts.count()
+    posts.write.mode("append").parquet(f"{path}/postings")
+    if batch_id is not None:
+        local_rows_df(spark, [(int(batch_id),)], "batch_id long").coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{path}/applied_batches")
+    return int(n)
+
+
+def substring_match_incremental(
+    new_docs: DataFrame,
+    index: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 16,
+) -> DataFrame:
+    """Incremental substring-span discovery: maximal duplicated spans
+    between TODAY'S batch and the stored corpus (plus within the batch
+    itself) — the seen corpus is never re-tokenized; its text is not
+    even read. Output schema matches substring_span_pairs, and the
+    result equals the full-corpus span pass minus seen-seen pairs
+    (pinned by the oracle gate and pytest).
+
+    Shape: new postings join the stored postings on the 8-byte
+    fingerprint (new-vs-seen; orientation normalized so doc_id_a <
+    doc_id_b with offsets swapped in step), plus the batch's own
+    self-join (new-vs-new); one shared gaps-and-islands pass coalesces
+    both streams."""
+    k = index["params"]["k"]
+    newp = _substring_postings(
+        new_docs, id_col, text_col, k, index["params"]["max_df"]
+    ).localCheckpoint(eager=True)  # feeds BOTH the cross join and the self join
+    seen = index["postings"]
+    cross = (
+        newp.select(F.col("__doc").alias("nd"), F.col("pos").alias("np"), "fp")
+        .join(seen.select(F.col("__doc").alias("sd"), F.col("pos").alias("sp"), "fp"), "fp")
+        .filter(F.col("nd") != F.col("sd"))
+        .select(
+            F.least("nd", "sd").alias("da"),
+            F.greatest("nd", "sd").alias("db"),
+            F.when(F.col("nd") < F.col("sd"), F.col("np")).otherwise(F.col("sp")).alias("pa"),
+            F.when(F.col("nd") < F.col("sd"), F.col("sp")).otherwise(F.col("np")).alias("pb"),
+        )
+    )
+    a = newp.select(F.col("__doc").alias("da"), F.col("pos").alias("pa"), "fp")
+    b = newp.select(F.col("__doc").alias("db"), F.col("pos").alias("pb"), "fp")
+    same = a.join(b, "fp").filter(F.col("da") < F.col("db")).drop("fp")
+    return _spans_from_matches(cross.unionByName(same), k, min_len)
 
 
 def substring_dup_coverage(

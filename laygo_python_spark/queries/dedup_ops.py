@@ -942,3 +942,36 @@ def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     spans = dedup.substring_span_pairs(docs, k=8, min_len=16)
     return dedup.substring_dup_coverage(docs, spans)
+
+
+@query(
+    "substring_incremental_spans",
+    oracle=f"""
+    WITH {_substring_span_cte(8)}
+    SELECT da AS doc_id_a, db AS doc_id_b,
+           CAST(start_a AS INT) AS start_a,
+           CAST(start_b AS INT) AS start_b,
+           CAST(span_len AS INT) AS span_len
+    FROM spans
+    WHERE span_len >= 16 AND NOT (da % 2 = 0 AND db % 2 = 0)
+    ORDER BY doc_id_a, doc_id_b, start_a, start_b""",
+)
+def substring_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION cross-snapshot shape for exact substring dedup:
+    yesterday's corpus (even doc_ids) lives as a stored positional
+    postings index (operators/dedup.substring_index — pinned integers,
+    text never re-read) and today's batch (odd doc_ids) is the only
+    text tokenized; ``substring_match_incremental`` joins the batch's
+    postings against the index plus itself, so the result is EXACTLY
+    the full-corpus substring_span_dedup minus seen-seen pairs — which
+    is precisely what the oracle asserts (the full span replay filtered
+    to pairs that touch the new batch). Completes the incremental
+    trilogy: MinHash (dedup_incremental_lsh), SimHash, and now exact
+    substring spans all share the index-once/match-batches discipline."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = dedup.substring_index(seen, k=8)
+    return dedup.substring_match_incremental(new, idx, min_len=16).orderBy(
+        "doc_id_a", "doc_id_b", "start_a", "start_b"
+    )

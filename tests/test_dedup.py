@@ -628,3 +628,52 @@ def test_substring_spans_partitioning_invariance(span_docs):
             )
         )
         assert got == base
+
+
+def test_substring_incremental_equals_batch_cross_pairs(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    seen = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    idx = dedup.substring_index(seen, k=8)
+    inc = sorted(
+        map(tuple, dedup.substring_match_incremental(new, idx, min_len=9).collect())
+    )
+    full = dedup.substring_span_pairs(docs, k=8, min_len=9)
+    want = sorted(
+        map(
+            tuple,
+            full.filter(
+                "NOT (doc_id_a % 2 = 0 AND doc_id_b % 2 = 0)"
+            ).collect(),
+        )
+    )
+    assert inc == want and len(want) > 0
+
+
+def test_substring_index_write_read_append_replay(spark, span_docs, tmp_path):
+    path = str(tmp_path / "ss_idx")
+    seen = span_docs.filter("doc_id IN (10, 12, 14)")
+    late = span_docs.filter("doc_id = 11")
+    probe = span_docs.filter("doc_id = 13")
+
+    dedup.substring_index_write(dedup.substring_index(seen, k=8), path)
+    idx = dedup.substring_index_read(spark, path)
+    assert idx["params"] == {"k": 8, "max_df": None}
+
+    # append doc 11, replay the same batch id — postings must not double
+    n1 = dedup.substring_index_append(spark, path, late, batch_id=0)
+    assert n1 > 0
+    assert dedup.substring_index_append(spark, path, late, batch_id=0) == 0
+    total = spark.read.parquet(f"{path}/postings").count()
+
+    # matching doc 13 against the grown index finds its spans vs BOTH
+    # the original corpus (10) and the appended doc (11)
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.start_a, r.start_b, r.span_len)
+        for r in dedup.substring_match_incremental(
+            probe, dedup.substring_index_read(spark, path), min_len=16
+        ).collect()
+    }
+    assert (10, 13, 5, 0, 20) in got and (10, 13, 5, 24, 20) in got
+    assert (11, 13, 0, 0, 20) in got and (11, 13, 0, 24, 20) in got
+    assert spark.read.parquet(f"{path}/postings").count() == total
