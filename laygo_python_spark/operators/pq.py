@@ -105,9 +105,15 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dist_col: str | None = None,
 ) -> DataFrame:
     """(id, codes array<int>) — m small ints per vector; the form the
-    corpus is STORED in (write once, scan codes forever)."""
+    corpus is STORED in (write once, scan codes forever). ``dist_col``
+    additionally emits the TRUE per-vector quantization distortion
+    Σ_s ||x_s − codebook[s, code_s]||² over the L2-normalized vector —
+    free inside the same matmul pass (the argmin already computes the
+    incomplete d2; only the per-subspace ||x_s||² fold is added), and
+    the measurement pq_m_distortion_curve aggregates."""
     import pandas as pd
 
     m, _, dsub = codebooks.shape
@@ -118,14 +124,23 @@ def pq_encode(
                 continue
             mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
             codes = np.empty((len(mat), m), dtype=np.int32)
+            dist = np.zeros(len(mat)) if dist_col else None
             for s in range(m):
                 sub = mat[:, s * dsub : (s + 1) * dsub]  # (n, dsub)
                 cb = codebooks[s]  # (ksub, dsub)
                 d2 = (cb**2).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
                 codes[:, s] = d2.argmin(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "codes": codes.tolist()})
+                if dist_col:
+                    dist += d2[np.arange(len(mat)), codes[:, s]] + (sub**2).sum(axis=1)
+            out = {id_col: pdf[id_col].to_numpy(), "codes": codes.tolist()}
+            if dist_col:
+                out[dist_col] = dist
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(run, schema=f"{id_col} long, codes array<int>")
+    schema = f"{id_col} long, codes array<int>"
+    if dist_col:
+        schema += f", {dist_col} double"
+    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
 
 
 def pq_topk(

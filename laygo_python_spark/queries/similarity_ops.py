@@ -1738,3 +1738,121 @@ def multimodal_jpeg_arith_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "name", "n_components", "n_blocks", "dc_sum",
         "coef_abs_sum", "coef_l0",
     )
+
+
+def _pq_curve_oracle(ms=(8, 16, 32), ksub: int = 64, n_queries: int = 20, k: int = 10) -> str:
+    """Per-m replay of normalize → encode → distortion AND normalize →
+    ADC top-k → recall, all against the committed codebooks; truth is
+    the exact cosine ranking, shared across the grid."""
+    from laygo_python_spark.operators.ann_artifacts import PQ_PATH
+
+    parts = [f"""WITH {_ann_key_ctes()},
+    nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+    en AS (SELECT vec_id,
+                  list_transform(v, x -> x / (CASE WHEN nv = 0 THEN 1.0 ELSE nv END)) AS vn
+           FROM nrm),
+    truth AS (SELECT query_id, neighbor_id FROM (
+        SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                   ORDER BY list_cosine_similarity(x.v, y.v) DESC, y.vec_id) AS rn
+        FROM e x JOIN e y ON y.vec_id <> x.vec_id
+        WHERE x.vec_id < {n_queries}) WHERE rn <= {k}),
+    tt AS (SELECT count(*) AS n_truth FROM truth)"""]
+    selects = []
+    for m in ms:
+        dsub = 64 // m
+        parts.append(f""",
+    cb{m} AS (SELECT a.s, a.code, a.centroid FROM read_parquet('{PQ_PATH}') a, key
+           WHERE a.m = {m} AND a.ksub = {ksub} AND a.n_corpus = key.nc AND a.sig = key.ks),
+    sub{m} AS (SELECT vec_id, sp.i AS s, vn[sp.i*{dsub}+1 : sp.i*{dsub}+{dsub}] AS xs
+            FROM en, (SELECT unnest(range({m})) AS i) sp),
+    enc{m} AS (SELECT vec_id, s, code, d2, xx FROM (
+        SELECT u.vec_id, u.s, c.code,
+               list_dot_product(c.centroid, c.centroid)
+               - 2*list_dot_product(u.xs, c.centroid) AS d2,
+               list_dot_product(u.xs, u.xs) AS xx,
+               row_number() OVER (PARTITION BY u.vec_id, u.s ORDER BY
+                 list_dot_product(c.centroid, c.centroid)
+                 - 2*list_dot_product(u.xs, c.centroid), c.code) AS rn
+        FROM sub{m} u JOIN cb{m} c ON c.s = u.s) WHERE rn = 1),
+    dist{m} AS (SELECT avg(vd) AS avg_distortion FROM (
+        SELECT vec_id, sum(d2 + xx) AS vd FROM enc{m} GROUP BY vec_id)),
+    ranked{m} AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   sum(list_dot_product(q.xs, c.centroid)) DESC, n.vec_id) AS rn
+        FROM enc{m} n JOIN cb{m} c ON c.s = n.s AND c.code = n.code
+        JOIN sub{m} q ON q.s = n.s
+        WHERE q.vec_id < {n_queries} AND q.vec_id <> n.vec_id
+        GROUP BY q.vec_id, n.vec_id) WHERE rn <= {k}),
+    hits{m} AS (SELECT count(*) AS hits FROM ranked{m} r
+                JOIN truth t ON t.query_id = r.query_id
+                           AND t.neighbor_id = r.neighbor_id)""")
+        selects.append(
+            f"""SELECT {m} AS m, {m} AS bytes_per_vec,
+           round(d.avg_distortion, 6) AS avg_distortion,
+           round(h.hits / CAST(tt.n_truth AS DOUBLE), 6) AS recall_at_{k}
+    FROM dist{m} d, hits{m} h, tt"""
+        )
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects) + "\n    ORDER BY m"
+
+
+@query("pq_m_distortion_curve", oracle=_pq_curve_oracle())
+def pq_m_distortion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code-size tuning curve — the compressed-domain knob next to
+    ivf_nprobe_recall_curve's probe-depth knob: for m in {8, 16, 32}
+    bytes per vector (committed codebooks, ksub=64), the measured
+    (avg quantization distortion, recall@10 vs exact brute force) —
+    what a 100 TB operator reads before choosing how small the stored
+    codes can go. Distortion rides the encode pass itself
+    (pq_encode(dist_col=...) — the argmin matmul already computes it);
+    recall reuses the production pq_topk ADC path per grid point; the
+    exact ground truth is the same gate-scale/sampled audit input as
+    the other tuning curves. DuckDB replays encode, distortion, ADC
+    ranking, the truth join and the fold per m from the same committed
+    artifact."""
+    from functools import reduce as _reduce
+
+    from laygo_python_spark.operators.ann_artifacts import load_pq_codebooks
+    from laygo_python_spark.operators.pq import pq_encode, pq_topk, train_codebooks
+    from laygo_python_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    truth = brute_force_topk(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__t")
+    ).localCheckpoint(eager=True)  # feeds every grid point + the denominator
+    nt = truth.agg(F.count(F.lit(1)).alias("__n_truth"))
+    parts = []
+    for m in (8, 16, 32):
+        cb = load_pq_codebooks(sf_dir, m=m, ksub=64)
+        if cb is None:
+            cb = train_codebooks(emb, m=m, ksub=64)
+        enc = pq_encode(emb, cb, dist_col="__dist")
+        davg = enc.agg(F.avg("__dist").alias("__avg_dist"))
+        hits = (
+            pq_topk(enc.drop("__dist"), queries_df, cb, k=10)
+            .join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
+            .agg(F.sum(F.coalesce(F.col("__t"), F.lit(0))).alias("__hits"))
+        )
+        parts.append(
+            davg.crossJoin(F.broadcast(hits)).select(
+                F.lit(m).alias("m"),
+                F.lit(m).alias("bytes_per_vec"),
+                F.round("__avg_dist", 6).alias("avg_distortion"),
+                F.col("__hits"),
+            )
+        )
+    out = _reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        out.crossJoin(F.broadcast(nt))
+        .select(
+            "m",
+            "bytes_per_vec",
+            "avg_distortion",
+            F.round(
+                F.col("__hits") / F.col("__n_truth").cast("double"), 6
+            ).alias("recall_at_10"),
+        )
+        .orderBy("m")
+    )

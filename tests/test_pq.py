@@ -230,3 +230,37 @@ def test_ivfpq_index_add_matches_fixed_state_rebuild(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, ivfpq_search_indexed(spark, grown, queries, k=10).collect()))
     want = sorted(map(tuple, ivfpq_search_indexed(spark, rebuilt, queries, k=10).collect()))
     assert got == want and got
+
+
+def test_pq_m_distortion_curve_monotone_and_consistent(spark, sf_dir):
+    from laygo_python_spark.operators.pq import pq_encode, train_codebooks
+    from laygo_python_spark.queries.similarity_ops import pq_m_distortion_curve
+    from laygo_python_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    rows = {r.m: r for r in pq_m_distortion_curve(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {8, 16, 32}
+    # more bytes -> strictly less distortion, no-worse recall
+    assert rows[8].avg_distortion > rows[16].avg_distortion > rows[32].avg_distortion
+    assert rows[8].recall_at_10 <= rows[16].recall_at_10 <= rows[32].recall_at_10
+    assert all(r.bytes_per_vec == r.m for r in rows.values())
+
+    # the dist_col distortion equals a from-scratch reconstruction
+    import numpy as np
+
+    cb = train_codebooks(emb, m=8, ksub=64)
+    got = {
+        r.vec_id: r.d for r in pq_encode(emb, cb, dist_col="d").select("vec_id", "d").collect()
+    }
+    sample = emb.filter("vec_id < 20").collect()
+    for r in sample:
+        v = np.array(r.embedding, dtype=np.float64)
+        n = np.linalg.norm(v)
+        v = v / (n if n else 1.0)
+        dist = 0.0
+        for s in range(8):
+            xs = v[s * 8 : (s + 1) * 8]
+            d2 = ((cb[s] - xs[None, :]) ** 2).sum(axis=1)
+            dist += float(d2.min())
+        assert abs(got[r.vec_id] - dist) < 1e-9, r.vec_id

@@ -39,7 +39,8 @@ from laygo_python_spark.operators.pq import _kmeans_1sub, _normalize  # noqa: E4
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts", "ann")
 IVF_KS = (8, 16)  # ann_ivfpq_topk trains 8 cells, ann_ivf_topk 16
-PQ_M, PQ_KSUB = 32, 64  # the registered queries' codebook geometry
+PQ_MS, PQ_KSUB = (8, 16, 32), 64  # 32 = the search queries' geometry;
+# 8/16 feed pq_m_distortion_curve (code-size vs distortion vs recall)
 
 
 def _embeddings(sf_dir: str) -> np.ndarray:
@@ -81,16 +82,17 @@ def main() -> None:
         # PQ: per-subspace codebooks over L2-NORMALIZED vectors
         # (train_codebooks semantics: iters=10, seed=42+s).
         norm = _normalize(mat)
-        dsub = norm.shape[1] // PQ_M
-        for s in range(PQ_M):
-            cb = _kmeans_1sub(norm[:, s * dsub : (s + 1) * dsub], PQ_KSUB, iters=10, seed=42 + s)
-            pq_rows += [(n, sig, PQ_M, PQ_KSUB, s, c, v.tolist()) for c, v in enumerate(cb)]
+        for pq_m in PQ_MS:
+            dsub = norm.shape[1] // pq_m
+            for s in range(pq_m):
+                cb = _kmeans_1sub(norm[:, s * dsub : (s + 1) * dsub], PQ_KSUB, iters=10, seed=42 + s)
+                pq_rows += [(n, sig, pq_m, PQ_KSUB, s, c, v.tolist()) for c, v in enumerate(cb)]
         mu, comps, eig = _pca_components(mat, PCA_K)
         pca_rows += [
             (n, sig, PCA_K, i, mu.tolist(), c.tolist(), float(e))
             for i, (c, e) in enumerate(zip(comps, eig))
         ]
-        print(f"{sf_dir}: n={n} sig={sig} ivf k={IVF_KS} pq m={PQ_M} ksub={PQ_KSUB} pca k={PCA_K}")
+        print(f"{sf_dir}: n={n} sig={sig} ivf k={IVF_KS} pq m={PQ_MS} ksub={PQ_KSUB} pca k={PCA_K}")
 
     pq_.write_table(
         pa.table(
