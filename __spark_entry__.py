@@ -42,7 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # stream_dp_release lesson: a post-rotation landing goes ungated for a
 # full round). 46 + 4 fills the 50 exactly. Recompute per round from
 # CORRECTNESS_r*.json.
-# r13 NOTE: `substring_incremental_spans` and `pq_m_distortion_curve` (late-r12 names)
+# r13 NOTE: `substring_incremental_spans`, `pq_m_distortion_curve` and
+# `simhash_radius_tuning` (late-r12 names)
 # landed after this 50-slot front filled — they MUST lead the r13 front
 # (they are builder-oracle-green at HEAD; see ORACLE_FULL_r12.txt).
 _ROTATION_FRONT = [

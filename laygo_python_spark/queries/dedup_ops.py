@@ -975,3 +975,139 @@ def substring_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_match_incremental(new, idx, min_len=16).orderBy(
         "doc_id_a", "doc_id_b", "start_a", "start_b"
     )
+
+
+def _simhash_radius_oracle(
+    bits: int = 60,
+    max_hamming: int = 5,
+    max_bucket: int = 2000,
+    jaccard_threshold: float = 0.8,
+) -> str:
+    """Replay of simhash_radius_tuning: the pigeonhole candidate stream
+    at the LOOSEST radius (banding completeness makes every accepted
+    set at r <= max_hamming exact), exact 3-gram Jaccard ground truth
+    on the same half-corpus sample, then the radius grid fold — the
+    _lsh_tuning_oracle shape with Hamming distance as the knob."""
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_idx = ", ".join(str(i) for i in range(n_chunks))
+    tallies = ",\n           ".join(
+        f"sum(CASE WHEN (hv>>{j})&1=1 THEN 1 ELSE -1 END) AS t{j}" for j in range(bits)
+    )
+    fp_bits = " + ".join(
+        f"(CASE WHEN t{j}>0 THEN (1::BIGINT<<{j}) ELSE 0 END)" for j in range(bits)
+    )
+    radii = ", ".join(str(r) for r in range(max_hamming + 1))
+    return f"""WITH docs2 AS (SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id % 2 = 0),
+    tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+             FROM docs2),
+    th AS (SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT AS hv FROM tok),
+    tally AS (SELECT doc_id,
+           {tallies}
+        FROM th GROUP BY doc_id),
+    fp AS MATERIALIZED (SELECT doc_id, {fp_bits} AS sh FROM tally),
+    fps AS (SELECT DISTINCT sh FROM fp),
+    chunks AS (SELECT sh, i, (sh >> ({chunk_bits} * i)) & {mask} AS cv
+               FROM fps, unnest([{chunk_idx}]) AS u(i)),
+    kept AS (SELECT i, cv FROM chunks GROUP BY i, cv HAVING count(*) <= {max_bucket}),
+    fpp AS (SELECT DISTINCT a.sh AS sa, b.sh AS sb
+            FROM chunks a
+            JOIN chunks b ON a.i = b.i AND a.cv = b.cv AND a.sh < b.sh
+            JOIN kept ON kept.i = a.i AND kept.cv = a.cv
+            WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}),
+    pairs AS MATERIALIZED (
+      SELECT least(x.doc_id, y.doc_id) AS da,
+             greatest(x.doc_id, y.doc_id) AS db,
+             CAST(bit_count(xor(p.sa, p.sb)) AS INT) AS hamming
+      FROM fpp p JOIN fp x ON x.sh = p.sa JOIN fp y ON y.sh = p.sb
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, 0
+      FROM fp a JOIN fp b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+    toks3 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+              FROM docs2),
+    idx3 AS (SELECT doc_id, l, unnest(range(1, len(l)-1)) AS i
+             FROM toks3 WHERE len(l) >= 3),
+    sh3 AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2],' ') AS g FROM idx3),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM sh3 a JOIN sh3 b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    truth AS MATERIALIZED (SELECT da, db FROM inter
+              JOIN counts ca ON da = ca.doc_id
+              JOIN counts cb ON db = cb.doc_id
+              WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {jaccard_threshold}),
+    nt AS (SELECT count(*) AS n_true FROM truth),
+    grid AS (SELECT unnest([{radii}]) AS radius),
+    stats AS (SELECT g.radius,
+                     count(p.da) AS n_candidates,
+                     sum(CASE WHEN t.da IS NOT NULL THEN 1 ELSE 0 END) AS tp
+              FROM grid g
+              LEFT JOIN pairs p ON p.hamming <= g.radius
+              LEFT JOIN truth t ON t.da = p.da AND t.db = p.db
+              GROUP BY 1)
+    SELECT CAST(s.radius AS INT) AS radius,
+           CAST(s.n_candidates AS BIGINT) AS n_candidates,
+           CAST(nt.n_true AS BIGINT) AS n_true_pairs,
+           CAST(s.tp AS BIGINT) AS true_positives,
+           round(CASE WHEN s.n_candidates > 0
+                      THEN CAST(s.tp AS DOUBLE) / s.n_candidates END, 6) AS precision,
+           round(CAST(s.tp AS DOUBLE) / nt.n_true, 6) AS recall
+    FROM stats s, nt ORDER BY radius"""
+
+
+@query("simhash_radius_tuning", oracle=_simhash_radius_oracle())
+def simhash_radius_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash tuning report — the fourth leg of the measured-knob
+    family (MinHash banding, IVF probe depth, PQ code size, now the
+    Hamming acceptance radius): for the production 60-bit md5 SimHash,
+    precision and recall against EXACT 3-gram Jaccard >= 0.8 ground
+    truth at every radius r in {0..5}, on the same deterministic
+    half-corpus tuning sample as lsh_threshold_tuning. ONE pigeonhole
+    discovery pass at the loosest radius serves the whole grid (banding
+    completeness means the accepted set {hamming <= r} is exact for
+    every r <= 5); the grid fold is a 6-row broadcast. The oracle
+    replays fingerprints, banding, the bucket cap, the exact-Jaccard
+    truth join and the fold end-to-end."""
+    from laygo_python_spark.session import local_rows_df
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    pairs = dedup.simhash_near_dups(docs, max_hamming=5, hash_fn="md5")
+    truth = (
+        dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+        .select("doc_id_a", "doc_id_b", F.lit(1).alias("__t"))
+        .localCheckpoint(eager=True)
+    )
+    marked = pairs.join(truth, ["doc_id_a", "doc_id_b"], "left")
+    grid = local_rows_df(spark, [(r,) for r in range(6)], "radius int")
+    stats = (
+        F.broadcast(grid)
+        .join(marked, marked["hamming"] <= F.col("radius"), "left")
+        .groupBy("radius")
+        .agg(
+            F.count(F.col("doc_id_a")).alias("n_candidates"),
+            F.sum(F.coalesce(F.col("__t"), F.lit(0))).cast("long").alias("true_positives"),
+        )
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    return (
+        stats.crossJoin(F.broadcast(nt))
+        .select(
+            "radius",
+            "n_candidates",
+            "n_true_pairs",
+            "true_positives",
+            F.round(
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.col("true_positives").cast("double") / F.col("n_candidates"),
+                ),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.col("true_positives").cast("double") / F.col("n_true_pairs"), 6
+            ).alias("recall"),
+        )
+        .orderBy("radius")
+    )

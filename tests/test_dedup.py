@@ -677,3 +677,22 @@ def test_substring_index_write_read_append_replay(spark, span_docs, tmp_path):
     assert (10, 13, 5, 0, 20) in got and (10, 13, 5, 24, 20) in got
     assert (11, 13, 0, 0, 20) in got and (11, 13, 0, 24, 20) in got
     assert spark.read.parquet(f"{path}/postings").count() == total
+
+
+def test_simhash_radius_tuning_monotone_and_consistent(spark, sf_dir):
+    from laygo_python_spark.queries.dedup_ops import simhash_radius_tuning
+    from laygo_python_spark.session import read_table
+
+    rows = {r.radius: r for r in simhash_radius_tuning(spark, sf_dir).collect()}
+    assert set(rows) == set(range(6))
+    for r in range(1, 6):
+        # widening the radius can only add candidates and true positives
+        assert rows[r].n_candidates >= rows[r - 1].n_candidates
+        assert rows[r].true_positives >= rows[r - 1].true_positives
+        assert rows[r].recall >= rows[r - 1].recall
+    # the loosest-radius candidate count equals an actual
+    # simhash_near_dups run at the same parameters — the curve measures
+    # the real discovery path
+    docs = read_table(spark, sf_dir, "documents").filter("doc_id % 2 = 0")
+    direct = dedup.simhash_near_dups(docs, max_hamming=5, hash_fn="md5").count()
+    assert rows[5].n_candidates == direct

@@ -44,6 +44,10 @@ _KNOWN_BNLJ = {
     # inherently non-equi) PLUS brute_force_topk's documented exact
     # ground-truth scan (gate-scale/sampled audit input at 100 TB)
     "ivf_nprobe_recall_curve",
+    # grid idiom again (SIX broadcast radius rows vs the pigeonhole
+    # candidate stream; hamming <= r is non-equi) + the exact-Jaccard
+    # truth join's documented audit-scale scan
+    "simhash_radius_tuning",
     "embedding_cosine_topk",
     "embedding_cosine_topk_fast",
     "embedding_near_dups",
