@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # full round). 46 + 4 fills the 50 exactly. Recompute per round from
 # CORRECTNESS_r*.json.
 # r13 NOTE: `substring_incremental_spans`, `pq_m_distortion_curve` and
-# `simhash_radius_tuning` (late-r12 names)
+# `simhash_radius_tuning` / `stream_substring_dedup` (late-r12 names)
 # landed after this 50-slot front filled — they MUST lead the r13 front
 # (they are builder-oracle-green at HEAD; see ORACLE_FULL_r12.txt).
 _ROTATION_FRONT = [

@@ -944,9 +944,10 @@ def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_dup_coverage(docs, spans)
 
 
-@query(
-    "substring_incremental_spans",
-    oracle=f"""
+# Shared with stream_substring_dedup (the streaming twin appends every
+# batch, so its per-batch union equals this same one-shot incremental
+# result under any micro-batch split).
+_SUBSTRING_INCREMENTAL_ORACLE = f"""
     WITH {_substring_span_cte(8)}
     SELECT da AS doc_id_a, db AS doc_id_b,
            CAST(start_a AS INT) AS start_a,
@@ -954,8 +955,10 @@ def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(span_len AS INT) AS span_len
     FROM spans
     WHERE span_len >= 16 AND NOT (da % 2 = 0 AND db % 2 = 0)
-    ORDER BY doc_id_a, doc_id_b, start_a, start_b""",
-)
+    ORDER BY doc_id_a, doc_id_b, start_a, start_b"""
+
+
+@query("substring_incremental_spans", oracle=_SUBSTRING_INCREMENTAL_ORACLE)
 def substring_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION cross-snapshot shape for exact substring dedup:
     yesterday's corpus (even doc_ids) lives as a stored positional

@@ -775,3 +775,65 @@ def stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+from laygo_python_spark.queries.dedup_ops import _SUBSTRING_INCREMENTAL_ORACLE  # noqa: E402
+
+
+@query("stream_substring_dedup", oracle=_SUBSTRING_INCREMENTAL_ORACLE)
+def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact substring-span dedup against the STORED postings
+    index, loop closed (streaming/substring_ingest_processor): the seen
+    corpus (even doc_ids) lives as the parquet postings artifact,
+    today's documents arrive as a file stream, and every micro-batch
+    matches spans against everything indexed so far, lands them in a
+    per-batch partition, then appends its own postings — so the union
+    of per-batch matches is batch-split invariant and equals the
+    one-shot incremental result, which is exactly what the SHARED
+    oracle asserts (substring_incremental_spans is the batch twin; the
+    multi-batch and replay invariants are pinned in
+    tests/test_streaming.py). Completes the streaming-ingest dedup
+    family: MinHash (stream_incremental_dedup) and now exact substring
+    spans share the match-then-append exactly-once discipline."""
+    import shutil
+    import tempfile
+
+    from laygo_python_spark.operators import dedup
+    from laygo_python_spark.queries.dedup_ops import _index_template
+    from laygo_python_spark.session import read_table
+    from laygo_python_spark.streaming import substring_ingest_processor
+
+    docs = read_table(spark, sf_dir, "documents")
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    tmpl = _index_template(
+        spark, sf_dir, "substring_seen_even",
+        lambda p: dedup.substring_index_write(
+            dedup.substring_index(docs.filter(F.col("doc_id") % 2 == 0), k=8), p
+        ),
+    )
+    scratch = tempfile.mkdtemp(prefix="stream_ssdedup_")
+    idx_dir, out_dir = f"{scratch}/index", f"{scratch}/matches"
+    try:
+        shutil.copytree(tmpl, idx_dir)
+        process = substring_ingest_processor(
+            spark, idx_dir, out_dir, new_filter=F.col("doc_id") % 2 == 1, min_len=16
+        )
+        q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        return (
+            spark.read.parquet(out_dir)
+            .select("doc_id_a", "doc_id_b", "start_a", "start_b", "span_len")
+            .orderBy("doc_id_a", "doc_id_b", "start_a", "start_b")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

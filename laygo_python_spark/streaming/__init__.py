@@ -379,3 +379,38 @@ def counts_summary_processor(keys: list[str], summary_path: str):
         ).parquet(f"{summary_path}/batch_id={batch_id}")
 
     return process
+
+
+def substring_ingest_processor(
+    spark: SparkSession,
+    index_path: str,
+    matches_path: str,
+    new_filter: Column | None = None,
+    min_len: int = 16,
+):
+    """``foreachBatch`` body for streaming exact substring-span dedup
+    against the STORED postings index (operators/dedup.substring_index):
+    per micro-batch, (1) ``substring_match_incremental`` the batch —
+    spans vs everything indexed so far PLUS within the batch; only the
+    batch's text is tokenized — (2) land the spans in a per-batch sink
+    partition, (3) ``substring_index_append`` the batch's postings so
+    later batches match against it. Because EVERY batch is appended,
+    the union of per-batch matches is batch-split INVARIANT: it equals
+    the one-shot incremental match over the whole stream (each
+    cross-batch pair surfaces exactly once, when its later doc
+    arrives), which is what the shared oracle and the multi-batch
+    pytest assert.
+
+    Exactly-once keyed by batch_id on both effects (partition overwrite
+    / applied_batches no-op) — the incremental_dedup_processor
+    contract."""
+    from laygo_python_spark.operators import dedup
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.filter(new_filter) if new_filter is not None else batch_df
+        idx = dedup.substring_index_read(spark, index_path)
+        spans = dedup.substring_match_incremental(new, idx, min_len=min_len)
+        spans.write.mode("overwrite").parquet(f"{matches_path}/batch_id={batch_id}")
+        dedup.substring_index_append(spark, index_path, new, batch_id=batch_id)
+
+    return process

@@ -22,6 +22,7 @@ _EXECUTING = {
     "stream_hourly_counts",
     "stream_session_windows",
     "stream_incremental_dedup",
+    "stream_substring_dedup",
     "loop_double",
     "dedup_cluster_representatives",
     "ann_ivf_topk",

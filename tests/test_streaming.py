@@ -517,3 +517,82 @@ def test_stream_summary_processors_one_partial_per_microbatch(spark, tmp_path):
         q.awaitTermination()
         dirs = {p.name for p in (tmp_path / f"{tag}_s").glob("batch_id=*")}
         assert len(dirs) == n_files, (tag, dirs)
+
+
+def test_stream_substring_multibatch_union_equals_oneshot(spark, tmp_path):
+    """Forced 4-file split: because every batch's postings are appended
+    before the next batch matches, the UNION of per-batch span matches
+    must equal the one-shot incremental match over all new docs — each
+    cross-batch pair surfaces exactly once, when its later doc arrives."""
+    from laygo_python_spark.operators import dedup
+    from laygo_python_spark.streaming import substring_ingest_processor
+
+    shared = " ".join(f"S{i}" for i in range(20))
+    rows = [(i, f"u{i}_" + " ".join(f"w{i}_{j}" for j in range(20))) for i in range(0, 8, 2)]
+    # odd ids are "new"; 1 and 5 carry the shared passage, 3 shares with seen doc 0
+    seen0 = "x0 " + shared + " y0"
+    rows[0] = (0, seen0)
+    rows += [
+        (1, "a1 a2 " + shared),
+        (3, shared + " b1 b2"),
+        (5, "c1 " + shared + " c2 c3"),
+        (7, " ".join(f"z{j}" for j in range(25))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seen = df.filter("doc_id % 2 = 0")
+    new = df.filter("doc_id % 2 = 1")
+
+    idx_dir = str(tmp_path / "idx")
+    dedup.substring_index_write(dedup.substring_index(seen, k=8), idx_dir)
+    oneshot = sorted(
+        map(
+            tuple,
+            dedup.substring_match_incremental(
+                new, dedup.substring_index_read(spark, idx_dir), min_len=16
+            ).collect(),
+        )
+    )
+    assert len(oneshot) >= 5  # 1-3, 1-5, 3-5 cross-new + 0-1, 0-3, 0-5 vs seen
+
+    # fresh index for the streamed run
+    idx2 = str(tmp_path / "idx2")
+    dedup.substring_index_write(dedup.substring_index(seen, k=8), idx2)
+    src = str(tmp_path / "src")
+    new.repartition(4).write.parquet(src)
+    out_dir = str(tmp_path / "matches")
+    stream = (
+        spark.readStream.schema(new.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    process = substring_ingest_processor(spark, idx2, out_dir, min_len=16)
+    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    q.awaitTermination()
+    streamed = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out_dir)
+            .select("doc_id_a", "doc_id_b", "start_a", "start_b", "span_len")
+            .collect(),
+        )
+    )
+    assert streamed == oneshot
+
+
+def test_stream_substring_replayed_batch_is_noop(spark, tmp_path):
+    from laygo_python_spark.operators import dedup
+    from laygo_python_spark.streaming import substring_ingest_processor
+
+    shared = " ".join(f"S{i}" for i in range(20))
+    seen = spark.createDataFrame([(0, "x " + shared + " y")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "a " + shared), (3, " ".join(f"q{j}" for j in range(20)))],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    dedup.substring_index_write(dedup.substring_index(seen, k=8), idx)
+    process = substring_ingest_processor(spark, idx, str(tmp_path / "m"), min_len=16)
+    process(batch, 0)
+    once = sorted(map(tuple, spark.read.parquet(str(tmp_path / "m")).collect()))
+    postings_once = spark.read.parquet(f"{idx}/postings").count()
+    process(batch, 0)  # replay: matches partition overwritten, append no-op
+    assert sorted(map(tuple, spark.read.parquet(str(tmp_path / "m")).collect())) == once
+    assert spark.read.parquet(f"{idx}/postings").count() == postings_once
