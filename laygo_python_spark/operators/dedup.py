@@ -1463,6 +1463,71 @@ def substring_index_append(spark, path: str, new_docs: DataFrame,
     return int(n)
 
 
+def substring_strip_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY the span pass — the Lee et al. remediation, not just the
+    report: every duplicated span keeps its FIRST occurrence (the
+    lower doc_id's copy) and the higher-id doc's covered tokens are
+    cut. Returns (id, text [stripped], n_tokens, n_removed) for every
+    doc. A doc that is doc_id_a in one pair and doc_id_b in another
+    keeps its a-side text and loses its b-side intervals — the policy
+    is deterministic and order-free because "first occurrence" is
+    defined by ids, not processing order.
+
+    Shape: only the b-side intervals shuffle (doc ids + int offsets);
+    overlapping intervals merge via the same running-max interval sweep
+    as substring_dup_coverage, collapse to ONE array per doc, and the
+    cut itself is a JVM-side higher-order filter over the token array —
+    no Python in the path, corpus text moves only map-side."""
+    from pyspark.sql import Window
+
+    iv = spans.select(
+        F.col("doc_id_b").alias("__doc"),
+        F.col("start_b").alias("__s"),
+        (F.col("start_b") + F.col("span_len")).alias("__e"),
+    )
+    word = Window.partitionBy("__doc").orderBy("__s", "__e")
+    prev_max = F.max("__e").over(word.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        iv.withColumn(
+            "__new", F.when(prev_max.isNull() | (F.col("__s") > prev_max), 1).otherwise(0)
+        )
+        .withColumn("__isl", F.sum("__new").over(word))
+        .groupBy("__doc", "__isl")
+        .agg(F.min("__s").alias("s"), F.max("__e").alias("e"))
+        .groupBy("__doc")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__ivs"))
+    )
+    toks = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__ws"),
+    )
+    kept = F.expr(
+        "filter(arrays_zip(__ws, sequence(0, size(__ws) - 1)), "
+        "x -> __ivs IS NULL OR NOT exists(__ivs, v -> x['1'] >= v.s AND x['1'] < v.e))"
+    )
+    return (
+        toks.join(merged, "__doc", "left")
+        .select(
+            F.col("__doc").alias(id_col),
+            F.size("__ws").cast("long").alias("n_tokens"),
+            kept.alias("__kept"),
+        )
+        .select(
+            id_col,
+            F.array_join(F.transform(F.col("__kept"), lambda x: x["__ws"]), " ").alias(
+                text_col
+            ),
+            "n_tokens",
+            (F.col("n_tokens") - F.size("__kept")).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def substring_match_incremental(
     new_docs: DataFrame,
     index: dict,

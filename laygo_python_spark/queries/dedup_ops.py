@@ -1114,3 +1114,51 @@ def simhash_radius_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("radius")
     )
+
+
+@query(
+    "substring_strip_dedup",
+    oracle=f"""
+    WITH {_substring_span_cte(8)},
+    bspans AS (SELECT db AS doc_id, start_b AS s, start_b + span_len AS e
+               FROM spans WHERE span_len >= 16),
+    mx AS (SELECT doc_id, s, e,
+                  max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS pm
+           FROM bspans),
+    isl_b AS (SELECT doc_id, s, e,
+                   sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+            FROM mx),
+    miv AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM isl_b GROUP BY 1, 2),
+    toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+             FROM documents),
+    pos AS (SELECT doc_id, ws, unnest(range(0, len(ws))) AS i FROM toks),
+    kept AS (SELECT p.doc_id, p.i, p.ws[p.i + 1] AS tok
+             FROM pos p
+             WHERE NOT EXISTS (SELECT 1 FROM miv v
+                               WHERE v.doc_id = p.doc_id
+                                 AND p.i >= v.s AND p.i < v.e)),
+    agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(a.text, '') AS text,
+           CAST(len(t.ws) AS BIGINT) AS n_tokens,
+           CAST(len(t.ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN agg a USING (doc_id)""",
+)
+def substring_strip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REMOVAL — the curation action the span report feeds
+    (operators/dedup.substring_strip_spans): every >= 16-token
+    duplicated span keeps its first (lowest-doc_id) occurrence and the
+    later doc's covered tokens are cut; output is the FULL corpus with
+    stripped text and per-doc removal counts. The cut is a JVM
+    higher-order filter over the token array against the doc's merged
+    b-side intervals — corpus text never shuffles. The oracle replays
+    spans → b-side interval union → positional token filter → re-join
+    and hash-matches the stripped TEXT itself, so a single
+    mis-positioned cut anywhere in the corpus fails the gate."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.substring_span_pairs(docs, k=8, min_len=16)
+    return dedup.substring_strip_spans(docs, spans)

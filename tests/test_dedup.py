@@ -696,3 +696,25 @@ def test_simhash_radius_tuning_monotone_and_consistent(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").filter("doc_id % 2 = 0")
     direct = dedup.simhash_near_dups(docs, max_hamming=5, hash_fn="md5").count()
     assert rows[5].n_candidates == direct
+
+
+def test_substring_strip_keeps_first_occurrence_and_converges(span_docs):
+    spans = dedup.substring_span_pairs(span_docs, k=8, min_len=16)
+    out = {r.doc_id: r for r in dedup.substring_strip_spans(span_docs, spans).collect()}
+    # doc 10 is the lowest id in every pair it joins — untouched
+    assert out[10].n_removed == 0
+    assert out[10].text == span_docs.filter("doc_id = 10").first().text
+    # doc 11 loses its copy of the shared passage ([0, 20))
+    assert out[11].n_removed == 20
+    assert out[11].text == " ".join(f"f11_{i}" for i in range(15))
+    # doc 13 loses BOTH copies ([0,20) and [24,44)) but keeps the filler
+    assert out[13].n_removed == 40
+    assert out[13].text == " ".join(f"f13_{i}" for i in range(4))
+    # untouched docs round-trip (modulo whitespace normalization)
+    assert out[14].n_removed == 0 and out[12].n_removed == 0
+
+    # convergence: one strip pass removes every >=16-token duplicate —
+    # re-detecting on the stripped corpus finds nothing
+    stripped = dedup.substring_strip_spans(span_docs, spans)
+    again = dedup.substring_span_pairs(stripped, k=8, min_len=16).collect()
+    assert again == []

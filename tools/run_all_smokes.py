@@ -40,6 +40,7 @@ SMOKES: list[tuple[str, list[str]]] = [
     ("warehouse_scale_smoke.py", []),
     ("incremental_index_smoke.py", []),
     ("index_append_smoke.py", []),
+    ("substring_scale_smoke.py", ["200000"]),
 ]
 
 
