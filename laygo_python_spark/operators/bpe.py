@@ -86,13 +86,15 @@ def bpe_train(
     fail fast, never an unbounded driver fetch) and iterates locally.
     """
     wc = word_counts(docs, text_col, min_count)
-    n_vocab = wc.limit(max_vocab + 1).count()
-    if n_vocab > max_vocab:
+    # Guard fused into the bounded fetch (limit caps the driver transfer
+    # at max_vocab+1 rows): one job instead of count-then-toPandas two —
+    # the word-count aggregation previously ran twice.
+    pdf = wc.limit(max_vocab + 1).toPandas()
+    if len(pdf) > max_vocab:
         raise ValueError(
             f"bpe_train collects the word-count table; got > {max_vocab} distinct "
             "words. Raise min_count (prune the tail) or max_vocab."
         )
-    pdf = wc.toPandas()
     words: dict[tuple[str, ...], int] = {
         tuple(w): int(n) for w, n in zip(pdf["word"], pdf["n"])
     }

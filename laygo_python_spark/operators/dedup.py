@@ -1685,7 +1685,12 @@ def ngram_jaccard_pairs(
     if strategy not in ("auto", "bitmask", "prefix"):
         raise ValueError(f"unknown strategy {strategy!r}")
     blk = [block_col] if block_col else []
-    grams = docs.select(
+    # _spread_small_input: the shingle expression (transform/slice/
+    # concat_ws — never codegen'd) is the most expensive per-row work in
+    # this operator (~2 s/2500 docs on ONE core, measured via stage
+    # metrics); a tiny fixture file scans as one partition, serializing
+    # it. Spreading is a no-op at real scale (see the helper docstring).
+    grams = _spread_small_input(docs).select(
         F.col(id_col), *blk, F.explode(F.array_distinct(shingles(text_col, n) if n > 1 else tokens(text_col))).alias("g")
     ).distinct()
     jac_of = lambda i, na, nb: (i.cast("double") / (na + nb - i))  # noqa: E731
@@ -1697,9 +1702,16 @@ def ngram_jaccard_pairs(
         # partial scan), and the exact global count only when the
         # sample says "tiny" (then partial aggregation collapses every
         # partition to <= ~64 local distincts before the shuffle).
+        # 512 docs suffice for the >64 test (vocab is monotone in the
+        # sample, and the <=64 branch re-checks with the exact global
+        # count, so the decision is invariant — and both strategies
+        # return identical results regardless). The previous 50k-row
+        # probe ran the shingle expression over the whole fixture corpus
+        # in ONE task (`limit` collapses to a single partition): 2.5 s
+        # of the operator's 5.7 s wall, measured via stage metrics.
         sample_vocab = (
             docs.select(text_col)
-            .limit(50_000)
+            .limit(512)
             .select(F.explode(shingles(text_col, n) if n > 1 else tokens(text_col)).alias("g"))
             .agg(F.count_distinct("g"))
             .first()[0]
@@ -1768,6 +1780,13 @@ def ngram_jaccard_pairs(
 
     # Prefix-filter (AllPairs) path: global ascending-frequency gram
     # order; index/probe only each doc's prefix (rarest) grams.
+    # The gram frame feeds SIX consumers below (freq, both prefix
+    # sides, the length filter, and both verify sides); unpinned, each
+    # re-runs scan+explode+distinct — 12 parquet scans in the physical
+    # plan, zero exchange reuse (measured 5.7 s -> 2.9 s at sf0.1 for
+    # the t=0.8 truth join when pinned). Same discipline as
+    # ngram_containment_pairs; integers only, never text.
+    grams = grams.localCheckpoint(eager=True)
     freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("fc"))
     ranked = (
         grams.join(freq, "g")
@@ -1776,6 +1795,9 @@ def ngram_jaccard_pairs(
             "rk", F.row_number().over(Window.partitionBy(id_col).orderBy("fc", "g"))
         )
     )
+    # NOT pinned: with grams pinned the double-window recompute per
+    # self-join side is cheap, and an eager checkpoint's job barrier
+    # costs more than it saves (A/B measured 2.8 s pinned vs 2.1 s not).
     prefix = ranked.filter(
         F.col("rk") <= F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
     ).select(id_col, *blk, "g", "n_grams")

@@ -118,13 +118,15 @@ def _brute_force_topk_numpy(
     # must be small. A large query set is a driver OOM waiting to happen —
     # fail fast with the scalable alternative named.
     max_queries = 100_000
-    n_q = queries.limit(max_queries + 1).count()
-    if n_q > max_queries:
+    # Guard fused into the bounded collect itself (limit caps the fetch
+    # at max_queries+1 rows, so the driver never holds more than the
+    # cap): one job instead of the old count-then-collect two.
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
         raise ValueError(
             f"brute_force_topk collects the query side to the driver; got > {max_queries} "
             "query vectors. Use lsh_bucketed_topk / ivf_topk for large query sets."
         )
-    q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
