@@ -112,15 +112,18 @@ def ivf_topk(
     paying a training job."""
     if centroids is None:
         centroids = train_centroids(corpus, n_centroids, vec_col, seed)
+    from laygo_python_spark.operators.similarity import _score_topk, l2_norm
+
     c = _assign_cells(corpus, centroids, "neighbor_id", "cv", id_col, vec_col, n_probe=1)
+    c = c.withColumn("nc", l2_norm(F.col("cv")))
     q = _assign_cells(queries, centroids, "query_id", "qv", id_col, vec_col, n_probe=n_probe)
-    from laygo_python_spark.operators.similarity import _score_topk
+    q = q.withColumn("nq", l2_norm(F.col("qv")))
 
     candidates = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id", "qv", "cv", "nq", "nc")
     )
     return _score_topk(candidates, k)
 
@@ -156,7 +159,11 @@ def nprobe_recall_curve(
     Ground truth is the exact brute-force top-k (a gate-scale/sampled
     audit input at 100 TB, the same honesty posture as
     lsh_threshold_tuning's exact-Jaccard truth set)."""
-    from laygo_python_spark.operators.similarity import brute_force_topk, cosine
+    from laygo_python_spark.operators.similarity import (
+        brute_force_topk,
+        cosine_hoisted,
+        l2_norm,
+    )
     from ..session import local_rows_df
 
     if centroids is None:
@@ -164,10 +171,11 @@ def nprobe_recall_curve(
     spark = corpus.sparkSession
     gmax = min(max(grid), len(centroids))
     c = _assign_cells(corpus, centroids, "neighbor_id", "cv", id_col, vec_col, n_probe=1)
+    c = c.withColumn("nc", l2_norm(F.col("cv")))
     q = _assign_cells(
         queries, centroids, "query_id", "qv", id_col, vec_col,
         n_probe=gmax, rank_out="probe_rank",
-    )
+    ).withColumn("nq", l2_norm(F.col("qv")))
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -175,7 +183,9 @@ def nprobe_recall_curve(
             "query_id",
             "neighbor_id",
             "probe_rank",
-            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+            cosine_hoisted(
+                F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc")
+            ).alias("sim"),
         )
     )
     truth = brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col).select(
@@ -265,17 +275,22 @@ def ivf_search_indexed(
     centroids = np.array(
         [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])], dtype=np.float64
     )
+    from laygo_python_spark.operators.similarity import _score_topk, l2_norm
+
     q = _assign_cells(queries, centroids, "query_id", "qv", id_col, vec_col, n_probe=n_probe)
     q = q.localCheckpoint(eager=True)  # probed twice: cell list + the join
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
-    c = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(probed))
-    from laygo_python_spark.operators.similarity import _score_topk
+    c = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell").isin(probed))
+        .withColumn("nc", l2_norm(F.col("cv")))
+    )
 
     candidates = (
-        c.join(F.broadcast(q), "cell")
+        c.join(F.broadcast(q.withColumn("nq", l2_norm(F.col("qv")))), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id", "qv", "cv", "nq", "nc")
     )
     return _score_topk(candidates, k)
 

@@ -143,15 +143,24 @@ def semantic_contamination(
     speed at extreme scale, pre-prune candidates with the SRP-bucketed
     path and exact-verify the survivors here.
     """
-    from laygo_python_spark.operators.similarity import as_double_array, cosine
+    from laygo_python_spark.operators.similarity import (
+        as_double_array,
+        cosine_hoisted,
+        l2_norm,
+    )
 
+    # Norms hoisted out of the |corpus|×|eval| pair frame — computed
+    # once per row on each side (the semantic_dedup r8 discipline);
+    # value-identical to cosine() per cosine_hoisted's contract.
     q = F.broadcast(
         evalset.select(
             F.col(id_col).alias("__eid"), as_double_array(vec_col).alias("__ev")
-        )
+        ).select("__eid", "__ev", l2_norm(F.col("__ev")).alias("__en"))
     )
-    c = corpus.select(F.col(id_col), as_double_array(vec_col).alias("__cv"))
-    sim = cosine(F.col("__cv"), F.col("__ev"))
+    c = corpus.select(F.col(id_col), as_double_array(vec_col).alias("__cv")).select(
+        id_col, "__cv", l2_norm(F.col("__cv")).alias("__cn")
+    )
+    sim = cosine_hoisted(F.col("__cv"), F.col("__ev"), F.col("__cn"), F.col("__en"))
     # argmax(sim, then min eval id) as ONE partial-aggregatable max:
     # struct ordering is (sim asc, -eid asc), so max = highest sim,
     # smallest eval id on ties.

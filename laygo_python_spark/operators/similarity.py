@@ -59,6 +59,19 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom != 0, dot(a, b) / denom).otherwise(F.lit(float("-inf")))
 
 
+def cosine_hoisted(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine(a, b)`` with the two ``l2_norm`` folds HOISTED to
+    per-row columns computed once on each join side instead of once per
+    PAIR. Higher-order array folds are interpreted (never codegen), so
+    on an n×m pair frame this removes O(n·m) folds in favor of O(n+m) —
+    the semdedup.semantic_dedup r8 discipline, shared here so every
+    scoring path spells it identically. Value-identical to ``cosine``:
+    same dot fold, and na·nb is the same two sqrt results multiplied in
+    the same order, so ranks, ties and thresholds cannot flip."""
+    denom = na * nb
+    return F.when(denom != 0, dot(a, b) / denom).otherwise(F.lit(float("-inf")))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -89,13 +102,19 @@ def brute_force_topk(
         return _brute_force_topk_numpy(corpus, queries, k, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-    )
+    ).select("query_id", "qv", l2_norm(F.col("qv")).alias("nq"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
-    )
+    ).select("neighbor_id", "cv", l2_norm(F.col("cv")).alias("nc"))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_hoisted(
+                F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc")
+            ).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -274,10 +293,17 @@ def _score_topk(candidates, k: int):
     """Shared scoring tail for every bucketed ANN path — cosine over the
     (query, candidate) frame, per-query rank, top-k. ONE definition so
     the pytest-pinned equivalence between direct and stored-index
-    searches (and their tie-breaks) cannot drift apart."""
-    scored = candidates.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
-    )
+    searches (and their tie-breaks) cannot drift apart.
+
+    When the candidate frame carries hoisted per-side norm columns
+    ``nq``/``nc`` (attached where the vectors were fetched — once per
+    row, not once per pair), scoring uses them; value-identical either
+    way (see cosine_hoisted)."""
+    if "nq" in candidates.columns and "nc" in candidates.columns:
+        sim = cosine_hoisted(F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc"))
+    else:
+        sim = cosine(F.col("qv"), F.col("cv"))
+    scored = candidates.select("query_id", "neighbor_id", sim.alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -327,12 +353,16 @@ def lsh_bucketed_topk(
     # when it happens to be small). Only the query-side frames ride
     # broadcasts: that is the operator's contract (queries = a bounded
     # probe set).
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv"))
-    qv = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv"))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    ).select("neighbor_id", "cv", l2_norm(F.col("cv")).alias("nc"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    ).select("query_id", "qv", l2_norm(F.col("qv")).alias("nq"))
     candidates = (
         cv.join(cand_ids, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id", "qv", "cv", "nq", "nc")
     )
     return _score_topk(candidates, k)
 
@@ -381,12 +411,22 @@ def embedding_near_dups(
     # self-join exists) — NEVER broadcast it; both vector fetches are
     # plain distributed id joins (AQE may promote small ones at
     # runtime).
-    va = corpus.select(F.col(id_col).alias("vec_id_a"), as_double_array(vec_col).alias("va"))
-    vb = corpus.select(F.col(id_col).alias("vec_id_b"), as_double_array(vec_col).alias("vb"))
+    va = corpus.select(
+        F.col(id_col).alias("vec_id_a"), as_double_array(vec_col).alias("va")
+    ).select("vec_id_a", "va", l2_norm(F.col("va")).alias("na"))
+    vb = corpus.select(
+        F.col(id_col).alias("vec_id_b"), as_double_array(vec_col).alias("vb")
+    ).select("vec_id_b", "vb", l2_norm(F.col("vb")).alias("nb"))
     return (
         va.join(pair_ids, "vec_id_a")
         .join(vb, "vec_id_b")
-        .select("vec_id_a", "vec_id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            cosine_hoisted(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )
 
@@ -474,11 +514,15 @@ def srp_search_indexed(
         queries, "query_id", "qv", p["dim"], p["n_planes"], p["n_tables"], p["seed"], id_col, vec_col
     ).localCheckpoint(eager=True)  # read twice: bucket list + join
     probed = [r["bkey"] for r in q.select("bkey").distinct().collect()]
-    c = spark.read.parquet(f"{path}/buckets").filter(F.col("bkey").isin(probed))
+    c = (
+        spark.read.parquet(f"{path}/buckets")
+        .filter(F.col("bkey").isin(probed))
+        .withColumn("nc", l2_norm(F.col("cv")))
+    )
     candidates = (
-        c.join(F.broadcast(q), "bkey")
+        c.join(F.broadcast(q.withColumn("nq", l2_norm(F.col("qv")))), "bkey")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id", "qv", "cv", "nq", "nc")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _score_topk(candidates, k)
@@ -720,14 +764,21 @@ def binary_hamming_topk(
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-    )
+    ).select("query_id", "qv", l2_norm(F.col("qv")).alias("nq"))
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
-    )
+    ).select("neighbor_id", "cv", l2_norm(F.col("cv")).alias("nc"))
     reranked = (
         cv.join(F.broadcast(short.select("query_id", "neighbor_id", "hamming")), "neighbor_id")
         .join(F.broadcast(qv), "query_id")
-        .select("query_id", "neighbor_id", "hamming", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            cosine_hoisted(
+                F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc")
+            ).alias("sim"),
+        )
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

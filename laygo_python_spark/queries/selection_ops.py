@@ -89,19 +89,23 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same broadcast-score-rank shape as embedding_cosine_topk with the
     label inequality fused into the join condition; the sequential-fold
     cosine is bit-identical across engines, so raw sims gate exactly."""
-    from laygo_python_spark.operators.similarity import as_double_array, cosine
+    from laygo_python_spark.operators.similarity import (
+        as_double_array,
+        cosine_hoisted,
+        l2_norm,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
         as_double_array("embedding").alias("qv"),
-    )
+    ).select("query_id", "query_label", "qv", l2_norm(F.col("qv")).alias("nq"))
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         as_double_array("embedding").alias("cv"),
-    )
+    ).select("neighbor_id", "neighbor_label", "cv", l2_norm(F.col("cv")).alias("nc"))
     scored = c.join(
         F.broadcast(q),
         (F.col("neighbor_id") != F.col("query_id"))
@@ -111,7 +115,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_label",
         "neighbor_id",
         "neighbor_label",
-        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        cosine_hoisted(F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc")).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -232,21 +236,29 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ann_knn_label_vote`` below: SRP-LSH shortlist → exact rerank →
     vote, whose broadcast side is O(queries·tables), independent of
     corpus size."""
-    from laygo_python_spark.operators.similarity import as_double_array, cosine
+    from laygo_python_spark.operators.similarity import (
+        as_double_array,
+        cosine_hoisted,
+        l2_norm,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         as_double_array("embedding").alias("qv"),
-    )
+    ).select("query_id", "true_label", "qv", l2_norm(F.col("qv")).alias("nq"))
     c = emb.filter(F.col("vec_id") % 25 != 0).select(
         F.col("vec_id").alias("nid"),
         F.col("label").alias("nl"),
         as_double_array("embedding").alias("cv"),
-    )
+    ).select("nid", "nl", "cv", l2_norm(F.col("cv")).alias("nc"))
     scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id", "true_label", "nid", "nl", cosine(F.col("qv"), F.col("cv")).alias("sim")
+        "query_id",
+        "true_label",
+        "nid",
+        "nl",
+        cosine_hoisted(F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc")).alias("sim"),
     )
     rw = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nid"))
     top = scored.withColumn("rnk", F.row_number().over(rw)).filter(F.col("rnk") <= 5)

@@ -1030,7 +1030,7 @@ def embedding_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shapes what remains."""
     from laygo_python_spark.operators.ann_artifacts import load_ivf_centroids
     from laygo_python_spark.operators.ivf import _assign_cells
-    from laygo_python_spark.operators.similarity import cosine
+    from laygo_python_spark.operators.similarity import cosine_hoisted, l2_norm
     from pyspark.sql import Window
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1041,14 +1041,18 @@ def embedding_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent = train_centroids(emb, 16)
     a = _assign_cells(emb, cent, "vec_id", "v", "vec_id", "embedding", n_probe=1)
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)]
-    cdf = spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+    cdf = spark.createDataFrame(cent_rows, "cell int, centroid array<double>").select(
+        "cell", "centroid", l2_norm(F.col("centroid")).alias("ncent")
+    )
     w = Window.partitionBy("cell").orderBy(F.desc("proto"), F.asc("vec_id"))
     return (
         a.join(F.broadcast(cdf), "cell")
         .select(
             "vec_id",
             F.col("cell").cast("int").alias("cell"),
-            cosine(F.col("v"), F.col("centroid")).alias("proto"),
+            cosine_hoisted(
+                F.col("v"), F.col("centroid"), l2_norm(F.col("v")), F.col("ncent")
+            ).alias("proto"),
         )
         .withColumn("proto_rank", F.row_number().over(w).cast("int"))
     )
@@ -1481,10 +1485,13 @@ def ann_index_rebuild_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
     def dot(a: str, b: str):
         return _dot(F.col(a), F.col(b))
 
+    # dot(centroid, centroid) hoisted to the k-row centroid frame (one
+    # fold per CENTROID, not per corpus row); d2 sums in the same order.
+    cent_df = cent_df.select("cell", "centroid", dot("centroid", "centroid").alias("cc"))
     rows = assign.join(F.broadcast(cent_df), "cell").select(
         "cell",
         "vec_id",
-        (dot("v", "v") - 2 * dot("v", "centroid") + dot("centroid", "centroid")).alias("d2"),
+        (dot("v", "v") - 2 * dot("v", "centroid") + F.col("cc")).alias("d2"),
     )
     g = rows.groupBy("cell").agg(
         F.sum(F.when(F.col("vec_id") % 3 != 0, 1).otherwise(0)).cast("long").alias("n_base"),
