@@ -60,26 +60,23 @@ def tokens(text_col: str = "text") -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
-def _spread_small_input(df: DataFrame, min_bytes_per_partition: int = 4 << 20) -> DataFrame:
-    """A tiny file scans as ONE partition, which would serialize the
-    map-only fingerprint passes on a single core. Repartition up to the
-    cluster parallelism ONLY for provably-small scans.
-
-    The decision uses file-listing metadata (driver-side, no job — NOT
-    ``df.rdd.getNumPartitions()``, which forces a full plan conversion
-    and can defeat later exchange reuse): many input files already scan
-    partitioned, and few-but-large files split by byte range, so the
-    repartition only ever fires on tiny fixtures where the shuffled
-    bytes are trivial. At real scale this is a no-op and no text ever
-    shuffles."""
+def _provably_small_input(df: DataFrame, min_bytes_per_partition: int = 4 << 20) -> bool:
+    """True iff the frame's leaf files are provably tiny for this
+    cluster's parallelism — decided from file-listing metadata
+    (driver-side, no job — NOT ``df.rdd.getNumPartitions()``, which
+    forces a full plan conversion and can defeat later exchange reuse).
+    Many input files already scan partitioned, and few-but-large files
+    split by byte range, so this only ever answers True on tiny
+    fixtures where shuffling the whole input is trivial; at real scale
+    it is always False."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:  # noqa: BLE001 — non-file sources: leave layout alone
-        return df
+        return False
     if not files or len(files) >= target:
-        return df
+        return False
     try:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
@@ -88,9 +85,18 @@ def _spread_small_input(df: DataFrame, min_bytes_per_partition: int = 4 << 20) -
             p = jvm.org.apache.hadoop.fs.Path(f)
             total += p.getFileSystem(conf).getFileStatus(p).getLen()
     except Exception:  # noqa: BLE001 — metadata probe is best-effort
-        return df
-    if total < min_bytes_per_partition * target:
-        return df.repartition(target)
+        return False
+    return total < min_bytes_per_partition * target
+
+
+def _spread_small_input(df: DataFrame, min_bytes_per_partition: int = 4 << 20) -> DataFrame:
+    """A tiny file scans as ONE partition, which would serialize the
+    map-only fingerprint passes on a single core. Repartition up to the
+    cluster parallelism ONLY for provably-small scans (see
+    ``_provably_small_input``). At real scale this is a no-op and no
+    text ever shuffles."""
+    if _provably_small_input(df, min_bytes_per_partition):
+        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df
 
 
@@ -1227,8 +1233,10 @@ def ngram_containment_pairs(
     one as a count mismatch). The posting list is pinned once
     (localCheckpoint): sizes, the probe side and the index side all
     read the same blocks instead of re-running tokenize+distinct."""
+    small = _provably_small_input(docs)
+    target = docs.sparkSession.sparkContext.defaultParallelism
     grams = (
-        _spread_small_input(docs)
+        (docs.repartition(target) if small else docs)
         .select(
             F.col(id_col).alias("__doc"),
             F.explode(
@@ -1236,8 +1244,21 @@ def ngram_containment_pairs(
             ).alias("__gs"),
         )
         .select("__doc", F.xxhash64("__gs").alias("g"))
-        .distinct()
     )
+    if small:
+        # Fixture-scale postings are a few MB, so AQE (correctly, for a
+        # cluster) coalesces the distinct's reduce side to ONE partition
+        # — and the checkpoint pins that layout, serializing the whole
+        # downstream inverted join + intersection agg on one core
+        # (measured: a 3.4 s single task doing 26 MB of join work on a
+        # 32-core box). An explicit gram-keyed repartition keeps the
+        # pinned layout wide: HashPartitioning(g) satisfies the
+        # dedup's (doc, g) clustering AND the max_df window's (g), so
+        # neither adds an exchange. Real scale: the plain distinct —
+        # its post-shuffle partitions are already size-proportional.
+        grams = grams.repartition(target, "g").dropDuplicates()
+    else:
+        grams = grams.distinct()
     if max_df is not None:
         # same build-time idiom as minhash_index's bucket cap: one
         # count-over-window on the gram partitioning (single shuffle)
@@ -1254,12 +1275,18 @@ def ngram_containment_pairs(
     sizes = grams.groupBy("__doc").agg(F.count(F.lit(1)).alias("__n"))
     a = grams.select(F.col("__doc").alias("__ida"), "g")
     b = grams.select(F.col("__doc").alias("__idb"), "g")
-    inter = (
-        a.join(b, "g")
-        .filter(F.col("__ida") != F.col("__idb"))
-        .groupBy("__ida", "__idb")
-        .agg(F.count(F.lit(1)).alias("__i"))
-    )
+    hits = a.join(b, "g").filter(F.col("__ida") != F.col("__idb"))
+    if small:
+        # Same single-task story for the intersection agg: its
+        # partial-agg shuffle is a few MB, so AQE finalizes on ONE
+        # partition (2.4 s of serial agg+join+filter measured at sf0.1).
+        # The explicit pair-keyed repartition is AQE-exempt, and
+        # HashPartitioning(ida, idb) satisfies the agg's clustering, so
+        # the whole tail (final counts, sizes join, threshold filter)
+        # runs wide. Small inputs only — at scale the partial+final agg
+        # with size-proportional AQE partitions is strictly better.
+        hits = hits.repartition(target, "__ida", "__idb")
+    inter = hits.groupBy("__ida", "__idb").agg(F.count(F.lit(1)).alias("__i"))
     cont = F.col("__i").cast("double") / F.col("__n")
     return (
         inter.join(sizes.withColumnRenamed("__doc", "__ida"), "__ida")
@@ -1695,6 +1722,21 @@ def ngram_jaccard_pairs(
     ).distinct()
     jac_of = lambda i, na, nb: (i.cast("double") / (na + nb - i))  # noqa: E731
 
+    # The gram frame feeds MULTIPLE consumers on every path (bitmask:
+    # the exact vocab count + the vocab frame + the masks build;
+    # prefix: six subtrees — see below). Pin it ONCE the moment a
+    # consumer beyond the sample probe is inevitable; unpinned, each
+    # consumer re-runs scan+explode+distinct (and, under block_col, the
+    # docs⋈components join feeding it). Integers+short strings only.
+    grams_pinned = False
+
+    def _pin_grams(g):
+        nonlocal grams_pinned
+        if grams_pinned:
+            return g
+        grams_pinned = True
+        return g.localCheckpoint(eager=True)
+
     if strategy == "auto":
         # Two-stage probe so the full-corpus distinct-gram count only
         # ever runs when it is cheap: a bounded doc sample first (vocab
@@ -1718,15 +1760,18 @@ def ngram_jaccard_pairs(
             or 0
         )
         if 0 < sample_vocab <= 64:
+            grams = _pin_grams(grams)  # the exact count reads it anyway
             n_vocab = grams.agg(F.count_distinct("g")).first()[0] or 0
             strategy = "bitmask" if 0 < n_vocab <= 64 else "prefix"
         else:
             strategy = "prefix"
     elif strategy == "bitmask":
+        grams = _pin_grams(grams)
         n_vocab = grams.agg(F.count_distinct("g")).first()[0] or 0
         if n_vocab > 64 or n_vocab == 0:
             raise ValueError(f"bitmask strategy needs 1..64 distinct grams, found {n_vocab}")
     if strategy == "bitmask":
+        grams = _pin_grams(grams)
         vocab = (
             grams.select("g")
             .distinct()
@@ -1737,7 +1782,15 @@ def ngram_jaccard_pairs(
             .groupBy(id_col, *blk)
             .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask"))
         )
-        groups = masks.groupBy("mask", *blk).agg(F.collect_list(F.col(id_col)).alias("ids"))
+        # Pinned: feeds the self-join's two aliases AND the same-mask
+        # cliques (3 consumers) — exchange reuse never fires across a
+        # self-join's sides, so unpinned each side re-runs the
+        # vocab-window + masks aggregation. Distinct masks only — tiny.
+        groups = (
+            masks.groupBy("mask", *blk)
+            .agg(F.collect_list(F.col(id_col)).alias("ids"))
+            .localCheckpoint(eager=True)
+        )
         a, b = groups.alias("a"), groups.alias("b")
         i_bits = F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask")))
         na_b, nb_b = F.bit_count("a.mask"), F.bit_count("b.mask")
@@ -1786,7 +1839,7 @@ def ngram_jaccard_pairs(
     # plan, zero exchange reuse (measured 5.7 s -> 2.9 s at sf0.1 for
     # the t=0.8 truth join when pinned). Same discipline as
     # ngram_containment_pairs; integers only, never text.
-    grams = grams.localCheckpoint(eager=True)
+    grams = _pin_grams(grams)
     freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("fc"))
     ranked = (
         grams.join(freq, "g")
