@@ -963,3 +963,34 @@ def test_binary_hamming_topk_pre_prune_is_result_identical(spark):
     pruned = sorted(map(tuple, binary_hamming_topk(df, q, prune_salts=5, **kw).collect()))
     single = sorted(map(tuple, binary_hamming_topk(df, q, prune_salts=0, **kw).collect()))
     assert pruned == single and len(single) == 12
+
+
+def test_cosine_hoisted_is_bit_identical_to_cosine(spark):
+    # The r12 norm hoist must be VALUE-identical to the per-pair form —
+    # same dot fold, same two sqrt results multiplied in the same order
+    # — including the zero-vector -inf sentinel. Bit equality (not
+    # approx): the DuckDB oracle ranks/thresholds on raw sims.
+    from pyspark.sql import functions as F
+
+    from laygo_python_spark.operators.similarity import (
+        cosine,
+        cosine_hoisted,
+        l2_norm,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(64)]) for i in range(40)
+    ] + [(40, [0.0] * 64)]  # zero vector: both forms must emit -inf
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    a = df.selectExpr("vec_id AS ia", "v AS va")
+    b = df.selectExpr("vec_id AS ib", "v AS vb")
+    pairs = a.join(b, F.col("ia") < F.col("ib"))
+    both = pairs.select(
+        cosine(F.col("va"), F.col("vb")).alias("plain"),
+        cosine_hoisted(
+            F.col("va"), F.col("vb"), l2_norm(F.col("va")), l2_norm(F.col("vb"))
+        ).alias("hoisted"),
+    ).collect()
+    assert len(both) == 41 * 40 // 2
+    assert all(r["plain"] == r["hoisted"] for r in both)  # bit-equal, -inf included
