@@ -518,6 +518,32 @@ def main() -> None:
             }
         )
     )
+    # r13 (PERF_r12 ask #2): per-query mins also died in that tail window
+    # (PERF_r12.per_query == {} — the full line is ~9 KB). Re-emit them as
+    # a names-line + values-line pair: the names line (~2.6 KB) may still
+    # truncate, but the values line (~1 KB) and the final compact line fit
+    # inside a 2000-char tail TOGETHER. Alignment is reconstructible —
+    # "per_query_order" lists the same keys in emission order (HEADLINE
+    # filtered to registered queries, then the composite rows, exactly as
+    # this file builds per_query), and "names_crc" on the values line lets
+    # a reader verify a reconstruction from this committed source.
+    # Additions-only: the full line above and the compact line below are
+    # byte-identical in format to r12's.
+    import zlib
+
+    qnames = list(per_query.keys())
+    print(json.dumps({"metric": "per_query_order", "names": qnames}, separators=(",", ":")))
+    print(
+        json.dumps(
+            {
+                "metric": "per_query_min",
+                "n": len(qnames),
+                "names_crc": zlib.crc32(",".join(qnames).encode()),
+                "values": [per_query[k] for k in qnames],
+            },
+            separators=(",", ":"),
+        )
+    )
     # The per-query map above grew past the driver's tail-capture window
     # in r5 (BENCH_r05.json: parsed=null — the {"metric": ...} prefix was
     # cut off). Emit a compact summary LAST so a parseable record survives

@@ -591,6 +591,36 @@ def _hadoop_fs(spark, path: str):
     return jvm, p.getFileSystem(conf), p
 
 
+# Declared schemas of every stored-index table this module writes. The
+# artifact layout is fixed by the writers below, so parquet footer
+# schema inference on the read side would only rediscover these
+# constants — and each inference is a whole 1-task driver-scheduled job
+# (~3 ms of work under ~0.1 s of job floor; dedup_index_append paid 7
+# such jobs per invocation, measured r13 via the UI REST profile).
+# A column absent from an older artifact's files reads as NULL under an
+# explicit schema (vs absent under inference), so the params readers
+# treat None like a missing key.
+_IDX_TBL_SCHEMAS = {
+    "membership": "doc_id long, sig_key long",
+    "reps": "sig_key long, rep long",
+    "bands": "sig_key long, band_key long",
+    "dropped": "band_key long",
+    "applied_batches": "batch_id long",
+}
+
+
+def _idx_read(spark, path: str, tbl: str) -> DataFrame:
+    """Open a stored MinHash-index table with its declared schema (no
+    footer-inference job)."""
+    return spark.read.schema(_IDX_TBL_SCHEMAS[tbl]).parquet(f"{path}/{tbl}")
+
+
+def _read_params_row(spark, path: str, schema: str) -> dict:
+    """The 1-row params table of a stored artifact, as a dict — read
+    with the declared schema so the collect is the only job."""
+    return spark.read.schema(schema).parquet(f"{path}/params").collect()[0].asDict()
+
+
 def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
     """A parquet subdir that an older artifact version never wrote reads
     as an empty frame of the expected schema (not an error) — the
@@ -606,7 +636,7 @@ def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
     _, fs, p = _hadoop_fs(spark, path)
     if not fs.exists(p):
         return local_rows_df(spark, [], schema)
-    return spark.read.parquet(path)
+    return spark.read.schema(schema).parquet(path)
 
 
 def _batch_already_applied(spark, path: str, batch_id: int) -> bool:
@@ -617,7 +647,7 @@ def _batch_already_applied(spark, path: str, batch_id: int) -> bool:
     _, fs, p = _hadoop_fs(spark, f"{path}/applied_batches")
     if not fs.exists(p):
         return False
-    applied = spark.read.parquet(f"{path}/applied_batches")
+    applied = _idx_read(spark, path, "applied_batches")
     return bool(applied.filter(F.col("batch_id") == int(batch_id)).limit(1).count())
 
 
@@ -716,17 +746,20 @@ def minhash_index_read(spark, path: str, params: dict | None = None) -> dict[str
     scheduling at small SF). Append never mutates params, so a cached
     row can't go stale."""
     row = params if params is not None else (
-        spark.read.parquet(f"{path}/params").collect()[0].asDict()
+        _read_params_row(spark, path, _MINHASH_PARAM_SCHEMA)
     )
     params = {k: row[k] for k in ("shingle_n", "num_hashes", "bands", "seed", "hash_fn")}
-    params["max_bucket"] = row.get("max_bucket", 1000)
+    # None covers the explicit-schema reading of a pre-max_bucket
+    # artifact (the column reads as NULL rather than being absent).
+    mb = row.get("max_bucket")
+    params["max_bucket"] = 1000 if mb is None else mb
     dropped = _read_or_empty(spark, f"{path}/dropped", "band_key long")
     return {
-        "membership": spark.read.parquet(f"{path}/membership"),
-        "reps": spark.read.parquet(f"{path}/reps")
+        "membership": _idx_read(spark, path, "membership"),
+        "reps": _idx_read(spark, path, "reps")
         .groupBy("sig_key")
         .agg(F.min("rep").alias("rep")),
-        "bands": spark.read.parquet(f"{path}/bands")
+        "bands": _idx_read(spark, path, "bands")
         .join(dropped, "band_key", "left_anti")
         .select("sig_key", "band_key"),
         "dropped": dropped,
@@ -818,8 +851,9 @@ def minhash_index_append(
     if params is not None:
         row = dict(params)
     else:
-        row = spark.read.parquet(f"{path}/params").collect()[0].asDict()
-    max_bucket = row.get("max_bucket", 1000)
+        row = _read_params_row(spark, path, _MINHASH_PARAM_SCHEMA)
+    mb = row.get("max_bucket")
+    max_bucket = 1000 if mb is None else mb
     if batch_id is not None and _batch_already_applied(spark, path, batch_id):
         out: dict = {"applied": False, "membership": 0, "reps": 0, "bands": 0, "dropped": 0}
         if return_view:
@@ -865,26 +899,44 @@ def minhash_index_append(
     # deterministic here, and in-array duplicate band keys (two bands
     # hashing alike) dedup via array_distinct instead of a global
     # distinct shuffle over the exploded pairs.
+    #
+    # Pinned eagerly (r13): per_sig feeds FOUR sinks — the combined
+    # band-row checkpoint, the cap-verdict's new_counts (a broadcast
+    # build, so exchange reuse never fires into it), the reps write and
+    # the view's reps union — and the SQL profile showed the
+    # aggregation subtree executing 3x inside the combined checkpoint
+    # alone. The frame is |distinct batch sigs| rows (KB-scale); the
+    # pin is one short job that turns every re-execution into a block
+    # read. (localCheckpoint blocks are non-replayable on executor
+    # loss — the standard small-frame trade, guide §5.)
     per_sig = sig.groupBy("sig_key").agg(
         F.min(id_col).alias("rep"), F.any_value("band_keys").alias("band_keys")
-    )
+    ).localCheckpoint(eager=True)
     reps_add = per_sig.select("sig_key", "rep")
-    existing_sigs = spark.read.parquet(f"{path}/reps").select("sig_key")
+    existing_sigs = _idx_read(spark, path, "reps").select("sig_key")
     dropped_cur = _read_or_empty(spark, f"{path}/dropped", "band_key long")
     # ONE pinned frame carries both the band rows AND each band's cap
     # verdict (r7: the previous shape checkpointed new_band_rows, then
     # a second job checkpointed newly_dropped derived from it — two
     # sequential job barriers where one suffices; the self-referencing
     # count rides the same job via in-job exchange reuse).
+    # Pinned eagerly (r13): this frame feeds the combined checkpoint's
+    # stream side, the cap-verdict's new_counts AND the semi-join build
+    # probing the stored band table — three subtrees under independent
+    # broadcast exchanges, so without the pin the anti-join + explode
+    # chain (and its existing_sigs/dropped broadcasts) executed 3x per
+    # append (SQL profile r13: 9 jobs in the combined exec, 6 of them
+    # re-built broadcasts). |batch band rows| x 2 longs — KB-scale.
     new_band_rows = (
         per_sig.join(existing_sigs, "sig_key", "left_anti")
         .select("sig_key", F.explode(F.array_distinct("band_keys")).alias("band_key"))
         .join(dropped_cur, "band_key", "left_anti")
         .select("sig_key", "band_key")  # USING-join reordered; parquet appends by name
+        .localCheckpoint(eager=True)
     )
     new_counts = new_band_rows.groupBy("band_key").agg(F.count(F.lit(1)).alias("add"))
     cur_counts = (
-        spark.read.parquet(f"{path}/bands")
+        _idx_read(spark, path, "bands")
         .join(new_counts.select("band_key"), "band_key", "left_semi")
         .groupBy("band_key")
         .agg(F.count(F.lit(1)).alias("cur"))
@@ -911,14 +963,14 @@ def minhash_index_append(
     if return_view:
         all_dropped = dropped_cur.unionByName(newly_dropped)
         view = {
-            "membership": spark.read.parquet(f"{path}/membership").unionByName(
+            "membership": _idx_read(spark, path, "membership").unionByName(
                 new_membership
             ),
-            "reps": spark.read.parquet(f"{path}/reps")
+            "reps": _idx_read(spark, path, "reps")
             .unionByName(reps_add)
             .groupBy("sig_key")
             .agg(F.min("rep").alias("rep")),
-            "bands": spark.read.parquet(f"{path}/bands")
+            "bands": _idx_read(spark, path, "bands")
             .select("sig_key", "band_key")
             .unionByName(band_append)
             .join(all_dropped, "band_key", "left_anti")
@@ -1455,9 +1507,11 @@ def substring_index_write(index: dict, path: str) -> None:
 def substring_index_read(spark, path: str) -> dict:
     """Load a stored substring index (lazy — the postings scan prunes
     to the fp/doc/pos columns the match join needs)."""
-    row = spark.read.parquet(f"{path}/params").first()
+    row = spark.read.schema("k int, max_df int").parquet(f"{path}/params").first()
     return {
-        "postings": spark.read.parquet(f"{path}/postings"),
+        "postings": spark.read.schema("__doc long, pos int, fp long").parquet(
+            f"{path}/postings"
+        ),
         "params": {"k": int(row["k"]), "max_df": None if row["max_df"] < 0 else int(row["max_df"])},
     }
 
@@ -2502,6 +2556,18 @@ def simhash_index(
 _SIMHASH_PARAM_SCHEMA = "max_hamming int, bits int, hash_fn string, max_bucket int"
 _SIMHASH_DROPPED_SCHEMA = "chunk_idx int, chunk_val long"
 
+# Declared table schemas for the stored simhash index (same
+# no-footer-inference-job rationale as _IDX_TBL_SCHEMAS).
+_SIMHASH_TBL_SCHEMAS = {
+    "fingerprints": "doc_id long, sh long",
+    "reps": "sh long, rep long",
+    "chunks": "sh long, chunk_idx int, chunk_val long",
+}
+
+
+def _simhash_read(spark, path: str, tbl: str):
+    return spark.read.schema(_SIMHASH_TBL_SCHEMAS[tbl]).parquet(f"{path}/{tbl}")
+
 
 def simhash_index_write(index: dict[str, DataFrame], path: str) -> None:
     spark = index["fingerprints"].sparkSession
@@ -2524,14 +2590,15 @@ def simhash_index_read(spark, path: str) -> dict[str, DataFrame]:
     """Open a stored simhash index — append-only layout, logical tables
     derived at read time exactly as ``minhash_index_read`` does: reps
     min-reduce, chunk rows anti-join the dropped-bucket list."""
-    row = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    row = _read_params_row(spark, path, _SIMHASH_PARAM_SCHEMA)
     params = {k: row[k] for k in ("max_hamming", "bits", "hash_fn")}
-    params["max_bucket"] = row.get("max_bucket", 2000)
+    mb = row.get("max_bucket")
+    params["max_bucket"] = 2000 if mb is None else mb
     dropped = _read_or_empty(spark, f"{path}/dropped", _SIMHASH_DROPPED_SCHEMA)
     return {
-        "fingerprints": spark.read.parquet(f"{path}/fingerprints"),
-        "reps": spark.read.parquet(f"{path}/reps").groupBy("sh").agg(F.min("rep").alias("rep")),
-        "chunks": spark.read.parquet(f"{path}/chunks")
+        "fingerprints": _simhash_read(spark, path, "fingerprints"),
+        "reps": _simhash_read(spark, path, "reps").groupBy("sh").agg(F.min("rep").alias("rep")),
+        "chunks": _simhash_read(spark, path, "chunks")
         .join(dropped, ["chunk_idx", "chunk_val"], "left_anti")
         .select("sh", "chunk_idx", "chunk_val"),
         "dropped": dropped,
@@ -2577,7 +2644,7 @@ def simhash_index_append(
     via ``dedup_simhash_index_append``), same append-only layout, same
     ``batch_id`` replay no-op, same written-last-marker atomicity
     caveat, same concurrent-append + optional-``stats`` job trim."""
-    row = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    row = _read_params_row(spark, path, _SIMHASH_PARAM_SCHEMA)
     max_bucket = row.get("max_bucket", 2000)
     max_hamming, bits, hash_fn = row["max_hamming"], row["bits"], row["hash_fn"]
     n_chunks = max_hamming + 1
@@ -2590,7 +2657,7 @@ def simhash_index_append(
         .localCheckpoint(eager=True)
     )
     reps_add = fp.groupBy("sh").agg(F.min("doc_id").alias("rep"))
-    existing = spark.read.parquet(f"{path}/reps").select("sh")
+    existing = _simhash_read(spark, path, "reps").select("sh")
     dropped_cur = _read_or_empty(spark, f"{path}/dropped", _SIMHASH_DROPPED_SCHEMA)
     new_chunk_rows = (
         fp.select("sh").distinct()
@@ -2607,7 +2674,7 @@ def simhash_index_append(
         F.count(F.lit(1)).alias("add")
     )
     cur_counts = (
-        spark.read.parquet(f"{path}/chunks")
+        _simhash_read(spark, path, "chunks")
         .join(new_counts.select("chunk_idx", "chunk_val"), ["chunk_idx", "chunk_val"], "left_semi")
         .groupBy("chunk_idx", "chunk_val")
         .agg(F.count(F.lit(1)).alias("cur"))

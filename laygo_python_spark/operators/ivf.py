@@ -25,6 +25,12 @@ from pyspark.sql import functions as F
 
 from ..session import local_rows_df
 
+# Declared schemas of the stored IVF artifact tables (written by
+# ivf_index_write below) — explicit on every read so no footer
+# schema-inference job is scheduled.
+_IVF_CENTROID_SCHEMA = "cell int, centroid array<double>"
+_IVF_CELLS_SCHEMA = "neighbor_id long, cv array<double>, cell int"
+
 
 def train_centroids(
     corpus: DataFrame,
@@ -271,7 +277,7 @@ def ivf_search_indexed(
     with the same training params (pytest-pinned)."""
     import numpy as np
 
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent_rows = spark.read.schema(_IVF_CENTROID_SCHEMA).parquet(f"{path}/centroids").collect()
     centroids = np.array(
         [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])], dtype=np.float64
     )
@@ -281,7 +287,7 @@ def ivf_search_indexed(
     q = q.localCheckpoint(eager=True)  # probed twice: cell list + the join
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     c = (
-        spark.read.parquet(f"{path}/cells")
+        spark.read.schema(_IVF_CELLS_SCHEMA).parquet(f"{path}/cells")
         .filter(F.col("cell").isin(probed))
         .withColumn("nc", l2_norm(F.col("cv")))
     )
@@ -320,7 +326,7 @@ def ivf_index_add(
     erodes the pruning economics.
 
     Returns the number of vectors appended."""
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent_rows = spark.read.schema(_IVF_CENTROID_SCHEMA).parquet(f"{path}/centroids").collect()
     centroids = np.array(
         [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])], dtype=np.float64
     )
@@ -354,7 +360,7 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     dashboard for ``ivf_index_add``'s retrain trigger: alert when skew
     exceeds ~4 and schedule a retraining ``ivf_index_write``."""
     counts = (
-        spark.read.parquet(f"{path}/cells")
+        spark.read.schema(_IVF_CELLS_SCHEMA).parquet(f"{path}/cells")
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
     )

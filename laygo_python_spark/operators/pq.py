@@ -30,6 +30,14 @@ from pyspark.sql import functions as F
 
 from ..session import local_rows_df
 
+# Declared schemas of the stored-artifact tables this module reads —
+# written by pq_index_write / ivfpq_index_write below, so footer schema
+# inference would only rediscover constants at the cost of one 1-task
+# driver job per read (measured r13: ~6 such jobs in
+# ann_ivfpq_index_topk's build+add+search path).
+_PQ_CODEBOOK_SCHEMA = "subspace int, code int, centroid array<double>"
+_IVF_CENTROID_SCHEMA = "cell int, centroid array<double>"
+
 _MAX_TRAIN = 200_000  # rows the driver may collect for codebook training
 
 
@@ -233,14 +241,81 @@ def ivfpq_topk(
     m, ksub, dsub = codebooks.shape
     if centroids is None:
         centroids = train_centroids(corpus, n_centroids, vec_col, seed)
-    # Corpus: one (cell, id, codes) row per vector — codes via pq_encode,
-    # cell via the IVF assignment, joined on id (both map-only).
-    cells = _assign_cells(corpus, centroids, id_col, "__v", id_col, vec_col, n_probe=1).drop("__v")
-    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
-    corpus_cells = codes.join(cells, id_col)
+    # Corpus: one (id, codes, cell) row per vector, in ONE fused Arrow
+    # pass (r13 — was pq_encode ⋈ _assign_cells joined on id: two
+    # corpus scans, two Python passes and an id shuffle for columns
+    # born from the same batch).
+    corpus_cells = _assign_encode(corpus, centroids, codebooks, id_col, vec_col)
     return _adc_probe_topk(
         corpus_cells, queries, codebooks, centroids, k, n_probe, id_col, vec_col
     )
+
+
+def _assign_encode(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>, cell int) in ONE Arrow pass — the fused
+    form of ``pq_encode(df) ⋈ _assign_cells(df, n_probe=1)``: both
+    columns derive from the same vector batch, so building them as two
+    separate mapInPandas passes paid the corpus scan and the Python
+    boundary twice PLUS an id-keyed shuffle join to stitch columns that
+    were born side by side (guide §2.4: remove shuffles outright).
+    Values are identical by construction: the cell is the same
+    stable-argsort nearest centroid over the RAW vector that
+    ``_assign_cells`` computes, the codes the same per-subspace argmin
+    over the L2-NORMALIZED vector that ``pq_encode`` computes."""
+    import pandas as pd
+
+    m, _, dsub = codebooks.shape
+    cT = centroids.T
+    c_norm2 = (centroids**2).sum(axis=1)[None, :]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = np.array(list(pdf[vec_col]), dtype=np.float64)
+            # cell: argmin ||x - c||² with the stable lowest-id tiebreak
+            # (same expression as _assign_cells, n_probe=1)
+            d2c = c_norm2 - 2.0 * (raw @ cT)
+            cell = np.argsort(d2c, axis=1, kind="stable")[:, 0]
+            # codes: per-subspace argmin over the normalized vector
+            # (same expression as pq_encode)
+            mat = _normalize(raw)
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for s in range(m):
+                sub = mat[:, s * dsub : (s + 1) * dsub]
+                cb = codebooks[s]
+                d2 = (cb**2).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": codes.tolist(), "cell": cell}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, codes array<int>, cell int"
+    )
+
+
+def _assign_cells_driver(qrows, centroids: np.ndarray, n_probe: int) -> np.ndarray:
+    """The query-side cell assignment computed ON THE DRIVER from the
+    already-collected query rows — bit-identical numpy to
+    ``_assign_cells`` (same d2 expression, same stable argsort). The
+    query side of an IVF-PQ search is a bounded probe set (≤ 10k rows,
+    enforced below) that the ADC scorer collects anyway for its LUT, so
+    a distributed assignment pass spent a whole Arrow stage plus a
+    distinct-collect job re-deriving ints the driver could compute in
+    microseconds from data it already holds."""
+    qmat_raw = np.array([r[1] for r in qrows], dtype=np.float64)
+    cT = centroids.T
+    c_norm2 = (centroids**2).sum(axis=1)[None, :]
+    n_probe = min(n_probe, len(centroids))
+    d2 = c_norm2 - 2.0 * (qmat_raw @ cT)
+    return np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
 
 
 def _adc_probe_topk(
@@ -252,6 +327,7 @@ def _adc_probe_topk(
     n_probe: int,
     id_col: str,
     vec_col: str,
+    qrows=None,
 ) -> DataFrame:
     """Shared IVF-PQ search tail: probe the query's ``n_probe`` cells,
     ADC-score the cell-local codes, global top-k. ``corpus_cells`` is
@@ -262,10 +338,11 @@ def _adc_probe_topk(
     similarity._score_topk."""
     import pandas as pd
 
-    from laygo_python_spark.operators.ivf import _assign_cells
+    from ..session import local_rows_df
 
     m, ksub, dsub = codebooks.shape
-    qrows = queries.select(id_col, vec_col).collect()
+    if qrows is None:
+        qrows = queries.select(id_col, vec_col).collect()
     if len(qrows) > 10_000:
         raise ValueError("ivfpq search: query side exceeds 10k; batch your queries")
     qids = np.array([r[0] for r in qrows])
@@ -275,9 +352,15 @@ def _adc_probe_topk(
     )
     qpos = {int(q): i for i, q in enumerate(qids)}
 
-    q_cells = _assign_cells(
-        queries, centroids, "query_id", "__v", id_col, vec_col, n_probe=n_probe
-    ).drop("__v")
+    # Query cells assigned driver-side from the rows already collected
+    # for the LUT (see _assign_cells_driver) — one local frame instead
+    # of a distributed Arrow pass over ≤10k rows.
+    order = _assign_cells_driver(qrows, centroids, n_probe)
+    q_cells = local_rows_df(
+        queries.sparkSession,
+        [(int(q), int(c)) for q, row in zip(qids, order) for c in row],
+        "query_id long, cell int",
+    )
     cand = corpus_cells.join(F.broadcast(q_cells), "cell").filter(
         F.col("query_id") != F.col(id_col)
     )
@@ -338,14 +421,14 @@ def pq_index_write(
 
 def pq_index_read(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     """(corpus codes DataFrame, codebooks ndarray) from a stored index."""
-    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    rows = spark.read.schema(_PQ_CODEBOOK_SCHEMA).parquet(f"{path}/codebooks").collect()
     m = 1 + max(r["subspace"] for r in rows)
     ksub = 1 + max(r["code"] for r in rows)
     dsub = len(rows[0]["centroid"])
     codebooks = np.zeros((m, ksub, dsub), dtype=np.float64)
     for r in rows:
         codebooks[r["subspace"], r["code"]] = r["centroid"]
-    return spark.read.parquet(f"{path}/codes"), codebooks
+    return spark.read.schema("vec_id long, codes array<int>").parquet(f"{path}/codes"), codebooks
 
 
 def pq_index_compact(spark, path: str, target_mb: int = 128) -> dict:
@@ -420,11 +503,9 @@ def ivfpq_index_write(
         codebooks = train_codebooks(corpus, m, ksub, vec_col, seed)
     if centroids is None:
         centroids = train_centroids(corpus, n_centroids, vec_col, seed)
-    cells = _assign_cells(corpus, centroids, id_col, "__v", id_col, vec_col, n_probe=1).drop("__v")
-    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
-    codes.join(cells, id_col).write.partitionBy("cell").mode("overwrite").parquet(
-        f"{path}/codes"
-    )
+    _assign_encode(corpus, centroids, codebooks, id_col, vec_col).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(f"{path}/codes")
     spark = corpus.sparkSession
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
     local_rows_df(spark, cent_rows, "cell int, centroid array<double>").coalesce(1).write.mode(
@@ -442,11 +523,11 @@ def ivfpq_index_write(
 
 def _ivfpq_index_params(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
     """(centroids, codebooks) from a stored composed index."""
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent_rows = spark.read.schema(_IVF_CENTROID_SCHEMA).parquet(f"{path}/centroids").collect()
     centroids = np.array(
         [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])], dtype=np.float64
     )
-    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    cb_rows = spark.read.schema(_PQ_CODEBOOK_SCHEMA).parquet(f"{path}/codebooks").collect()
     m = 1 + max(r["subspace"] for r in cb_rows)
     ksub = 1 + max(r["code"] for r in cb_rows)
     codebooks = np.zeros((m, ksub, len(cb_rows[0]["centroid"])), dtype=np.float64)
@@ -471,15 +552,19 @@ def ivfpq_search_indexed(
     codes, never raw vectors. Results match ``ivfpq_topk`` at the same
     trained state (pytest-pinned)."""
     centroids, codebooks = _ivfpq_index_params(spark, path)
-    from laygo_python_spark.operators.ivf import _assign_cells
-
-    q = _assign_cells(
-        queries, centroids, "query_id", "__v", id_col, vec_col, n_probe=n_probe
-    )
-    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
-    corpus_cells = spark.read.parquet(f"{path}/codes").filter(F.col("cell").isin(probed))
+    # Queries collected ONCE: the probed-cell list comes from the same
+    # driver-side assignment the ADC tail reuses (r13 — was a
+    # distributed _assign_cells pass + a distinct-collect job, then a
+    # SECOND assignment pass inside the tail).
+    qrows = queries.select(id_col, vec_col).collect()
+    order = _assign_cells_driver(qrows, centroids, n_probe)
+    probed = sorted({int(c) for c in order.reshape(-1)})
+    corpus_cells = spark.read.schema("vec_id long, codes array<int>, cell int").parquet(
+        f"{path}/codes"
+    ).filter(F.col("cell").isin(probed))
     return _adc_probe_topk(
-        corpus_cells, queries, codebooks, centroids, k, n_probe, id_col, vec_col
+        corpus_cells, queries, codebooks, centroids, k, n_probe, id_col, vec_col,
+        qrows=qrows,
     )
 
 
@@ -489,6 +574,7 @@ def ivfpq_index_add(
     new_corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    count_rows: bool = True,
 ) -> int:
     """Grow a stored IVF-PQ index WITHOUT retraining: assign + encode
     the new vectors at the FIXED stored centroids/codebooks (map-only;
@@ -500,15 +586,10 @@ def ivfpq_index_add(
     quantization error (``pq_encode_append`` docstring) — the composed
     index inherits both. Returns rows appended."""
     centroids, codebooks = _ivfpq_index_params(spark, path)
-    from laygo_python_spark.operators.ivf import _assign_cells
-
-    cells = _assign_cells(
-        new_corpus, centroids, id_col, "__v", id_col, vec_col, n_probe=1
-    ).drop("__v")
-    rows = (
-        pq_encode(new_corpus, codebooks, id_col=id_col, vec_col=vec_col)
-        .join(cells, id_col)
-        .localCheckpoint(eager=True)  # pin before appending into scanned dirs
-    )
+    rows = _assign_encode(
+        new_corpus, centroids, codebooks, id_col, vec_col
+    ).localCheckpoint(eager=True)  # pin before appending into scanned dirs
     rows.write.partitionBy("cell").mode("append").parquet(f"{path}/codes")
+    if not count_rows:
+        return 0
     return rows.count()

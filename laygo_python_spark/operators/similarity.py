@@ -221,6 +221,11 @@ def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+# Declared schemas of the stored SRP index tables (srp_index_write) —
+# explicit on every read so no footer schema-inference job is scheduled.
+_SRP_PARAM_SCHEMA = "n_planes int, n_tables int, dim int, seed int"
+
+
 def _with_bucket_keys(
     df: DataFrame,
     id_out: str,
@@ -477,7 +482,7 @@ def srp_index_add(
     grows past the n_planes design point — re-key with more planes
     when ``buckets``' per-directory row counts exceed the occupancy
     the docstring of ``embedding_near_dups`` sizes for."""
-    p = spark.read.parquet(f"{path}/params").collect()[0]
+    p = spark.read.schema(_SRP_PARAM_SCHEMA).parquet(f"{path}/params").collect()[0]
     c = _with_bucket_keys(
         new_vectors, "neighbor_id", "cv", p["dim"], p["n_planes"], p["n_tables"], p["seed"],
         id_col, vec_col,
@@ -509,13 +514,15 @@ def srp_search_indexed(
     STORED params, prune the bucket directories to the queries' bucket
     set (a bounded driver list), score bucket-locally. Matches
     ``lsh_bucketed_topk`` with the same params (pytest-pinned)."""
-    p = spark.read.parquet(f"{path}/params").collect()[0]
+    p = spark.read.schema(_SRP_PARAM_SCHEMA).parquet(f"{path}/params").collect()[0]
     q = _with_bucket_keys(
         queries, "query_id", "qv", p["dim"], p["n_planes"], p["n_tables"], p["seed"], id_col, vec_col
     ).localCheckpoint(eager=True)  # read twice: bucket list + join
     probed = [r["bkey"] for r in q.select("bkey").distinct().collect()]
     c = (
-        spark.read.parquet(f"{path}/buckets")
+        spark.read.schema("neighbor_id long, cv array<double>, bkey long").parquet(
+            f"{path}/buckets"
+        )
         .filter(F.col("bkey").isin(probed))
         .withColumn("nc", l2_norm(F.col("cv")))
     )

@@ -599,15 +599,32 @@ def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         # commit on a worker thread — the match never needed the new
         # FILES, only the new ROWS, and those are checkpoint-pinned.
         # wait() joins the commit before the scratch dir is removed.
-        prow = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+        prow = dedup._read_params_row(spark, path, dedup._MINHASH_PARAM_SCHEMA)
+        # The day-2 (append) and day-3 (probe match) signature passes
+        # are the two Python stages of this query and are independent —
+        # build both pins concurrently (guide §2.6: overlap independent
+        # jobs) instead of serializing two Arrow stage walls; append and
+        # match then consume them via precomputed_sig.
+        sig_box: dict = {}
+
+        def _mk_sig(tag: str, part) -> None:
+            sig_box[tag] = dedup._minhash_sig_keys(
+                part, "doc_id", "text", prow["shingle_n"], prow["num_hashes"],
+                prow["bands"], prow["seed"], prow["hash_fn"],
+            ).localCheckpoint(eager=True)
+
+        dedup._concurrent_actions(
+            lambda: _mk_sig("day2", day2), lambda: _mk_sig("probe", probe)
+        )
         res = dedup.minhash_index_append(
-            spark, path, day2, batch_id=1, stats=False, params=prow,
+            spark, path, None, batch_id=1, stats=False, params=prow,
+            precomputed_sig=sig_box["day2"],
             return_view=True, background_writes=True,
         )
         try:
-            return dedup.minhash_match_incremental(probe, res["view"]).localCheckpoint(
-                eager=True
-            )
+            return dedup.minhash_match_incremental(
+                probe, res["view"], precomputed_sig=sig_box["probe"]
+            ).localCheckpoint(eager=True)
         finally:
             res["wait"]()
     finally:
@@ -639,11 +656,31 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copytree(tmpl, path)
         day2 = docs.filter(F.col("doc_id") % 3 == 1)
         probe = docs.filter(F.col("doc_id") % 3 == 2)
-        prow = spark.read.parquet(f"{path}/params").collect()[0].asDict()
-        dedup.minhash_index_append(spark, path, day2, batch_id=1, stats=False, params=prow)
+        prow = dedup._read_params_row(spark, path, dedup._MINHASH_PARAM_SCHEMA)
+        # Same concurrent-signature discipline as dedup_index_append:
+        # the probe's Python pass is independent of the append, so its
+        # wall rides the append's tail instead of serializing after
+        # the compaction.
+        sig_box: dict = {}
+
+        def _mk_sig(tag: str, part) -> None:
+            sig_box[tag] = dedup._minhash_sig_keys(
+                part, "doc_id", "text", prow["shingle_n"], prow["num_hashes"],
+                prow["bands"], prow["seed"], prow["hash_fn"],
+            ).localCheckpoint(eager=True)
+
+        dedup._concurrent_actions(
+            lambda: _mk_sig("day2", day2), lambda: _mk_sig("probe", probe)
+        )
+        dedup.minhash_index_append(
+            spark, path, None, batch_id=1, stats=False, params=prow,
+            precomputed_sig=sig_box["day2"],
+        )
         dedup.minhash_index_compact(spark, path, stats=False)
         stored = dedup.minhash_index_read(spark, path, params=prow)
-        return dedup.minhash_match_incremental(probe, stored).localCheckpoint(eager=True)
+        return dedup.minhash_match_incremental(
+            probe, stored, precomputed_sig=sig_box["probe"]
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

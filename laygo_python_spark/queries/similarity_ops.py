@@ -605,7 +605,9 @@ def ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_index_write(
             emb.filter(F.col("vec_id") % 2 == 0), path, codebooks=cb, centroids=cent
         )
-        ivfpq_index_add(spark, path, emb.filter(F.col("vec_id") % 2 == 1))
+        # count_rows=False: this query discards the appended-row count,
+        # so the count job would be pure scheduling floor (r13).
+        ivfpq_index_add(spark, path, emb.filter(F.col("vec_id") % 2 == 1), count_rows=False)
         out = ivfpq_search_indexed(
             spark, path, emb.filter(F.col("vec_id") < 5), k=10, n_probe=4
         )

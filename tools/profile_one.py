@@ -25,7 +25,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="+")
     ap.add_argument("--runs", type=int, default=7)
-    ap.add_argument("--suffix", default=None, help="write plans/r12/<name>_<suffix>.txt")
+    ap.add_argument("--suffix", default=None, help="write <plan-dir>/<name>_<suffix>.txt")
+    ap.add_argument("--plan-dir", default="plans/r13")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
@@ -44,8 +45,8 @@ def main() -> None:
                 plan = df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"
                 )
-                os.makedirs("plans/r12", exist_ok=True)
-                with open(f"plans/r12/{name}_{args.suffix}.txt", "w") as f:
+                os.makedirs(args.plan_dir, exist_ok=True)
+                with open(f"{args.plan_dir}/{name}_{args.suffix}.txt", "w") as f:
                     f.write(plan)
             except Exception as exc:  # noqa: BLE001
                 print(f"# plan dump failed for {name}: {exc}", file=sys.stderr)
