@@ -126,19 +126,30 @@ def _pagerank_impl(
         .withColumn("wd", F.when(F.col("deg") != 0, F.col("w") / F.col("deg")))
         .persist()
     )
-    # The node set derives from the edge cache (map-side dedup + a
-    # |V|-row exchange — tiny next to |E|); pinned because personalized
-    # dense mode re-reads it every round.
-    if symmetric:
-        nodes_raw = e.select(F.col("src").alias("node")).distinct().persist()
-    else:
-        nodes_raw = (
-            e.select(F.col("src").alias("node"))
-            .unionByName(e.select(F.col("dst").alias("node")))
-            .distinct()
-            .persist()
-        )
-    pins = [e, nodes_raw]
+    # The node FRAME is only consumed by the dense modes (per-node
+    # base/pr0 literals, or the personalized flag join). The symmetric
+    # global path needs only |V| (its rounds fold the teleport into the
+    # aggregation constant) and sparse mode only an in-graph membership
+    # guard — building, persisting and counting the full distinct node
+    # set on those paths materialized an |E| -> |V| exchange whose
+    # output was never read again (r13; was one whole extra exec of the
+    # pagerank_supplier_part wall).
+    dense_nodes_needed = (not symmetric) or (sources is not None and not sparse)
+    nodes_raw = None
+    if dense_nodes_needed:
+        # Derives from the edge cache (map-side dedup + a |V|-row
+        # exchange — tiny next to |E|); pinned because personalized
+        # dense mode re-reads it every round.
+        if symmetric:
+            nodes_raw = e.select(F.col("src").alias("node")).distinct().persist()
+        else:
+            nodes_raw = (
+                e.select(F.col("src").alias("node"))
+                .unionByName(e.select(F.col("dst").alias("node")))
+                .distinct()
+                .persist()
+            )
+    pins = [p for p in (e, nodes_raw) if p is not None]
     n = None
     if sources is None:
         # |V| seeds the uniform teleport/init literals. Personalized
@@ -150,13 +161,31 @@ def _pagerank_impl(
         # — the per-round broadcast-cross stage costs more than the one
         # count job saves, and the count also pre-materializes the edge
         # layout off the loop's critical path).
-        n = nodes_raw.count()
+        if nodes_raw is not None:
+            n = nodes_raw.count()
+        else:
+            # Symmetric global: count-distinct ships per-partition
+            # partials (guide §2.3 — aggregate before you shuffle)
+            # instead of exchanging the node set itself; the count
+            # still pre-materializes the edge cache off the loop's
+            # critical path, exactly as the r9 note above requires.
+            n = e.select(F.count_distinct("src").alias("n")).first()["n"] or 0
         if n == 0:
             # Empty edge list (e.g. an upstream filter matched nothing):
             # empty ranks, not a driver-side ZeroDivisionError.
             for p_ in pins:
                 p_.unpersist()
-            return nodes_raw.withColumn("pr", F.lit(0.0))
+            return (
+                e.select(F.col("src").alias("node"))
+                .where(F.lit(False))
+                .withColumn("pr", F.lit(0.0))
+            )
+    if nodes_raw is None and sources is None:
+        # Symmetric global: the init-vector select below references the
+        # node frame but the fold_base rounds never evaluate it (round
+        # 1 is the algebraic fold) — a LAZY, unpersisted derivation
+        # keeps iterations=0 correct without materializing anything.
+        nodes_raw = e.select(F.col("src").alias("node")).distinct()
     nodes = nodes_raw
     if sources is None:
         if sparse:
@@ -177,10 +206,18 @@ def _pagerank_impl(
             # for nodes the graph has never seen (r7 advice) — n_s stays
             # the FULL source-set count in both modes, so per-source mass
             # is identical too. Dense mode needs no extra join: its flag
-            # join is the filter. Written nodes⋉sources so the tiny
-            # source set is the broadcast build side (a source-side
-            # left-semi would make the |V| node set the build side).
-            src_set = nodes_raw.join(F.broadcast(src_set), "node", "semi")
+            # join is the filter. The broadcast semi filters the edge
+            # endpoints MAP-SIDE before the distinct, so the dedup
+            # exchange carries |sources ∩ V| rows, not |V| (r13; the
+            # previous shape semi-joined against the fully-materialized
+            # persisted node set — an |E| -> |V| exchange built only to
+            # be filtered down to a handful of rows).
+            node_pool = e.select(F.col("src").alias("node"))
+            if not symmetric:
+                node_pool = node_pool.unionByName(e.select(F.col("dst").alias("node")))
+            src_set = (
+                node_pool.join(F.broadcast(src_set), "node", "semi").distinct()
+            )
             # SPARSE personalized mode — the 100 TB shape for PPR: rank
             # mass lives only inside the iteration-hop ball around the
             # sources, so the rank vector carries REACHED nodes instead
