@@ -151,7 +151,18 @@ def _pin_sketch(sketch: DataFrame) -> DataFrame:
     the same blocks instead of each re-executing the sketch's LINEAGE —
     which for a freshly built sketch is a full fact-table pass per
     consumer (measured: cms_join_size_estimate executed each of its two
-    builds twice — once for the geometry read, once for the product)."""
+    builds twice — once for the geometry read, once for the product).
+
+    Idempotent (r13, r12 ADVICE): a frame that is already a pinned RDD
+    scan — a prior ``localCheckpoint`` output, e.g. repeated
+    ``cms_estimate`` calls probing the same stored sketch — returns
+    as-is instead of accumulating a new checkpoint block set per call.
+    Trade-off note (guide §5): localCheckpoint blocks are
+    NON-REPLAYABLE — on executor loss the consuming job fails rather
+    than recomputes; acceptable for KB-scale frames, and why this
+    helper is never applied to corpus-sized inputs."""
+    if sketch._jdf.queryExecution().analyzed().getClass().getSimpleName() == "LogicalRDD":
+        return sketch
     return sketch.localCheckpoint(eager=True)
 
 

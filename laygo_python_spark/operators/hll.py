@@ -130,7 +130,11 @@ def _pin_registers(sketch: DataFrame) -> DataFrame:
     ``_p_of`` guard's collect and the consuming aggregate read the same
     blocks instead of each re-executing the sketch's lineage (for a
     freshly built sketch, a full fact-table pass per consumer — the
-    cms._pin_sketch discipline)."""
+    cms._pin_sketch discipline, including its r13 idempotence: an
+    already-pinned RDD scan returns as-is, and the non-replayable
+    localCheckpoint trade is documented there)."""
+    if sketch._jdf.queryExecution().analyzed().getClass().getSimpleName() == "LogicalRDD":
+        return sketch
     return sketch.localCheckpoint(eager=True)
 
 

@@ -61,13 +61,20 @@ def _assign_cells(
     vec_col: str,
     n_probe: int = 1,
     rank_out: str | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, vec double[], cell) — one row per (vector, probed cell):
     corpus vectors get their single nearest cell, query vectors get
     their ``n_probe`` nearest (multi-probe search). ``rank_out`` adds
     the 1-based probe rank (1 = nearest cell) so a single assignment
     pass can serve every n_probe <= the requested one — the
-    nprobe_recall_curve one-pass trick."""
+    nprobe_recall_curve one-pass trick.
+
+    ``passthrough``: DOUBLE input columns copied verbatim onto every
+    emitted row (repeated across the n_probe expansion). Lets a caller
+    hoist a per-vector JVM expression (the l2 norm) to run once per
+    INPUT row instead of once per probed row — folding it after the
+    expansion paid the fold n_probe times per query (r12 ADVICE)."""
     import pandas as pd
 
     cT = centroids.T  # (dim, k)
@@ -91,12 +98,16 @@ def _assign_cells(
             out = {id_out: ids, vec_out: vecs, "cell": order.reshape(-1)}
             if rank_out:
                 out[rank_out] = np.tile(np.arange(1, n_probe + 1), len(pdf))
+            for extra in passthrough:
+                out[extra] = np.repeat(pdf[extra].to_numpy(), n_probe)
             yield pd.DataFrame(out)
 
     schema = f"{id_out} long, {vec_out} array<double>, cell int"
     if rank_out:
         schema += f", {rank_out} int"
-    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
+    for extra in passthrough:
+        schema += f", {extra} double"
+    return df.select(id_col, vec_col, *passthrough).mapInPandas(run, schema=schema)
 
 
 def ivf_topk(
@@ -118,12 +129,23 @@ def ivf_topk(
     paying a training job."""
     if centroids is None:
         centroids = train_centroids(corpus, n_centroids, vec_col, seed)
-    from laygo_python_spark.operators.similarity import _score_topk, l2_norm
+    from laygo_python_spark.operators.similarity import (
+        _score_topk,
+        as_double_array,
+        l2_norm,
+    )
 
     c = _assign_cells(corpus, centroids, "neighbor_id", "cv", id_col, vec_col, n_probe=1)
     c = c.withColumn("nc", l2_norm(F.col("cv")))
-    q = _assign_cells(queries, centroids, "query_id", "qv", id_col, vec_col, n_probe=n_probe)
-    q = q.withColumn("nq", l2_norm(F.col("qv")))
+    # nq folded ONCE per query row and carried through the multi-probe
+    # expansion (r12 ADVICE: folding after _assign_cells paid the norm
+    # n_probe times per query). Bit-identical: the fold runs over the
+    # same float64 widening of the raw vector either way.
+    q = _assign_cells(
+        queries.withColumn("__pre_nq", l2_norm(as_double_array(vec_col))),
+        centroids, "query_id", "qv", id_col, vec_col, n_probe=n_probe,
+        passthrough=("__pre_nq",),
+    ).withColumnRenamed("__pre_nq", "nq")
 
     candidates = (
         c.join(F.broadcast(q), "cell")
@@ -166,6 +188,7 @@ def nprobe_recall_curve(
     audit input at 100 TB, the same honesty posture as
     lsh_threshold_tuning's exact-Jaccard truth set)."""
     from laygo_python_spark.operators.similarity import (
+        as_double_array,
         brute_force_topk,
         cosine_hoisted,
         l2_norm,
@@ -178,10 +201,13 @@ def nprobe_recall_curve(
     gmax = min(max(grid), len(centroids))
     c = _assign_cells(corpus, centroids, "neighbor_id", "cv", id_col, vec_col, n_probe=1)
     c = c.withColumn("nc", l2_norm(F.col("cv")))
+    # nq folded once per query row, pre-expansion — at gmax=16 the
+    # post-expansion fold paid the norm 16x per query (r12 ADVICE).
     q = _assign_cells(
-        queries, centroids, "query_id", "qv", id_col, vec_col,
-        n_probe=gmax, rank_out="probe_rank",
-    ).withColumn("nq", l2_norm(F.col("qv")))
+        queries.withColumn("__pre_nq", l2_norm(as_double_array(vec_col))),
+        centroids, "query_id", "qv", id_col, vec_col,
+        n_probe=gmax, rank_out="probe_rank", passthrough=("__pre_nq",),
+    ).withColumnRenamed("__pre_nq", "nq")
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -281,9 +307,18 @@ def ivf_search_indexed(
     centroids = np.array(
         [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])], dtype=np.float64
     )
-    from laygo_python_spark.operators.similarity import _score_topk, l2_norm
+    from laygo_python_spark.operators.similarity import (
+        _score_topk,
+        as_double_array,
+        l2_norm,
+    )
 
-    q = _assign_cells(queries, centroids, "query_id", "qv", id_col, vec_col, n_probe=n_probe)
+    # nq folded once per query row, pre-expansion (see ivf_topk note).
+    q = _assign_cells(
+        queries.withColumn("__pre_nq", l2_norm(as_double_array(vec_col))),
+        centroids, "query_id", "qv", id_col, vec_col, n_probe=n_probe,
+        passthrough=("__pre_nq",),
+    ).withColumnRenamed("__pre_nq", "nq")
     q = q.localCheckpoint(eager=True)  # probed twice: cell list + the join
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     c = (
@@ -293,7 +328,7 @@ def ivf_search_indexed(
     )
 
     candidates = (
-        c.join(F.broadcast(q.withColumn("nq", l2_norm(F.col("qv")))), "cell")
+        c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", "qv", "cv", "nq", "nc")

@@ -103,7 +103,8 @@ def qsketch_merge(*sketches: DataFrame) -> DataFrame:
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    out = out.localCheckpoint(eager=True)  # read twice: guard + merge agg (cms._pin_sketch discipline)
+    if out._jdf.queryExecution().analyzed().getClass().getSimpleName() != "LogicalRDD":
+        out = out.localCheckpoint(eager=True)  # read twice: guard + merge agg (cms._pin_sketch discipline)
     _gamma(out, "qsketch_merge")
     return out.groupBy("bucket", "gamma").agg(F.sum("cnt").alias("cnt")).select(
         "bucket", "cnt", "gamma"
@@ -120,7 +121,8 @@ def qsketch_quantiles(sketch: DataFrame, qs: list[float]) -> DataFrame:
     semantics up to bucket resolution (relative error ≤ gamma-1)."""
     from pyspark.sql import Window
 
-    sketch = sketch.localCheckpoint(eager=True)  # read twice: guard + the window pass
+    if sketch._jdf.queryExecution().analyzed().getClass().getSimpleName() != "LogicalRDD":
+        sketch = sketch.localCheckpoint(eager=True)  # read twice: guard + the window pass
     g = _gamma(sketch, "qsketch_quantiles")
     lg = math.log(g)
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)

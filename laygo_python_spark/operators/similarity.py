@@ -300,14 +300,20 @@ def _score_topk(candidates, k: int):
     the pytest-pinned equivalence between direct and stored-index
     searches (and their tie-breaks) cannot drift apart.
 
-    When the candidate frame carries hoisted per-side norm columns
-    ``nq``/``nc`` (attached where the vectors were fetched — once per
-    row, not once per pair), scoring uses them; value-identical either
-    way (see cosine_hoisted)."""
-    if "nq" in candidates.columns and "nc" in candidates.columns:
-        sim = cosine_hoisted(F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc"))
-    else:
-        sim = cosine(F.col("qv"), F.col("cv"))
+    The candidate frame MUST carry the hoisted per-side norm columns
+    ``nq``/``nc`` (attached where each side's vectors were fetched —
+    once per row, not once per pair; value-identical to the fused
+    cosine, see cosine_hoisted). Requiring them — instead of sniffing
+    for the columns and silently falling back to the fused form — makes
+    a caller that forgot the hoist (or passed a frame with stale
+    nq/nc from some other lineage) fail loudly here (r12 ADVICE)."""
+    missing = {"nq", "nc"} - set(candidates.columns)
+    if missing:
+        raise ValueError(
+            f"_score_topk: candidate frame lacks hoisted norm column(s) {sorted(missing)}; "
+            "attach nq/nc where the vectors are fetched (see cosine_hoisted)"
+        )
+    sim = cosine_hoisted(F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc"))
     scored = candidates.select("query_id", "neighbor_id", sim.alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -358,6 +364,16 @@ def lsh_bucketed_topk(
     # when it happens to be small). Only the query-side frames ride
     # broadcasts: that is the operator's contract (queries = a bounded
     # probe set).
+    # nc deliberately folds on the corpus projection BEFORE the
+    # candidate join. The r12-ADVICE alternative — semi-join against
+    # the candidate ids first so only survivors fold — was implemented
+    # and MEASURED this round: the semi's extra exchange over the
+    # candidate set cost ann_lsh_topk +0.3 s at sf0.1 in two
+    # interleaved A/B batches (0.75 -> 1.07/1.21 s mins), more than the
+    # saved folds at any plausible bucket selectivity here, because the
+    # fold is one pass over rows the join must stream anyway while the
+    # semi adds a blocking hash build on its probe side. Reverted; the
+    # fold stays once per corpus ROW (never per pair — the r12 hoist).
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
     ).select("neighbor_id", "cv", l2_norm(F.col("cv")).alias("nc"))
