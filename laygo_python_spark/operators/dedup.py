@@ -2081,14 +2081,22 @@ def connected_components(
     # Materialize the symmetric edge list ONCE — it joins into every
     # round, and its lineage may be an expensive pair-discovery pipeline
     # (e.g. the Jaccard self-join) that must not re-execute per round.
+    # The size-check count RIDES the checkpoint job as an observed
+    # metric (r13 — the kcore convergence-count trick): a separate
+    # sym.count() was one extra driver job of scheduling floor in every
+    # CC caller (six benched dedup queries).
+    from pyspark.sql import Observation
+
+    obs = Observation()
     pre = _persistent_ids()
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
     sym_ids = _persistent_ids() - pre
-    if driver_threshold and sym.count() <= 2 * driver_threshold:
+    if driver_threshold and obs.get["n"] <= 2 * driver_threshold:
         # Small-graph fast path (see docstring): union-find over the
         # bounded, already-materialized edge list. Same contract —
         # (node, label=min reachable id) — verified against the
